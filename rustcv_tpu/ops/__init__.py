@@ -1,0 +1,15 @@
+"""Compute ops: golden CPU oracles + device (XLA/Pallas) kernels.
+
+Submodules:
+- ``golden``   — frozen NumPy specs (test oracles), bit-exact.
+- ``color``    — device color conversions (YUYV/NV12/BGRA/RGB → BGR, gray).
+- ``filters``  — device Gaussian/box blur, Sobel, gradient magnitude.
+- ``resize``   — device fixed-point bilinear resize.
+- ``features`` — device Harris corners + NMS.
+- ``draw``     — device rectangle / alpha-mask blend.
+- ``text``     — host glyph rasterization (masks consumed by ``draw``).
+- ``decode``   — PixelFormat dispatch (host oracle + device paths).
+- ``pallas``   — hand-fused TPU kernels for the hot pipelines.
+"""
+
+from . import color, decode, draw, features, filters, golden, resize, text  # noqa: F401

@@ -1,0 +1,88 @@
+"""Device drawing ops — rectangle and alpha-mask blending (put_text backend).
+
+The reference draws in-place with per-pixel CPU loops
+(``rustcv/src/imgproc/drawing.rs:67-163``). TPU-native design: drawing is a
+functional masked update over the whole image — one fused elementwise kernel,
+amortized to zero when composed into the per-tick pipeline. Rectangle
+parameters are **traced** (dynamic), so moving overlays never recompile.
+
+Semantics match golden.rectangle (the faithful reference port) for all
+in-bounds cases, including the reference's edge overdraw when ``thickness``
+exceeds the rectangle dims. The single deviation: the reference's flat-index
+bound check lets x ≥ cols writes bleed into the next row's start
+(drawing.rs:83-88, a stride artifact); we clip at the column boundary.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def rectangle(img: jax.Array, rect_xywh: jax.Array, color_bgr: jax.Array, thickness: jax.Array) -> jax.Array:
+    """Draw a rectangle outline. img: (..., H, W, 3) u8; rect (..., 4) i32;
+    color (..., 3) u8; thickness i32 scalar or (...,). Returns a new image.
+
+    A rect (or color/thickness) with leading batch dims applies per-image.
+    """
+    h, w = img.shape[-3], img.shape[-2]
+    rect_xywh = jnp.asarray(rect_xywh, jnp.int32)
+    thickness = jnp.asarray(thickness, jnp.int32)
+    color_bgr = jnp.asarray(color_bgr, jnp.uint8)
+
+    x, y, rw, rh = (rect_xywh[..., i] for i in range(4))
+    x_min = jnp.maximum(x, 0)
+    y_min = jnp.maximum(y, 0)
+    x_max = jnp.minimum(x + rw, w)
+    y_max = jnp.minimum(y + rh, h)
+    degenerate = (x_min >= x_max) | (y_min >= y_max)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)  # (H, 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)  # (1, W)
+
+    def expand(v):  # (...,) → (..., 1, 1) for broadcast against (H, W)
+        return v[..., None, None]
+
+    x_min_e, x_max_e = expand(x_min), expand(x_max)
+    y_min_e, y_max_e = expand(y_min), expand(y_max)
+    th = expand(thickness)
+
+    x_span = (xs >= x_min_e) & (xs < x_max_e)
+    y_span = (ys >= y_min_e) & (ys < y_max_e)
+    top_bot = ((ys >= y_min_e) & (ys < y_min_e + th)) | ((ys >= y_max_e - th) & (ys < y_max_e))
+    left_right = ((xs >= x_min_e) & (xs < x_min_e + th)) | ((xs >= x_max_e - th) & (xs < x_max_e))
+
+    mask = (x_span & top_bot) | (y_span & left_right)
+    mask = mask & ~expand(degenerate)
+    color = color_bgr[..., None, None, :]  # (..., 1, 1, 3)
+    return jnp.where(mask[..., None], color, img)
+
+
+@jax.jit
+def blend_mask_at(img: jax.Array, mask: jax.Array, x0: jax.Array, y0: jax.Array, color_bgr: jax.Array) -> jax.Array:
+    """Alpha-blend a fixed-size u8 coverage mask at dynamic (x0, y0).
+
+    Frozen integer blend (see golden.blend_mask):
+    ``new = (color·a + old·(255−a)) // 255`` with a ∈ [0,255].
+
+    img: (H, W, 3) u8; mask: (mh, mw) u8 (static shape — use bucketed text
+    canvases so varying strings don't recompile). Placement clips at borders
+    via padded-canvas trick: we blend on a padded copy then slice back.
+    """
+    h, w = img.shape[-3], img.shape[-2]
+    mh, mw = mask.shape
+    # Pad so any clamped placement keeps the full mask in-bounds.
+    pad = [(0, 0)] * (img.ndim - 3) + [(mh, mh), (mw, mw), (0, 0)]
+    big = jnp.pad(img, pad)
+    px = jnp.clip(jnp.asarray(x0, jnp.int32) + mw, 0, w + mw)
+    py = jnp.clip(jnp.asarray(y0, jnp.int32) + mh, 0, h + mh)
+
+    region = jax.lax.dynamic_slice(
+        big, (py, px, 0), (mh, mw, 3)
+    ).astype(jnp.int32)
+    a = mask.astype(jnp.int32)[..., None]
+    color = jnp.asarray(color_bgr, jnp.int32)
+    blended = ((color * a + region * (255 - a)) // 255).astype(jnp.uint8)
+    big = jax.lax.dynamic_update_slice(big, blended, (py, px, 0))
+    return big[mh : mh + h, mw : mw + w, :]

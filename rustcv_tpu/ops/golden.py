@@ -1,0 +1,364 @@
+"""Golden CPU oracles — the frozen, bit-exact specification of every kernel.
+
+Each device kernel in :mod:`rustcv_tpu.ops` is validated bit-for-bit against
+these NumPy implementations. Where the Rust reference defines the arithmetic
+we port its integer formulas exactly; where it doesn't (resize, blur, Sobel,
+Harris — demanded by BASELINE configs but absent from the reference), we
+freeze our own integer-first spec here, per SURVEY.md §7 "define oracle = our
+NumPy spec, then freeze it".
+
+Reference arithmetic ported exactly:
+- YUYV→BGR BT.601 integer: ``rustcv-camera/src/decode.rs:160-191`` and
+  ``rustcv/src/videoio/mod.rs:344-371`` —
+  ``B=(298c+516d+128)>>8, G=(298c-100d-208e+128)>>8, R=(298c+409e+128)>>8``
+  with c=Y-16, d=U-128, e=V-128, clamp to [0,255]; arithmetic (sign-
+  preserving) right shift, exactly as Rust ``i32 >>``.
+- BGRA→BGR drop alpha: ``decode.rs:200-207``; RGB→BGR swap: ``decode.rs:213-219``.
+- rectangle: ``rustcv/src/imgproc/drawing.rs:67-106`` including its exact
+  clipping/overdraw/flat-index bound-check semantics.
+- text alpha blend: ``drawing.rs:123-163`` (we freeze an integer variant of
+  its float blend; see :func:`blend_mask`).
+
+Frozen specs defined here (integer-exact, platform-independent):
+- NV12→BGR: same BT.601 constants, 2×2 nearest chroma upsampling.
+- bgr→gray: ``(77R + 150G + 29B + 128) >> 8`` (integer BT.601 luma).
+- bilinear resize: half-pixel centers, 11-bit fixed-point separable lerp.
+- Gaussian 5×5: separable [1,4,6,4,1] (sum 16 per axis), replicate border,
+  single final rounding ``(Σ + 128) >> 8``.
+- Sobel 3×3 + gradient magnitude ``min(255, isqrt(gx²+gy²))``.
+- Harris: float32 (positional parity, see module docs in features.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Color conversions (integer BT.601)
+# ---------------------------------------------------------------------------
+
+
+def _bt601_to_bgr(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Shared BT.601 integer kernel. y/u/v int32 arrays of identical shape."""
+    c = y - 16
+    d = u - 128
+    e = v - 128
+    b = (298 * c + 516 * d + 128) >> 8
+    g = (298 * c - 100 * d - 208 * e + 128) >> 8
+    r = (298 * c + 409 * e + 128) >> 8
+    out = np.stack([b, g, r], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def yuyv_to_bgr(src: np.ndarray, width: int, height: int) -> np.ndarray:
+    """YUYV (packed 4:2:2) → BGR, exact port of decode.rs:160-191.
+
+    ``src``: flat u8 of length ≥ width*height*2; returns (H, W, 3) u8.
+    """
+    m = src.reshape(-1)[: width * height * 2].astype(np.int32).reshape(height, width // 2, 4)
+    y0, u, y1, v = m[..., 0], m[..., 1], m[..., 2], m[..., 3]
+    y = np.stack([y0, y1], axis=-1)  # (H, W/2, 2)
+    u2 = np.broadcast_to(u[..., None], y.shape)
+    v2 = np.broadcast_to(v[..., None], y.shape)
+    return _bt601_to_bgr(y, u2, v2).reshape(height, width, 3)
+
+
+def uyvy_to_bgr(src: np.ndarray, width: int, height: int) -> np.ndarray:
+    """UYVY (packed 4:2:2, chroma first) → BGR; same BT.601 math as YUYV."""
+    m = src.reshape(-1)[: width * height * 2].astype(np.int32).reshape(height, width // 2, 4)
+    u, y0, v, y1 = m[..., 0], m[..., 1], m[..., 2], m[..., 3]
+    y = np.stack([y0, y1], axis=-1)
+    u2 = np.broadcast_to(u[..., None], y.shape)
+    v2 = np.broadcast_to(v[..., None], y.shape)
+    return _bt601_to_bgr(y, u2, v2).reshape(height, width, 3)
+
+
+def nv12_to_bgr(src: np.ndarray, width: int, height: int) -> np.ndarray:
+    """NV12 (planar Y + interleaved half-res UV) → BGR.
+
+    Frozen spec: nearest (2×2 block) chroma upsampling, BT.601 integer.
+    """
+    flat = src.reshape(-1)
+    y = flat[: width * height].astype(np.int32).reshape(height, width)
+    uv = flat[width * height : width * height * 3 // 2].astype(np.int32)
+    uv = uv.reshape(height // 2, width // 2, 2)
+    u = np.repeat(np.repeat(uv[..., 0], 2, axis=0), 2, axis=1)
+    v = np.repeat(np.repeat(uv[..., 1], 2, axis=0), 2, axis=1)
+    return _bt601_to_bgr(y, u, v)
+
+
+def bgra_to_bgr(src: np.ndarray, width: int, height: int) -> np.ndarray:
+    """BGRA32 → BGR24, drop alpha (decode.rs:200-207)."""
+    m = src.reshape(-1)[: width * height * 4].reshape(height, width, 4)
+    return np.ascontiguousarray(m[..., :3])
+
+
+def rgba_to_bgr(src: np.ndarray, width: int, height: int) -> np.ndarray:
+    m = src.reshape(-1)[: width * height * 4].reshape(height, width, 4)
+    return np.ascontiguousarray(m[..., [2, 1, 0]])
+
+
+def rgb_to_bgr(src: np.ndarray, width: int, height: int) -> np.ndarray:
+    """RGB24 → BGR24 channel swap (decode.rs:213-219)."""
+    m = src.reshape(-1)[: width * height * 3].reshape(height, width, 3)
+    return np.ascontiguousarray(m[..., ::-1])
+
+
+def bgr_to_gray(bgr: np.ndarray) -> np.ndarray:
+    """Frozen integer BT.601 luma: (77R + 150G + 29B + 128) >> 8."""
+    b = bgr[..., 0].astype(np.int32)
+    g = bgr[..., 1].astype(np.int32)
+    r = bgr[..., 2].astype(np.int32)
+    return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Drawing (imgproc)
+# ---------------------------------------------------------------------------
+
+
+def rectangle(
+    data: np.ndarray,
+    rows: int,
+    cols: int,
+    step: int,
+    rect_xywh: tuple,
+    color_bgr: tuple,
+    thickness: int,
+) -> None:
+    """In-place rectangle with the reference's exact semantics.
+
+    Faithful port of ``rustcv/src/imgproc/drawing.rs:67-106`` including its
+    quirks: edges may overdraw past the opposite side for large ``thickness``
+    (bounded only by the flat-buffer index check), and negative coordinates
+    from ``y_max-1-t`` / usize-cast are skipped.
+
+    ``data``: flat u8 buffer of length rows*step (or a (rows, step) array).
+    """
+    flat = data.reshape(-1)
+    n = flat.shape[0]
+    x, y, w, h = rect_xywh
+    b, g, r = color_bgr
+
+    x_min = max(x, 0)
+    y_min = max(y, 0)
+    x_max = min(x + w, cols)
+    y_max = min(y + h, rows)
+    if x_min >= x_max or y_min >= y_max:
+        return
+
+    def set_px(rr: int, cc: int) -> None:
+        if rr < 0 or cc < 0:  # Rust: usize cast wraps → idx check fails
+            return
+        idx = rr * step + cc * 3
+        if idx + 2 < n:
+            flat[idx] = b
+            flat[idx + 1] = g
+            flat[idx + 2] = r
+
+    for c in range(x_min, x_max):  # top & bottom edges
+        for t in range(thickness):
+            set_px(y_min + t, c)
+            set_px(y_max - 1 - t, c)
+    for rr in range(y_min, y_max):  # left & right edges
+        for t in range(thickness):
+            set_px(rr, x_min + t)
+            set_px(rr, x_max - 1 - t)
+
+
+def blend_mask(
+    img: np.ndarray, mask: np.ndarray, x0: int, y0: int, color_bgr: tuple
+) -> None:
+    """Alpha-blend a coverage mask onto a BGR image, in place.
+
+    Frozen integer spec of the reference's float blend
+    (``drawing.rs:123-163``: new = color*α + old*(1-α), truncated):
+    with a ∈ [0,255]:  ``new = (color*a + old*(255-a)) // 255``.
+    Integer division is exact and platform-independent; differences vs the
+    float original are ≤1 LSB and only at truncation boundaries.
+
+    ``img``: (rows, cols, 3) u8 view; ``mask``: (mh, mw) u8 coverage;
+    (x0, y0): top-left placement. Out-of-bounds parts are clipped.
+    """
+    rows, cols = img.shape[:2]
+    mh, mw = mask.shape
+    sy, sx = max(0, -y0), max(0, -x0)
+    ey = min(mh, rows - y0)
+    ex = min(mw, cols - x0)
+    if sy >= ey or sx >= ex:
+        return
+    sub = img[y0 + sy : y0 + ey, x0 + sx : x0 + ex].astype(np.int32)
+    a = mask[sy:ey, sx:ex].astype(np.int32)[..., None]
+    color = np.array(color_bgr, dtype=np.int32)
+    blended = (color * a + sub * (255 - a)) // 255
+    img[y0 + sy : y0 + ey, x0 + sx : x0 + ex] = blended.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Resize (frozen fixed-point bilinear)
+# ---------------------------------------------------------------------------
+
+RESIZE_SHIFT = 11  # 11-bit fixed-point weights (OpenCV-style precision)
+RESIZE_ONE = 1 << RESIZE_SHIFT
+
+
+def resize_coeffs(src_size: int, dst_size: int):
+    """Per-output-pixel (lo_index, weight_hi) tables, frozen spec.
+
+    Half-pixel centers: fx = (dx + 0.5) * src/dst - 0.5 (float64 on host),
+    ix = floor(fx) clamped to [0, src-2] (so ix+1 is valid; for src==1 both
+    taps are pixel 0), w_hi = round((fx - ix_unclamped_frac) * 2048) computed
+    from the clamped position.
+    """
+    dx = np.arange(dst_size, dtype=np.float64)
+    fx = (dx + 0.5) * (src_size / dst_size) - 0.5
+    ix = np.floor(fx).astype(np.int64)
+    frac = fx - ix
+    # Clamp: fx < 0 → pixel 0 with frac 0; ix ≥ src-1 → pixels src-2, src-1
+    frac = np.where(ix < 0, 0.0, frac)
+    ix = np.clip(ix, 0, max(src_size - 2, 0))
+    fx_clamped = np.minimum(fx, src_size - 1)
+    frac = np.clip(fx_clamped - ix, 0.0, 1.0)
+    w_hi = np.round(frac * RESIZE_ONE).astype(np.int32)
+    return ix.astype(np.int32), w_hi
+
+
+def resize_bilinear(img: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
+    """Fixed-point separable bilinear resize, frozen spec.
+
+    Horizontal pass keeps unshifted 11-bit sums (≤ 2048*255, fits i32);
+    vertical pass rounds once: ``(Σ + 2^21) >> 22``.
+    """
+    src_h, src_w = img.shape[:2]
+    x_lo, x_whi = resize_coeffs(src_w, dst_w)
+    y_lo, y_whi = resize_coeffs(src_h, dst_h)
+    x_hi = np.minimum(x_lo + 1, src_w - 1)
+    y_hi = np.minimum(y_lo + 1, src_h - 1)
+
+    a = img.astype(np.int32)
+    # Horizontal: (H_src, W_dst, C)
+    tmp = a[:, x_lo] * (RESIZE_ONE - x_whi)[None, :, None] + a[:, x_hi] * x_whi[None, :, None]
+    # Vertical: (H_dst, W_dst, C)
+    acc = (
+        tmp[y_lo] * (RESIZE_ONE - y_whi)[:, None, None]
+        + tmp[y_hi] * y_whi[:, None, None]
+    )
+    out = (acc + (1 << (2 * RESIZE_SHIFT - 1))) >> (2 * RESIZE_SHIFT)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Filters (frozen integer specs)
+# ---------------------------------------------------------------------------
+
+GAUSS5 = np.array([1, 4, 6, 4, 1], dtype=np.int32)  # per-axis, sum 16
+
+
+def _replicate_pad(a: np.ndarray, ry: int, rx: int) -> np.ndarray:
+    pad = [(ry, ry), (rx, rx)] + [(0, 0)] * (a.ndim - 2)
+    return np.pad(a, pad, mode="edge")
+
+
+def gaussian5_u8(img: np.ndarray) -> np.ndarray:
+    """5×5 Gaussian ([1,4,6,4,1]⊗[1,4,6,4,1] / 256), replicate border,
+    single final rounding (Σ + 128) >> 8. Works on (H,W) or (H,W,C) u8."""
+    a = img.astype(np.int32)
+    p = _replicate_pad(a, 2, 2)
+    h, w = img.shape[:2]
+    # Horizontal taps (unshifted, ≤ 16*255)
+    tmp = sum(int(GAUSS5[k]) * p[:, k : k + w] for k in range(5))
+    # Vertical taps + single rounding (≤ 256*255)
+    acc = sum(int(GAUSS5[k]) * tmp[k : k + h] for k in range(5))
+    return ((acc + 128) >> 8).astype(np.uint8)
+
+
+def sobel3_gray(gray: np.ndarray):
+    """Sobel 3×3 gx/gy on u8 gray, replicate border → int32 (range ±1020).
+
+    gx = [[-1,0,1],[-2,0,2],[-1,0,1]], gy = gxᵀ (y increasing downward).
+    """
+    a = gray.astype(np.int32)
+    p = _replicate_pad(a, 1, 1)
+    h, w = gray.shape
+    # Separable: gx = [1,2,1]ᵥ ⊗ [-1,0,1]ₕ ; gy = [-1,0,1]ᵥ ⊗ [1,2,1]ₕ
+    smooth_v = p[0 : h, :] + 2 * p[1 : h + 1, :] + p[2 : h + 2, :]
+    diff_v = p[2 : h + 2, :] - p[0 : h, :]
+    gx = smooth_v[:, 2 : w + 2] - smooth_v[:, 0:w]
+    gy = diff_v[:, 0:w] + 2 * diff_v[:, 1 : w + 1] + diff_v[:, 2 : w + 2]
+    return gx, gy
+
+
+def isqrt_u32(x: np.ndarray) -> np.ndarray:
+    """Exact floor integer sqrt for x ≤ ~2.1e9 (vectorized)."""
+    s = np.sqrt(x.astype(np.float64)).astype(np.int64)
+    # float64 sqrt of ints < 2^53 is exact enough that one fix-up suffices
+    s = np.where((s + 1) * (s + 1) <= x, s + 1, s)
+    s = np.where(s * s > x, s - 1, s)
+    return s
+
+
+def gradient_magnitude_u8(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Frozen spec: min(255, isqrt(gx² + gy²)) — fully integer, exact."""
+    mag2 = gx.astype(np.int64) ** 2 + gy.astype(np.int64) ** 2
+    return np.minimum(isqrt_u32(mag2), 255).astype(np.uint8)
+
+
+def blur_sobel_mag_u8(img_bgr: np.ndarray) -> np.ndarray:
+    """BASELINE config-3 fused oracle: gray → Gaussian5 → Sobel → |∇| u8."""
+    gray = bgr_to_gray(img_bgr)
+    blurred = gaussian5_u8(gray)
+    gx, gy = sobel3_gray(blurred)
+    return gradient_magnitude_u8(gx, gy)
+
+
+# ---------------------------------------------------------------------------
+# Harris corners (float32 — positional parity; see ops/features.py)
+# ---------------------------------------------------------------------------
+
+
+def harris_response(gray_u8: np.ndarray, k: float = 0.04) -> np.ndarray:
+    """Harris corner response, float32.
+
+    gray → Sobel gradients (integer, exact) → per-pixel products → 5×5
+    Gaussian window (float32, normalized /256) → R = det(M) − k·trace(M)².
+    Normalized by 1/(255·4)⁴ so responses are O(1) regardless of image scale.
+    """
+    gx, gy = sobel3_gray(gray_u8)
+    norm = np.float32(1.0 / (255.0 * 4.0))
+    fx = gx.astype(np.float32) * norm
+    fy = gy.astype(np.float32) * norm
+    ixx, iyy, ixy = fx * fx, fy * fy, fx * fy
+
+    w = (GAUSS5.astype(np.float32) / 16.0)
+
+    def smooth(m):
+        p = _replicate_pad(m, 2, 2)
+        h, ww = m.shape
+        tmp = sum(w[i] * p[:, i : i + ww] for i in range(5))
+        return sum(w[i] * tmp[i : i + h] for i in range(5))
+
+    sxx, syy, sxy = smooth(ixx), smooth(iyy), smooth(ixy)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return det - np.float32(k) * tr * tr
+
+
+def harris_corners(
+    gray_u8: np.ndarray,
+    k: float = 0.04,
+    threshold_rel: float = 0.01,
+    nms_radius: int = 1,
+) -> np.ndarray:
+    """Corner mask: response > threshold_rel·max(response) AND 3×3 local max."""
+    resp = harris_response(gray_u8, k)
+    thresh = threshold_rel * float(resp.max())
+    r = nms_radius
+    p = np.pad(resp, r, mode="constant", constant_values=-np.inf)
+    h, w = resp.shape
+    local_max = np.ones_like(resp, dtype=bool)
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            if dy == r and dx == r:
+                continue
+            local_max &= resp >= p[dy : dy + h, dx : dx + w]
+    return (resp > thresh) & local_max

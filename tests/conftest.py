@@ -1,0 +1,38 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip hardware isn't available in CI; per the project contract we test
+sharding on a virtual CPU mesh (SURVEY.md / driver notes). Env vars must be
+set before jax is imported anywhere.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Force CPU regardless of ambient platform config (the environment may pin
+# JAX_PLATFORMS to a TPU tunnel and sitecustomize registers that plugin before
+# conftest runs, so the env var alone is not enough — use the config API).
+# Set RUSTCV_TEST_TPU=1 to run the suite on real hardware instead.
+if os.environ.get("RUSTCV_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def jax_cpu():
+    import jax
+
+    assert jax.default_backend() == "cpu"
+    return jax

@@ -1,0 +1,283 @@
+"""Bit-exact parity: device (XLA) kernels vs golden NumPy oracles.
+
+This is the fidelity contract from BASELINE.json ("pixel-exact vs RustCV CPU
+output"): golden.py ports the reference's integer arithmetic exactly; every
+device kernel must match golden bit-for-bit (Harris: positionally).
+Includes the reference's own unit-test anchors (decode.rs:230-273).
+"""
+
+import numpy as np
+import pytest
+
+from rustcv_tpu.ops import color, draw, features, filters, golden, resize
+
+
+def _rand_u8(rng, *shape):
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Reference unit-test anchors (rustcv-camera/src/decode.rs:230-273)
+# ---------------------------------------------------------------------------
+
+
+class TestReferenceAnchors:
+    def test_yuyv_white(self):
+        yuyv = np.array([235, 128, 235, 128], dtype=np.uint8)
+        bgr = golden.yuyv_to_bgr(yuyv, 2, 1)
+        assert (bgr > 240).all()
+
+    def test_yuyv_black(self):
+        yuyv = np.array([16, 128, 16, 128], dtype=np.uint8)
+        bgr = golden.yuyv_to_bgr(yuyv, 2, 1)
+        assert (bgr < 10).all()
+
+    def test_rgb_to_bgr_swap(self):
+        rgb = np.array([255, 0, 0, 0, 255, 0], dtype=np.uint8)
+        bgr = golden.rgb_to_bgr(rgb, 2, 1)
+        assert bgr.reshape(-1).tolist() == [0, 0, 255, 0, 255, 0]
+
+    def test_yuyv_exact_values(self):
+        """Frozen scalar check of the integer BT.601 formula."""
+        # Y=100, U=50, V=200: c=84, d=-78, e=72
+        # B=(298*84+516*(-78)+128)>>8 = (25032-40248+128)>>8 = -15088>>8 = -59 → 0
+        # G=(25032-100*(-78)-208*72+128)>>8 = (25032+7800-14976+128)>>8 = 17984>>8 = 70
+        # R=(25032+409*72+128)>>8 = (25032+29448+128)>>8 = 54608>>8 = 213
+        yuyv = np.array([100, 50, 100, 200], dtype=np.uint8)
+        bgr = golden.yuyv_to_bgr(yuyv, 2, 1)
+        assert bgr[0, 0].tolist() == [0, 70, 213]
+        assert bgr[0, 1].tolist() == [0, 70, 213]
+
+
+# ---------------------------------------------------------------------------
+# Color conversion parity
+# ---------------------------------------------------------------------------
+
+
+class TestColorParity:
+    @pytest.mark.parametrize("w,h", [(64, 48), (640, 480), (130, 37)])
+    def test_yuyv(self, rng, jax_cpu, w, h):
+        src = _rand_u8(rng, h * w * 2)
+        want = golden.yuyv_to_bgr(src, w, h)
+        got = np.asarray(color.yuyv_to_bgr(jax_cpu.numpy.asarray(src), w, h))
+        np.testing.assert_array_equal(got, want)
+
+    def test_yuyv_batched(self, rng, jax_cpu):
+        src = _rand_u8(rng, 4, 32 * 24 * 2)
+        want = np.stack([golden.yuyv_to_bgr(s, 32, 24) for s in src])
+        got = np.asarray(color.yuyv_to_bgr(jax_cpu.numpy.asarray(src), 32, 24))
+        np.testing.assert_array_equal(got, want)
+
+    def test_uyvy(self, rng, jax_cpu):
+        src = _rand_u8(rng, 48 * 64 * 2)
+        want = golden.uyvy_to_bgr(src, 64, 48)
+        got = np.asarray(color.uyvy_to_bgr(jax_cpu.numpy.asarray(src), 64, 48))
+        np.testing.assert_array_equal(got, want)
+
+    def test_nv12(self, rng, jax_cpu):
+        w, h = 64, 48
+        src = _rand_u8(rng, h * w * 3 // 2)
+        want = golden.nv12_to_bgr(src, w, h)
+        got = np.asarray(color.nv12_to_bgr(jax_cpu.numpy.asarray(src), w, h))
+        np.testing.assert_array_equal(got, want)
+
+    def test_bgra(self, rng, jax_cpu):
+        w, h = 31, 17
+        src = _rand_u8(rng, h * w * 4)
+        want = golden.bgra_to_bgr(src, w, h)
+        got = np.asarray(color.bgra_to_bgr(jax_cpu.numpy.asarray(src), w, h))
+        np.testing.assert_array_equal(got, want)
+
+    def test_rgb(self, rng, jax_cpu):
+        w, h = 31, 17
+        src = _rand_u8(rng, h * w * 3)
+        want = golden.rgb_to_bgr(src, w, h)
+        got = np.asarray(color.rgb_to_bgr(jax_cpu.numpy.asarray(src), w, h))
+        np.testing.assert_array_equal(got, want)
+
+    def test_rgba(self, rng, jax_cpu):
+        w, h = 16, 8
+        src = _rand_u8(rng, h * w * 4)
+        want = golden.rgba_to_bgr(src, w, h)
+        got = np.asarray(color.rgba_to_bgr(jax_cpu.numpy.asarray(src), w, h))
+        np.testing.assert_array_equal(got, want)
+
+    def test_gray(self, rng, jax_cpu):
+        img = _rand_u8(rng, 37, 53, 3)
+        want = golden.bgr_to_gray(img)
+        got = np.asarray(color.bgr_to_gray(jax_cpu.numpy.asarray(img)))
+        np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Filters parity
+# ---------------------------------------------------------------------------
+
+
+class TestFilterParity:
+    def test_gaussian_gray(self, rng, jax_cpu):
+        img = _rand_u8(rng, 64, 96)
+        want = golden.gaussian5_u8(img)
+        got = np.asarray(filters.gaussian5_u8(jax_cpu.numpy.asarray(img), has_channels=False))
+        np.testing.assert_array_equal(got, want)
+
+    def test_gaussian_bgr(self, rng, jax_cpu):
+        img = _rand_u8(rng, 33, 47, 3)
+        want = golden.gaussian5_u8(img)
+        got = np.asarray(filters.gaussian5_u8(jax_cpu.numpy.asarray(img)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_gaussian_batched(self, rng, jax_cpu):
+        imgs = _rand_u8(rng, 3, 16, 24)
+        want = np.stack([golden.gaussian5_u8(i) for i in imgs])
+        got = np.asarray(filters.gaussian5_u8(jax_cpu.numpy.asarray(imgs), has_channels=False))
+        np.testing.assert_array_equal(got, want)
+
+    def test_sobel(self, rng, jax_cpu):
+        img = _rand_u8(rng, 40, 56)
+        wx, wy = golden.sobel3_gray(img)
+        gx, gy = filters.sobel3_gray(jax_cpu.numpy.asarray(img))
+        np.testing.assert_array_equal(np.asarray(gx), wx)
+        np.testing.assert_array_equal(np.asarray(gy), wy)
+
+    def test_gradient_magnitude(self, rng, jax_cpu):
+        gx = rng.integers(-1020, 1021, size=(33, 44)).astype(np.int32)
+        gy = rng.integers(-1020, 1021, size=(33, 44)).astype(np.int32)
+        want = golden.gradient_magnitude_u8(gx, gy)
+        got = np.asarray(
+            filters.gradient_magnitude_u8(jax_cpu.numpy.asarray(gx), jax_cpu.numpy.asarray(gy))
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_fused_blur_sobel(self, rng, jax_cpu):
+        img = _rand_u8(rng, 48, 64, 3)
+        want = golden.blur_sobel_mag_u8(img)
+        got = np.asarray(filters.blur_sobel_mag_u8(jax_cpu.numpy.asarray(img)))
+        np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Resize parity
+# ---------------------------------------------------------------------------
+
+
+class TestResizeParity:
+    @pytest.mark.parametrize(
+        "src,dst",
+        [((480, 640), (480, 640)), ((480, 640), (240, 320)), ((48, 64), (100, 150)),
+         ((37, 53), (20, 28)), ((4, 4), (7, 9))],
+    )
+    def test_bilinear(self, rng, jax_cpu, src, dst):
+        img = _rand_u8(rng, src[0], src[1], 3)
+        want = golden.resize_bilinear(img, dst[1], dst[0])
+        got = np.asarray(resize.resize_bilinear(jax_cpu.numpy.asarray(img), dst[1], dst[0]))
+        np.testing.assert_array_equal(got, want)
+
+    def test_identity(self, rng, jax_cpu):
+        img = _rand_u8(rng, 16, 16, 3)
+        got = np.asarray(resize.resize_bilinear(jax_cpu.numpy.asarray(img), 16, 16))
+        np.testing.assert_array_equal(got, img)
+
+
+# ---------------------------------------------------------------------------
+# Drawing parity
+# ---------------------------------------------------------------------------
+
+
+class TestDrawParity:
+    @pytest.mark.parametrize(
+        "rect,th",
+        [((5, 5, 20, 12), 1), ((5, 5, 20, 12), 3), ((-4, -6, 15, 15), 2),
+         ((25, 20, 100, 100), 2), ((3, 3, 8, 8), 20)],  # over-thick: overdraw path
+    )
+    def test_rectangle(self, rng, jax_cpu, rect, th):
+        img = _rand_u8(rng, 32, 40, 3)
+        want = img.copy()
+        golden.rectangle(want.reshape(32, -1), 32, 40, 40 * 3, rect, (9, 99, 199), th)
+        got = np.asarray(
+            draw.rectangle(
+                jax_cpu.numpy.asarray(img),
+                jax_cpu.numpy.asarray(rect, dtype=np.int32),
+                jax_cpu.numpy.asarray([9, 99, 199], dtype=np.uint8),
+                th,
+            )
+        )
+        np.testing.assert_array_equal(got, want.reshape(32, 40, 3))
+
+    def test_golden_stride_bleed_quirk(self, rng):
+        """Document the reference's flat-index quirk (drawing.rs:83-88): when
+        thickness pushes an edge column past ``cols``, writes bleed into the
+        next row's start. The device kernel clips instead (see ops/draw.py);
+        this test pins the oracle's faithful emulation of the quirk."""
+        img = _rand_u8(rng, 32, 40, 3)
+        before = img.copy()
+        golden.rectangle(img.reshape(32, -1), 32, 40, 40 * 3, (3, 3, 8, 8), (1, 2, 3), 50)
+        # Row 4 (y_min+1) begins with bled pixels from row 3's c=40..52 writes
+        changed_next_row_head = (img[4, :13] != before[4, :13]).any()
+        assert changed_next_row_head
+
+    def test_rectangle_degenerate(self, rng, jax_cpu):
+        img = _rand_u8(rng, 16, 16, 3)
+        got = np.asarray(
+            draw.rectangle(
+                jax_cpu.numpy.asarray(img),
+                jax_cpu.numpy.asarray([20, 20, 5, 5], dtype=np.int32),
+                jax_cpu.numpy.asarray([1, 2, 3], dtype=np.uint8),
+                1,
+            )
+        )
+        np.testing.assert_array_equal(got, img)  # fully clipped = no-op
+
+    def test_blend_mask(self, rng, jax_cpu):
+        img = _rand_u8(rng, 40, 60, 3)
+        mask = _rand_u8(rng, 8, 16)
+        for x0, y0 in [(5, 7), (-3, -2), (55, 35), (100, 100)]:
+            want = img.copy()
+            golden.blend_mask(want, mask, x0, y0, (200, 100, 50))
+            got = np.asarray(
+                draw.blend_mask_at(
+                    jax_cpu.numpy.asarray(img),
+                    jax_cpu.numpy.asarray(mask),
+                    x0, y0,
+                    jax_cpu.numpy.asarray([200, 100, 50], dtype=np.int32),
+                )
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"at ({x0},{y0})")
+
+
+# ---------------------------------------------------------------------------
+# Harris (positional parity)
+# ---------------------------------------------------------------------------
+
+
+def _checkerboard(h, w, sq):
+    ys, xs = np.mgrid[0:h, 0:w]
+    return (((ys // sq) + (xs // sq)) % 2 * 255).astype(np.uint8)
+
+
+class TestHarrisParity:
+    def test_response_close(self, jax_cpu):
+        img = _checkerboard(64, 64, 8)
+        want = golden.harris_response(img)
+        got = np.asarray(features.harris_response(jax_cpu.numpy.asarray(img)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_corners_positional(self, jax_cpu):
+        img = _checkerboard(64, 64, 8)
+        want = golden.harris_corners(img)
+        got = np.asarray(features.harris_corners(jax_cpu.numpy.asarray(img)))
+        # corner sets must agree except possibly at float-tie boundaries
+        diff = np.logical_xor(want, got).sum()
+        assert diff <= max(2, int(0.02 * want.sum()))
+        # interior corners of a checkerboard must all be found
+        assert got[8:-8, 8:-8].sum() >= 40
+
+    def test_corner_list(self, jax_cpu):
+        img = _checkerboard(64, 64, 8)
+        coords, valid = features.harris_corner_list(jax_cpu.numpy.asarray(img), max_corners=128)
+        coords, valid = np.asarray(coords), np.asarray(valid)
+        mask = golden.harris_corners(img)
+        n_valid = valid.sum()
+        assert n_valid > 0
+        hits = sum(bool(mask[y, x]) for (y, x) in coords[valid][: int(n_valid)])
+        assert hits >= 0.95 * n_valid
