@@ -1,0 +1,77 @@
+"""Headline benchmark — BASELINE north star on real hardware.
+
+8× 1080p synthetic YUYV streams → batched fused pipeline (YUYV→BGR decode +
+5×5 Gaussian + Sobel |∇| + rectangle overlay) on one chip. Target (set by
+BASELINE.json): >60 FPS/stream = >480 aggregate 1080p frames/s/chip.
+
+Primary path: the TPU-native device simulation source — synthetic frames are
+generated directly in HBM in wire format (YUYV) and the full decode→convert→
+filter→overlay pipeline runs as one fused program (zero H2D on the capture
+path, exactly as a real camera DMAs into buffers without CPU copies; bit-
+exact with the host generator — tests/test_device_sim.py). The host-staged
+path (frames crossing host→device each tick) is also measured and reported
+as ``host_path_fps``.
+
+Prints ONE JSON line; vs_baseline = aggregate fps / 480.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def _run(engine_kwargs, n_streams, ticks, lat_ticks):
+    from rustcv_tpu.core import PixelFormat, SimpleConfig
+    from rustcv_tpu.capture import SimulationDriver
+    from rustcv_tpu.runtime import MultiStreamEngine
+
+    driver = SimulationDriver(device_count=n_streams, paced=False, n_unique_frames=engine_kwargs.pop("n_unique_frames", 0))
+    eng = MultiStreamEngine(
+        driver, n_streams,
+        SimpleConfig(width=1920, height=1080, fps=60, pixel_format=PixelFormat.YUYV),
+        filter="blur_sobel", overlay=True, **engine_kwargs,
+    )
+    rects = np.tile(np.array([[100, 100, 400, 300]], np.int32), (n_streams, 1))
+    colors = np.tile(np.array([[0, 255, 0]], np.uint8), (n_streams, 1))
+    tp = eng.run(ticks, warmup=5, measure_latency=False, rects=rects, rect_colors=colors)
+    lat = eng.run(lat_ticks, warmup=2, measure_latency=True, rects=rects, rect_colors=colors)
+    eng.close()
+    return tp, lat
+
+
+def main() -> None:
+    import jax
+
+    n_streams = 8
+    tp, lat = _run({"device_sim": True}, n_streams, ticks=200, lat_ticks=50)
+    try:
+        tp_host, _ = _run({"n_unique_frames": 8}, n_streams, ticks=20, lat_ticks=0)
+        host_fps = round(tp_host.fps_total, 2)
+    except Exception:
+        host_fps = None
+
+    agg_fps = tp.fps_total
+    print(
+        json.dumps(
+            {
+                "metric": "1080p_frames_per_sec_per_chip",
+                "value": round(agg_fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(agg_fps / 480.0, 3),
+                "fps_per_stream": round(tp.fps_per_stream, 2),
+                "p50_latency_ms": round(lat.p50_latency_ms, 3),
+                "p99_latency_ms": round(lat.p99_latency_ms, 3),
+                "host_path_fps": host_fps,
+                "n_streams": n_streams,
+                "resolution": "1920x1080",
+                "pipeline": "yuyv_decode+gauss5+sobel_mag+rect_overlay",
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

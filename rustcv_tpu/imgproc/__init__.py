@@ -1,0 +1,195 @@
+"""imgproc — drawing primitives and image processing (OpenCV-style API).
+
+Reference surface: ``rustcv/src/imgproc/mod.rs:1-4`` re-exports
+``{Point, Rect, Scalar, rectangle, put_text}`` from ``drawing.rs``. We add the
+processing ops the BASELINE configs require (resize, blurs, Sobel, Harris) —
+the reference has no equivalents, so their specs are frozen in ops/golden.py.
+
+In-place semantics preserved: ``rectangle(mat, …)`` mutates the Mat like the
+reference (``drawing.rs:67``). If the Mat currently lives on device, the draw
+is executed there functionally and the device handle is swapped — no D2H.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.mat import Mat
+from ..ops import golden
+from ..ops import text as _text
+
+
+@dataclass(frozen=True)
+class Point:
+    """Integer pixel coordinate (drawing.rs:8-17)."""
+
+    x: int
+    y: int
+
+
+@dataclass(frozen=True)
+class Rect:
+    """x/y/width/height rectangle (drawing.rs:19-36)."""
+
+    x: int
+    y: int
+    width: int
+    height: int
+
+
+@dataclass(frozen=True)
+class Scalar:
+    """BGR color triple (drawing.rs:38-58)."""
+
+    v0: int  # Blue
+    v1: int  # Green
+    v2: int  # Red
+
+    @classmethod
+    def new(cls, b: int, g: int, r: int) -> "Scalar":
+        return cls(b, g, r)
+
+    @classmethod
+    def all(cls, v: int) -> "Scalar":
+        return cls(v, v, v)
+
+    @property
+    def bgr(self):
+        return (self.v0, self.v1, self.v2)
+
+
+def rectangle(mat: Mat, rect: Rect, color: Scalar, thickness: int = 1) -> None:
+    """Draw a rectangle outline in place (drawing.rs:67-106 semantics)."""
+    if mat.is_empty():
+        return
+    if mat.is_on_device:
+        import jax.numpy as jnp
+
+        from ..ops import draw as _draw
+
+        out = _draw.rectangle(
+            mat.device(),
+            jnp.asarray([rect.x, rect.y, rect.width, rect.height], jnp.int32),
+            jnp.asarray(color.bgr, jnp.uint8),
+            thickness,
+        )
+        mat.set_device(out)
+        return
+    golden.rectangle(
+        mat.data, mat.rows, mat.cols, mat.step,
+        (rect.x, rect.y, rect.width, rect.height), color.bgr, thickness,
+    )
+
+
+def put_text(mat: Mat, text: str, org: Point, font_scale: float, color: Scalar) -> None:
+    """Render text with ``org`` as the baseline origin (drawing.rs:123-163)."""
+    if mat.is_empty():
+        return
+    mask, dx, dy = _text.rasterize(text, font_scale)
+    if mat.is_on_device:
+        import jax.numpy as jnp
+
+        from ..ops import draw as _draw
+
+        out = _draw.blend_mask_at(
+            mat.device(), jnp.asarray(mask), org.x + dx, org.y + dy,
+            jnp.asarray(color.bgr, jnp.int32),
+        )
+        mat.set_device(out)
+        return
+    golden.blend_mask(mat.array, mask, org.x + dx, org.y + dy, color.bgr)
+
+
+# ---------------------------------------------------------------------------
+# Processing ops (TPU-backed when the Mat lives on device)
+# ---------------------------------------------------------------------------
+
+
+def _apply(mat: Mat, device_fn, host_fn) -> Mat:
+    if mat.is_on_device:
+        return Mat.from_device(device_fn(mat.device()))
+    return Mat.from_array(host_fn(mat.to_numpy()))
+
+
+def resize(mat: Mat, width: int, height: int) -> Mat:
+    """Bilinear resize (frozen fixed-point spec, golden.resize_bilinear)."""
+    from ..ops import resize as _resize
+
+    return _apply(
+        mat,
+        lambda d: _resize.resize_bilinear(d, width, height),
+        lambda h: golden.resize_bilinear(h, width, height),
+    )
+
+
+def gaussian_blur(mat: Mat) -> Mat:
+    """5×5 Gaussian, replicate border (golden.gaussian5_u8)."""
+    from ..ops import filters as _filters
+
+    return _apply(mat, _filters.gaussian5_u8, golden.gaussian5_u8)
+
+
+def box_blur(mat: Mat, ksize: int = 3) -> Mat:
+    from ..ops import filters as _filters
+
+    def host(h):
+        a = h.astype(np.int64)
+        r = ksize // 2
+        p = np.pad(a, [(r, r), (r, r)] + [(0, 0)] * (a.ndim - 2), mode="edge")
+        acc = np.zeros_like(a)
+        hh, ww = h.shape[:2]
+        for dy in range(ksize):
+            for dx in range(ksize):
+                acc += p[dy : dy + hh, dx : dx + ww]
+        n = ksize * ksize
+        return ((acc + n // 2) // n).astype(np.uint8)
+
+    return _apply(mat, lambda d: _filters.box_blur_u8(d, ksize), host)
+
+
+def cvt_gray(mat: Mat) -> Mat:
+    """BGR → gray (integer BT.601 luma)."""
+    from ..ops import color as _color
+
+    return _apply(mat, _color.bgr_to_gray, golden.bgr_to_gray)
+
+
+def sobel_magnitude(mat: Mat) -> Mat:
+    """gray(BGR input ok) → Sobel → exact |∇| u8."""
+    from ..ops import filters as _filters
+
+    def host(h):
+        g = golden.bgr_to_gray(h) if h.ndim == 3 else h.squeeze()
+        gx, gy = golden.sobel3_gray(g)
+        return golden.gradient_magnitude_u8(gx, gy)
+
+    def dev(d):
+        from ..ops import color as _color
+
+        g = _color.bgr_to_gray(d) if d.ndim == 3 else d.squeeze()
+        gx, gy = _filters.sobel3_gray(g)
+        return _filters.gradient_magnitude_u8(gx, gy)
+
+    return _apply(mat, dev, host)
+
+
+def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_radius: int = 1) -> np.ndarray:
+    """Corner mask (H, W) bool."""
+    from ..ops import color as _color
+    from ..ops import features as _features
+
+    if mat.is_on_device:
+        d = mat.device()
+        g = _color.bgr_to_gray(d) if d.ndim == 3 else d.squeeze()
+        return np.asarray(_features.harris_corners(g, k=k, threshold_rel=threshold_rel, nms_radius=nms_radius))
+    h = mat.to_numpy()
+    g = golden.bgr_to_gray(h) if h.ndim == 3 else h.squeeze()
+    return golden.harris_corners(g, k=k, threshold_rel=threshold_rel, nms_radius=nms_radius)
+
+
+__all__ = [
+    "Point", "Rect", "Scalar", "rectangle", "put_text", "resize",
+    "gaussian_blur", "box_blur", "cvt_gray", "sobel_magnitude", "harris_corners",
+]

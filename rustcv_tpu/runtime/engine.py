@@ -1,0 +1,363 @@
+"""MultiStreamEngine — batched execution of N capture streams on one chip
+(or a mesh).
+
+This replaces the reference's per-camera Tokio workers
+(``rustcv/src/videoio/mod.rs:52-157``, dual-camera examples) with the
+TPU-native shape: every tick gathers one frame per stream into a pinned host
+staging block ``[N, raw_bytes]``, uploads once, and runs ONE fused jitted
+program for decode→convert→filter→overlay (SURVEY.md §2.7 "batched
+multi-stream execution"). Double-buffered staging + async dispatch overlap
+host gather, H2D, and TPU compute across ticks.
+
+MJPEG streams are entropy-decoded on the host thread pool (the sequential,
+bit-granular part — SURVEY.md §7 hard-part #1) into BGR staging rows; all
+raw formats upload undecoded (YUYV = 2 B/px, saving PCIe bandwidth) and
+convert on-chip.
+
+Multi-chip: pass a ``jax.sharding.Mesh``; the stream axis shards across
+devices (data parallelism over cameras — the natural axis, SURVEY §5) and
+every collective-free stage runs fully parallel.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+
+from ..core.config import ResolvedConfig, SimpleConfig
+from ..core.errors import CameraError
+from ..core.pixel_format import PixelFormat
+from ..core.tick_meter import TickMeter
+from ..capture.source import Driver, FrameSource
+from ..ops import decode as _decode
+from .pipeline import PipelineSpec, get_pipeline, make_dummy_overlay
+
+
+@dataclass
+class TickResult:
+    """Outputs of one engine tick (device arrays unless fetched)."""
+
+    outputs: Dict[str, jax.Array]
+    sequences: np.ndarray  # [N] per-stream frame sequence numbers
+    tick_index: int
+
+    def numpy(self, key: str = "bgr") -> np.ndarray:
+        return np.asarray(self.outputs[key])
+
+
+@dataclass
+class EngineStats:
+    ticks: int = 0
+    frames: int = 0
+    wall_s: float = 0.0
+    p50_latency_ms: float = 0.0
+    p99_latency_ms: float = 0.0
+    host_gather_ms: float = 0.0
+    dropped_frames: int = 0
+    latencies_ms: List[float] = field(default_factory=list)
+
+    @property
+    def fps_total(self) -> float:
+        return self.frames / self.wall_s if self.wall_s > 0 else 0.0
+
+    @property
+    def fps_per_stream(self) -> float:
+        return self.ticks / self.wall_s if self.wall_s > 0 else 0.0
+
+
+class MultiStreamEngine:
+    """Own N sources; run the fused batched pipeline once per tick."""
+
+    def __init__(
+        self,
+        driver: Driver,
+        n_streams: int,
+        config: SimpleConfig,
+        *,
+        filter: str = "none",
+        resize_to: Optional[Tuple[int, int]] = None,
+        overlay: bool = False,
+        emit_bgr: bool = True,
+        mesh: Optional["jax.sharding.Mesh"] = None,
+        decode_workers: int = 8,
+        device_sim: bool = False,
+    ):
+        """``device_sim=True`` synthesizes frames directly in HBM (see
+        ops/synth.py) — the zero-H2D capture path for simulated streams. The
+        sources are still opened for negotiation/config/telemetry; only the
+        per-tick byte path moves on-device. Unsupported for MJPEG (entropy
+        coding is host work)."""
+        if n_streams < 1:
+            raise ValueError("n_streams must be >= 1")
+        self.n = n_streams
+        self._driver = driver
+        self._sources: List[FrameSource] = []
+        self._open_all(config)
+
+        rc = self._sources[0].resolved_config()
+        self._resolved = rc
+        self.spec = PipelineSpec(
+            pixel_format=rc.pixel_format,
+            width=rc.width,
+            height=rc.height,
+            resize_to=resize_to,
+            filter=filter,
+            overlay=overlay,
+            emit_bgr=emit_bgr,
+        )
+        self._fn = get_pipeline(self.spec)
+        self._mesh = mesh
+        self._in_sharding = None
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            self._in_sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(axis)
+            )
+            if n_streams % mesh.devices.size != 0:
+                raise ValueError(
+                    f"n_streams={n_streams} not divisible by mesh size {mesh.devices.size}"
+                )
+
+        self._device_sim = device_sim
+        self._sim_fn = None
+        self._seqs = np.zeros(self.n, np.int64)
+        self._sim_t0 = time.monotonic()
+        if device_sim:
+            if rc.pixel_format == PixelFormat.MJPEG:
+                raise CameraError("device_sim does not support MJPEG streams")
+            self._sim_fn = self._build_sim_fn()
+            self._pool = None
+            self._staging = []
+        else:
+            nbytes = self.spec.raw_bytes()
+            # Double-buffered staging: gather tick k+1 while tick k's upload
+            # is in flight (host-side analog of the kernel mmap ring).
+            self._staging = [np.zeros((self.n, nbytes), np.uint8) for _ in range(2)]
+            self._pool = (
+                ThreadPoolExecutor(
+                    max_workers=decode_workers, thread_name_prefix="rustcv-decode"
+                )
+                if rc.pixel_format == PixelFormat.MJPEG or self.n > 1
+                else None
+            )
+        self._staging_idx = 0
+        self._tick_index = 0
+
+    def _build_sim_fn(self):
+        from ..ops import synth as _synth
+
+        spec = self.spec
+        inner = self._fn
+
+        def run(seqs, rects, rect_colors, thickness):
+            raw = _synth.synth_raw(seqs, spec.width, spec.height, spec.pixel_format)
+            return inner(raw, rects, rect_colors, thickness)
+
+        return jax.jit(run)
+
+    # ------------------------------------------------------------------
+
+    def _open_all(self, config: SimpleConfig) -> None:
+        for s in self._sources:
+            s.stop()
+        self._sources = []
+        for i in range(self.n):
+            if hasattr(self._driver, "open_simple"):
+                src, _ = self._driver.open_simple(f"sim:{i}", config)
+            else:
+                from ..core.config import CameraConfig, Priority
+
+                cfg = CameraConfig()
+                if config.width is not None:
+                    cfg = cfg.resolution(config.width, config.height, Priority.HIGH)
+                src, _ = self._driver.open(f"sim:{i}", cfg)
+            src.start()
+            self._sources.append(src)
+        # Homogeneous-batch invariant: one shape bucket per engine.
+        cfgs = {
+            (s.resolved_config().width, s.resolved_config().height,
+             s.resolved_config().pixel_format)
+            for s in self._sources
+        }
+        if len(cfgs) != 1:
+            raise CameraError(f"streams negotiated heterogeneous configs: {cfgs}")
+
+    @property
+    def resolved_config(self) -> ResolvedConfig:
+        return self._resolved
+
+    @property
+    def sources(self) -> Sequence[FrameSource]:
+        return tuple(self._sources)
+
+    # ------------------------------------------------------------------
+
+    def _gather_row(self, i: int, staging: np.ndarray, seqs: np.ndarray) -> None:
+        frame = self._sources[i].next_frame()
+        seqs[i] = frame.sequence
+        if self._resolved.pixel_format == PixelFormat.MJPEG:
+            rgb = _decode.decode_mjpeg_host_rgb(frame.data)
+            bgr = rgb[..., ::-1]
+            staging[i] = bgr.reshape(-1)
+        else:
+            staging[i] = frame.data.reshape(-1)
+
+    def gather(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Pull one frame per stream into the current staging buffer."""
+        staging = self._staging[self._staging_idx]
+        self._staging_idx ^= 1
+        seqs = np.zeros(self.n, np.int64)
+        if self._pool is not None:
+            futs = [
+                self._pool.submit(self._gather_row, i, staging, seqs)
+                for i in range(self.n)
+            ]
+            for f in futs:
+                f.result()
+        else:
+            self._gather_row(0, staging, seqs)
+        return staging, seqs
+
+    def tick(
+        self,
+        rects: Optional[np.ndarray] = None,
+        rect_colors: Optional[np.ndarray] = None,
+        thickness: int = 2,
+        block: bool = False,
+    ) -> TickResult:
+        """One batched step. ``block=False`` leaves results as in-flight
+        device futures (pipelined dispatch); blocking is only for latency
+        measurement / final consumption."""
+        if self._device_sim:
+            if getattr(self._driver, "paced", False):
+                # Sensor-timed sequences: wall clock drives seq, so a slow
+                # consumer sees gaps (drop semantics preserved on-device).
+                seq_now = int((time.monotonic() - self._sim_t0) * self._resolved.fps)
+                seqs = np.maximum(self._seqs, seq_now)
+            else:
+                seqs = self._seqs.copy()
+            x = jax.numpy.asarray(seqs.astype(np.int32))
+            if self._in_sharding is not None:
+                x = jax.device_put(np.asarray(x), self._in_sharding)
+            self._seqs = seqs + 1
+        else:
+            staging, seqs = self.gather()
+            if self._in_sharding is not None:
+                x = jax.device_put(staging, self._in_sharding)
+            else:
+                x = jax.device_put(staging)
+
+        if self.spec.overlay:
+            r = jax.numpy.asarray(
+                rects if rects is not None else np.zeros((self.n, 4), np.int32),
+                jax.numpy.int32,
+            )
+            c = jax.numpy.asarray(
+                rect_colors if rect_colors is not None else np.zeros((self.n, 3), np.uint8),
+                jax.numpy.uint8,
+            )
+            th = jax.numpy.int32(thickness)
+        else:
+            r, c, th = make_dummy_overlay(self.n)
+
+        fn = self._sim_fn if self._device_sim else self._fn
+        out = fn(x, r, c, th)
+        if block:
+            jax.block_until_ready(out)
+        res = TickResult(out, seqs, self._tick_index)
+        self._tick_index += 1
+        return res
+
+    # ------------------------------------------------------------------
+
+    def run(
+        self,
+        n_ticks: int,
+        *,
+        warmup: int = 3,
+        measure_latency: bool = True,
+        rects: Optional[np.ndarray] = None,
+        rect_colors: Optional[np.ndarray] = None,
+    ) -> EngineStats:
+        """Sustained throughput + latency harness (the analog of the
+        reference's criterion bench stats: FPS / P99 / drop rate,
+        ``rustcv-camera/benches/capture.rs:140-212``)."""
+        stats = EngineStats()
+        for _ in range(warmup):
+            self.tick(rects=rects, rect_colors=rect_colors, block=True)
+
+        first_seqs = None
+        last_seqs = None
+        lat: List[float] = []
+        t0 = time.perf_counter()
+        pending = None
+        for k in range(n_ticks):
+            if measure_latency:
+                t_s = time.perf_counter()
+                res = self.tick(rects=rects, rect_colors=rect_colors, block=True)
+                lat.append((time.perf_counter() - t_s) * 1e3)
+            else:
+                res = self.tick(rects=rects, rect_colors=rect_colors, block=False)
+                pending = res
+            if first_seqs is None:
+                first_seqs = res.sequences.copy()
+            last_seqs = res.sequences.copy()
+        if pending is not None:
+            jax.block_until_ready(pending.outputs)
+        wall = time.perf_counter() - t0
+
+        stats.ticks = n_ticks
+        stats.frames = n_ticks * self.n
+        stats.wall_s = wall
+        if lat:
+            stats.latencies_ms = lat
+            stats.p50_latency_ms = float(np.percentile(lat, 50))
+            stats.p99_latency_ms = float(np.percentile(lat, 99))
+        if first_seqs is not None and last_seqs is not None:
+            expected = (last_seqs - first_seqs + 1).sum()
+            stats.dropped_frames = int(max(0, expected - stats.frames))
+        return stats
+
+    # ------------------------------------------------------------------
+
+    def set_resolution(self, width: int, height: int) -> None:
+        """Hot-swap all streams to a new resolution (blocking), preserving
+        the reference's stop→renegotiate→restart semantics (mod.rs:115-147).
+        The pipeline for the new bucket comes from the compile cache."""
+        cfg = SimpleConfig(
+            width=width, height=height,
+            fps=self._resolved.fps, pixel_format=self._resolved.pixel_format,
+            buffer_count=self._resolved.buffer_count,
+        )
+        self._open_all(cfg)
+        rc = self._sources[0].resolved_config()
+        self._resolved = rc
+        self.spec = PipelineSpec(
+            pixel_format=rc.pixel_format, width=rc.width, height=rc.height,
+            resize_to=self.spec.resize_to, filter=self.spec.filter,
+            overlay=self.spec.overlay, emit_bgr=self.spec.emit_bgr,
+        )
+        self._fn = get_pipeline(self.spec)
+        if self._device_sim:
+            self._sim_fn = self._build_sim_fn()
+        else:
+            nbytes = self.spec.raw_bytes()
+            self._staging = [np.zeros((self.n, nbytes), np.uint8) for _ in range(2)]
+
+    def close(self) -> None:
+        for s in self._sources:
+            s.stop()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+
+    def __enter__(self) -> "MultiStreamEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

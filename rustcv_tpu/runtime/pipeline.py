@@ -1,0 +1,114 @@
+"""Fused per-tick pipeline builder.
+
+The reference processes each frame with a chain of per-pixel CPU loops
+(decode → convert → draw, ``rustcv/src/videoio/mod.rs:344-399`` +
+``imgproc/drawing.rs``). TPU-native design: the whole per-tick chain for a
+**batch of N streams** is one jitted XLA program —
+``raw u8 [N, bytes] → convert → (resize) → (filter) → (overlay) → outputs`` —
+so there is exactly one dispatch per tick and XLA fuses every elementwise
+stage (SURVEY.md §7 hard-part #4: amortize dispatch over the batch axis).
+
+Programs are cached per :class:`PipelineSpec` (shape bucket × format ×
+stages). Overlay parameters (rects, colors, thickness) are traced arguments,
+so moving overlays never recompile. Optional mesh sharding: the batch axis is
+the data-parallel axis (one stream group per chip).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pixel_format import PixelFormat
+from ..ops import decode as _decode
+from ..ops import draw as _draw
+from ..ops import filters as _filters
+from ..ops import resize as _resize
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    """Static description of one compiled pipeline variant."""
+
+    pixel_format: PixelFormat
+    width: int
+    height: int
+    resize_to: Optional[Tuple[int, int]] = None  # (w, h) after convert
+    filter: str = "none"  # none | gaussian | sobel_mag | blur_sobel | harris
+    overlay: bool = False  # rectangle overlay on the BGR output
+    emit_bgr: bool = True  # return the BGR image
+    emit_filtered: bool = True  # return the filter output (if any)
+
+    def raw_bytes(self) -> int:
+        if self.pixel_format == PixelFormat.MJPEG:
+            # MJPEG is entropy-decoded on host to BGR before staging.
+            return self.width * self.height * 3
+        return self.pixel_format.buffer_size(self.width, self.height)
+
+    def staged_format(self) -> PixelFormat:
+        return (
+            PixelFormat.BGR24
+            if self.pixel_format == PixelFormat.MJPEG
+            else self.pixel_format
+        )
+
+
+def _build(spec: PipelineSpec):
+    w, h = spec.width, spec.height
+
+    def run(raw, rects, rect_colors, thickness):
+        # raw: u8 [N, raw_bytes]
+        bgr = _decode.convert_on_device(raw, spec.staged_format(), w, h)
+        if spec.resize_to is not None:
+            bgr = _resize.resize_bilinear(bgr, spec.resize_to[0], spec.resize_to[1])
+
+        out = {}
+        if spec.filter == "gaussian":
+            filtered = _filters.gaussian5_u8(bgr)
+        elif spec.filter == "sobel_mag":
+            from ..ops import color as _color
+
+            gray = _color.bgr_to_gray(bgr)
+            gx, gy = _filters.sobel3_gray(gray)
+            filtered = _filters.gradient_magnitude_u8(gx, gy)
+        elif spec.filter == "blur_sobel":
+            filtered = _filters.blur_sobel_mag_u8(bgr)
+        elif spec.filter == "harris":
+            from ..ops import color as _color
+            from ..ops import features as _features
+
+            gray = _color.bgr_to_gray(bgr)
+            filtered = _features.harris_corners(gray)
+        elif spec.filter == "none":
+            filtered = None
+        else:
+            raise ValueError(f"unknown filter {spec.filter!r}")
+
+        if spec.overlay:
+            bgr = _draw.rectangle(bgr, rects, rect_colors, thickness)
+        if spec.emit_bgr:
+            out["bgr"] = bgr
+        if spec.emit_filtered and filtered is not None:
+            out["filtered"] = filtered
+        return out
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=64)
+def get_pipeline(spec: PipelineSpec):
+    """The jitted program for ``spec`` (cached — warm once per bucket)."""
+    return _build(spec)
+
+
+def make_dummy_overlay(n: int):
+    """Placeholder overlay args for specs with overlay=False."""
+    return (
+        jnp.zeros((n, 4), jnp.int32),
+        jnp.zeros((n, 3), jnp.uint8),
+        jnp.int32(0),
+    )

@@ -1,0 +1,153 @@
+"""Runtime tests: fused pipelines, multi-stream engine, shape buckets, mesh
+sharding over the 8-device virtual CPU mesh (BASELINE configs 2, 3, 5)."""
+
+import numpy as np
+import pytest
+
+from rustcv_tpu.core import PixelFormat, SimpleConfig
+from rustcv_tpu.capture import SimulationDriver, synth_raw
+from rustcv_tpu.ops import golden
+from rustcv_tpu.runtime import MultiStreamEngine, PipelineSpec, bucket_for, get_pipeline
+
+
+def _driver(**kw):
+    kw.setdefault("paced", False)
+    return SimulationDriver(**kw)
+
+
+class TestBuckets:
+    def test_bucket_selection(self):
+        assert bucket_for(640, 480) == (640, 480)
+        assert bucket_for(600, 400) == (640, 480)
+        assert bucket_for(1900, 1000) == (1920, 1080)
+
+
+class TestPipeline:
+    def test_cache_identity(self):
+        s1 = PipelineSpec(PixelFormat.YUYV, 64, 48)
+        s2 = PipelineSpec(PixelFormat.YUYV, 64, 48)
+        assert get_pipeline(s1) is get_pipeline(s2)
+
+    def test_convert_only(self, jax_cpu):
+        spec = PipelineSpec(PixelFormat.YUYV, 64, 48)
+        fn = get_pipeline(spec)
+        raw = np.stack([synth_raw(64, 48, PixelFormat.YUYV, s) for s in range(4)])
+        from rustcv_tpu.runtime import make_dummy_overlay
+
+        out = fn(jax_cpu.device_put(raw), *make_dummy_overlay(4))
+        want = np.stack([golden.yuyv_to_bgr(r, 64, 48) for r in raw])
+        np.testing.assert_array_equal(np.asarray(out["bgr"]), want)
+
+    def test_full_chain_pixel_exact(self, jax_cpu):
+        """convert → resize → blur_sobel → overlay, batch 2, vs oracle."""
+        spec = PipelineSpec(
+            PixelFormat.YUYV, 64, 48, resize_to=(32, 24),
+            filter="blur_sobel", overlay=True,
+        )
+        fn = get_pipeline(spec)
+        raw = np.stack([synth_raw(64, 48, PixelFormat.YUYV, s) for s in range(2)])
+        rects = np.array([[2, 2, 10, 8], [5, 5, 12, 10]], np.int32)
+        colors = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+        import jax.numpy as jnp
+
+        out = fn(
+            jax_cpu.device_put(raw), jnp.asarray(rects), jnp.asarray(colors),
+            jnp.int32(2),
+        )
+        for i in range(2):
+            bgr = golden.yuyv_to_bgr(raw[i], 64, 48)
+            small = golden.resize_bilinear(bgr, 32, 24)
+            mag = golden.blur_sobel_mag_u8(small)
+            ov = small.copy()
+            golden.rectangle(
+                ov.reshape(24, -1), 24, 32, 32 * 3,
+                tuple(rects[i]), tuple(colors[i]), 2,
+            )
+            np.testing.assert_array_equal(np.asarray(out["filtered"][i]), mag)
+            np.testing.assert_array_equal(np.asarray(out["bgr"][i]), ov.reshape(24, 32, 3))
+
+
+class TestEngine:
+    def test_eight_streams_tick(self, jax_cpu):
+        eng = MultiStreamEngine(
+            _driver(), 8,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
+            filter="none",
+        )
+        res = eng.tick(block=True)
+        assert res.outputs["bgr"].shape == (8, 48, 64, 3)
+        # every stream's frame 0 decoded exactly
+        want = golden.yuyv_to_bgr(synth_raw(64, 48, PixelFormat.YUYV, 0), 64, 48)
+        for i in range(8):
+            np.testing.assert_array_equal(res.numpy("bgr")[i], want)
+        eng.close()
+
+    def test_mjpeg_host_decode_path(self, jax_cpu):
+        eng = MultiStreamEngine(
+            _driver(), 2,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.MJPEG),
+        )
+        res = eng.tick(block=True)
+        from rustcv_tpu.ops.decode import decode_mjpeg_host_rgb
+
+        want = decode_mjpeg_host_rgb(synth_raw(64, 48, PixelFormat.MJPEG, 0))[..., ::-1]
+        np.testing.assert_array_equal(res.numpy("bgr")[0], want)
+        eng.close()
+
+    def test_run_stats(self, jax_cpu):
+        eng = MultiStreamEngine(
+            _driver(), 4,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
+            filter="blur_sobel",
+        )
+        stats = eng.run(10, warmup=2)
+        assert stats.ticks == 10 and stats.frames == 40
+        assert stats.fps_per_stream > 0
+        assert stats.p50_latency_ms > 0
+        assert stats.dropped_frames == 0  # free-run sources never drop
+        eng.close()
+
+    def test_set_resolution_hot_swap(self, jax_cpu):
+        eng = MultiStreamEngine(
+            _driver(), 2,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
+        )
+        r1 = eng.tick(block=True)
+        assert r1.outputs["bgr"].shape == (2, 48, 64, 3)
+        eng.set_resolution(160, 120)
+        r2 = eng.tick(block=True)
+        assert r2.outputs["bgr"].shape == (2, 120, 160, 3)
+        eng.close()
+
+    def test_mesh_sharded_engine(self, jax_cpu):
+        from rustcv_tpu.parallel import stream_mesh
+
+        mesh = stream_mesh()
+        assert mesh.devices.size == 8
+        eng = MultiStreamEngine(
+            _driver(), 8,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
+            filter="sobel_mag",
+            mesh=mesh,
+        )
+        res = eng.tick(block=True)
+        # sharded over 8 devices along streams
+        assert len(res.outputs["bgr"].sharding.device_set) == 8
+        want = golden.yuyv_to_bgr(synth_raw(64, 48, PixelFormat.YUYV, 0), 64, 48)
+        np.testing.assert_array_equal(res.numpy("bgr")[3], want)
+        g = golden.bgr_to_gray(want)
+        gx, gy = golden.sobel3_gray(g)
+        np.testing.assert_array_equal(
+            res.numpy("filtered")[5], golden.gradient_magnitude_u8(gx, gy)
+        )
+        eng.close()
+
+    def test_mesh_psum_reduction(self, jax_cpu):
+        from rustcv_tpu.parallel import corner_counts_psum, shard_batch, stream_mesh
+
+        mesh = stream_mesh()
+        mask = np.zeros((8, 16, 16), bool)
+        mask[:, 4, 4] = True
+        mask[0, 8, 8] = True
+        total = corner_counts_psum(shard_batch(mask, mesh), mesh)
+        assert int(total) == 9
