@@ -1,0 +1,115 @@
+"""The pipeline model zoo — BASELINE configs as instantiable models.
+
+BASELINE.json "configs" (quoted in SURVEY.md §6):
+1. 640×480 YUYV→BGR convert + rectangle overlay, one synthetic frame.
+2. 1080p MJPEG decode → BGR → bilinear resize to 640×480, batch of 8.
+3. 5×5 Gaussian + Sobel gradient magnitude on 4K frames, fused, batch 32.
+4. Harris corner detection + NMS on a 1080p stream.
+5. End-to-end 8-stream pipeline at 4K: capture-sim → decode → convert →
+   filter → overlay, sustained multi-batch throughput.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+from ..core.config import SimpleConfig
+from ..core.pixel_format import PixelFormat
+
+
+@dataclass(frozen=True)
+class PipelineModel:
+    """Declarative pipeline bundle → engine factory."""
+
+    name: str
+    description: str
+    n_streams: int
+    width: int
+    height: int
+    pixel_format: PixelFormat
+    filter: str = "none"
+    resize_to: Optional[Tuple[int, int]] = None
+    overlay: bool = False
+    fps: int = 60
+
+    def engine(self, driver=None, *, device_sim: Optional[bool] = None, mesh=None, **overrides):
+        """Build a MultiStreamEngine for this model.
+
+        ``device_sim`` defaults to True for raw formats (the zero-copy HBM
+        capture path) and False for MJPEG (host entropy decode required).
+        """
+        from ..capture import SimulationDriver
+        from ..runtime import MultiStreamEngine
+
+        if driver is None:
+            driver = SimulationDriver(device_count=self.n_streams, paced=False)
+        if device_sim is None:
+            device_sim = self.pixel_format != PixelFormat.MJPEG
+        kwargs = dict(
+            filter=self.filter,
+            resize_to=self.resize_to,
+            overlay=self.overlay,
+            device_sim=device_sim,
+            mesh=mesh,
+        )
+        kwargs.update(overrides)
+        return MultiStreamEngine(
+            driver,
+            self.n_streams,
+            SimpleConfig(
+                width=self.width, height=self.height, fps=self.fps,
+                pixel_format=self.pixel_format,
+            ),
+            **kwargs,
+        )
+
+
+config1_convert_overlay = PipelineModel(
+    name="config1_convert_overlay",
+    description="640x480 YUYV->BGR convert + rectangle overlay (BASELINE config 1)",
+    n_streams=1, width=640, height=480,
+    pixel_format=PixelFormat.YUYV, overlay=True, fps=30,
+)
+
+config2_mjpeg_resize = PipelineModel(
+    name="config2_mjpeg_resize",
+    description="1080p MJPEG decode -> BGR -> resize 640x480, batch 8 (config 2)",
+    n_streams=8, width=1920, height=1080,
+    pixel_format=PixelFormat.MJPEG, resize_to=(640, 480), fps=30,
+)
+
+config3_blur_sobel_4k = PipelineModel(
+    name="config3_blur_sobel_4k",
+    description="fused 5x5 Gaussian + Sobel |grad| on 4K, batch 32 (config 3)",
+    n_streams=32, width=3840, height=2160,
+    pixel_format=PixelFormat.YUYV, filter="blur_sobel", fps=30,
+)
+
+config4_harris_1080p = PipelineModel(
+    name="config4_harris_1080p",
+    description="Harris corners + NMS on 1080p (config 4)",
+    n_streams=1, width=1920, height=1080,
+    pixel_format=PixelFormat.YUYV, filter="harris", fps=60,
+)
+
+config5_end_to_end_4k = PipelineModel(
+    name="config5_end_to_end_4k",
+    description="8-stream 4K capture-sim->decode->convert->filter->overlay (config 5)",
+    n_streams=8, width=3840, height=2160,
+    pixel_format=PixelFormat.YUYV, filter="blur_sobel", overlay=True, fps=60,
+)
+
+MODELS: Dict[str, PipelineModel] = {
+    m.name: m
+    for m in (
+        config1_convert_overlay, config2_mjpeg_resize, config3_blur_sobel_4k,
+        config4_harris_1080p, config5_end_to_end_4k,
+    )
+}
+
+
+def get_model(name: str) -> PipelineModel:
+    if name not in MODELS:
+        raise KeyError(f"unknown model {name!r}; available: {sorted(MODELS)}")
+    return MODELS[name]
