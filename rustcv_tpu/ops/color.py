@@ -30,20 +30,69 @@ def _bt601(y, u, v):
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
+def _unpack_yuyv_words(src: jax.Array, width: int, height: int):
+    """Deinterleave YUYV via u8→u32 bitcast: one layout conversion instead of
+    four strided gathers (TPU packs u8 4-per-lane; word-wise shifts are pure
+    VPU work). Returns int32 planes (…, H, W/2): y0, u, y1, v."""
+    batch = src.shape[:-1] if src.shape[-1] == height * width * 2 else src.shape[:-2]
+    words = jax.lax.bitcast_convert_type(
+        src.reshape(*batch, height, width // 2, 4), jnp.uint32
+    ).astype(jnp.int32)
+    return words & 255, (words >> 8) & 255, (words >> 16) & 255, (words >> 24) & 255
+
+
+def _interleave_pair_bgr(b0, g0, r0, b1, g1, r1, width: int, height: int):
+    """Pack per-pair BGR planes (…, H, W/2) i32 → interleaved (…, H, W, 3)
+    u8 via three u16 words + bitcast (little-endian byte order:
+    [b0,g0][r0,b1][g1,r1] = the 6-byte BGR pair)."""
+    batch = b0.shape[:-2]
+    w0 = (b0 | (g0 << 8)).astype(jnp.uint16)
+    w1 = (r0 | (b1 << 8)).astype(jnp.uint16)
+    w2 = (g1 | (r1 << 8)).astype(jnp.uint16)
+    packed = jnp.stack([w0, w1, w2], axis=-1)  # (..., H, W/2, 3) u16
+    bytes_ = jax.lax.bitcast_convert_type(packed, jnp.uint8)  # (..., 3, 2)
+    return bytes_.reshape(*batch, height, width, 3)
+
+
+def _bt601_pair(y0, y1, u, v):
+    """BT.601 for a YUYV pair in plane form → six i32 planes (clamped)."""
+    c0 = 298 * (y0 - 16)
+    c1 = 298 * (y1 - 16)
+    d = u - 128
+    e = v - 128
+    tb = 516 * d + 128
+    tg = -100 * d - 208 * e + 128
+    tr = 409 * e + 128
+
+    def cl(x):
+        return jnp.clip(x >> 8, 0, 255)
+
+    return cl(c0 + tb), cl(c0 + tg), cl(c0 + tr), cl(c1 + tb), cl(c1 + tg), cl(c1 + tr)
+
+
 @partial(jax.jit, static_argnames=("width", "height"))
 def yuyv_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
-    """YUYV packed 4:2:2 → BGR u8.
+    """YUYV packed 4:2:2 → BGR u8 (bit-exact vs golden.yuyv_to_bgr).
 
     ``src``: u8, shape (..., height*width*2) flat or (..., H, W*2);
-    returns (..., H, W, 3).
+    returns (..., H, W, 3). Word-wise implementation (see helpers above).
     """
-    batch = src.shape[:-1] if src.ndim > 1 and src.shape[-1] == height * width * 2 else src.shape[:-2]
-    m = src.reshape(*batch, height, width // 2, 4).astype(jnp.int32)
-    y0, u, y1, v = m[..., 0], m[..., 1], m[..., 2], m[..., 3]
-    y = jnp.stack([y0, y1], axis=-1)  # (..., H, W/2, 2)
-    u2 = jnp.broadcast_to(u[..., None], y.shape)
-    v2 = jnp.broadcast_to(v[..., None], y.shape)
-    return _bt601(y, u2, v2).reshape(*batch, height, width, 3)
+    y0, u, y1, v = _unpack_yuyv_words(src, width, height)
+    b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
+    return _interleave_pair_bgr(b0, g0, r0, b1, g1, r1, width, height)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def yuyv_to_gray(src: jax.Array, width: int, height: int) -> jax.Array:
+    """YUYV → gray u8 directly (≡ bgr_to_gray(yuyv_to_bgr(src)) bit-exact,
+    without materializing BGR — the fast path for filter-only pipelines)."""
+    y0, u, y1, v = _unpack_yuyv_words(src, width, height)
+    b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
+    gr0 = (77 * r0 + 150 * g0 + 29 * b0 + 128) >> 8
+    gr1 = (77 * r1 + 150 * g1 + 29 * b1 + 128) >> 8
+    batch = gr0.shape[:-2]
+    w = (gr0 | (gr1 << 8)).astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(*batch, height, width)
 
 
 @partial(jax.jit, static_argnames=("width", "height"))

@@ -31,21 +31,30 @@ _BAR_COLORS_BGR = np.array(
 )
 
 
-def _synth_bgr_one(seq: jax.Array, width: int, height: int) -> jax.Array:
-    """One (H, W, 3) u8 frame for traced scalar ``seq`` (int32)."""
-    seq = seq.astype(jnp.int32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+def _pattern_planes(seq: jax.Array, xs: jax.Array, ys: jax.Array, width: int, height: int):
+    """Evaluate the pattern at arbitrary integer coordinate grids.
 
+    Closed-form in (x, y, seq) so callers can evaluate at full, half (YUYV
+    pair) or quarter (NV12 chroma) resolution without any strided slicing.
+    Returns (b, g, r) int32 planes shaped like xs/ys.
+    """
+    # Color bars via arithmetic select (a take() gather is far slower on TPU)
     bar = jnp.clip(xs * 8 // max(width, 1), 0, 7)
-    img = jnp.take(jnp.asarray(_BAR_COLORS_BGR), bar, axis=0)  # (H, W, 3)
+    b = jnp.zeros_like(xs)
+    g = jnp.zeros_like(xs)
+    r = jnp.zeros_like(xs)
+    for idx, (bb, gg, rr) in enumerate(_BAR_COLORS_BGR.tolist()):
+        m = bar == idx
+        b = jnp.where(m, bb, b)
+        g = jnp.where(m, gg, g)
+        r = jnp.where(m, rr, r)
 
     gy0 = height * 2 // 3
-    grad = (xs + ys + seq * 7) % 256  # absolute row index, like the host
-    grad_px = jnp.stack(
-        [grad, 255 - grad, (grad * 2) % 256], axis=-1
-    ).astype(jnp.uint8)
-    img = jnp.where((ys >= gy0)[..., None], grad_px, img)
+    grad = (xs + ys + seq * 7) % 256
+    in_grad = ys >= gy0
+    b = jnp.where(in_grad, grad, b)
+    g = jnp.where(in_grad, 255 - grad, g)
+    r = jnp.where(in_grad, (grad * 2) % 256, r)
 
     sq = max(4, height // 8)
     span = max(1, width - sq)
@@ -53,7 +62,19 @@ def _synth_bgr_one(seq: jax.Array, width: int, height: int) -> jax.Array:
     x0 = jnp.where(pos < span, pos, 2 * span - pos)
     y0 = max(0, height // 2 - sq // 2)
     in_sq = (ys >= y0) & (ys < y0 + sq) & (xs >= x0) & (xs < x0 + sq)
-    return jnp.where(in_sq[..., None], jnp.uint8(255), img)
+    b = jnp.where(in_sq, 255, b)
+    g = jnp.where(in_sq, 255, g)
+    r = jnp.where(in_sq, 255, r)
+    return b, g, r
+
+
+def _synth_bgr_one(seq: jax.Array, width: int, height: int) -> jax.Array:
+    """One (H, W, 3) u8 frame for traced scalar ``seq`` (int32)."""
+    seq = seq.astype(jnp.int32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    b, g, r = _pattern_planes(seq, xs, ys, width, height)
+    return jnp.stack([b, g, r], axis=-1).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
@@ -88,6 +109,45 @@ def encode_yuyv(bgr: jax.Array) -> jax.Array:
     return out.reshape(*batch, h * w * 2)
 
 
+def _pack_yuyv_words(y0, u0, y1, u1, v0, v1, batch, h, w):
+    """Pair planes → YUYV wire words → u8 (little-endian bitcast)."""
+    up = (u0 + u1 + 1) >> 1
+    vp = (v0 + v1 + 1) >> 1
+    words = (y0 | (up << 8) | (y1 << 16) | (vp << 24)).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(*batch, h * w * 2)
+
+
+def _synth_yuyv_one(seq: jax.Array, width: int, height: int) -> jax.Array:
+    """Wire-format YUYV frame, synthesized at pair resolution: the pattern is
+    evaluated at even/odd columns directly (closed form), the BT.601 forward
+    transform runs per plane, and one u32→u8 bitcast emits the packed bytes —
+    no interleaved intermediate ever exists. Bit-exact vs
+    encode_yuyv(synth_bgr(...))."""
+    seq = seq.astype(jnp.int32)
+    hw = width // 2
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, hw), 0)
+    js = jax.lax.broadcasted_iota(jnp.int32, (height, hw), 1)
+
+    def yuv_at(xs):
+        b, g, r = _pattern_planes(seq, xs, ys, width, height)
+        y = ((66 * r + 129 * g + 25 * b + 128) >> 8) + 16
+        u = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+        v = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+        return (
+            jnp.clip(y, 0, 255), jnp.clip(u, 0, 255), jnp.clip(v, 0, 255),
+        )
+
+    y0, u0, v0 = yuv_at(js * 2)
+    y1, u1, v1 = yuv_at(js * 2 + 1)
+    return _pack_yuyv_words(y0, u0, y1, u1, v0, v1, (), height, width)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def synth_yuyv(seqs: jax.Array, width: int, height: int) -> jax.Array:
+    """Batched wire-format YUYV synthesis: [N] i32 → u8 [N, H*W*2]."""
+    return jax.vmap(lambda s: _synth_yuyv_one(s, width, height))(seqs)
+
+
 @jax.jit
 def encode_nv12(bgr: jax.Array) -> jax.Array:
     """(..., H, W, 3) u8 → NV12 flat (..., H*W*3//2) u8 (2×2 chroma mean)."""
@@ -120,9 +180,9 @@ def synth_raw(seqs: jax.Array, width: int, height: int, pixel_format) -> jax.Arr
     """Batched raw frames in wire format: [N] → u8 [N, raw_bytes]."""
     from ..core.pixel_format import PixelFormat
 
-    bgr = synth_bgr(seqs, width, height)
     if pixel_format == PixelFormat.YUYV:
-        return encode_yuyv(bgr)
+        return synth_yuyv(seqs, width, height)
+    bgr = synth_bgr(seqs, width, height)
     if pixel_format == PixelFormat.NV12:
         return encode_nv12(bgr)
     if pixel_format == PixelFormat.BGRA32:

@@ -127,6 +127,8 @@ class MultiStreamEngine:
         self._device_sim = device_sim
         self._sim_fn = None
         self._seqs = np.zeros(self.n, np.int64)
+        self._seqs_dev = None
+        self._overlay_cache = None  # (rects_id, colors_id, th) → device args
         self._sim_t0 = time.monotonic()
         if device_sim:
             if rc.pixel_format == PixelFormat.MJPEG:
@@ -157,7 +159,12 @@ class MultiStreamEngine:
 
         def run(seqs, rects, rect_colors, thickness):
             raw = _synth.synth_raw(seqs, spec.width, spec.height, spec.pixel_format)
-            return inner(raw, rects, rect_colors, thickness)
+            out = inner(raw, rects, rect_colors, thickness)
+            # Self-advancing stream clock: the next tick feeds this back, so
+            # steady-state ticks perform ZERO host→device transfers (every
+            # small upload is a round trip on tunneled transports).
+            out["_next_seqs"] = seqs + 1
+            return out
 
         return jax.jit(run)
 
@@ -235,16 +242,21 @@ class MultiStreamEngine:
         device futures (pipelined dispatch); blocking is only for latency
         measurement / final consumption."""
         if self._device_sim:
-            if getattr(self._driver, "paced", False):
+            paced = getattr(self._driver, "paced", False)
+            if paced:
                 # Sensor-timed sequences: wall clock drives seq, so a slow
                 # consumer sees gaps (drop semantics preserved on-device).
                 seq_now = int((time.monotonic() - self._sim_t0) * self._resolved.fps)
                 seqs = np.maximum(self._seqs, seq_now)
+                self._seqs_dev = None  # clock jumped: must re-upload
             else:
                 seqs = self._seqs.copy()
-            x = jax.numpy.asarray(seqs.astype(np.int32))
-            if self._in_sharding is not None:
-                x = jax.device_put(np.asarray(x), self._in_sharding)
+            if self._seqs_dev is not None and not paced:
+                x = self._seqs_dev  # device-resident, fed back from last tick
+            else:
+                x = jax.numpy.asarray(seqs.astype(np.int32))
+                if self._in_sharding is not None:
+                    x = jax.device_put(np.asarray(x), self._in_sharding)
             self._seqs = seqs + 1
         else:
             staging, seqs = self.gather()
@@ -254,22 +266,37 @@ class MultiStreamEngine:
                 x = jax.device_put(staging)
 
         if self.spec.overlay:
-            r = jax.numpy.asarray(
-                rects if rects is not None else np.zeros((self.n, 4), np.int32),
-                jax.numpy.int32,
-            )
-            c = jax.numpy.asarray(
-                rect_colors if rect_colors is not None else np.zeros((self.n, 3), np.uint8),
-                jax.numpy.uint8,
-            )
-            th = jax.numpy.int32(thickness)
+            # Upload overlay params only when they change (identity check):
+            # re-uploading identical small arrays every tick costs a round
+            # trip each on tunneled transports.
+            key = (id(rects), id(rect_colors), thickness)
+            if self._overlay_cache is not None and self._overlay_cache[0] == key:
+                r, c, th = self._overlay_cache[1]
+            else:
+                r = jax.numpy.asarray(
+                    rects if rects is not None else np.zeros((self.n, 4), np.int32),
+                    jax.numpy.int32,
+                )
+                c = jax.numpy.asarray(
+                    rect_colors if rect_colors is not None else np.zeros((self.n, 3), np.uint8),
+                    jax.numpy.uint8,
+                )
+                th = jax.numpy.int32(thickness)
+                self._overlay_cache = (key, (r, c, th))
         else:
-            r, c, th = make_dummy_overlay(self.n)
+            if self._overlay_cache is None or self._overlay_cache[0] != "dummy":
+                self._overlay_cache = ("dummy", make_dummy_overlay(self.n))
+            r, c, th = self._overlay_cache[1]
 
         fn = self._sim_fn if self._device_sim else self._fn
         out = fn(x, r, c, th)
+        if self._device_sim and "_next_seqs" in out:
+            self._seqs_dev = out["_next_seqs"]
         if block:
-            jax.block_until_ready(out)
+            # Fetch the in-program completion token: a 1-element D2H that is
+            # a TRUE execution barrier (block_until_ready alone can return
+            # optimistically on tunneled/remote devices).
+            np.asarray(out["_sync"])
         res = TickResult(out, seqs, self._tick_index)
         self._tick_index += 1
         return res
@@ -309,7 +336,9 @@ class MultiStreamEngine:
                 first_seqs = res.sequences.copy()
             last_seqs = res.sequences.copy()
         if pending is not None:
-            jax.block_until_ready(pending.outputs)
+            # Device programs execute in dispatch order, so syncing the last
+            # tick's token bounds the whole run (true barrier — see tick()).
+            np.asarray(pending.outputs["_sync"])
         wall = time.perf_counter() - t0
 
         stats.ticks = n_ticks

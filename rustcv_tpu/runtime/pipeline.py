@@ -62,27 +62,35 @@ def _build(spec: PipelineSpec):
 
     def run(raw, rects, rect_colors, thickness):
         # raw: u8 [N, raw_bytes]
+        from ..ops import color as _color
+
         bgr = _decode.convert_on_device(raw, spec.staged_format(), w, h)
         if spec.resize_to is not None:
             bgr = _resize.resize_bilinear(bgr, spec.resize_to[0], spec.resize_to[1])
+
+        def gray_plane():
+            # Direct raw→gray when possible: skips a round trip through the
+            # interleaved BGR image (identical u8 values, parity-tested).
+            if spec.staged_format() == PixelFormat.YUYV and spec.resize_to is None:
+                return _color.yuyv_to_gray(raw, w, h)
+            return _color.bgr_to_gray(bgr)
 
         out = {}
         if spec.filter == "gaussian":
             filtered = _filters.gaussian5_u8(bgr)
         elif spec.filter == "sobel_mag":
-            from ..ops import color as _color
-
-            gray = _color.bgr_to_gray(bgr)
+            gray = gray_plane()
             gx, gy = _filters.sobel3_gray(gray)
             filtered = _filters.gradient_magnitude_u8(gx, gy)
         elif spec.filter == "blur_sobel":
-            filtered = _filters.blur_sobel_mag_u8(bgr)
+            gray = gray_plane()
+            blurred = _filters.gaussian5_u8(gray, has_channels=False)
+            gx, gy = _filters.sobel3_gray(blurred)
+            filtered = _filters.gradient_magnitude_u8(gx, gy)
         elif spec.filter == "harris":
-            from ..ops import color as _color
             from ..ops import features as _features
 
-            gray = _color.bgr_to_gray(bgr)
-            filtered = _features.harris_corners(gray)
+            filtered = _features.harris_corners(gray_plane())
         elif spec.filter == "none":
             filtered = None
         else:
@@ -94,6 +102,12 @@ def _build(spec: PipelineSpec):
             out["bgr"] = bgr
         if spec.emit_filtered and filtered is not None:
             out["filtered"] = filtered
+        # One-element completion token, computed in-program: fetching it is a
+        # tiny D2H that cannot finish before the whole program has executed.
+        # (On tunneled devices block_until_ready returns optimistically, so
+        # honest timing/sync must fetch data — see MultiStreamEngine.tick.)
+        probe = bgr if spec.emit_bgr else filtered
+        out["_sync"] = probe.reshape(-1)[:1]
         return out
 
     return jax.jit(run)
