@@ -19,6 +19,65 @@ import jax
 import jax.numpy as jnp
 
 
+def _edge_masks(xs, ys, rect_xywh, thickness, w, h):
+    """Shared rectangle edge-mask computation; xs/ys are pixel-coordinate
+    iotas broadcastable against each other; rect fields may carry batch dims.
+    Returns (mask, expand) where expand lifts (...,) params to image rank."""
+    x, y, rw, rh = (rect_xywh[..., i] for i in range(4))
+    x_min = jnp.maximum(x, 0)
+    y_min = jnp.maximum(y, 0)
+    x_max = jnp.minimum(x + rw, w)
+    y_max = jnp.minimum(y + rh, h)
+    degenerate = (x_min >= x_max) | (y_min >= y_max)
+
+    def expand(v):
+        return v[..., None, None]
+
+    x_min_e, x_max_e = expand(x_min), expand(x_max)
+    y_min_e, y_max_e = expand(y_min), expand(y_max)
+    th = expand(thickness)
+
+    x_span = (xs >= x_min_e) & (xs < x_max_e)
+    y_span = (ys >= y_min_e) & (ys < y_max_e)
+    top_bot = ((ys >= y_min_e) & (ys < y_min_e + th)) | (
+        (ys >= y_max_e - th) & (ys < y_max_e)
+    )
+    left_right = ((xs >= x_min_e) & (xs < x_min_e + th)) | (
+        (xs >= x_max_e - th) & (xs < x_max_e)
+    )
+    mask = (x_span & top_bot) | (y_span & left_right)
+    return mask & ~expand(degenerate), expand
+
+
+@jax.jit
+def rectangle_packed(
+    img: jax.Array, rect_xywh: jax.Array, color_bgr: jax.Array, thickness: jax.Array
+) -> jax.Array:
+    """Rectangle on packed-rows BGR u8 (..., H, W*3) — the device-native
+    layout. Lane c holds pixel c//3, channel c%3; the mask and the per-lane
+    color are computed directly in packed coordinates, so the whole op is
+    elementwise on a full-lane-width array (no trailing-3 layout anywhere).
+    Semantics identical to :func:`rectangle`.
+    """
+    h, w3 = img.shape[-2], img.shape[-1]
+    w = w3 // 3
+    rect_xywh = jnp.asarray(rect_xywh, jnp.int32)
+    thickness = jnp.asarray(thickness, jnp.int32)
+    color_bgr = jnp.asarray(color_bgr, jnp.uint8)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    cs = jax.lax.broadcasted_iota(jnp.int32, (1, w3), 1)
+    xs = cs // 3
+    ch = cs % 3
+
+    mask, expand = _edge_masks(xs, ys, rect_xywh, thickness, w, h)
+    b = expand(color_bgr[..., 0].astype(jnp.uint8))
+    g = expand(color_bgr[..., 1].astype(jnp.uint8))
+    r = expand(color_bgr[..., 2].astype(jnp.uint8))
+    lane_color = jnp.where(ch == 0, b, jnp.where(ch == 1, g, r))
+    return jnp.where(mask, lane_color, img)
+
+
 @jax.jit
 def rectangle(img: jax.Array, rect_xywh: jax.Array, color_bgr: jax.Array, thickness: jax.Array) -> jax.Array:
     """Draw a rectangle outline. img: (..., H, W, 3) u8; rect (..., 4) i32;

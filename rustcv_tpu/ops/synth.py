@@ -38,13 +38,18 @@ def _pattern_planes(seq: jax.Array, xs: jax.Array, ys: jax.Array, width: int, he
     pair) or quarter (NV12 chroma) resolution without any strided slicing.
     Returns (b, g, r) int32 planes shaped like xs/ys.
     """
-    # Color bars via arithmetic select (a take() gather is far slower on TPU)
-    bar = jnp.clip(xs * 8 // max(width, 1), 0, 7)
+    # Color bars via threshold compares — integer division has no VPU
+    # instruction (a `xs*8//W` per pixel costs a long emulation sequence),
+    # so bar k ⇔ xs ∈ [ceil(k·W/8), ceil((k+1)·W/8)) is tested directly.
+    # (Equivalent to clip(xs*8//max(W,1), 0, 7) for xs ∈ [0, W).)
     b = jnp.zeros_like(xs)
     g = jnp.zeros_like(xs)
     r = jnp.zeros_like(xs)
+    wmax = max(width, 1)
     for idx, (bb, gg, rr) in enumerate(_BAR_COLORS_BGR.tolist()):
-        m = bar == idx
+        lo = -(-idx * wmax // 8)  # smallest xs with xs*8//W == idx
+        hi = -(-(idx + 1) * wmax // 8)
+        m = (xs >= lo) if idx == 7 else ((xs >= lo) & (xs < hi))
         b = jnp.where(m, bb, b)
         g = jnp.where(m, gg, g)
         r = jnp.where(m, rr, r)

@@ -48,7 +48,12 @@ class TickResult:
     tick_index: int
 
     def numpy(self, key: str = "bgr") -> np.ndarray:
-        return np.asarray(self.outputs[key])
+        out = np.asarray(self.outputs[key])
+        if key == "bgr" and out.ndim == 3:
+            # Device-native packed rows (N, H, W*3) → user-facing (N, H, W, 3)
+            n, h, w3 = out.shape
+            out = out.reshape(n, h, w3 // 3, 3)
+        return out
 
 
 @dataclass
@@ -354,6 +359,79 @@ class MultiStreamEngine:
         return stats
 
     # ------------------------------------------------------------------
+
+    def _build_scan_fn(self, k: int):
+        """K ticks in ONE dispatched program via lax.scan — time-batching.
+
+        Every tick's outputs are materialized (stacked [K, ...]) so no work
+        can be dead-code-eliminated; the device-side stream clock advances
+        inside the scan. Amortizes per-dispatch RPC/Python overhead for
+        sustained throughput (BASELINE config 5)."""
+        from ..ops import synth as _synth
+
+        spec = self.spec
+        inner = self._fn
+
+        def run(seqs0, rects, rect_colors, thickness):
+            def body(seqs, _):
+                raw = _synth.synth_raw(seqs, spec.width, spec.height, spec.pixel_format)
+                out = inner(raw, rects, rect_colors, thickness)
+                out.pop("_sync", None)
+                return seqs + 1, out
+
+            next_seqs, outs = jax.lax.scan(body, seqs0, None, length=k)
+            outs["_next_seqs"] = next_seqs
+            probe = outs.get("bgr", next(iter(outs.values())))
+            outs["_sync"] = probe.reshape(-1)[:1]
+            return outs
+
+        return jax.jit(run)
+
+    def run_sustained(
+        self,
+        n_dispatches: int,
+        ticks_per_dispatch: int = 8,
+        *,
+        warmup: int = 2,
+        rects: Optional[np.ndarray] = None,
+        rect_colors: Optional[np.ndarray] = None,
+        thickness: int = 2,
+    ) -> EngineStats:
+        """Max-throughput harness: K ticks per dispatch (device_sim only)."""
+        if not self._device_sim:
+            raise CameraError("run_sustained requires device_sim mode")
+        k = ticks_per_dispatch
+        fn = self._build_scan_fn(k)
+        r = jax.numpy.asarray(
+            rects if rects is not None else np.zeros((self.n, 4), np.int32),
+            jax.numpy.int32,
+        )
+        c = jax.numpy.asarray(
+            rect_colors if rect_colors is not None else np.zeros((self.n, 3), np.uint8),
+            jax.numpy.uint8,
+        )
+        th = jax.numpy.int32(thickness)
+        seqs = jax.numpy.asarray(self._seqs.astype(np.int32))
+
+        for _ in range(warmup):
+            out = fn(seqs, r, c, th)
+            seqs = out["_next_seqs"]
+            np.asarray(out["_sync"])
+
+        t0 = time.perf_counter()
+        for _ in range(n_dispatches):
+            out = fn(seqs, r, c, th)
+            seqs = out["_next_seqs"]
+        np.asarray(out["_sync"])  # true barrier over the whole run
+        wall = time.perf_counter() - t0
+
+        self._seqs = self._seqs + (warmup + n_dispatches) * k
+        self._seqs_dev = None
+        stats = EngineStats()
+        stats.ticks = n_dispatches * k
+        stats.frames = stats.ticks * self.n
+        stats.wall_s = wall
+        return stats
 
     def set_resolution(self, width: int, height: int) -> None:
         """Hot-swap all streams to a new resolution (blocking), preserving

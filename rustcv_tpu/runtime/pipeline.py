@@ -60,13 +60,22 @@ class PipelineSpec:
 def _build(spec: PipelineSpec):
     w, h = spec.width, spec.height
 
+    # Packed-rows BGR (…, H, W*3) is the device-native layout: a trailing
+    # channel dim of 3 uses 3/128 lanes (42× wasted HBM bandwidth). The
+    # YUYV fast path stays packed end-to-end (decode → overlay → output);
+    # other formats currently go through the interleaved path.
+    packed = spec.staged_format() == PixelFormat.YUYV and spec.resize_to is None
+
     def run(raw, rects, rect_colors, thickness):
         # raw: u8 [N, raw_bytes]
         from ..ops import color as _color
 
-        bgr = _decode.convert_on_device(raw, spec.staged_format(), w, h)
-        if spec.resize_to is not None:
-            bgr = _resize.resize_bilinear(bgr, spec.resize_to[0], spec.resize_to[1])
+        if packed:
+            bgr = _color.yuyv_to_bgr_packed(raw, w, h)
+        else:
+            bgr = _decode.convert_on_device(raw, spec.staged_format(), w, h)
+            if spec.resize_to is not None:
+                bgr = _resize.resize_bilinear(bgr, spec.resize_to[0], spec.resize_to[1])
 
         def gray_plane():
             # Direct raw→gray when possible: skips a round trip through the
@@ -97,7 +106,10 @@ def _build(spec: PipelineSpec):
             raise ValueError(f"unknown filter {spec.filter!r}")
 
         if spec.overlay:
-            bgr = _draw.rectangle(bgr, rects, rect_colors, thickness)
+            if packed:
+                bgr = _draw.rectangle_packed(bgr, rects, rect_colors, thickness)
+            else:
+                bgr = _draw.rectangle(bgr, rects, rect_colors, thickness)
         if spec.emit_bgr:
             out["bgr"] = bgr
         if spec.emit_filtered and filtered is not None:

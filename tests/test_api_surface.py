@@ -151,7 +151,7 @@ class TestModels:
             rect_colors=np.array([[0, 255, 0]], np.uint8),
             block=True,
         )
-        assert res.outputs["bgr"].shape == (1, 480, 640, 3)
+        assert res.numpy("bgr").shape == (1, 480, 640, 3)
         eng.close()
 
     def test_config4_harris_runs_small(self, jax_cpu):

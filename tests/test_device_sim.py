@@ -92,7 +92,7 @@ class TestDeviceSimEngine:
             SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
             device_sim=True,
         )
-        assert eng.tick(block=True).outputs["bgr"].shape == (2, 48, 64, 3)
+        assert eng.tick(block=True).numpy("bgr").shape == (2, 48, 64, 3)
         eng.set_resolution(160, 120)
-        assert eng.tick(block=True).outputs["bgr"].shape == (2, 120, 160, 3)
+        assert eng.tick(block=True).numpy("bgr").shape == (2, 120, 160, 3)
         eng.close()

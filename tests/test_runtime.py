@@ -36,7 +36,7 @@ class TestPipeline:
 
         out = fn(jax_cpu.device_put(raw), *make_dummy_overlay(4))
         want = np.stack([golden.yuyv_to_bgr(r, 64, 48) for r in raw])
-        np.testing.assert_array_equal(np.asarray(out["bgr"]), want)
+        np.testing.assert_array_equal(np.asarray(out["bgr"]).reshape(want.shape), want)
 
     def test_full_chain_pixel_exact(self, jax_cpu):
         """convert → resize → blur_sobel → overlay, batch 2, vs oracle."""
@@ -75,7 +75,7 @@ class TestEngine:
             filter="none",
         )
         res = eng.tick(block=True)
-        assert res.outputs["bgr"].shape == (8, 48, 64, 3)
+        assert res.numpy("bgr").shape == (8, 48, 64, 3)
         # every stream's frame 0 decoded exactly
         want = golden.yuyv_to_bgr(synth_raw(64, 48, PixelFormat.YUYV, 0), 64, 48)
         for i in range(8):
@@ -113,10 +113,10 @@ class TestEngine:
             SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
         )
         r1 = eng.tick(block=True)
-        assert r1.outputs["bgr"].shape == (2, 48, 64, 3)
+        assert r1.numpy("bgr").shape == (2, 48, 64, 3)
         eng.set_resolution(160, 120)
         r2 = eng.tick(block=True)
-        assert r2.outputs["bgr"].shape == (2, 120, 160, 3)
+        assert r2.numpy("bgr").shape == (2, 120, 160, 3)
         eng.close()
 
     def test_mesh_sharded_engine(self, jax_cpu):
