@@ -1,0 +1,190 @@
+"""Native (C++) host capture layer — build + ctypes bindings.
+
+The reference's runtime around the compute path is native (Rust drivers +
+an ObjC bridge); ours is C++: ``capture.cpp`` provides the threaded frame
+ring (V4L2 mmap-ring/DQBUF analog), the synthetic sensor, and the per-pixel
+conversion hot loops for the host path.
+
+Built on demand with g++ (no pybind11 in this environment — plain C ABI via
+ctypes). If the toolchain is unavailable the package degrades gracefully:
+``available()`` returns False and pure-NumPy paths are used instead.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "capture.cpp")
+_SO = os.path.join(_HERE, "librustcv_capture.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    """Compile the shared library; returns an error string or None."""
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        "-o", _SO, _SRC,
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        return f"g++ invocation failed: {e}"
+    if proc.returncode != 0:
+        return f"g++ failed: {proc.stderr[:2000]}"
+    return None
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rcv_synth_bgr.argtypes = [u8p, ctypes.c_int, ctypes.c_int, ctypes.c_long]
+    lib.rcv_synth_yuyv.argtypes = [u8p, ctypes.c_int, ctypes.c_int, ctypes.c_long]
+    lib.rcv_encode_yuyv.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int]
+    lib.rcv_yuyv_to_bgr.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int]
+    lib.rcv_bgra_to_bgr.argtypes = [u8p, u8p, ctypes.c_long]
+    lib.rcv_rgb_to_bgr.argtypes = [u8p, u8p, ctypes.c_long]
+    lib.rcv_ring_create.restype = ctypes.c_void_p
+    lib.rcv_ring_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.rcv_ring_start.argtypes = [ctypes.c_void_p, ctypes.c_double, ctypes.c_int]
+    lib.rcv_ring_stop.argtypes = [ctypes.c_void_p]
+    lib.rcv_ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.rcv_ring_dequeue.restype = ctypes.c_long
+    lib.rcv_ring_dequeue.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(u8p),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_long,
+    ]
+    lib.rcv_ring_requeue.argtypes = [ctypes.c_void_p, ctypes.c_long]
+    lib.rcv_ring_dropped.restype = ctypes.c_long
+    lib.rcv_ring_dropped.argtypes = [ctypes.c_void_p]
+    lib.rcv_ring_slot_bytes.restype = ctypes.c_long
+    lib.rcv_ring_slot_bytes.argtypes = [ctypes.c_void_p]
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded library, building it on first use. None if unavailable."""
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_error is not None:
+            return None
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            err = _build()
+            if err is not None:
+                _build_error = err
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+            _bind(lib)
+        except OSError as e:
+            _build_error = str(e)
+            return None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def build_error() -> Optional[str]:
+    get_lib()
+    return _build_error
+
+
+# ---------------------------------------------------------------------------
+# NumPy-friendly wrappers
+# ---------------------------------------------------------------------------
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def synth_bgr(w: int, h: int, seq: int) -> np.ndarray:
+    lib = get_lib()
+    out = np.empty((h, w, 3), np.uint8)
+    lib.rcv_synth_bgr(_u8p(out), w, h, seq)
+    return out
+
+
+def synth_yuyv(w: int, h: int, seq: int) -> np.ndarray:
+    lib = get_lib()
+    out = np.empty(h * w * 2, np.uint8)
+    lib.rcv_synth_yuyv(_u8p(out), w, h, seq)
+    return out
+
+
+def yuyv_to_bgr(src: np.ndarray, w: int, h: int) -> np.ndarray:
+    lib = get_lib()
+    src = np.ascontiguousarray(src.reshape(-1))
+    out = np.empty((h, w, 3), np.uint8)
+    lib.rcv_yuyv_to_bgr(_u8p(src), _u8p(out), w, h)
+    return out
+
+
+class NativeRing:
+    """Threaded producer ring: the native capture front-end.
+
+    The producer thread synthesizes YUYV frames at sensor rate into ring
+    slots; :meth:`dequeue` blocks like DQBUF and returns a zero-copy view.
+    Hold at most ``slots-1`` frames; requeue via :meth:`requeue` (the Frame
+    invalidation contract is enforced one level up, in the Python source).
+    """
+
+    def __init__(self, slots: int, width: int, height: int):
+        self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError(f"native library unavailable: {_build_error}")
+        self._ring = self._lib.rcv_ring_create(slots, width, height)
+        self.width = width
+        self.height = height
+        self.slot_bytes = self._lib.rcv_ring_slot_bytes(self._ring)
+
+    def start(self, fps: float, paced: bool = True) -> None:
+        self._lib.rcv_ring_start(self._ring, float(fps), 1 if paced else 0)
+
+    def stop(self) -> None:
+        self._lib.rcv_ring_stop(self._ring)
+
+    def dequeue(self, timeout_ms: int = 2000):
+        """→ (slot, data_view, seq, ts_ns) or None on timeout."""
+        data = ctypes.POINTER(ctypes.c_uint8)()
+        seq = ctypes.c_long()
+        ts = ctypes.c_long()
+        slot = self._lib.rcv_ring_dequeue(
+            self._ring, ctypes.byref(data), ctypes.byref(seq), ctypes.byref(ts),
+            timeout_ms,
+        )
+        if slot < 0:
+            return None
+        view = np.ctypeslib.as_array(data, shape=(self.slot_bytes,))
+        return int(slot), view, int(seq.value), int(ts.value)
+
+    def requeue(self, slot: int) -> None:
+        self._lib.rcv_ring_requeue(self._ring, slot)
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.rcv_ring_dropped(self._ring))
+
+    def close(self) -> None:
+        if self._ring:
+            self._lib.rcv_ring_destroy(self._ring)
+            self._ring = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

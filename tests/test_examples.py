@@ -1,0 +1,73 @@
+"""Smoke-run every example headless on the CPU mesh (examples are part of
+the public surface — the reference ships six; ours must actually run)."""
+
+import threading
+
+import pytest
+
+
+class TestExamples:
+    def test_camera_demo(self):
+        from examples.camera_demo import main
+
+        main(frames=5, paced=False)
+
+    def test_zero_copy_demo(self, capsys):
+        from examples.zero_copy_demo import main
+
+        main(n_frames=10, native=True)
+        assert "fps" in capsys.readouterr().out
+
+    def test_resolution_bench(self, capsys):
+        from examples.resolution_bench import main
+
+        main(seconds=0.1, fps=120)
+        out = capsys.readouterr().out
+        assert "640x480" in out and "1920x1080" in out
+
+    def test_multi_stream_pipeline(self, capsys):
+        from examples.multi_stream_pipeline import main
+
+        main(n_streams=2, width=64, height=48, ticks=4)
+        assert "aggregate" in capsys.readouterr().out
+
+    def test_web_streaming_serves_mjpeg(self):
+        import http.client
+        import time
+
+        from examples import web_streaming as ws
+
+        from rustcv_tpu.capture import SimulationDriver
+        from rustcv_tpu.core import PixelFormat, SimpleConfig
+        from rustcv_tpu.runtime import MultiStreamEngine
+
+        engine = MultiStreamEngine(
+            SimulationDriver(device_count=2, paced=False), 2,
+            SimpleConfig(width=64, height=48, fps=30, pixel_format=PixelFormat.YUYV),
+            device_sim=True,
+        )
+        channels = [ws.Broadcast() for _ in range(2)]
+        stop = threading.Event()
+        t = threading.Thread(
+            target=ws.capture_loop, args=(engine, channels, stop, 80), daemon=True
+        )
+        t.start()
+        from http.server import ThreadingHTTPServer
+
+        server = ThreadingHTTPServer(("127.0.0.1", 0), ws.make_handler(channels))
+        port = server.server_address[1]
+        st = threading.Thread(target=server.serve_forever, daemon=True)
+        st.start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+            conn.request("GET", "/stream/1")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert "multipart/x-mixed-replace" in resp.getheader("Content-Type")
+            chunk = resp.read(2000)
+            assert b"--frame" in chunk and b"image/jpeg" in chunk
+            conn.close()
+        finally:
+            stop.set()
+            server.shutdown()
+            engine.close()
