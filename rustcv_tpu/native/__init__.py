@@ -21,7 +21,8 @@ from typing import Optional
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "capture.cpp")
+_SRCS = [os.path.join(_HERE, "capture.cpp"), os.path.join(_HERE, "jpeg_entropy.cpp")]
+_SRC = _SRCS[0]
 _SO = os.path.join(_HERE, "librustcv_capture.so")
 
 _lock = threading.Lock()
@@ -33,7 +34,7 @@ def _build() -> Optional[str]:
     """Compile the shared library; returns an error string or None."""
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        "-o", _SO, _SRC,
+        "-o", _SO, *_SRCS,
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -68,6 +69,16 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.rcv_ring_dropped.argtypes = [ctypes.c_void_p]
     lib.rcv_ring_slot_bytes.restype = ctypes.c_long
     lib.rcv_ring_slot_bytes.argtypes = [ctypes.c_void_p]
+    u8cp = ctypes.POINTER(ctypes.c_uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    intp = ctypes.POINTER(ctypes.c_int)
+    lib.rcv_jpeg_info.restype = ctypes.c_int
+    lib.rcv_jpeg_info.argtypes = [u8cp, ctypes.c_long, intp, intp, intp, intp, intp, intp, intp]
+    lib.rcv_jpeg_coeffs.restype = ctypes.c_int
+    lib.rcv_jpeg_coeffs.argtypes = [
+        u8cp, ctypes.c_long, i16p, i16p, i16p, u16p, u16p, u16p,
+    ]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -78,7 +89,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_error is not None:
             return None
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not os.path.exists(_SO) or any(
+            os.path.getmtime(_SO) < os.path.getmtime(s) for s in _SRCS
+        ):
             err = _build()
             if err is not None:
                 _build_error = err
@@ -131,6 +144,67 @@ def yuyv_to_bgr(src: np.ndarray, w: int, h: int) -> np.ndarray:
     out = np.empty((h, w, 3), np.uint8)
     lib.rcv_yuyv_to_bgr(_u8p(src), _u8p(out), w, h)
     return out
+
+
+def jpeg_entropy_decode(data: "np.ndarray | bytes"):
+    """Baseline-JPEG entropy decode → coefficient grids + quant tables.
+
+    Returns ``(info, coeffs, qtables)`` where info is a dict with
+    width/height/ncomp/h_samp/v_samp, ``coeffs[c]`` is int16
+    (bh, bw, 8, 8) in natural order (full padded MCU grid), ``qtables[c]``
+    is uint16 (8, 8). Raises ValueError for non-baseline streams.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    buf = np.frombuffer(bytes(data) if isinstance(data, (bytes, bytearray)) else data.tobytes(), np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    nc = ctypes.c_int()
+    hs = (ctypes.c_int * 3)()
+    vs = (ctypes.c_int * 3)()
+    bw = (ctypes.c_int * 3)()
+    bh = (ctypes.c_int * 3)()
+    rc = lib.rcv_jpeg_info(
+        _u8p(buf), buf.size, ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc),
+        hs, vs, bw, bh,
+    )
+    if rc != 0:
+        raise ValueError(f"unsupported or corrupt JPEG (rcv_jpeg_info rc={rc})")
+    ncomp = nc.value
+    coeffs = []
+    qts = []
+    outs = []
+    qs = []
+    for c in range(3):
+        if c < ncomp:
+            arr = np.zeros((bh[c], bw[c], 64), np.int16)
+            q = np.zeros(64, np.uint16)
+        else:
+            arr = np.zeros((1, 1, 64), np.int16)
+            q = np.zeros(64, np.uint16)
+        outs.append(arr)
+        qs.append(q)
+    rc = lib.rcv_jpeg_coeffs(
+        _u8p(buf), buf.size,
+        outs[0].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        outs[1].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        outs[2].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        qs[0].ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        qs[1].ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        qs[2].ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG entropy decode failed (rc={rc})")
+    for c in range(ncomp):
+        coeffs.append(outs[c].reshape(outs[c].shape[0], outs[c].shape[1], 8, 8))
+        qts.append(qs[c].reshape(8, 8))
+    info = {
+        "width": w.value, "height": h.value, "ncomp": ncomp,
+        "h_samp": [hs[c] for c in range(ncomp)],
+        "v_samp": [vs[c] for c in range(ncomp)],
+    }
+    return info, coeffs, qts
 
 
 class NativeRing:

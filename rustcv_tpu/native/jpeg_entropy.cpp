@@ -1,0 +1,354 @@
+// Baseline JPEG entropy decoder → quantized DCT coefficients.
+//
+// The host half of the TPU MJPEG path (SURVEY.md §7 hard-part #1): Huffman
+// entropy decoding is sequential and bit-granular — hostile to TPU — so it
+// runs here in C++; everything numeric after it (dequantization, 8×8 IDCT as
+// MXU matmuls, chroma upsampling, YCbCr→BGR) runs on-device
+// (rustcv_tpu/ops/jpeg_tpu.py). This mirrors the split the reference makes
+// by delegating to turbojpeg (rustcv/src/videoio/mod.rs:206-252) — except
+// the number-crunching half moves to the TPU.
+//
+// Supports baseline sequential DCT, 8-bit, 1 or 3 components, interleaved
+// single-scan, restart markers. Emits the full padded MCU block grid per
+// component, coefficients in natural (row-major) order.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+const uint8_t ZIGZAG[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct HuffTable {
+  // Canonical decode tables per JPEG spec F.2.2.3.
+  int32_t mincode[17];
+  int32_t maxcode[18];  // maxcode[l] = -1 when no codes of length l
+  int32_t valptr[17];
+  uint8_t values[256];
+  bool defined = false;
+};
+
+struct BitReader {
+  const uint8_t* data;
+  long len;
+  long pos = 0;
+  uint32_t bits = 0;
+  int nbits = 0;
+  bool hit_marker = false;
+  uint8_t marker = 0;
+
+  void align() {
+    bits = 0;
+    nbits = 0;
+  }
+
+  // Returns next bit or -1 on marker/end.
+  int bit() {
+    if (nbits == 0) {
+      if (hit_marker || pos >= len) return -1;
+      uint8_t b = data[pos++];
+      if (b == 0xFF) {
+        if (pos >= len) return -1;
+        uint8_t b2 = data[pos++];
+        if (b2 == 0x00) {
+          // stuffed byte
+        } else {
+          hit_marker = true;
+          marker = b2;
+          return -1;
+        }
+      }
+      bits = b;
+      nbits = 8;
+    }
+    nbits--;
+    return (bits >> nbits) & 1;
+  }
+
+  int get_bits(int n) {
+    int v = 0;
+    for (int i = 0; i < n; ++i) {
+      int b = bit();
+      if (b < 0) return -1;
+      v = (v << 1) | b;
+    }
+    return v;
+  }
+};
+
+int huff_decode(BitReader& br, const HuffTable& t) {
+  int code = 0;
+  for (int l = 1; l <= 16; ++l) {
+    int b = br.bit();
+    if (b < 0) return -1;
+    code = (code << 1) | b;
+    if (t.maxcode[l] >= 0 && code <= t.maxcode[l]) {
+      return t.values[t.valptr[l] + code - t.mincode[l]];
+    }
+  }
+  return -1;
+}
+
+inline int receive_extend(BitReader& br, int s) {
+  if (s == 0) return 0;
+  int v = br.get_bits(s);
+  if (v < 0) return 0;
+  if (v < (1 << (s - 1))) v += ((-1) << s) + 1;
+  return v;
+}
+
+struct Component {
+  int id = 0;
+  int h = 1, v = 1;
+  int tq = 0;       // quant table id
+  int td = 0, ta = 0;  // huff table ids
+  int bw = 0, bh = 0;  // padded block grid dims
+  int dc_pred = 0;
+};
+
+struct Decoder {
+  const uint8_t* data;
+  long len;
+  int width = 0, height = 0, ncomp = 0;
+  Component comp[3];
+  uint16_t qt[4][64];       // natural order
+  bool qt_defined[4] = {false, false, false, false};
+  HuffTable hdc[4], hac[4];
+  int restart_interval = 0;
+  long scan_pos = -1;  // offset of entropy data
+
+  int u16(long p) { return (data[p] << 8) | data[p + 1]; }
+
+  // Parse headers up to (and including) SOS. Returns 0 ok.
+  int parse() {
+    if (len < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;
+    long p = 2;
+    while (p + 4 <= len) {
+      if (data[p] != 0xFF) return -2;
+      uint8_t m = data[p + 1];
+      p += 2;
+      if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) continue;
+      if (p + 2 > len) return -3;
+      int seglen = u16(p);
+      long seg = p + 2;
+      long segend = p + seglen;
+      if (segend > len) return -3;
+      if (m == 0xDB) {  // DQT
+        long q = seg;
+        while (q < segend) {
+          int pq = data[q] >> 4, tq = data[q] & 15;
+          q++;
+          if (tq > 3) return -4;
+          for (int k = 0; k < 64; ++k) {
+            int val = pq ? ((data[q] << 8) | data[q + 1]) : data[q];
+            q += pq ? 2 : 1;
+            qt[tq][ZIGZAG[k]] = (uint16_t)val;
+          }
+          qt_defined[tq] = true;
+        }
+      } else if (m == 0xC0 || m == 0xC1) {  // SOF0/1 (baseline huffman)
+        if (data[seg] != 8) return -5;  // 8-bit precision only
+        height = u16(seg + 1);
+        width = u16(seg + 3);
+        ncomp = data[seg + 5];
+        if (ncomp != 1 && ncomp != 3) return -6;
+        for (int c = 0; c < ncomp; ++c) {
+          comp[c].id = data[seg + 6 + c * 3];
+          comp[c].h = data[seg + 7 + c * 3] >> 4;
+          comp[c].v = data[seg + 7 + c * 3] & 15;
+          comp[c].tq = data[seg + 8 + c * 3];
+        }
+      } else if (m >= 0xC2 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+        return -7;  // progressive/arithmetic unsupported
+      } else if (m == 0xC4) {  // DHT
+        long q = seg;
+        while (q < segend) {
+          int tc = data[q] >> 4, th = data[q] & 15;
+          q++;
+          if (th > 3) return -8;
+          HuffTable& t = tc ? hac[th] : hdc[th];
+          uint8_t counts[17];
+          int total = 0;
+          for (int l = 1; l <= 16; ++l) {
+            counts[l] = data[q++];
+            total += counts[l];
+          }
+          int code = 0, k = 0;
+          for (int l = 1; l <= 16; ++l) {
+            t.valptr[l] = k;
+            t.mincode[l] = code;
+            if (counts[l]) {
+              code += counts[l];
+              k += counts[l];
+              t.maxcode[l] = code - 1;
+            } else {
+              t.maxcode[l] = -1;
+            }
+            code <<= 1;
+          }
+          t.maxcode[17] = -1;
+          for (int i = 0; i < total && i < 256; ++i) t.values[i] = data[q + i];
+          q += total;
+          t.defined = true;
+        }
+      } else if (m == 0xDD) {  // DRI
+        restart_interval = u16(seg);
+      } else if (m == 0xDA) {  // SOS
+        int ns = data[seg];
+        if (ns != ncomp) return -9;  // interleaved single-scan only
+        for (int s = 0; s < ns; ++s) {
+          int cid = data[seg + 1 + s * 2];
+          int tabs = data[seg + 2 + s * 2];
+          for (int c = 0; c < ncomp; ++c) {
+            if (comp[c].id == cid) {
+              comp[c].td = tabs >> 4;
+              comp[c].ta = tabs & 15;
+            }
+          }
+        }
+        scan_pos = segend;
+        return 0;
+      } else if (m == 0xD9) {
+        return -10;  // EOI before SOS
+      }
+      p = segend;
+    }
+    return -11;
+  }
+
+  void grid_dims(int* hmax, int* vmax, int* mx, int* my) {
+    *hmax = 1;
+    *vmax = 1;
+    for (int c = 0; c < ncomp; ++c) {
+      if (comp[c].h > *hmax) *hmax = comp[c].h;
+      if (comp[c].v > *vmax) *vmax = comp[c].v;
+    }
+    *mx = (width + 8 * *hmax - 1) / (8 * *hmax);
+    *my = (height + 8 * *vmax - 1) / (8 * *vmax);
+  }
+
+  // Entropy-decode all MCUs into per-component coefficient grids
+  // (natural order within each 64-coeff block).
+  int decode(int16_t* out[3]) {
+    int hmax, vmax, mx, my;
+    grid_dims(&hmax, &vmax, &mx, &my);
+    for (int c = 0; c < ncomp; ++c) {
+      comp[c].bw = mx * comp[c].h;
+      comp[c].bh = my * comp[c].v;
+      comp[c].dc_pred = 0;
+    }
+    BitReader br{data + scan_pos, len - scan_pos};
+    long mcu_count = 0;
+    int16_t block[64];
+    for (int myi = 0; myi < my; ++myi) {
+      for (int mxi = 0; mxi < mx; ++mxi) {
+        if (restart_interval && mcu_count && mcu_count % restart_interval == 0) {
+          // Byte-align and consume the RSTn marker; reset DC predictors.
+          br.align();
+          if (!br.hit_marker) {
+            // marker bytes are still in the stream
+            while (br.pos + 1 < br.len && !(br.data[br.pos] == 0xFF &&
+                                            br.data[br.pos + 1] >= 0xD0 &&
+                                            br.data[br.pos + 1] <= 0xD7))
+              br.pos++;
+            if (br.pos + 1 < br.len) br.pos += 2;
+          } else {
+            br.hit_marker = false;  // marker already consumed by reader
+          }
+          for (int c = 0; c < ncomp; ++c) comp[c].dc_pred = 0;
+        }
+        for (int c = 0; c < ncomp; ++c) {
+          Component& co = comp[c];
+          const HuffTable& dct = hdc[co.td];
+          const HuffTable& act = hac[co.ta];
+          if (!dct.defined || !act.defined) return -20;
+          for (int v = 0; v < co.v; ++v) {
+            for (int h = 0; h < co.h; ++h) {
+              memset(block, 0, sizeof(block));
+              int t = huff_decode(br, dct);
+              if (t < 0) return -21;
+              co.dc_pred += receive_extend(br, t);
+              block[0] = (int16_t)co.dc_pred;
+              int k = 1;
+              while (k < 64) {
+                int rs = huff_decode(br, act);
+                if (rs < 0) return -22;
+                int r = rs >> 4, s = rs & 15;
+                if (s == 0) {
+                  if (r == 15) {
+                    k += 16;
+                    continue;
+                  }
+                  break;  // EOB
+                }
+                k += r;
+                if (k > 63) return -23;
+                block[ZIGZAG[k]] = (int16_t)receive_extend(br, s);
+                k++;
+              }
+              int by = myi * co.v + v, bx = mxi * co.h + h;
+              memcpy(out[c] + ((long)by * co.bw + bx) * 64, block,
+                     sizeof(block));
+            }
+          }
+        }
+        mcu_count++;
+      }
+    }
+    return 0;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Query stream geometry. h_samp/v_samp/blocks_w/blocks_h are int[3].
+int rcv_jpeg_info(const uint8_t* data, long len, int* width, int* height,
+                  int* ncomp, int* h_samp, int* v_samp, int* blocks_w,
+                  int* blocks_h) {
+  Decoder d{data, len};
+  int rc = d.parse();
+  if (rc != 0) return rc;
+  int hmax, vmax, mx, my;
+  d.grid_dims(&hmax, &vmax, &mx, &my);
+  *width = d.width;
+  *height = d.height;
+  *ncomp = d.ncomp;
+  for (int c = 0; c < 3; ++c) {
+    if (c < d.ncomp) {
+      h_samp[c] = d.comp[c].h;
+      v_samp[c] = d.comp[c].v;
+      blocks_w[c] = mx * d.comp[c].h;
+      blocks_h[c] = my * d.comp[c].v;
+    } else {
+      h_samp[c] = v_samp[c] = blocks_w[c] = blocks_h[c] = 0;
+    }
+  }
+  return 0;
+}
+
+// Entropy-decode into caller buffers (each bh*bw*64 int16, natural order)
+// and export the per-component quant tables (64 × uint16, natural order).
+int rcv_jpeg_coeffs(const uint8_t* data, long len, int16_t* out0,
+                    int16_t* out1, int16_t* out2, uint16_t* q0, uint16_t* q1,
+                    uint16_t* q2) {
+  Decoder d{data, len};
+  int rc = d.parse();
+  if (rc != 0) return rc;
+  int16_t* outs[3] = {out0, out1, out2};
+  rc = d.decode(outs);
+  if (rc != 0) return rc;
+  uint16_t* qs[3] = {q0, q1, q2};
+  for (int c = 0; c < d.ncomp; ++c) {
+    if (!d.qt_defined[d.comp[c].tq]) return -30;
+    memcpy(qs[c], d.qt[d.comp[c].tq], 64 * sizeof(uint16_t));
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -93,12 +93,22 @@ def convert_on_device(raw: "object", fmt: PixelFormat, width: int, height: int):
     raise DecodeError(f"unsupported device format: {fmt}")
 
 
-def decode_to_device(frame):
-    """Decode one Frame to a device (H, W, 3) u8 BGR array."""
+def decode_to_device(frame, mjpeg_hybrid: bool = False):
+    """Decode one Frame to a device (H, W, 3) u8 BGR array.
+
+    ``mjpeg_hybrid=True`` uses the coefficient-level path: C++ Huffman
+    entropy decode on the host, dequant + IDCT (MXU matmuls) + upsample +
+    color on TPU (ops/jpeg_tpu.py). Pixels differ from the full-host libjpeg
+    path by ≤1-2 LSB (float vs fixed-point IDCT — tolerance-tested).
+    """
     import jax
 
     fmt = frame.pixel_format
     if fmt == PixelFormat.MJPEG:
+        if mjpeg_hybrid:
+            from . import jpeg_tpu
+
+            return jpeg_tpu.decode_jpeg_tpu(frame.data)
         rgb = decode_mjpeg_host_rgb(frame.data)
         dev = jax.device_put(rgb)
         return dcolor.rgb_to_bgr(dev.reshape(-1), rgb.shape[1], rgb.shape[0])

@@ -1,0 +1,102 @@
+"""Hybrid MJPEG path tests: C++ entropy decode + TPU reconstruction vs PIL
+(libjpeg) and vs the frozen NumPy oracle."""
+
+import io
+
+import numpy as np
+import pytest
+
+from rustcv_tpu import native
+from rustcv_tpu.capture import simulation as sim
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason=f"native lib unavailable: {native.build_error()}"
+)
+
+
+def _encode(bgr: np.ndarray, quality: int = 90, subsampling=None) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    kw = {"quality": quality}
+    if subsampling is not None:
+        kw["subsampling"] = subsampling
+    Image.fromarray(bgr[..., ::-1]).save(buf, "JPEG", **kw)
+    return buf.getvalue()
+
+
+def _pil_decode_bgr(data: bytes) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))[..., ::-1]
+
+
+class TestEntropyDecoder:
+    @pytest.mark.parametrize("subsampling,name", [(0, "4:4:4"), (1, "4:2:2"), (2, "4:2:0")])
+    def test_info_all_subsamplings(self, subsampling, name):
+        bgr = sim.synth_bgr(64, 48, 1)
+        data = _encode(bgr, subsampling=subsampling)
+        info, coeffs, qts = native.jpeg_entropy_decode(data)
+        assert (info["width"], info["height"]) == (64, 48)
+        assert info["ncomp"] == 3
+
+    def test_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            native.jpeg_entropy_decode(b"\xff\xd8\x00\x01garbage")
+
+
+class TestHybridReconstruction:
+    @pytest.mark.parametrize("subsampling", [0, 1, 2])
+    @pytest.mark.parametrize("w,h", [(64, 48), (130, 54)])  # non-MCU-aligned too
+    def test_close_to_pil(self, jax_cpu, subsampling, w, h):
+        """Our float-IDCT reconstruction vs libjpeg's fixed-point islow:
+        must agree within small tolerances on every pixel."""
+        from rustcv_tpu.ops.jpeg_tpu import decode_jpeg_tpu
+
+        bgr = sim.synth_bgr(w, h, 5)
+        data = _encode(bgr, quality=90, subsampling=subsampling)
+        want = _pil_decode_bgr(data).astype(np.int32)
+        got = np.asarray(decode_jpeg_tpu(data)).astype(np.int32)
+        assert got.shape == want.shape
+        diff = np.abs(got - want)
+        assert diff.mean() < 1.0, f"mean {diff.mean()}"
+        assert np.percentile(diff, 99) <= 2, f"p99 {np.percentile(diff, 99)}"
+        assert diff.max() <= 16, f"max {diff.max()}"  # isolated edge pixels
+
+    def test_device_matches_numpy_oracle(self, jax_cpu):
+        from rustcv_tpu.ops.jpeg_tpu import decode_jpeg_numpy, decode_jpeg_tpu
+
+        bgr = sim.synth_bgr(64, 48, 9)
+        data = _encode(bgr, quality=85, subsampling=2)
+        want = decode_jpeg_numpy(data).astype(np.int32)
+        got = np.asarray(decode_jpeg_tpu(data)).astype(np.int32)
+        # float64 vs float32 IDCT: ±1 at rounding boundaries only
+        diff = np.abs(got - want)
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.01
+
+    def test_grayscale(self, jax_cpu):
+        from PIL import Image
+
+        from rustcv_tpu.ops.jpeg_tpu import decode_jpeg_tpu
+
+        gray = sim.synth_bgr(64, 48, 2)[..., 0]
+        buf = io.BytesIO()
+        Image.fromarray(gray, mode="L").save(buf, "JPEG", quality=90)
+        got = np.asarray(decode_jpeg_tpu(buf.getvalue()))
+        want = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("L"))
+        assert got.shape == (48, 64, 3)
+        assert np.abs(got[..., 0].astype(int) - want.astype(int)).mean() < 1.0
+
+    def test_quality_sweep_roundtrip(self, jax_cpu):
+        """Reconstruction error vs the original must shrink as quality rises
+        and match PIL's own reconstruction error closely."""
+        from rustcv_tpu.ops.jpeg_tpu import decode_jpeg_tpu
+
+        bgr = sim.synth_bgr(64, 48, 3).astype(np.int32)
+        errs = []
+        for q in (50, 75, 95):
+            data = _encode(sim.synth_bgr(64, 48, 3), quality=q, subsampling=2)
+            got = np.asarray(decode_jpeg_tpu(data)).astype(np.int32)
+            errs.append(np.abs(got - bgr).mean())
+        assert errs[0] >= errs[1] >= errs[2]
