@@ -145,6 +145,12 @@ def encode_mjpeg(bgr: np.ndarray, quality: int = 90) -> np.ndarray:
     return np.frombuffer(buf.getvalue(), dtype=np.uint8)
 
 
+def _bayer_encoder(pattern: str):
+    from ..ops import golden
+
+    return lambda bgr: golden.mosaic_bayer(bgr, pattern).reshape(-1)
+
+
 _ENCODERS = {
     PixelFormat.YUYV: encode_yuyv,
     PixelFormat.NV12: encode_nv12,
@@ -152,6 +158,10 @@ _ENCODERS = {
     PixelFormat.RGB24: encode_rgb,
     PixelFormat.BGR24: lambda bgr: np.ascontiguousarray(bgr).reshape(-1),
     PixelFormat.MJPEG: encode_mjpeg,
+    PixelFormat.BAYER_BGGR: _bayer_encoder("BGGR"),
+    PixelFormat.BAYER_GBRG: _bayer_encoder("GBRG"),
+    PixelFormat.BAYER_GRBG: _bayer_encoder("GRBG"),
+    PixelFormat.BAYER_RGGB: _bayer_encoder("RGGB"),
 }
 
 
@@ -174,6 +184,7 @@ _DEFAULT_RESOLUTIONS = (
 _DEFAULT_FORMATS = (
     PixelFormat.YUYV, PixelFormat.MJPEG, PixelFormat.NV12,
     PixelFormat.BGRA32, PixelFormat.RGB24, PixelFormat.BGR24,
+    PixelFormat.BAYER_RGGB,
 )
 _DEFAULT_FPS = (30, 60, 120)
 

@@ -109,6 +109,7 @@ class VideoCapture:
         self._cmd: "queue.Queue" = queue.Queue(maxsize=1)
         self._res: "queue.Queue" = queue.Queue(maxsize=1)
         self._opened = threading.Event()
+        self._resolved = None  # set by the worker before _opened
         self._worker = threading.Thread(
             target=self._worker_loop,
             args=(config if config is not None else CameraConfig(),),
@@ -125,6 +126,7 @@ class VideoCapture:
         try:
             source, _controls = self._driver.open(self._device_id, config)
             source.start()
+            self._resolved = source.resolved_config()
             self._opened.set()
         except CameraError:
             # Degraded open: stay alive, a later SetResolution may recover.
@@ -160,6 +162,7 @@ class VideoCapture:
                     )
                     source, _controls = self._driver.open(self._device_id, cfg)
                     source.start()
+                    self._resolved = source.resolved_config()
                     self._opened.set()
                     self._res.put(_PropertySet())
                 except CameraError as e:
@@ -242,19 +245,17 @@ class VideoCapture:
         return self._worker.is_alive() and self._opened.is_set()
 
     def get_width(self) -> int:
-        m = Mat.empty()
-        # Reference returns negotiated width; we query via a probe-free path:
-        return self._probe_dims()[0]
+        """Negotiated width (mod.rs get_width — no frame is consumed)."""
+        rc = getattr(self, "_resolved", None)
+        return rc.width if rc is not None else 0
 
     def get_height(self) -> int:
-        return self._probe_dims()[1]
+        rc = getattr(self, "_resolved", None)
+        return rc.height if rc is not None else 0
 
-    def _probe_dims(self):
-        # The worker owns the source; cheapest correct approach is one frame.
-        m = Mat.empty()
-        if self.read(m):
-            return m.cols, m.rows
-        return 0, 0
+    @property
+    def resolved_config(self):
+        return getattr(self, "_resolved", None)
 
     @property
     def last_error(self) -> Optional[Exception]:

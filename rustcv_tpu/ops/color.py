@@ -154,6 +154,49 @@ def rgb_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
     return m[..., ::-1]
 
 
+@partial(jax.jit, static_argnames=("pattern", "width", "height"))
+def demosaic_bilinear(raw: jax.Array, pattern: str, width: int, height: int) -> jax.Array:
+    """Integer bilinear Bayer demosaic → (..., H, W, 3) u8 BGR.
+
+    Bit-exact vs golden.demosaic_bilinear; ``raw``: u8 flat (..., H*W) or
+    (..., H, W). The reference only enumerates the Bayer FourCCs — the spec
+    is frozen in golden.py.
+    """
+    from .golden import BAYER_PATTERNS
+
+    spec = BAYER_PATTERNS[pattern]
+    batch = raw.shape[:-1] if raw.shape[-1] == height * width else raw.shape[:-2]
+    a = raw.reshape(*batch, height, width).astype(jnp.int32)
+    pad = [(0, 0)] * len(batch) + [(1, 1), (1, 1)]
+    # reflect-101 preserves CFA site parity at borders (see golden spec)
+    p = jnp.pad(a, pad, mode="reflect")
+
+    def sl(dy, dx):
+        return p[..., 1 + dy : 1 + dy + height, 1 + dx : 1 + dx + width]
+
+    cross = sl(-1, 0) + sl(1, 0) + sl(0, -1) + sl(0, 1)
+    diag = sl(-1, -1) + sl(-1, 1) + sl(1, -1) + sl(1, 1)
+    horiz = sl(0, -1) + sl(0, 1)
+    vert = sl(-1, 0) + sl(1, 0)
+    g4 = (cross + 2) >> 2
+    h2 = (horiz + 1) >> 1
+    v2 = (vert + 1) >> 1
+    d4 = (diag + 2) >> 2
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0) % 2
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1) % 2
+    mr = (ys == spec["r"][0]) & (xs == spec["r"][1])
+    mb = (ys == spec["b"][0]) & (xs == spec["b"][1])
+    g_in_red_row = (~mr & ~mb) & (ys == spec["r"][0])
+    g_in_blue_row = (~mr & ~mb) & (ys == spec["b"][0])
+
+    r = jnp.where(mr, a, jnp.where(g_in_red_row, h2, jnp.where(g_in_blue_row, v2, d4)))
+    b = jnp.where(mb, a, jnp.where(g_in_blue_row, h2, jnp.where(g_in_red_row, v2, d4)))
+    g = jnp.where(mr | mb, g4, a)
+    out = jnp.stack([b, g, r], axis=-1)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
 @jax.jit
 def bgr_to_gray(bgr: jax.Array) -> jax.Array:
     """(77R + 150G + 29B + 128) >> 8, exact vs golden.bgr_to_gray."""

@@ -69,6 +69,12 @@ def decode_frame_host(frame, mat) -> None:
     elif fmt == PixelFormat.RGBA32:
         mat.ensure_size(h, w, 3)
         mat.array[:] = golden.rgba_to_bgr(data, w, h)
+    elif fmt.is_bayer:
+        mat.ensure_size(h, w, 3)
+        pattern = fmt.value.split("_")[1]
+        mat.array[:] = golden.demosaic_bilinear(
+            data.reshape(-1)[: h * w].reshape(h, w), pattern
+        )
     else:
         raise DecodeError(f"unsupported pixel format for decode: {fmt}")
 
@@ -90,6 +96,8 @@ def convert_on_device(raw: "object", fmt: PixelFormat, width: int, height: int):
         return dcolor.rgb_to_bgr(raw, width, height)
     if fmt == PixelFormat.BGR24:
         return raw.reshape(*raw.shape[:-1], height, width, 3)
+    if fmt.is_bayer:
+        return dcolor.demosaic_bilinear(raw, fmt.value.split("_")[1], width, height)
     raise DecodeError(f"unsupported device format: {fmt}")
 
 

@@ -112,6 +112,67 @@ def bgr_to_gray(bgr: np.ndarray) -> np.ndarray:
     return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
 
 
+# Bayer CFA patterns: (row%2, col%2) → channel at that site. Keys match
+# PixelFormat.BAYER_*; the reference enumerates these FourCCs
+# (rustcv-core/src/pixel_format.rs:36-79) but never demosaics — spec frozen
+# here: integer bilinear demosaic, replicate border,
+# avg2 = (a+b+1)>>1, avg4 = (Σ+2)>>2.
+BAYER_PATTERNS = {
+    "BGGR": {"r": (1, 1), "b": (0, 0)},
+    "GBRG": {"r": (1, 0), "b": (0, 1)},
+    "GRBG": {"r": (0, 1), "b": (1, 0)},
+    "RGGB": {"r": (0, 0), "b": (1, 1)},
+}
+
+
+def mosaic_bayer(bgr: np.ndarray, pattern: str) -> np.ndarray:
+    """BGR → raw Bayer mosaic (H, W) u8 by sampling the site channel."""
+    spec = BAYER_PATTERNS[pattern]
+    h, w = bgr.shape[:2]
+    ys = np.arange(h)[:, None] % 2
+    xs = np.arange(w)[None, :] % 2
+    r_site = (ys == spec["r"][0]) & (xs == spec["r"][1])
+    b_site = (ys == spec["b"][0]) & (xs == spec["b"][1])
+    out = bgr[..., 1].copy()  # green everywhere else
+    out[r_site] = bgr[..., 2][r_site]
+    out[b_site] = bgr[..., 0][b_site]
+    return out
+
+
+def demosaic_bilinear(raw: np.ndarray, pattern: str) -> np.ndarray:
+    """Integer bilinear demosaic (frozen spec) → BGR (H, W, 3) u8.
+
+    Border: reflect-101 (mirror about the edge pixel) — unlike replicate it
+    preserves CFA site parity, so borders demosaic with correct colors.
+    Requires H, W ≥ 2.
+    """
+    spec = BAYER_PATTERNS[pattern]
+    h, w = raw.shape
+    a = raw.astype(np.int32)
+    p = np.pad(a, 1, mode="reflect")
+    cross = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]
+    diag = p[:-2, :-2] + p[:-2, 2:] + p[2:, :-2] + p[2:, 2:]
+    horiz = p[1:-1, :-2] + p[1:-1, 2:]
+    vert = p[:-2, 1:-1] + p[2:, 1:-1]
+    g4 = (cross + 2) >> 2
+    h2 = (horiz + 1) >> 1
+    v2 = (vert + 1) >> 1
+    d4 = (diag + 2) >> 2
+
+    ys = np.arange(h)[:, None] % 2
+    xs = np.arange(w)[None, :] % 2
+    mr = (ys == spec["r"][0]) & (xs == spec["r"][1])
+    mb = (ys == spec["b"][0]) & (xs == spec["b"][1])
+    g_in_red_row = (~mr & ~mb) & (ys == spec["r"][0])
+    g_in_blue_row = (~mr & ~mb) & (ys == spec["b"][0])
+
+    r = np.where(mr, a, np.where(g_in_red_row, h2, np.where(g_in_blue_row, v2, d4)))
+    b = np.where(mb, a, np.where(g_in_blue_row, h2, np.where(g_in_red_row, v2, d4)))
+    g = np.where(mr | mb, g4, a)
+    out = np.stack([b, g, r], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # Drawing (imgproc)
 # ---------------------------------------------------------------------------
