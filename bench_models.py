@@ -1,0 +1,70 @@
+"""Run all five BASELINE configs (the models zoo) and print a results table.
+
+``bench.py`` is the driver-facing headline (one JSON line); this script is
+the full coverage sweep. Sizes can be scaled down with --scale for smoke
+runs on CPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from rustcv_tpu.models import MODELS
+
+
+def run_model(name: str, ticks: int, scale: int):
+    from rustcv_tpu.capture import SimulationDriver
+    from rustcv_tpu.core import PixelFormat, SimpleConfig
+    from rustcv_tpu.runtime import MultiStreamEngine
+
+    m = MODELS[name]
+    w, h = max(64, m.width // scale), max(48, m.height // scale)
+    w -= w % 4
+    h -= h % 2
+    n = m.n_streams
+    driver = SimulationDriver(device_count=n, paced=False)
+    resize_to = None
+    if m.resize_to:
+        resize_to = (max(16, m.resize_to[0] // scale), max(12, m.resize_to[1] // scale))
+    eng = MultiStreamEngine(
+        driver, n,
+        SimpleConfig(width=w, height=h, fps=m.fps, pixel_format=m.pixel_format),
+        filter=m.filter, resize_to=resize_to, overlay=m.overlay,
+        device_sim=(m.pixel_format != PixelFormat.MJPEG),
+    )
+    rects = np.tile(np.array([[w // 8, h // 8, w // 3, h // 3]], np.int32), (n, 1))
+    colors = np.tile(np.array([[0, 255, 0]], np.uint8), (n, 1))
+    stats = eng.run(ticks, warmup=min(3, ticks), measure_latency=False,
+                    rects=rects, rect_colors=colors)
+    eng.close()
+    return {
+        "model": name,
+        "streams": n,
+        "resolution": f"{w}x{h}",
+        "fps_total": round(stats.fps_total, 1),
+        "fps_per_stream": round(stats.fps_per_stream, 1),
+        "ms_per_tick": round(stats.wall_s / max(1, stats.ticks) * 1e3, 3),
+    }
+
+
+def main(ticks: int, scale: int, models=None) -> None:
+    rows = []
+    for name in models or MODELS:
+        try:
+            rows.append(run_model(name, ticks, scale))
+        except Exception as e:  # noqa: BLE001 — report and continue
+            rows.append({"model": name, "error": str(e)[:120]})
+    for r in rows:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--ticks", type=int, default=30)
+    p.add_argument("--scale", type=int, default=1, help="divide resolutions by N")
+    p.add_argument("--models", nargs="*", default=None)
+    a = p.parse_args()
+    main(a.ticks, a.scale, a.models)

@@ -135,9 +135,22 @@ class MultiStreamEngine:
         self._seqs_dev = None
         self._overlay_cache = None  # (rects_id, colors_id, th) → device args
         self._sim_t0 = time.monotonic()
+        self._frame_pool = None
         if device_sim:
             if rc.pixel_format == PixelFormat.MJPEG:
                 raise CameraError("device_sim does not support MJPEG streams")
+            pool_k = getattr(self._driver, "n_unique_frames", 0)
+            if pool_k > 0:
+                # Device frame pool: K wire-format frames pre-synthesized in
+                # HBM; ticks gather from the pool like a camera's DMA'd ring
+                # (removes synthesis from the measured pipeline — the analog
+                # of the host path's n_unique_frames cache).
+                from ..ops import synth as _synth
+
+                self._frame_pool = _synth.synth_raw(
+                    jax.numpy.arange(pool_k, dtype=jax.numpy.int32),
+                    rc.width, rc.height, rc.pixel_format,
+                )
             self._sim_fn = self._build_sim_fn()
             self._pool = None
             self._staging = []
@@ -161,9 +174,13 @@ class MultiStreamEngine:
 
         spec = self.spec
         inner = self._fn
+        pool = self._frame_pool
 
         def run(seqs, rects, rect_colors, thickness):
-            raw = _synth.synth_raw(seqs, spec.width, spec.height, spec.pixel_format)
+            if pool is not None:
+                raw = jax.numpy.take(pool, seqs % pool.shape[0], axis=0)
+            else:
+                raw = _synth.synth_raw(seqs, spec.width, spec.height, spec.pixel_format)
             out = inner(raw, rects, rect_colors, thickness)
             # Self-advancing stream clock: the next tick feeds this back, so
             # steady-state ticks perform ZERO host→device transfers (every
@@ -452,10 +469,67 @@ class MultiStreamEngine:
         )
         self._fn = get_pipeline(self.spec)
         if self._device_sim:
+            if self._frame_pool is not None:
+                from ..ops import synth as _synth
+
+                self._frame_pool = _synth.synth_raw(
+                    jax.numpy.arange(self._frame_pool.shape[0], dtype=jax.numpy.int32),
+                    rc.width, rc.height, rc.pixel_format,
+                )
             self._sim_fn = self._build_sim_fn()
         else:
             nbytes = self.spec.raw_bytes()
             self._staging = [np.zeros((self.n, nbytes), np.uint8) for _ in range(2)]
+
+    # ------------------------------------------------------------------
+
+    def export_state(self) -> dict:
+        """JSON-serializable snapshot of the engine's configuration and
+        stream positions — the pipeline-level analog of the reference's
+        ``SystemControl::export_state`` device snapshot (traits.rs:154-158)
+        and the nearest thing this domain has to a checkpoint."""
+        rc = self._resolved
+        return {
+            "n_streams": self.n,
+            "width": rc.width,
+            "height": rc.height,
+            "fps": rc.fps,
+            "pixel_format": rc.pixel_format.value,
+            "buffer_count": rc.buffer_count,
+            "filter": self.spec.filter,
+            "resize_to": list(self.spec.resize_to) if self.spec.resize_to else None,
+            "overlay": self.spec.overlay,
+            "device_sim": self._device_sim,
+            "sequences": [int(s) for s in self._seqs],
+            "tick_index": self._tick_index,
+        }
+
+    @classmethod
+    def from_state(cls, state: dict, driver=None, mesh=None) -> "MultiStreamEngine":
+        """Rebuild an engine from :meth:`export_state` (stream clocks resume
+        from the recorded sequence positions)."""
+        from ..capture import SimulationDriver
+        from ..core.pixel_format import PixelFormat as PF
+
+        if driver is None:
+            driver = SimulationDriver(device_count=state["n_streams"], paced=False)
+        eng = cls(
+            driver, state["n_streams"],
+            SimpleConfig(
+                width=state["width"], height=state["height"], fps=state["fps"],
+                pixel_format=PF(state["pixel_format"]),
+                buffer_count=state["buffer_count"],
+            ),
+            filter=state["filter"],
+            resize_to=tuple(state["resize_to"]) if state["resize_to"] else None,
+            overlay=state["overlay"],
+            device_sim=state["device_sim"],
+            mesh=mesh,
+        )
+        eng._seqs = np.array(state["sequences"], np.int64)
+        eng._seqs_dev = None
+        eng._tick_index = state["tick_index"]
+        return eng
 
     def close(self) -> None:
         for s in self._sources:

@@ -1,0 +1,52 @@
+"""Engine state snapshot/restore (the checkpoint/resume analog) and the
+bench_models coverage sweep smoke test."""
+
+import json
+
+import numpy as np
+
+from rustcv_tpu.capture import SimulationDriver
+from rustcv_tpu.core import PixelFormat, SimpleConfig
+from rustcv_tpu.runtime import MultiStreamEngine
+
+
+class TestStateSnapshot:
+    def test_export_import_roundtrip(self, jax_cpu):
+        eng = MultiStreamEngine(
+            SimulationDriver(paced=False), 2,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
+            filter="sobel_mag", overlay=True, device_sim=True,
+        )
+        for _ in range(3):
+            eng.tick(block=True)
+        state = eng.export_state()
+        eng.close()
+        # must be JSON-serializable
+        state2 = json.loads(json.dumps(state))
+        assert state2["sequences"] == [3, 3]
+        assert state2["filter"] == "sobel_mag"
+
+        resumed = MultiStreamEngine.from_state(state2)
+        res = resumed.tick(block=True)
+        # resumed stream clock continues where the snapshot left off
+        assert list(res.sequences) == [3, 3]
+        from rustcv_tpu.capture import synth_raw
+        from rustcv_tpu.ops import golden
+
+        want = golden.yuyv_to_bgr(synth_raw(64, 48, PixelFormat.YUYV, 3), 64, 48)
+        got = resumed.tick(block=False)  # seq 4 next; check the seq-3 output
+        np.testing.assert_array_equal(res.numpy("bgr")[0][..., :], want)
+        resumed.close()
+
+
+class TestBenchModels:
+    def test_sweep_small(self, jax_cpu, capsys):
+        import bench_models
+
+        bench_models.main(ticks=2, scale=16)
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 5
+        for line in out:
+            row = json.loads(line)
+            assert "error" not in row, row
+            assert row["fps_total"] > 0
