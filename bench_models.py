@@ -25,7 +25,11 @@ def run_model(name: str, ticks: int, scale: int):
     w -= w % 4
     h -= h % 2
     n = m.n_streams
-    driver = SimulationDriver(device_count=n, paced=False)
+    # MJPEG sources synthesize + JPEG-encode on the host; cache a frame pool
+    # so the measured cost is the decode pipeline, not pattern synthesis
+    # (a real camera "synthesizes" at zero host cost).
+    uniq = 8 if m.pixel_format == PixelFormat.MJPEG else 0
+    driver = SimulationDriver(device_count=n, paced=False, n_unique_frames=uniq)
     resize_to = None
     if m.resize_to:
         resize_to = (max(16, m.resize_to[0] // scale), max(12, m.resize_to[1] // scale))

@@ -47,6 +47,7 @@ from .source import (
     SensorControl,
     SystemControl,
     TriggerConfig,
+    TriggerMode,
 )
 
 # ---------------------------------------------------------------------------
@@ -232,6 +233,8 @@ class SimulationSource(FrameSource):
         self._prev_frame: Optional[Frame] = None
         self._injected: List[Tuple[np.ndarray, PixelFormat, int, int]] = []
         self._lock = threading.Lock()
+        self._trigger_mode = TriggerMode.FREE_RUN
+        self._trigger_sem = threading.Semaphore(0)
 
         n_slots = max(2, resolved.buffer_count)
         self._cache: List[np.ndarray] = []
@@ -278,11 +281,26 @@ class SimulationSource(FrameSource):
             seq = self._last_seq + 1
         return seq
 
+    def set_trigger_config(self, config: TriggerConfig) -> None:
+        self._trigger_mode = config.mode
+
+    def fire_trigger(self) -> None:
+        """Software-trigger one frame (TriggerMode.SOFTWARE)."""
+        self._trigger_sem.release()
+
     def next_frame(self) -> Frame:
-        from ..core.errors import StreamNotStarted
+        from ..core.errors import CameraError, StreamNotStarted
 
         if not self._started:
             raise StreamNotStarted("call start() before next_frame()")
+
+        triggered = False
+        if self._trigger_mode == TriggerMode.SOFTWARE:
+            # Gated capture: block until a software trigger fires
+            # (TriggerConfig semantics, rustcv-core/src/traits.rs:27-90).
+            if not self._trigger_sem.acquire(timeout=5.0):
+                raise CameraError("software trigger timeout (no fire_trigger())")
+            triggered = True
 
         # Requeue previous slot → its Frame becomes invalid.
         if self._prev_frame is not None:
@@ -328,7 +346,10 @@ class SimulationSource(FrameSource):
         ts = Timestamp(hw_ns, self._clock.correct(hw_ns))
         frame = Frame(
             view, self._cfg.width, self._cfg.height, self._cfg.pixel_format,
-            seq, ts, metadata=FrameMetadata(exposure_us=10_000, gain=1.0),
+            seq, ts,
+            metadata=FrameMetadata(
+                exposure_us=10_000, gain=1.0, trigger_fired=triggered
+            ),
         )
         self._prev_frame = frame
         return frame
@@ -378,9 +399,15 @@ class SimLensControl(LensControl):
 
 
 class SimSystemControl(SystemControl):
-    def __init__(self, sensor: SimSensorControl, lens: SimLensControl):
+    def __init__(
+        self,
+        sensor: SimSensorControl,
+        lens: SimLensControl,
+        source: Optional[SimulationSource] = None,
+    ):
         self._sensor = sensor
         self._lens = lens
+        self._source = source
         self.trigger = TriggerConfig()
         self.reset_count = 0
 
@@ -390,9 +417,18 @@ class SimSystemControl(SystemControl):
         self._sensor.gain = None
         self._lens.zoom = 1.0
         self._lens.focus = None
+        if self._source is not None:
+            self._source.set_trigger_config(TriggerConfig())
 
     def set_trigger(self, config: TriggerConfig) -> None:
         self.trigger = config
+        if self._source is not None:
+            self._source.set_trigger_config(config)
+
+    def fire_trigger(self) -> None:
+        """Fire one software trigger (gates next_frame in SOFTWARE mode)."""
+        if self._source is not None:
+            self._source.fire_trigger()
 
     def export_state(self) -> Dict:
         """Settings snapshot (traits.rs:154-158 / v4l2 controls.rs:125-138)."""
@@ -458,7 +494,7 @@ class SimulationDriver(Driver):
         )
         sensor = SimSensorControl()
         lens = SimLensControl()
-        controls = DeviceControls(sensor, lens, SimSystemControl(sensor, lens))
+        controls = DeviceControls(sensor, lens, SimSystemControl(sensor, lens, src))
         return src, controls
 
     def open_simple(self, device_id: str, config: SimpleConfig):
@@ -470,5 +506,5 @@ class SimulationDriver(Driver):
         )
         sensor = SimSensorControl()
         lens = SimLensControl()
-        controls = DeviceControls(sensor, lens, SimSystemControl(sensor, lens))
+        controls = DeviceControls(sensor, lens, SimSystemControl(sensor, lens, src))
         return src, controls

@@ -53,7 +53,7 @@ class Frame:
 
     __slots__ = (
         "_data", "width", "height", "stride", "pixel_format",
-        "sequence", "timestamp", "metadata", "_valid",
+        "sequence", "timestamp", "metadata", "_valid", "bottom_up",
     )
 
     def __init__(
@@ -66,6 +66,7 @@ class Frame:
         timestamp: Timestamp,
         stride: Optional[int] = None,
         metadata: FrameMetadata = FrameMetadata(),
+        bottom_up: bool = False,
     ):
         self._data = data
         self.width = width
@@ -75,6 +76,10 @@ class Frame:
         self.sequence = sequence
         self.timestamp = timestamp
         self.metadata = metadata
+        # Bottom-up row order (the negative-pitch layout Media Foundation
+        # sources produce — rustcv-backend-msmf/src/stream.rs:317-410);
+        # decoders flip to top-down. Row-local formats only.
+        self.bottom_up = bottom_up
         self._valid = True
 
     @property

@@ -78,6 +78,14 @@ def decode_frame_host(frame, mat) -> None:
     else:
         raise DecodeError(f"unsupported pixel format for decode: {fmt}")
 
+    if getattr(frame, "bottom_up", False):
+        # Negative-pitch sources deliver rows bottom-to-top
+        # (rustcv-backend-msmf/src/stream.rs:317-410): row-local decodes
+        # commute with the flip, so flipping the decoded image is exact.
+        if fmt in (PixelFormat.NV12, PixelFormat.YV12) or fmt.is_bayer:
+            raise DecodeError(f"bottom-up layout unsupported for planar/CFA format {fmt}")
+        mat.array[:] = mat.array[::-1].copy()
+
 
 def convert_on_device(raw: "object", fmt: PixelFormat, width: int, height: int):
     """Device-side raw→BGR for uncompressed formats. ``raw``: u8 jax array,
@@ -121,4 +129,9 @@ def decode_to_device(frame, mjpeg_hybrid: bool = False):
         dev = jax.device_put(rgb)
         return dcolor.rgb_to_bgr(dev.reshape(-1), rgb.shape[1], rgb.shape[0])
     dev = jax.device_put(np.ascontiguousarray(frame.data).reshape(-1))
-    return convert_on_device(dev, fmt, frame.width, frame.height)
+    out = convert_on_device(dev, fmt, frame.width, frame.height)
+    if getattr(frame, "bottom_up", False):
+        if fmt in (PixelFormat.NV12, PixelFormat.YV12) or fmt.is_bayer:
+            raise DecodeError(f"bottom-up layout unsupported for planar/CFA format {fmt}")
+        out = out[..., ::-1, :, :]
+    return out

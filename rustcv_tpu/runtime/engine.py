@@ -232,8 +232,7 @@ class MultiStreamEngine:
         seqs[i] = frame.sequence
         if self._resolved.pixel_format == PixelFormat.MJPEG:
             rgb = _decode.decode_mjpeg_host_rgb(frame.data)
-            bgr = rgb[..., ::-1]
-            staging[i] = bgr.reshape(-1)
+            staging[i] = rgb.reshape(-1)  # device does the RGB→BGR swap
         else:
             staging[i] = frame.data.reshape(-1)
 

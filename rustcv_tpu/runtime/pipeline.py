@@ -45,13 +45,14 @@ class PipelineSpec:
 
     def raw_bytes(self) -> int:
         if self.pixel_format == PixelFormat.MJPEG:
-            # MJPEG is entropy-decoded on host to BGR before staging.
+            # MJPEG is entropy-decoded on host to RGB before staging; the
+            # BGR swap happens on-device (host byte shuffles are GIL-bound).
             return self.width * self.height * 3
         return self.pixel_format.buffer_size(self.width, self.height)
 
     def staged_format(self) -> PixelFormat:
         return (
-            PixelFormat.BGR24
+            PixelFormat.RGB24
             if self.pixel_format == PixelFormat.MJPEG
             else self.pixel_format
         )
