@@ -92,6 +92,7 @@ class MultiStreamEngine:
         mesh: Optional["jax.sharding.Mesh"] = None,
         decode_workers: int = 8,
         device_sim: bool = False,
+        stencil_impl: Optional[str] = None,
     ):
         """``device_sim=True`` synthesizes frames directly in HBM (see
         ops/synth.py) — the zero-H2D capture path for simulated streams. The
@@ -107,6 +108,12 @@ class MultiStreamEngine:
 
         rc = self._sources[0].resolved_config()
         self._resolved = rc
+        if stencil_impl is None:
+            # The fused Pallas stencil beats XLA's pass-by-pass lowering by
+            # ~1.7× inside the full pipeline on TPU (measured 2.07 vs 3.53
+            # ms/tick at 8×1080p); interpret mode on CPU is test-only, so
+            # default by backend.
+            stencil_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.spec = PipelineSpec(
             pixel_format=rc.pixel_format,
             width=rc.width,
@@ -115,6 +122,7 @@ class MultiStreamEngine:
             filter=filter,
             overlay=overlay,
             emit_bgr=emit_bgr,
+            stencil_impl=stencil_impl,
         )
         self._fn = get_pipeline(self.spec)
         self._mesh = mesh
@@ -465,6 +473,7 @@ class MultiStreamEngine:
             pixel_format=rc.pixel_format, width=rc.width, height=rc.height,
             resize_to=self.spec.resize_to, filter=self.spec.filter,
             overlay=self.spec.overlay, emit_bgr=self.spec.emit_bgr,
+            stencil_impl=self.spec.stencil_impl,
         )
         self._fn = get_pipeline(self.spec)
         if self._device_sim:

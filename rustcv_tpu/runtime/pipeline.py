@@ -42,6 +42,7 @@ class PipelineSpec:
     overlay: bool = False  # rectangle overlay on the BGR output
     emit_bgr: bool = True  # return the BGR image
     emit_filtered: bool = True  # return the filter output (if any)
+    stencil_impl: str = "xla"  # xla | pallas (blur_sobel only)
 
     def raw_bytes(self) -> int:
         if self.pixel_format == PixelFormat.MJPEG:
@@ -94,9 +95,14 @@ def _build(spec: PipelineSpec):
             filtered = _filters.gradient_magnitude_u8(gx, gy)
         elif spec.filter == "blur_sobel":
             gray = gray_plane()
-            blurred = _filters.gaussian5_u8(gray, has_channels=False)
-            gx, gy = _filters.sobel3_gray(blurred)
-            filtered = _filters.gradient_magnitude_u8(gx, gy)
+            if spec.stencil_impl == "pallas":
+                from ..ops.pallas.stencil import blur_sobel_mag_pallas
+
+                filtered = blur_sobel_mag_pallas(gray)
+            else:
+                blurred = _filters.gaussian5_u8(gray, has_channels=False)
+                gx, gy = _filters.sobel3_gray(blurred)
+                filtered = _filters.gradient_magnitude_u8(gx, gy)
         elif spec.filter == "harris":
             from ..ops import features as _features
 
