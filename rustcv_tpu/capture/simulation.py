@@ -126,6 +126,28 @@ def encode_nv12(bgr: np.ndarray) -> np.ndarray:
     return np.concatenate([y.astype(np.uint8).reshape(-1), uv.reshape(-1)])
 
 
+def encode_uyvy(bgr: np.ndarray) -> np.ndarray:
+    """BGR → packed UYVY (chroma-first 4:2:2, same pair averaging)."""
+    h, w = bgr.shape[:2]
+    y, u, v = bgr_to_yuv_int(bgr)
+    y = y.reshape(h, w // 2, 2)
+    up = (u.reshape(h, w // 2, 2).sum(axis=-1) + 1) >> 1
+    vp = (v.reshape(h, w // 2, 2).sum(axis=-1) + 1) >> 1
+    out = np.empty((h, w // 2, 4), dtype=np.uint8)
+    out[..., 0] = up
+    out[..., 1] = y[..., 0]
+    out[..., 2] = vp
+    out[..., 3] = y[..., 1]
+    return out.reshape(-1)
+
+
+def encode_gray(bgr: np.ndarray) -> np.ndarray:
+    """BGR → GRAY8 via the frozen integer luma ((77R+150G+29B+128)>>8)."""
+    from ..ops import golden
+
+    return golden.bgr_to_gray(bgr).reshape(-1)
+
+
 def encode_bgra(bgr: np.ndarray) -> np.ndarray:
     h, w = bgr.shape[:2]
     out = np.empty((h, w, 4), dtype=np.uint8)
@@ -154,6 +176,8 @@ def _bayer_encoder(pattern: str):
 
 _ENCODERS = {
     PixelFormat.YUYV: encode_yuyv,
+    PixelFormat.UYVY: encode_uyvy,
+    PixelFormat.GRAY8: encode_gray,
     PixelFormat.NV12: encode_nv12,
     PixelFormat.BGRA32: encode_bgra,
     PixelFormat.RGB24: encode_rgb,

@@ -69,6 +69,10 @@ def decode_frame_host(frame, mat) -> None:
     elif fmt == PixelFormat.RGBA32:
         mat.ensure_size(h, w, 3)
         mat.array[:] = golden.rgba_to_bgr(data, w, h)
+    elif fmt == PixelFormat.GRAY8:
+        mat.ensure_size(h, w, 3)
+        g = data.reshape(-1)[: h * w].reshape(h, w)
+        mat.array[:] = np.repeat(g[..., None], 3, axis=-1)
     elif fmt.is_bayer:
         mat.ensure_size(h, w, 3)
         pattern = fmt.value.split("_")[1]
@@ -104,6 +108,11 @@ def convert_on_device(raw: "object", fmt: PixelFormat, width: int, height: int):
         return dcolor.rgb_to_bgr(raw, width, height)
     if fmt == PixelFormat.BGR24:
         return raw.reshape(*raw.shape[:-1], height, width, 3)
+    if fmt == PixelFormat.GRAY8:
+        import jax.numpy as jnp
+
+        g = raw.reshape(*raw.shape[:-1], height, width)
+        return jnp.repeat(g[..., None], 3, axis=-1)
     if fmt.is_bayer:
         return dcolor.demosaic_bilinear(raw, fmt.value.split("_")[1], width, height)
     raise DecodeError(f"unsupported device format: {fmt}")

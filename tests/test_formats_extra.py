@@ -1,0 +1,41 @@
+"""Extra format coverage: UYVY simulation round-trip, GRAY8 decode paths."""
+
+import numpy as np
+
+from rustcv_tpu.capture import Camera, SimulationDriver, simulation as sim
+from rustcv_tpu.core import Frame, Mat, PixelFormat, Timestamp
+from rustcv_tpu.ops import golden
+from rustcv_tpu.ops.decode import decode_frame_host, decode_to_device
+
+
+def _frame(fmt, data, w=64, h=48):
+    return Frame(data, w, h, fmt, 0, Timestamp(0, 0.0))
+
+
+class TestUyvy:
+    def test_roundtrip_close(self):
+        bgr = sim.synth_bgr(64, 48, 0)
+        raw = sim.synth_raw(64, 48, PixelFormat.UYVY, 0)
+        back = golden.uyvy_to_bgr(raw, 64, 48)
+        err = np.abs(back.astype(int) - bgr.astype(int))
+        assert np.percentile(err, 99) <= 12
+
+    def test_host_device_exact(self, jax_cpu):
+        raw = sim.synth_raw(64, 48, PixelFormat.UYVY, 7)
+        mat = Mat()
+        decode_frame_host(_frame(PixelFormat.UYVY, raw), mat)
+        dev = decode_to_device(_frame(PixelFormat.UYVY, raw))
+        np.testing.assert_array_equal(np.asarray(dev), mat.to_numpy())
+
+
+class TestGray8:
+    def test_decode_replicates_channels(self, jax_cpu):
+        raw = sim.synth_raw(64, 48, PixelFormat.GRAY8, 2)
+        mat = Mat()
+        decode_frame_host(_frame(PixelFormat.GRAY8, raw), mat)
+        out = mat.to_numpy()
+        assert (out[..., 0] == out[..., 1]).all() and (out[..., 1] == out[..., 2]).all()
+        want = golden.bgr_to_gray(sim.synth_bgr(64, 48, 2))
+        np.testing.assert_array_equal(out[..., 0], want)
+        dev = decode_to_device(_frame(PixelFormat.GRAY8, raw))
+        np.testing.assert_array_equal(np.asarray(dev), out)
