@@ -93,6 +93,7 @@ class MultiStreamEngine:
         decode_workers: int = 8,
         device_sim: bool = False,
         stencil_impl: Optional[str] = None,
+        mjpeg_backend: str = "host",
     ):
         """``device_sim=True`` synthesizes frames directly in HBM (see
         ops/synth.py) — the zero-H2D capture path for simulated streams. The
@@ -114,6 +115,18 @@ class MultiStreamEngine:
             # ms/tick at 8×1080p); interpret mode on CPU is test-only, so
             # default by backend.
             stencil_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if mjpeg_backend not in ("host", "hybrid"):
+            raise ValueError(f"unknown mjpeg_backend {mjpeg_backend!r}")
+        self._mjpeg_hybrid = (
+            mjpeg_backend == "hybrid" and rc.pixel_format == PixelFormat.MJPEG
+        )
+        if self._mjpeg_hybrid:
+            from .. import native as _native
+
+            if not _native.available():
+                raise CameraError(
+                    f"mjpeg_backend='hybrid' needs the native library: {_native.build_error()}"
+                )
         self.spec = PipelineSpec(
             pixel_format=rc.pixel_format,
             width=rc.width,
@@ -123,8 +136,11 @@ class MultiStreamEngine:
             overlay=overlay,
             emit_bgr=emit_bgr,
             stencil_impl=stencil_impl,
+            mjpeg_hybrid=self._mjpeg_hybrid,
         )
         self._fn = get_pipeline(self.spec)
+        self._coeff_staging = None  # hybrid MJPEG: built lazily at first tick
+        self._qts = None
         self._mesh = mesh
         self._in_sharding = None
         if mesh is not None:
@@ -244,6 +260,62 @@ class MultiStreamEngine:
         else:
             staging[i] = frame.data.reshape(-1)
 
+    # -- hybrid MJPEG gather (C++ entropy decode → coefficient staging) ----
+
+    def _entropy_decode_checked(self, i: int):
+        from .. import native as _native
+
+        frame = self._sources[i].next_frame()
+        info, coeffs, qts = _native.jpeg_entropy_decode(frame.data)
+        if (info["width"], info["height"]) != (
+            self._resolved.width, self._resolved.height,
+        ):
+            raise CameraError(
+                f"stream {i} geometry {info['width']}x{info['height']} != negotiated"
+            )
+        return frame.sequence, coeffs, qts
+
+    def _gather_row_hybrid(self, i: int, bufs, seqs: np.ndarray) -> None:
+        seq, coeffs, _qts = self._entropy_decode_checked(i)
+        seqs[i] = seq
+        for c in range(3):
+            bufs[c][i] = coeffs[c]
+
+    def gather_hybrid(self):
+        """One frame per stream → int16 DCT coefficient staging (the host
+        does only the sequential entropy decode; GIL is released inside the
+        native call, so streams decode in parallel)."""
+        seqs = np.zeros(self.n, np.int64)
+        first_rest = 0
+        if self._coeff_staging is None:
+            # Sizing pass: stream 0's first frame determines the coefficient
+            # geometry (subsampling) and the quant tables.
+            seq, coeffs, qts = self._entropy_decode_checked(0)
+            if coeffs[1].shape != coeffs[2].shape:
+                raise CameraError("hybrid MJPEG expects matching Cb/Cr geometry")
+            self._coeff_staging = [
+                [np.zeros((self.n, *c.shape), np.int16) for c in coeffs]
+                for _ in range(2)
+            ]
+            self._qts = (
+                jax.device_put(qts[0].astype(np.int32)),
+                jax.device_put(qts[1].astype(np.int32)),
+            )
+            seqs[0] = seq
+            bufs = self._coeff_staging[self._staging_idx]
+            for c in range(3):
+                bufs[c][0] = coeffs[c]
+            first_rest = 1
+        bufs = self._coeff_staging[self._staging_idx]
+        self._staging_idx ^= 1
+        futs = [
+            self._pool.submit(self._gather_row_hybrid, i, bufs, seqs)
+            for i in range(first_rest, self.n)
+        ]
+        for f in futs:
+            f.result()
+        return bufs, seqs
+
     def gather(self) -> Tuple[np.ndarray, np.ndarray]:
         """Pull one frame per stream into the current staging buffer."""
         staging = self._staging[self._staging_idx]
@@ -287,6 +359,14 @@ class MultiStreamEngine:
                 if self._in_sharding is not None:
                     x = jax.device_put(np.asarray(x), self._in_sharding)
             self._seqs = seqs + 1
+        elif self._mjpeg_hybrid:
+            bufs, seqs = self.gather_hybrid()
+            coeffs = tuple(
+                jax.device_put(b, self._in_sharding) if self._in_sharding is not None
+                else jax.device_put(b)
+                for b in bufs
+            )
+            x = coeffs + self._qts
         else:
             staging, seqs = self.gather()
             if self._in_sharding is not None:

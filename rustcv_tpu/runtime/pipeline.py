@@ -43,6 +43,9 @@ class PipelineSpec:
     emit_bgr: bool = True  # return the BGR image
     emit_filtered: bool = True  # return the filter output (if any)
     stencil_impl: str = "xla"  # xla | pallas (blur_sobel only)
+    # Hybrid MJPEG: inputs are DCT coefficient grids (C++ entropy decode on
+    # the host) and reconstruction runs on-device (ops/jpeg_tpu.py).
+    mjpeg_hybrid: bool = False
 
     def raw_bytes(self) -> int:
         if self.pixel_format == PixelFormat.MJPEG:
@@ -68,11 +71,31 @@ def _build(spec: PipelineSpec):
     # other formats currently go through the interleaved path.
     packed = spec.staged_format() == PixelFormat.YUYV and spec.resize_to is None
 
+    def reconstruct_mjpeg(x):
+        """Batched coefficient-level reconstruction (x = coeff/qt arrays)."""
+        from ..ops import jpeg_tpu
+
+        y_c, cb_c, cr_c, qty, qtc = x
+        planes = []
+        for coeff, qt in ((y_c, qty), (cb_c, qtc), (cr_c, qtc)):
+            p = jax.vmap(jpeg_tpu.dequant_idct_plane, in_axes=(0, None))(coeff, qt)
+            planes.append(p)
+        # Upsampling factors from plane shape ratios (static).
+        fy = planes[0].shape[-2] // planes[1].shape[-2]
+        fx = planes[0].shape[-1] // planes[1].shape[-1]
+        cb = jpeg_tpu.upsample(planes[1], fx, fy)[..., :h, :w]
+        cr = jpeg_tpu.upsample(planes[2], fx, fy)[..., :h, :w]
+        return jpeg_tpu.ycbcr_to_bgr(planes[0][..., :h, :w], cb, cr)
+
     def run(raw, rects, rect_colors, thickness):
-        # raw: u8 [N, raw_bytes]
+        # raw: u8 [N, raw_bytes] (or the coeff tuple in hybrid-MJPEG mode)
         from ..ops import color as _color
 
-        if packed:
+        if spec.mjpeg_hybrid:
+            bgr = reconstruct_mjpeg(raw)
+            if spec.resize_to is not None:
+                bgr = _resize.resize_bilinear(bgr, spec.resize_to[0], spec.resize_to[1])
+        elif packed:
             bgr = _color.yuyv_to_bgr_packed(raw, w, h)
         else:
             bgr = _decode.convert_on_device(raw, spec.staged_format(), w, h)

@@ -32,7 +32,10 @@ def rng():
 
 @pytest.fixture(scope="session")
 def jax_cpu():
+    """jax on the test backend (virtual CPU mesh by default; the real chip
+    when RUSTCV_TEST_TPU=1 — the name is historical)."""
     import jax
 
-    assert jax.default_backend() == "cpu"
+    if os.environ.get("RUSTCV_TEST_TPU") != "1":
+        assert jax.default_backend() == "cpu"
     return jax
