@@ -141,6 +141,7 @@ class MultiStreamEngine:
         self._fn = get_pipeline(self.spec)
         self._coeff_staging = None  # hybrid MJPEG: built lazily at first tick
         self._qts = None
+        self.stream_errors = np.zeros(self.n, np.int64)  # per-stream faults
         self._mesh = mesh
         self._in_sharding = None
         if mesh is not None:
@@ -251,14 +252,29 @@ class MultiStreamEngine:
 
     # ------------------------------------------------------------------
 
-    def _gather_row(self, i: int, staging: np.ndarray, seqs: np.ndarray) -> None:
-        frame = self._sources[i].next_frame()
-        seqs[i] = frame.sequence
-        if self._resolved.pixel_format == PixelFormat.MJPEG:
-            rgb = _decode.decode_mjpeg_host_rgb(frame.data)
-            staging[i] = rgb.reshape(-1)  # device does the RGB→BGR swap
-        else:
-            staging[i] = frame.data.reshape(-1)
+    def _gather_row(
+        self, i: int, staging: np.ndarray, prev: np.ndarray, seqs: np.ndarray
+    ) -> None:
+        """Fill stream i's staging row. Per-stream fault containment: a
+        failing source does not kill the tick — its last good frame is reused
+        (copied from the previous staging buffer), the error is counted, and
+        the batch proceeds (degraded-stream semantics, the batched analog of
+        the reference's capture-error backoff loop)."""
+        try:
+            frame = self._sources[i].next_frame()
+            seqs[i] = frame.sequence
+            if self._resolved.pixel_format == PixelFormat.MJPEG:
+                rgb = _decode.decode_mjpeg_host_rgb(frame.data)
+                staging[i] = rgb.reshape(-1)  # device does the RGB→BGR swap
+            else:
+                staging[i] = frame.data.reshape(-1)
+        except CameraError as e:
+            self.stream_errors[i] += 1
+            seqs[i] = -1
+            staging[i] = prev[i]  # last good frame
+            from ..utils import get_logger
+
+            get_logger().warning("stream %d capture failed (reusing last frame): %s", i, e)
 
     # -- hybrid MJPEG gather (C++ entropy decode → coefficient staging) ----
 
@@ -319,17 +335,18 @@ class MultiStreamEngine:
     def gather(self) -> Tuple[np.ndarray, np.ndarray]:
         """Pull one frame per stream into the current staging buffer."""
         staging = self._staging[self._staging_idx]
+        prev = self._staging[self._staging_idx ^ 1]
         self._staging_idx ^= 1
         seqs = np.zeros(self.n, np.int64)
         if self._pool is not None:
             futs = [
-                self._pool.submit(self._gather_row, i, staging, seqs)
+                self._pool.submit(self._gather_row, i, staging, prev, seqs)
                 for i in range(self.n)
             ]
             for f in futs:
                 f.result()
         else:
-            self._gather_row(0, staging, seqs)
+            self._gather_row(0, staging, prev, seqs)
         return staging, seqs
 
     def tick(
