@@ -23,7 +23,7 @@ drives the simulation driver and any future real backend.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, Optional, Tuple
 
 from ..core.config import CameraConfig, Priority, ResolvedConfig, SimpleConfig
 from ..core.errors import FormatNotSupported, ResolutionNotSupported

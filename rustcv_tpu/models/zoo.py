@@ -11,7 +11,7 @@ BASELINE.json "configs" (quoted in SURVEY.md §6):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 from ..core.config import SimpleConfig

@@ -119,6 +119,39 @@ def rectangle(img: jax.Array, rect_xywh: jax.Array, color_bgr: jax.Array, thickn
 
 
 @jax.jit
+def blend_mask_packed_batch(
+    img: jax.Array, mask3: jax.Array, orgs: jax.Array, color_bgr: jax.Array
+) -> jax.Array:
+    """Batched text blend on packed-rows BGR (N, H, W*3).
+
+    ``mask3``: (mh, mw*3) u8 — the coverage mask pre-expanded ×3 along
+    columns on the host (np.repeat(mask, 3, axis=1)); shared by all streams.
+    ``orgs``: (N, 2) i32 top-left (x, y) pixel placement per stream;
+    ``color_bgr``: (3,) i32. Frozen integer blend (golden.blend_mask).
+    Border clipping via padded-canvas (see blend_mask_at).
+    """
+    mh, mw3 = mask3.shape
+    h, w3 = img.shape[-2], img.shape[-1]
+    w = w3 // 3
+
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, mw3), 1) % 3
+    color = jnp.asarray(color_bgr, jnp.int32)
+    lane_color = jnp.where(ch == 0, color[0], jnp.where(ch == 1, color[1], color[2]))
+    a = mask3.astype(jnp.int32)
+
+    def one(im, org):
+        big = jnp.pad(im, [(mh, mh), (mw3, mw3)])
+        px = jnp.clip(org[0] * 3 + mw3, 0, w3 + mw3)
+        py = jnp.clip(org[1] + mh, 0, h + mh)
+        region = jax.lax.dynamic_slice(big, (py, px), (mh, mw3)).astype(jnp.int32)
+        blended = ((lane_color * a + region * (255 - a)) // 255).astype(jnp.uint8)
+        big = jax.lax.dynamic_update_slice(big, blended, (py, px))
+        return big[mh : mh + h, mw3 : mw3 + w3]
+
+    return jax.vmap(one)(img, jnp.asarray(orgs, jnp.int32))
+
+
+@jax.jit
 def blend_mask_at(img: jax.Array, mask: jax.Array, x0: jax.Array, y0: jax.Array, color_bgr: jax.Array) -> jax.Array:
     """Alpha-blend a fixed-size u8 coverage mask at dynamic (x0, y0).
 

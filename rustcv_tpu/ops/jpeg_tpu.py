@@ -20,8 +20,8 @@ its fixed-point islow IDCT — parity vs PIL is tolerance-tested):
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import List, Tuple
+from functools import lru_cache
+from typing import Tuple
 
 import numpy as np
 

@@ -33,7 +33,6 @@ import jax
 from ..core.config import ResolvedConfig, SimpleConfig
 from ..core.errors import CameraError
 from ..core.pixel_format import PixelFormat
-from ..core.tick_meter import TickMeter
 from ..capture.source import Driver, FrameSource
 from ..ops import decode as _decode
 from .pipeline import PipelineSpec, get_pipeline, make_dummy_overlay
@@ -355,6 +354,10 @@ class MultiStreamEngine:
         rect_colors: Optional[np.ndarray] = None,
         thickness: int = 2,
         block: bool = False,
+        text: Optional[str] = None,
+        text_org: Tuple[int, int] = (10, 30),
+        text_scale: float = 1.0,
+        text_color: Tuple[int, int, int] = (0, 255, 255),
     ) -> TickResult:
         """One batched step. ``block=False`` leaves results as in-flight
         device futures (pipelined dispatch); blocking is only for latency
@@ -418,6 +421,9 @@ class MultiStreamEngine:
         out = fn(x, r, c, th)
         if self._device_sim and "_next_seqs" in out:
             self._seqs_dev = out["_next_seqs"]
+        if text is not None and "bgr" in out and out["bgr"].ndim == 3:
+            out = dict(out)
+            out["bgr"] = self._apply_text(out["bgr"], text, text_org, text_scale, text_color)
         if block:
             # Fetch the in-program completion token: a 1-element D2H that is
             # a TRUE execution barrier (block_until_ready alone can return
@@ -480,6 +486,36 @@ class MultiStreamEngine:
         return stats
 
     # ------------------------------------------------------------------
+
+    def _apply_text(self, bgr_packed, text, org, scale, color):
+        """Per-stream text overlay on packed-rows BGR (post-pipeline step).
+
+        The glyph mask is rasterized once per (text, scale) on the host
+        (bucketed canvas → stable shapes), pre-expanded ×3 for the packed
+        layout, and cached on device; moving/changing text re-uses the same
+        compiled blend program.
+        """
+        from ..ops import text as _text
+
+        key = (text, float(scale))
+        cache = getattr(self, "_text_cache", None)
+        if cache is None:
+            cache = self._text_cache = {}
+        if key not in cache:
+            mask, dx, dy = _text.rasterize(text, scale)
+            mask3 = np.repeat(mask, 3, axis=1)
+            cache.clear()  # keep one live mask (bounded memory)
+            cache[key] = (jax.device_put(mask3), dx, dy)
+        mask3_dev, dx, dy = cache[key]
+        orgs = np.tile(
+            np.array([[org[0] + dx, org[1] + dy]], np.int32), (self.n, 1)
+        )
+        from ..ops import draw as _draw
+
+        return _draw.blend_mask_packed_batch(
+            bgr_packed, mask3_dev, jax.numpy.asarray(orgs),
+            jax.numpy.asarray(np.array(color, np.int32)),
+        )
 
     def _build_scan_fn(self, k: int):
         """K ticks in ONE dispatched program via lax.scan — time-batching.
