@@ -156,7 +156,7 @@ def blur_sobel_mag_pallas(gray: jax.Array, tile_rows: int = 128) -> jax.Array:
     out = pl.pallas_call(
         partial(_kernel, th=th, w=w, wp=wp, n_tiles=n_tiles, rem=rem),
         grid=(n, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, th, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),

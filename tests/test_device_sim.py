@@ -70,6 +70,10 @@ class TestDeviceSimEngine:
             )
 
     def test_mesh_sharded_device_sim(self, jax_cpu):
+        if len(jax_cpu.devices()) < 8:
+            import pytest
+
+            pytest.skip("needs 8 devices (virtual CPU mesh)")
         from rustcv_tpu.parallel import stream_mesh
         from rustcv_tpu.runtime import MultiStreamEngine
 
