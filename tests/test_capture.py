@@ -253,6 +253,22 @@ class TestVideoCapture:
         np.testing.assert_array_equal(mat.to_numpy(), want)
         cap.release()
 
+    def test_mjpeg_videocapture_read(self):
+        cap = VideoCapture(
+            0, _driver(),
+            CameraConfig().resolution(64, 48, Priority.REQUIRED).format(
+                PixelFormat.MJPEG, Priority.REQUIRED
+            ),
+        )
+        mat = Mat()
+        assert cap.read(mat)
+        from rustcv_tpu.ops.decode import decode_mjpeg_host_rgb
+
+        want = decode_mjpeg_host_rgb(synth_raw(64, 48, PixelFormat.MJPEG, 0))[..., ::-1]
+        np.testing.assert_array_equal(mat.to_numpy(), want)
+        assert (cap.get_width(), cap.get_height()) == (64, 48)
+        cap.release()
+
     def test_baseline_config1_end_to_end(self, jax_cpu):
         """BASELINE config 1: 640×480 YUYV→BGR + rectangle overlay, pixel-exact."""
         import jax.numpy as jnp
