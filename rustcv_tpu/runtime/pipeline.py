@@ -119,6 +119,9 @@ def _build(spec: PipelineSpec):
         elif spec.filter == "blur_sobel":
             gray = gray_plane()
             if spec.stencil_impl == "pallas":
+                # v1 (manual halo DMA). The auto-pipelined v2 wins standalone
+                # (1.72 vs 2.09 ms at 8×1080p) but is a wash inside the fused
+                # pipeline and costs an extra halo gather — measured A/B.
                 from ..ops.pallas.stencil import blur_sobel_mag_pallas
 
                 filtered = blur_sobel_mag_pallas(gray)

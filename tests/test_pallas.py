@@ -81,3 +81,18 @@ class TestMegaKernel:
                 jnp.asarray([0], jnp.int32), jnp.zeros((1, 4), jnp.int32),
                 jnp.zeros((1, 3), jnp.int32), 1, width=66, height=48,
             )
+
+
+class TestStencilV2:
+    @pytest.mark.parametrize(
+        "shape,tile", [((2, 48, 64), 32), ((1, 135, 256), 128), ((1, 6, 128), 128)],
+    )
+    def test_auto_pipelined_parity(self, rng, jax_cpu, shape, tile):
+        from rustcv_tpu.ops.pallas.stencil_v2 import blur_sobel_mag_pallas_v2
+
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = np.stack(
+            [golden.gradient_magnitude_u8(*golden.sobel3_gray(golden.gaussian5_u8(x))) for x in g]
+        )
+        got = np.asarray(blur_sobel_mag_pallas_v2(jax_cpu.numpy.asarray(g), tile_rows=tile))
+        np.testing.assert_array_equal(got, want)
