@@ -121,16 +121,55 @@ def uyvy_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
     return _bt601(y, u2, v2).reshape(*batch, height, width, 3)
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
-def nv12_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
-    """NV12 planar → BGR u8. ``src``: u8 flat (..., H*W*3//2)."""
+def _unpack_nv12_pairs(src: jax.Array, width: int, height: int):
+    """NV12 → pair-form planes (…, H, W/2) int32: y0, y1, u, v.
+
+    The Y plane is split into even/odd columns via a u8→u16 bitcast; the
+    interleaved UV plane deinterleaves the same way and is row-doubled
+    (2×2 chroma sites — one small repeat over the half-res plane).
+    """
     batch = src.shape[:-1]
     flat = src.reshape(*batch, height * width * 3 // 2)
-    y = flat[..., : height * width].astype(jnp.int32).reshape(*batch, height, width)
-    uv = flat[..., height * width :].astype(jnp.int32).reshape(*batch, height // 2, width // 2, 2)
-    u = jnp.repeat(jnp.repeat(uv[..., 0], 2, axis=-2), 2, axis=-1)
-    v = jnp.repeat(jnp.repeat(uv[..., 1], 2, axis=-2), 2, axis=-1)
-    return _bt601(y, u, v)
+    yw = jax.lax.bitcast_convert_type(
+        flat[..., : height * width].reshape(*batch, height, width // 2, 2),
+        jnp.uint16,
+    ).astype(jnp.int32)
+    y0 = yw & 255
+    y1 = yw >> 8
+    uvw = jax.lax.bitcast_convert_type(
+        flat[..., height * width :].reshape(*batch, height // 2, width // 2, 2),
+        jnp.uint16,
+    ).astype(jnp.int32)
+    u = jnp.repeat(uvw & 255, 2, axis=-2)
+    v = jnp.repeat(uvw >> 8, 2, axis=-2)
+    return y0, y1, u, v
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def nv12_to_bgr_packed(src: jax.Array, width: int, height: int) -> jax.Array:
+    """NV12 → packed-rows BGR u8 (…, H, W*3) — device-native layout."""
+    y0, y1, u, v = _unpack_nv12_pairs(src, width, height)
+    b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
+    return _interleave_pair_bgr(b0, g0, r0, b1, g1, r1, width, height)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def nv12_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
+    """NV12 planar → BGR u8 (…, H, W, 3); bit-exact vs golden.nv12_to_bgr."""
+    out = nv12_to_bgr_packed(src, width, height)
+    return out.reshape(*out.shape[:-2], height, width, 3)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def nv12_to_gray(src: jax.Array, width: int, height: int) -> jax.Array:
+    """NV12 → gray u8 directly (≡ bgr_to_gray(nv12_to_bgr(src)) bit-exact)."""
+    y0, y1, u, v = _unpack_nv12_pairs(src, width, height)
+    b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
+    gr0 = (77 * r0 + 150 * g0 + 29 * b0 + 128) >> 8
+    gr1 = (77 * r1 + 150 * g1 + 29 * b1 + 128) >> 8
+    batch = gr0.shape[:-2]
+    w16 = (gr0 | (gr1 << 8)).astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(w16, jnp.uint8).reshape(*batch, height, width)
 
 
 @partial(jax.jit, static_argnames=("width", "height"))

@@ -67,9 +67,12 @@ def _build(spec: PipelineSpec):
 
     # Packed-rows BGR (…, H, W*3) is the device-native layout: a trailing
     # channel dim of 3 uses 3/128 lanes (42× wasted HBM bandwidth). The
-    # YUYV fast path stays packed end-to-end (decode → overlay → output);
-    # other formats currently go through the interleaved path.
-    packed = spec.staged_format() == PixelFormat.YUYV and spec.resize_to is None
+    # YUYV/NV12 fast paths stay packed end-to-end (decode → overlay →
+    # output); other formats currently go through the interleaved path.
+    packed = (
+        spec.staged_format() in (PixelFormat.YUYV, PixelFormat.NV12)
+        and spec.resize_to is None
+    )
 
     def reconstruct_mjpeg(x):
         """Batched coefficient-level reconstruction (x = coeff/qt arrays)."""
@@ -96,7 +99,10 @@ def _build(spec: PipelineSpec):
             if spec.resize_to is not None:
                 bgr = _resize.resize_bilinear(bgr, spec.resize_to[0], spec.resize_to[1])
         elif packed:
-            bgr = _color.yuyv_to_bgr_packed(raw, w, h)
+            if spec.staged_format() == PixelFormat.YUYV:
+                bgr = _color.yuyv_to_bgr_packed(raw, w, h)
+            else:
+                bgr = _color.nv12_to_bgr_packed(raw, w, h)
         else:
             bgr = _decode.convert_on_device(raw, spec.staged_format(), w, h)
             if spec.resize_to is not None:
@@ -105,8 +111,11 @@ def _build(spec: PipelineSpec):
         def gray_plane():
             # Direct raw→gray when possible: skips a round trip through the
             # interleaved BGR image (identical u8 values, parity-tested).
-            if spec.staged_format() == PixelFormat.YUYV and spec.resize_to is None:
-                return _color.yuyv_to_gray(raw, w, h)
+            if spec.resize_to is None:
+                if spec.staged_format() == PixelFormat.YUYV:
+                    return _color.yuyv_to_gray(raw, w, h)
+                if spec.staged_format() == PixelFormat.NV12:
+                    return _color.nv12_to_gray(raw, w, h)
             return _color.bgr_to_gray(bgr)
 
         out = {}

@@ -39,3 +39,35 @@ class TestGray8:
         np.testing.assert_array_equal(out[..., 0], want)
         dev = decode_to_device(_frame(PixelFormat.GRAY8, raw))
         np.testing.assert_array_equal(np.asarray(dev), out)
+
+
+class TestNv12Fast:
+    def test_packed_and_gray_parity(self, rng, jax_cpu):
+        from rustcv_tpu.ops import color
+
+        w, h = 64, 48
+        raw = rng.integers(0, 256, h * w * 3 // 2, dtype=np.uint8)
+        want = golden.nv12_to_bgr(raw, w, h)
+        got = np.asarray(color.nv12_to_bgr(jax_cpu.numpy.asarray(raw), w, h))
+        np.testing.assert_array_equal(got, want)
+        packed = np.asarray(color.nv12_to_bgr_packed(jax_cpu.numpy.asarray(raw), w, h))
+        np.testing.assert_array_equal(packed.reshape(h, w, 3), want)
+        gray = np.asarray(color.nv12_to_gray(jax_cpu.numpy.asarray(raw), w, h))
+        np.testing.assert_array_equal(gray, golden.bgr_to_gray(want))
+
+    def test_nv12_engine_pipeline(self, jax_cpu):
+        from rustcv_tpu.capture import SimulationDriver
+        from rustcv_tpu.runtime import MultiStreamEngine
+        from rustcv_tpu.core import SimpleConfig
+
+        eng = MultiStreamEngine(
+            SimulationDriver(paced=False), 2,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.NV12),
+            filter="blur_sobel", overlay=True, device_sim=True,
+        )
+        res = eng.tick(block=True)
+        base = golden.nv12_to_bgr(sim.synth_raw(64, 48, PixelFormat.NV12, 0), 64, 48)
+        np.testing.assert_array_equal(res.numpy("bgr")[0], base)
+        want_mag = golden.blur_sobel_mag_u8(base)
+        np.testing.assert_array_equal(np.asarray(res.outputs["filtered"])[0], want_mag)
+        eng.close()
