@@ -172,9 +172,36 @@ def nv12_to_gray(src: jax.Array, width: int, height: int) -> jax.Array:
     return jax.lax.bitcast_convert_type(w16, jnp.uint8).reshape(*batch, height, width)
 
 
+def _bgra_pixel_words(src: jax.Array, width: int, height: int):
+    """BGRA bytes → four per-group-phase u32 pixel words (…, H, W/4)."""
+    batch = src.shape[:-1]
+    words = jax.lax.bitcast_convert_type(
+        src.reshape(*batch, height, width // 4, 4, 4), jnp.uint32
+    )  # (..., H, W/4, 4): word s = pixel 4q+s (little-endian b|g<<8|r<<16|a<<24)
+    return [words[..., s] for s in range(4)]
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def bgra_to_bgr_packed(src: jax.Array, width: int, height: int) -> jax.Array:
+    """BGRA32 → packed-rows BGR u8 (…, H, W*3) by pure u32 byte compaction:
+    16 input bytes (4 px) → 3 output words, no per-byte lane work.
+    Requires width % 4 == 0 (falls back via bgra_to_bgr otherwise)."""
+    batch = src.shape[:-1]
+    p0, p1, p2, p3 = _bgra_pixel_words(src, width, height)
+    w0 = (p0 & 0xFFFFFF) | ((p1 & 0xFF) << 24)
+    w1 = ((p1 >> 8) & 0xFFFF) | ((p2 & 0xFFFF) << 16)
+    w2 = ((p2 >> 16) & 0xFF) | ((p3 & 0xFFFFFF) << 8)
+    packed = jnp.stack([w0, w1, w2], axis=-1).astype(jnp.uint32)
+    bytes_ = jax.lax.bitcast_convert_type(packed, jnp.uint8)  # (..., 3, 4)
+    return bytes_.reshape(*batch, height, width * 3)
+
+
 @partial(jax.jit, static_argnames=("width", "height"))
 def bgra_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
     batch = src.shape[:-1]
+    if width % 4 == 0:
+        out = bgra_to_bgr_packed(src, width, height)
+        return out.reshape(*batch, height, width, 3)
     m = src.reshape(*batch, height, width, 4)
     return m[..., :3]
 

@@ -70,8 +70,9 @@ def _build(spec: PipelineSpec):
     # YUYV/NV12 fast paths stay packed end-to-end (decode → overlay →
     # output); other formats currently go through the interleaved path.
     packed = (
-        spec.staged_format() in (PixelFormat.YUYV, PixelFormat.NV12)
+        spec.staged_format() in (PixelFormat.YUYV, PixelFormat.NV12, PixelFormat.BGRA32)
         and spec.resize_to is None
+        and (spec.staged_format() != PixelFormat.BGRA32 or spec.width % 4 == 0)
     )
 
     def reconstruct_mjpeg(x):
@@ -101,8 +102,10 @@ def _build(spec: PipelineSpec):
         elif packed:
             if spec.staged_format() == PixelFormat.YUYV:
                 bgr = _color.yuyv_to_bgr_packed(raw, w, h)
-            else:
+            elif spec.staged_format() == PixelFormat.NV12:
                 bgr = _color.nv12_to_bgr_packed(raw, w, h)
+            else:
+                bgr = _color.bgra_to_bgr_packed(raw, w, h)
         else:
             bgr = _decode.convert_on_device(raw, spec.staged_format(), w, h)
             if spec.resize_to is not None:

@@ -71,3 +71,40 @@ class TestNv12Fast:
         want_mag = golden.blur_sobel_mag_u8(base)
         np.testing.assert_array_equal(np.asarray(res.outputs["filtered"])[0], want_mag)
         eng.close()
+
+
+class TestBgraFast:
+    def test_packed_parity(self, rng, jax_cpu):
+        from rustcv_tpu.ops import color
+
+        w, h = 64, 48
+        raw = rng.integers(0, 256, h * w * 4, dtype=np.uint8)
+        want = golden.bgra_to_bgr(raw, w, h)
+        got = np.asarray(color.bgra_to_bgr(jax_cpu.numpy.asarray(raw), w, h))
+        np.testing.assert_array_equal(got, want)
+        packed = np.asarray(color.bgra_to_bgr_packed(jax_cpu.numpy.asarray(raw), w, h))
+        np.testing.assert_array_equal(packed.reshape(h, w, 3), want)
+
+    def test_non_mult4_width_fallback(self, rng, jax_cpu):
+        from rustcv_tpu.ops import color
+
+        w, h = 30, 8
+        raw = rng.integers(0, 256, h * w * 4, dtype=np.uint8)
+        want = golden.bgra_to_bgr(raw, w, h)
+        got = np.asarray(color.bgra_to_bgr(jax_cpu.numpy.asarray(raw), w, h))
+        np.testing.assert_array_equal(got, want)
+
+    def test_bgra_engine_pipeline(self, jax_cpu):
+        from rustcv_tpu.capture import SimulationDriver
+        from rustcv_tpu.runtime import MultiStreamEngine
+        from rustcv_tpu.core import SimpleConfig
+
+        eng = MultiStreamEngine(
+            SimulationDriver(paced=False), 2,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.BGRA32),
+            overlay=True, device_sim=True,
+        )
+        res = eng.tick(block=True)
+        want = golden.bgra_to_bgr(sim.synth_raw(64, 48, PixelFormat.BGRA32, 0), 64, 48)
+        np.testing.assert_array_equal(res.numpy("bgr")[0], want)
+        eng.close()
