@@ -214,8 +214,57 @@ def rgba_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
+def rgb_to_bgr_packed(src: jax.Array, width: int, height: int) -> jax.Array:
+    """RGB24 → packed-rows BGR u8 (…, H, W*3) by u32 word shuffles: each
+    4-pixel group is 3 words in and 3 out, R/B swapped with shifts+masks.
+    Requires width % 4 == 0."""
+    batch = src.shape[:-1]
+    words = jax.lax.bitcast_convert_type(
+        src.reshape(*batch, height, width // 4, 3, 4), jnp.uint32
+    )  # (..., H, W/4, 3); little-endian byte streams of r0g0b0 r1g1b1 …
+    i0, i1, i2 = words[..., 0], words[..., 1], words[..., 2]
+    r0 = i0 & 255;  g0 = (i0 >> 8) & 255;  b0 = (i0 >> 16) & 255;  r1 = i0 >> 24  # noqa: E702
+    g1 = i1 & 255;  b1 = (i1 >> 8) & 255;  r2 = (i1 >> 16) & 255;  g2 = i1 >> 24  # noqa: E702
+    b2 = i2 & 255;  r3 = (i2 >> 8) & 255;  g3 = (i2 >> 16) & 255;  b3 = i2 >> 24  # noqa: E702
+    o0 = b0 | (g0 << 8) | (r0 << 16) | (b1 << 24)
+    o1 = g1 | (r1 << 8) | (b2 << 16) | (g2 << 24)
+    o2 = r2 | (b3 << 8) | (g3 << 16) | (r3 << 24)
+    packed = jnp.stack([o0, o1, o2], axis=-1).astype(jnp.uint32)
+    bytes_ = jax.lax.bitcast_convert_type(packed, jnp.uint8)
+    return bytes_.reshape(*batch, height, width * 3)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def rgb_to_gray_packed_rows(src: jax.Array, width: int, height: int) -> jax.Array:
+    """Packed RGB rows (…, H*W*3 bytes) → gray u8 (…, H, W), word-wise
+    (≡ bgr_to_gray(rgb_to_bgr(src)) bit-exact). Requires width % 4 == 0."""
+    batch = src.shape[:-1] if src.shape[-1] == height * width * 3 else src.shape[:-2]
+    words = jax.lax.bitcast_convert_type(
+        src.reshape(*batch, height, width // 4, 3, 4), jnp.uint32
+    ).astype(jnp.int32)
+    i0, i1, i2 = words[..., 0], words[..., 1], words[..., 2]
+    r0 = i0 & 255;  g0 = (i0 >> 8) & 255;  b0 = (i0 >> 16) & 255;  r1 = (i0 >> 24) & 255  # noqa: E702
+    g1 = i1 & 255;  b1 = (i1 >> 8) & 255;  r2 = (i1 >> 16) & 255;  g2 = (i1 >> 24) & 255  # noqa: E702
+    b2 = i2 & 255;  r3 = (i2 >> 8) & 255;  g3 = (i2 >> 16) & 255;  b3 = (i2 >> 24) & 255  # noqa: E702
+
+    def luma(r, g, b):
+        return (77 * r + 150 * g + 29 * b + 128) >> 8
+
+    w32 = (
+        luma(r0, g0, b0)
+        | (luma(r1, g1, b1) << 8)
+        | (luma(r2, g2, b2) << 16)
+        | (luma(r3, g3, b3) << 24)
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(w32, jnp.uint8).reshape(*batch, height, width)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
 def rgb_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
     batch = src.shape[:-1]
+    if width % 4 == 0:
+        out = rgb_to_bgr_packed(src, width, height)
+        return out.reshape(*batch, height, width, 3)
     m = src.reshape(*batch, height, width, 3)
     return m[..., ::-1]
 

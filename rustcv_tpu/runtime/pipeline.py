@@ -70,9 +70,14 @@ def _build(spec: PipelineSpec):
     # YUYV/NV12 fast paths stay packed end-to-end (decode → overlay →
     # output); other formats currently go through the interleaved path.
     packed = (
-        spec.staged_format() in (PixelFormat.YUYV, PixelFormat.NV12, PixelFormat.BGRA32)
+        spec.staged_format()
+        in (PixelFormat.YUYV, PixelFormat.NV12, PixelFormat.BGRA32, PixelFormat.RGB24)
         and spec.resize_to is None
-        and (spec.staged_format() != PixelFormat.BGRA32 or spec.width % 4 == 0)
+        and not spec.mjpeg_hybrid
+        and (
+            spec.staged_format() in (PixelFormat.YUYV, PixelFormat.NV12)
+            or spec.width % 4 == 0
+        )
     )
 
     def reconstruct_mjpeg(x):
@@ -104,8 +109,10 @@ def _build(spec: PipelineSpec):
                 bgr = _color.yuyv_to_bgr_packed(raw, w, h)
             elif spec.staged_format() == PixelFormat.NV12:
                 bgr = _color.nv12_to_bgr_packed(raw, w, h)
-            else:
+            elif spec.staged_format() == PixelFormat.BGRA32:
                 bgr = _color.bgra_to_bgr_packed(raw, w, h)
+            else:
+                bgr = _color.rgb_to_bgr_packed(raw, w, h)
         else:
             bgr = _decode.convert_on_device(raw, spec.staged_format(), w, h)
             if spec.resize_to is not None:
@@ -114,11 +121,18 @@ def _build(spec: PipelineSpec):
         def gray_plane():
             # Direct raw→gray when possible: skips a round trip through the
             # interleaved BGR image (identical u8 values, parity-tested).
-            if spec.resize_to is None:
+            if spec.resize_to is None and not spec.mjpeg_hybrid:
                 if spec.staged_format() == PixelFormat.YUYV:
                     return _color.yuyv_to_gray(raw, w, h)
                 if spec.staged_format() == PixelFormat.NV12:
                     return _color.nv12_to_gray(raw, w, h)
+                if spec.staged_format() == PixelFormat.RGB24 and spec.width % 4 == 0:
+                    return _color.rgb_to_gray_packed_rows(raw, w, h)
+            if packed:
+                # bgr is packed rows here; recover HWC view for the generic
+                # luma (only reachable for BGRA32 — other packed formats take
+                # the direct branches above).
+                return _color.bgr_to_gray(bgr.reshape(*bgr.shape[:-1], w, 3))
             return _color.bgr_to_gray(bgr)
 
         out = {}

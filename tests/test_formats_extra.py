@@ -108,3 +108,40 @@ class TestBgraFast:
         want = golden.bgra_to_bgr(sim.synth_raw(64, 48, PixelFormat.BGRA32, 0), 64, 48)
         np.testing.assert_array_equal(res.numpy("bgr")[0], want)
         eng.close()
+
+
+class TestRgbFast:
+    def test_packed_parity(self, rng, jax_cpu):
+        from rustcv_tpu.ops import color
+
+        w, h = 64, 48
+        raw = rng.integers(0, 256, h * w * 3, dtype=np.uint8)
+        want = golden.rgb_to_bgr(raw, w, h)
+        got = np.asarray(color.rgb_to_bgr(jax_cpu.numpy.asarray(raw), w, h))
+        np.testing.assert_array_equal(got, want)
+        packed = np.asarray(color.rgb_to_bgr_packed(jax_cpu.numpy.asarray(raw), w, h))
+        np.testing.assert_array_equal(packed.reshape(h, w, 3), want)
+        gray = np.asarray(color.rgb_to_gray_packed_rows(jax_cpu.numpy.asarray(raw), w, h))
+        np.testing.assert_array_equal(gray, golden.bgr_to_gray(want))
+
+    def test_mjpeg_engine_filter_still_exact(self, jax_cpu):
+        """MJPEG host path stages RGB; the packed conversion + direct gray
+        must keep the filter output bit-exact vs the oracle chain."""
+        from rustcv_tpu.capture import SimulationDriver
+        from rustcv_tpu.core import SimpleConfig
+        from rustcv_tpu.ops.decode import decode_mjpeg_host_rgb
+        from rustcv_tpu.runtime import MultiStreamEngine
+
+        eng = MultiStreamEngine(
+            SimulationDriver(paced=False), 2,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.MJPEG),
+            filter="blur_sobel", overlay=True, device_sim=False,
+        )
+        res = eng.tick(block=True)
+        rgb = decode_mjpeg_host_rgb(sim.synth_raw(64, 48, PixelFormat.MJPEG, 0))
+        base = rgb[..., ::-1]
+        np.testing.assert_array_equal(res.numpy("bgr")[0], base)
+        np.testing.assert_array_equal(
+            np.asarray(res.outputs["filtered"])[0], golden.blur_sobel_mag_u8(base)
+        )
+        eng.close()
