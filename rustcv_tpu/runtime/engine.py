@@ -361,7 +361,11 @@ class MultiStreamEngine:
     ) -> TickResult:
         """One batched step. ``block=False`` leaves results as in-flight
         device futures (pipelined dispatch); blocking is only for latency
-        measurement / final consumption."""
+        measurement / final consumption.
+
+        Overlay params are cached on device by object identity — treat the
+        ``rects``/``rect_colors`` arrays as immutable and pass a NEW array to
+        change the overlay (in-place mutation would go unnoticed)."""
         if self._device_sim:
             paced = getattr(self._driver, "paced", False)
             if paced:
@@ -607,8 +611,13 @@ class MultiStreamEngine:
             resize_to=self.spec.resize_to, filter=self.spec.filter,
             overlay=self.spec.overlay, emit_bgr=self.spec.emit_bgr,
             stencil_impl=self.spec.stencil_impl,
+            mjpeg_hybrid=self.spec.mjpeg_hybrid,
         )
         self._fn = get_pipeline(self.spec)
+        # Hybrid coefficient staging is geometry-dependent: rebuild lazily.
+        self._coeff_staging = None
+        self._qts = None
+        self._overlay_cache = None
         if self._device_sim:
             if self._frame_pool is not None:
                 from ..ops import synth as _synth

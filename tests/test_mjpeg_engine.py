@@ -66,3 +66,14 @@ class TestHybridEngine:
                 SimpleConfig(width=64, height=48, pixel_format=PixelFormat.MJPEG),
                 mjpeg_backend="nope",
             )
+
+    def test_hybrid_set_resolution(self, jax_cpu):
+        eng = MultiStreamEngine(
+            SimulationDriver(device_count=2, paced=False), 2,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.MJPEG),
+            mjpeg_backend="hybrid",
+        )
+        assert eng.tick(block=True).numpy("bgr").shape == (2, 48, 64, 3)
+        eng.set_resolution(160, 120)
+        assert eng.tick(block=True).numpy("bgr").shape == (2, 120, 160, 3)
+        eng.close()
