@@ -480,11 +480,29 @@ class SimulationDriver(Driver):
         *,
         paced: bool = True,
         n_unique_frames: int = 0,
+        bandwidth_limit_mbps: Optional[int] = None,
     ):
         self.device_count = device_count
         self.modes = list(modes) if modes is not None else default_modes()
         self.paced = paced
         self.n_unique_frames = n_unique_frames
+        # Simulated link budget: opening a mode whose estimated throughput
+        # exceeds it raises BandwidthExceeded with a structured suggestion
+        # (the reference's error contract, rustcv-core/src/error.rs).
+        self.bandwidth_limit_mbps = bandwidth_limit_mbps
+
+    def _check_bandwidth(self, resolved: ResolvedConfig) -> None:
+        if self.bandwidth_limit_mbps is None:
+            return
+        from ..core.errors import BandwidthExceeded
+
+        bpf = resolved.pixel_format.bpp_estimate() * resolved.width * resolved.height
+        required = int(bpf * resolved.fps * 8 / 1e6)
+        if required > self.bandwidth_limit_mbps:
+            raise BandwidthExceeded(
+                required, self.bandwidth_limit_mbps,
+                suggestion="reduce resolution/fps or prefer MJPEG (compressed)",
+            )
 
     def list_devices(self) -> List[DeviceInfo]:
         return [
@@ -512,6 +530,7 @@ class SimulationDriver(Driver):
             width=mode.width, height=mode.height, fps=fps,
             pixel_format=mode.pixel_format, buffer_count=config.buffer_count,
         )
+        self._check_bandwidth(resolved)
         src = SimulationSource(
             resolved, paced=self.paced, n_unique_frames=self.n_unique_frames,
             start_seq=0,
@@ -525,6 +544,7 @@ class SimulationDriver(Driver):
         """Stack-B open path: Option-based config + min-distance negotiation."""
         self._check_id(device_id)
         resolved = negotiate.resolve(config, self.modes)
+        self._check_bandwidth(resolved)
         src = SimulationSource(
             resolved, paced=self.paced, n_unique_frames=self.n_unique_frames
         )

@@ -291,3 +291,26 @@ class TestVideoCapture:
         golden.rectangle(want.reshape(480, -1), 480, 640, 640 * 3, (100, 100, 200, 150), (0, 255, 0), 3)
         np.testing.assert_array_equal(np.asarray(out), want.reshape(480, 640, 3))
         cap.release()
+
+
+class TestBandwidth:
+    def test_bandwidth_exceeded(self):
+        from rustcv_tpu.core import BandwidthExceeded
+
+        # 1080p60 YUYV ≈ 2 GBps*8... well above a 100 Mbps budget
+        drv = SimulationDriver(paced=False, bandwidth_limit_mbps=100)
+        with pytest.raises(BandwidthExceeded) as ei:
+            Camera.open_with(
+                "sim:0",
+                SimpleConfig(width=1920, height=1080, fps=60,
+                             pixel_format=PixelFormat.YUYV),
+                drv,
+            )
+        assert ei.value.required_mbps > ei.value.limit_mbps
+        assert "MJPEG" in ei.value.suggestion
+        # a modest mode fits the same budget
+        cam = Camera.open_with(
+            "sim:0", SimpleConfig(width=64, height=48, fps=30,
+                                  pixel_format=PixelFormat.YUYV), drv
+        )
+        cam.close()
