@@ -137,7 +137,10 @@ def _build(spec: PipelineSpec):
 
         out = {}
         if spec.filter == "gaussian":
-            filtered = _filters.gaussian5_u8(bgr)
+            # Packed rows would blur ACROSS channels horizontally — blur in
+            # HWC view (the stencil needs spatial adjacency per channel).
+            img = bgr.reshape(*bgr.shape[:-1], w, 3) if packed else bgr
+            filtered = _filters.gaussian5_u8(img)
         elif spec.filter == "sobel_mag":
             gray = gray_plane()
             gx, gy = _filters.sobel3_gray(gray)

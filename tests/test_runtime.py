@@ -159,3 +159,19 @@ class TestEngine:
         mask[0, 8, 8] = True
         total = corner_counts_psum(shard_batch(mask, mesh), mesh)
         assert int(total) == 9
+
+
+class TestGaussianFilterPacked:
+    def test_gaussian_filter_on_packed_path(self, jax_cpu):
+        """Regression: filter='gaussian' must blur per channel even when the
+        decode path produces packed-rows BGR."""
+        eng = MultiStreamEngine(
+            _driver(), 2,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
+            filter="gaussian", device_sim=True,
+        )
+        res = eng.tick(block=True)
+        base = golden.yuyv_to_bgr(synth_raw(64, 48, PixelFormat.YUYV, 0), 64, 48)
+        want = golden.gaussian5_u8(base)
+        np.testing.assert_array_equal(np.asarray(res.outputs["filtered"])[0], want)
+        eng.close()
