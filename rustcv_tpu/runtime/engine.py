@@ -594,6 +594,23 @@ class MultiStreamEngine:
         stats.wall_s = wall
         return stats
 
+    def warm_buckets(self, buckets=None) -> int:
+        """Ahead-of-time compile this engine's pipeline for every shape
+        bucket (default: runtime.buckets.SHAPE_BUCKETS), so a later
+        ``set_resolution`` is a cache swap instead of a recompile — the
+        static-shape answer to the reference's hot-reload semantics
+        (SURVEY.md §7 hard-part #3). Returns the number compiled."""
+        from dataclasses import replace
+
+        from .buckets import SHAPE_BUCKETS, warm
+
+        specs = [
+            replace(self.spec, width=w, height=h)
+            for (w, h) in (buckets if buckets is not None else SHAPE_BUCKETS)
+            if self.spec.pixel_format != PixelFormat.YUYV or w % 2 == 0
+        ]
+        return warm(specs, self.n)
+
     def set_resolution(self, width: int, height: int) -> None:
         """Hot-swap all streams to a new resolution (blocking), preserving
         the reference's stop→renegotiate→restart semantics (mod.rs:115-147).

@@ -175,3 +175,21 @@ class TestGaussianFilterPacked:
         want = golden.gaussian5_u8(base)
         np.testing.assert_array_equal(np.asarray(res.outputs["filtered"])[0], want)
         eng.close()
+
+
+class TestWarmBuckets:
+    def test_warm_then_swap_uses_cache(self, jax_cpu):
+        from rustcv_tpu.runtime import get_pipeline
+
+        eng = MultiStreamEngine(
+            _driver(), 2,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
+            device_sim=True,
+        )
+        n = eng.warm_buckets(buckets=[(64, 48), (160, 120)])
+        assert n == 2
+        info_before = get_pipeline.cache_info()
+        eng.set_resolution(160, 120)  # must hit the warmed cache
+        assert get_pipeline.cache_info().misses == info_before.misses
+        assert eng.tick(block=True).numpy("bgr").shape == (2, 120, 160, 3)
+        eng.close()
