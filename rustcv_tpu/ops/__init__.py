@@ -12,4 +12,15 @@ Submodules:
 - ``pallas``   — hand-fused TPU kernels for the hot pipelines.
 """
 
-from . import color, decode, draw, features, filters, golden, resize, text  # noqa: F401
+from . import (  # noqa: F401
+    color,
+    decode,
+    draw,
+    features,
+    filters,
+    golden,
+    jpeg_tpu,
+    resize,
+    synth,
+    text,
+)
