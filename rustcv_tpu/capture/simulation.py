@@ -114,6 +114,18 @@ def encode_yuyv(bgr: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def encode_yv12(bgr: np.ndarray) -> np.ndarray:
+    """BGR → YV12 (planar Y, V, U — V first); chroma = 2×2 average."""
+    h, w = bgr.shape[:2]
+    y, u, v = bgr_to_yuv_int(bgr)
+    u4 = (u.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)) + 2) >> 2
+    v4 = (v.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)) + 2) >> 2
+    return np.concatenate(
+        [y.astype(np.uint8).reshape(-1), v4.astype(np.uint8).reshape(-1),
+         u4.astype(np.uint8).reshape(-1)]
+    )
+
+
 def encode_nv12(bgr: np.ndarray) -> np.ndarray:
     """BGR → NV12; chroma = 2×2 average ((Σ+2)>>2)."""
     h, w = bgr.shape[:2]
@@ -179,6 +191,7 @@ _ENCODERS = {
     PixelFormat.UYVY: encode_uyvy,
     PixelFormat.GRAY8: encode_gray,
     PixelFormat.NV12: encode_nv12,
+    PixelFormat.YV12: encode_yv12,
     PixelFormat.BGRA32: encode_bgra,
     PixelFormat.RGB24: encode_rgb,
     PixelFormat.BGR24: lambda bgr: np.ascontiguousarray(bgr).reshape(-1),

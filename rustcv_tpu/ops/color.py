@@ -161,6 +161,21 @@ def nv12_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
+def yv12_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
+    """YV12 (planar Y, V, U — V first) → BGR u8; bit-exact vs golden."""
+    batch = src.shape[:-1]
+    npix = width * height
+    nq = npix // 4
+    flat = src.reshape(*batch, npix * 3 // 2)
+    y = flat[..., :npix].astype(jnp.int32).reshape(*batch, height, width)
+    v = flat[..., npix : npix + nq].astype(jnp.int32).reshape(*batch, height // 2, width // 2)
+    u = flat[..., npix + nq :].astype(jnp.int32).reshape(*batch, height // 2, width // 2)
+    u = jnp.repeat(jnp.repeat(u, 2, axis=-2), 2, axis=-1)
+    v = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1)
+    return _bt601(y, u, v)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
 def nv12_to_gray(src: jax.Array, width: int, height: int) -> jax.Array:
     """NV12 → gray u8 directly (≡ bgr_to_gray(nv12_to_bgr(src)) bit-exact)."""
     y0, y1, u, v = _unpack_nv12_pairs(src, width, height)

@@ -57,6 +57,9 @@ def decode_frame_host(frame, mat) -> None:
     elif fmt == PixelFormat.NV12:
         mat.ensure_size(h, w, 3)
         mat.array[:] = golden.nv12_to_bgr(data, w, h)
+    elif fmt == PixelFormat.YV12:
+        mat.ensure_size(h, w, 3)
+        mat.array[:] = golden.yv12_to_bgr(data, w, h)
     elif fmt == PixelFormat.BGR24:
         mat.ensure_size(h, w, 3)
         mat.array[:] = data.reshape(-1)[: h * w * 3].reshape(h, w, 3)
@@ -100,6 +103,8 @@ def convert_on_device(raw: "object", fmt: PixelFormat, width: int, height: int):
         return dcolor.uyvy_to_bgr(raw, width, height)
     if fmt == PixelFormat.NV12:
         return dcolor.nv12_to_bgr(raw, width, height)
+    if fmt == PixelFormat.YV12:
+        return dcolor.yv12_to_bgr(raw, width, height)
     if fmt == PixelFormat.BGRA32:
         return dcolor.bgra_to_bgr(raw, width, height)
     if fmt == PixelFormat.RGBA32:

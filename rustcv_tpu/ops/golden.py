@@ -87,6 +87,25 @@ def nv12_to_bgr(src: np.ndarray, width: int, height: int) -> np.ndarray:
     return _bt601_to_bgr(y, u, v)
 
 
+def yv12_to_bgr(src: np.ndarray, width: int, height: int) -> np.ndarray:
+    """YV12 (planar Y, then V, then U — note the V-first order,
+    rustcv-backend-msmf/src/stream.rs:334-365) → BGR.
+
+    Frozen spec: nearest 2×2 chroma upsampling, BT.601 integer (as NV12).
+    """
+    flat = src.reshape(-1)
+    npix = width * height
+    nquarter = npix // 4
+    y = flat[:npix].astype(np.int32).reshape(height, width)
+    v = flat[npix : npix + nquarter].astype(np.int32).reshape(height // 2, width // 2)
+    u = flat[npix + nquarter : npix + 2 * nquarter].astype(np.int32).reshape(
+        height // 2, width // 2
+    )
+    u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)
+    v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+    return _bt601_to_bgr(y, u, v)
+
+
 def bgra_to_bgr(src: np.ndarray, width: int, height: int) -> np.ndarray:
     """BGRA32 → BGR24, drop alpha (decode.rs:200-207)."""
     m = src.reshape(-1)[: width * height * 4].reshape(height, width, 4)

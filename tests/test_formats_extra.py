@@ -145,3 +145,36 @@ class TestRgbFast:
             np.asarray(res.outputs["filtered"])[0], golden.blur_sobel_mag_u8(base)
         )
         eng.close()
+
+
+class TestYv12:
+    def test_host_device_parity(self, rng, jax_cpu):
+        from rustcv_tpu.ops import color
+
+        w, h = 64, 48
+        raw = rng.integers(0, 256, h * w * 3 // 2, dtype=np.uint8)
+        want = golden.yv12_to_bgr(raw, w, h)
+        got = np.asarray(color.yv12_to_bgr(jax_cpu.numpy.asarray(raw), w, h))
+        np.testing.assert_array_equal(got, want)
+
+    def test_sim_roundtrip_close(self):
+        bgr = sim.synth_bgr(64, 48, 0)
+        raw = sim.synth_raw(64, 48, PixelFormat.YV12, 0)
+        back = golden.yv12_to_bgr(raw, 64, 48)
+        err = np.abs(back.astype(int) - bgr.astype(int))
+        assert np.percentile(err, 95) <= 16  # 4:2:0 nearest-chroma bound
+
+    def test_capture_end_to_end(self, jax_cpu):
+        from rustcv_tpu.capture import Camera, SimulationDriver, ModeDescriptor
+        from rustcv_tpu.core import SimpleConfig
+
+        modes = [ModeDescriptor(PixelFormat.YV12, 64, 48, (30,))]
+        cam = Camera.open_with(
+            "sim:0", SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YV12),
+            SimulationDriver(modes=modes, paced=False),
+        )
+        mat = Mat()
+        cam.read_decoded(mat)
+        want = golden.yv12_to_bgr(sim.synth_raw(64, 48, PixelFormat.YV12, 0), 64, 48)
+        np.testing.assert_array_equal(mat.to_numpy(), want)
+        cam.close()
