@@ -1,0 +1,136 @@
+"""Edge cases: degenerate shapes, Mat variants, codec corner cases."""
+
+import numpy as np
+import pytest
+
+from rustcv_tpu.core import Mat, PixelFormat
+from rustcv_tpu.ops import golden
+
+
+class TestResizeEdges:
+    def test_one_pixel_source(self, jax_cpu):
+        from rustcv_tpu.ops import resize
+
+        img = np.full((1, 1, 3), 77, np.uint8)
+        out = golden.resize_bilinear(img, 5, 4)
+        assert (out == 77).all()
+        dev = np.asarray(resize.resize_bilinear(jax_cpu.numpy.asarray(img), 5, 4))
+        np.testing.assert_array_equal(dev, out)
+
+    def test_extreme_downscale(self, rng, jax_cpu):
+        from rustcv_tpu.ops import resize
+
+        img = rng.integers(0, 256, (256, 256, 3), np.uint8)
+        want = golden.resize_bilinear(img, 2, 2)
+        got = np.asarray(resize.resize_bilinear(jax_cpu.numpy.asarray(img), 2, 2))
+        np.testing.assert_array_equal(got, want)
+
+    def test_extreme_upscale(self, rng, jax_cpu):
+        from rustcv_tpu.ops import resize
+
+        img = rng.integers(0, 256, (2, 2, 3), np.uint8)
+        want = golden.resize_bilinear(img, 64, 64)
+        got = np.asarray(resize.resize_bilinear(jax_cpu.numpy.asarray(img), 64, 64))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestMatVariants:
+    def test_single_channel(self):
+        m = Mat.new(4, 6, 1)
+        m.array[:] = 9
+        assert m.row_bytes == 6
+        assert m.to_numpy().shape == (4, 6, 1)
+
+    def test_four_channel(self):
+        m = Mat.new(4, 6, 4)
+        assert m.step == 24
+
+    def test_from_device_2d(self, jax_cpu):
+        d = jax_cpu.numpy.zeros((5, 7), jax_cpu.numpy.uint8)
+        m = Mat.from_device(d)
+        assert (m.rows, m.cols, m.channels) == (5, 7, 1)
+
+    def test_invalid_step_rejected(self):
+        with pytest.raises(ValueError):
+            Mat.new(4, 6, 3, step=10)  # < row_bytes
+
+    def test_copy_independent(self, rng):
+        m = Mat.from_array(rng.integers(0, 256, (4, 4, 3), np.uint8))
+        c = m.copy()
+        c.array[:] = 0
+        assert (m.to_numpy() != 0).any()
+
+
+class TestFourccEdge:
+    def test_int_roundtrip(self):
+        from rustcv_tpu.core import from_fourcc
+        from rustcv_tpu.core.pixel_format import fourcc
+
+        fmt, fcc = from_fourcc(fourcc("YUYV"))
+        assert fmt == PixelFormat.YUYV
+
+    def test_nonprintable_fourcc_str(self):
+        from rustcv_tpu.core import FourCC
+
+        assert "?" in str(FourCC(0x01020304))
+
+
+class TestNegotiateEdge:
+    def test_empty_modes(self):
+        from rustcv_tpu.capture import negotiate as _  # noqa: F401 — function
+        from rustcv_tpu.capture import negotiate as neg_fn
+        import rustcv_tpu.capture.negotiate as neg
+        from rustcv_tpu.core import CameraConfig, FormatNotSupported, SimpleConfig
+
+        with pytest.raises(FormatNotSupported):
+            neg.negotiate(CameraConfig(), [])
+        with pytest.raises(FormatNotSupported):
+            neg.negotiate_simple(SimpleConfig(), [])
+
+
+class TestDrawEdge:
+    def test_zero_thickness(self, rng, jax_cpu):
+        from rustcv_tpu.ops import draw
+
+        img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        want = img.copy()
+        golden.rectangle(want.reshape(16, -1), 16, 16, 48, (2, 2, 8, 8), (1, 2, 3), 0)
+        got = np.asarray(
+            draw.rectangle(
+                jax_cpu.numpy.asarray(img),
+                jax_cpu.numpy.asarray([2, 2, 8, 8], np.int32),
+                jax_cpu.numpy.asarray([1, 2, 3], np.uint8), 0,
+            )
+        )
+        np.testing.assert_array_equal(got, want.reshape(16, 16, 3))
+
+    def test_negative_thickness_noop(self, rng, jax_cpu):
+        from rustcv_tpu.ops import draw
+
+        img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        got = np.asarray(
+            draw.rectangle(
+                jax_cpu.numpy.asarray(img),
+                jax_cpu.numpy.asarray([2, 2, 8, 8], np.int32),
+                jax_cpu.numpy.asarray([1, 2, 3], np.uint8), -3,
+            )
+        )
+        want = img.copy()
+        golden.rectangle(want.reshape(16, -1), 16, 16, 48, (2, 2, 8, 8), (1, 2, 3), -3)
+        np.testing.assert_array_equal(got, want.reshape(16, 16, 3))
+
+
+class TestHighguiEdge:
+    def test_window_name_sanitized_in_display_dir(self, rng, tmp_path):
+        import os
+
+        from rustcv_tpu import highgui
+
+        os.environ["RUSTCV_TPU_DISPLAY_DIR"] = str(tmp_path)
+        try:
+            m = Mat.from_array(rng.integers(0, 256, (4, 4, 3), np.uint8))
+            highgui.imshow("a/b c", m)
+            assert (tmp_path / "a_b_c.png").exists()
+        finally:
+            del os.environ["RUSTCV_TPU_DISPLAY_DIR"]
+        highgui.destroy_all_windows()
