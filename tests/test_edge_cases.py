@@ -77,9 +77,11 @@ class TestFourccEdge:
 
 class TestNegotiateEdge:
     def test_empty_modes(self):
-        from rustcv_tpu.capture import negotiate as _  # noqa: F401 — function
-        from rustcv_tpu.capture import negotiate as neg_fn
-        import rustcv_tpu.capture.negotiate as neg
+        import importlib
+
+        # (the package re-exports the `negotiate` FUNCTION under the same
+        # name as the module, so fetch the module explicitly)
+        neg = importlib.import_module("rustcv_tpu.capture.negotiate")
         from rustcv_tpu.core import CameraConfig, FormatNotSupported, SimpleConfig
 
         with pytest.raises(FormatNotSupported):
