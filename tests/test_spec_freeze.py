@@ -1,0 +1,73 @@
+"""Spec-freeze regression goldens.
+
+The fidelity contract says every frozen spec (pattern, encoders, decode
+arithmetic, filters, resize, drawing) is pixel-exact and immutable. These
+SHA256 fingerprints of canonical outputs pin the specs: any change to the
+arithmetic — intentional or accidental — fails here first and must be a
+conscious, documented decision (a new spec version, not a silent drift).
+"""
+
+import hashlib
+
+import numpy as np
+
+from rustcv_tpu.capture import simulation as sim
+from rustcv_tpu.core import PixelFormat
+from rustcv_tpu.ops import golden
+
+W, H, SEQ = 64, 48, 7
+
+GOLDEN_HASHES = {
+    "pattern": "0366b631d2129aa9",
+    "raw_YUYV": "08f70a9dbed4b6c4",
+    "raw_UYVY": "fc46409eb2041540",
+    "raw_NV12": "6dfaebeaf54a3224",
+    "raw_YV12": "dd9b0b0fd1959dc1",
+    "raw_BGRA32": "fee1ec5a9168908d",
+    "raw_RGB24": "2bd578fa2bf8210b",
+    "raw_BAYER_RGGB": "fd1f5cb3ea4af7a6",
+    "raw_GRAY8": "f3c10c32f724fec0",
+    "decoded": "4fec4ed5e3538f8f",
+    "gray": "ea145f413e3f87f9",
+    "gauss": "8dda84a5b028414b",
+    "blur_sobel": "9e8117480976397e",
+    "resize": "27414bd11dfa1ec4",
+    "rect": "56b8ed603693fdf8",
+    "demosaic": "bb79f11a3e96c6fa",
+}
+HARRIS_CORNER_COUNT = 10
+
+
+def _h(a: np.ndarray) -> str:
+    return hashlib.sha256(np.ascontiguousarray(a).tobytes()).hexdigest()[:16]
+
+
+def test_pattern_and_encoders_frozen():
+    assert _h(sim.synth_bgr(W, H, SEQ)) == GOLDEN_HASHES["pattern"]
+    for fmt in (
+        PixelFormat.YUYV, PixelFormat.UYVY, PixelFormat.NV12, PixelFormat.YV12,
+        PixelFormat.BGRA32, PixelFormat.RGB24, PixelFormat.BAYER_RGGB,
+        PixelFormat.GRAY8,
+    ):
+        assert _h(sim.synth_raw(W, H, fmt, SEQ)) == GOLDEN_HASHES[f"raw_{fmt.value}"], fmt
+
+
+def test_decode_and_ops_frozen():
+    yuyv = sim.synth_raw(W, H, PixelFormat.YUYV, SEQ)
+    dec = golden.yuyv_to_bgr(yuyv, W, H)
+    assert _h(dec) == GOLDEN_HASHES["decoded"]
+    assert _h(golden.bgr_to_gray(dec)) == GOLDEN_HASHES["gray"]
+    assert _h(golden.gaussian5_u8(dec)) == GOLDEN_HASHES["gauss"]
+    assert _h(golden.blur_sobel_mag_u8(dec)) == GOLDEN_HASHES["blur_sobel"]
+    assert _h(golden.resize_bilinear(dec, 32, 24)) == GOLDEN_HASHES["resize"]
+    ov = dec.copy()
+    golden.rectangle(ov.reshape(H, -1), H, W, W * 3, (5, 5, 30, 20), (9, 99, 199), 2)
+    assert _h(ov) == GOLDEN_HASHES["rect"]
+    raw_bayer = sim.synth_raw(W, H, PixelFormat.BAYER_RGGB, SEQ).reshape(H, W)
+    assert _h(golden.demosaic_bilinear(raw_bayer, "RGGB")) == GOLDEN_HASHES["demosaic"]
+
+
+def test_harris_corner_count_frozen():
+    yuyv = sim.synth_raw(W, H, PixelFormat.YUYV, SEQ)
+    gray = golden.bgr_to_gray(golden.yuyv_to_bgr(yuyv, W, H))
+    assert int(golden.harris_corners(gray).sum()) == HARRIS_CORNER_COUNT
