@@ -102,10 +102,12 @@ class VideoCapture:
         driver: Optional[Driver] = None,
         config: Optional[CameraConfig] = None,
         decode_on_device: bool = False,
+        mjpeg_hybrid: bool = False,
     ):
         self._driver = driver if driver is not None else default_driver()
         self._device_id = resolve_device_id(index, self._driver)
         self._decode_on_device = decode_on_device
+        self._mjpeg_hybrid = mjpeg_hybrid
         self._cmd: "queue.Queue" = queue.Queue(maxsize=1)
         self._res: "queue.Queue" = queue.Queue(maxsize=1)
         self._opened = threading.Event()
@@ -187,6 +189,11 @@ class VideoCapture:
         fd: _FrameData = res
         if self._decode_on_device:
             if fd.pixel_format == PixelFormat.MJPEG:
+                if self._mjpeg_hybrid:
+                    from ..ops import jpeg_tpu
+
+                    mat.set_device(jpeg_tpu.decode_jpeg_tpu(fd.data))
+                    return True
                 rgb = _decode.decode_mjpeg_host_rgb(fd.data)
                 import jax
 

@@ -152,6 +152,33 @@ def blend_mask_packed_batch(
 
 
 @jax.jit
+def blend_masks_packed_batch(
+    img: jax.Array, masks3: jax.Array, orgs: jax.Array, color_bgr: jax.Array
+) -> jax.Array:
+    """Per-stream text blend: like :func:`blend_mask_packed_batch` but with a
+    distinct mask per stream (``masks3``: (N, mh, mw*3) u8 — pad differing
+    strings to a common bucketed canvas on the host)."""
+    mh, mw3 = masks3.shape[-2], masks3.shape[-1]
+    h, w3 = img.shape[-2], img.shape[-1]
+
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, mw3), 1) % 3
+    color = jnp.asarray(color_bgr, jnp.int32)
+    lane_color = jnp.where(ch == 0, color[0], jnp.where(ch == 1, color[1], color[2]))
+
+    def one(im, m3, org):
+        a = m3.astype(jnp.int32)
+        big = jnp.pad(im, [(mh, mh), (mw3, mw3)])
+        px = jnp.clip(org[0] * 3 + mw3, 0, w3 + mw3)
+        py = jnp.clip(org[1] + mh, 0, h + mh)
+        region = jax.lax.dynamic_slice(big, (py, px), (mh, mw3)).astype(jnp.int32)
+        blended = ((lane_color * a + region * (255 - a)) // 255).astype(jnp.uint8)
+        big = jax.lax.dynamic_update_slice(big, blended, (py, px))
+        return big[mh : mh + h, mw3 : mw3 + w3]
+
+    return jax.vmap(one)(img, masks3, jnp.asarray(orgs, jnp.int32))
+
+
+@jax.jit
 def blend_mask_at(img: jax.Array, mask: jax.Array, x0: jax.Array, y0: jax.Array, color_bgr: jax.Array) -> jax.Array:
     """Alpha-blend a fixed-size u8 coverage mask at dynamic (x0, y0).
 

@@ -492,33 +492,50 @@ class MultiStreamEngine:
     # ------------------------------------------------------------------
 
     def _apply_text(self, bgr_packed, text, org, scale, color):
-        """Per-stream text overlay on packed-rows BGR (post-pipeline step).
+        """Text overlay on packed-rows BGR (post-pipeline step).
 
-        The glyph mask is rasterized once per (text, scale) on the host
-        (bucketed canvas → stable shapes), pre-expanded ×3 for the packed
-        layout, and cached on device; moving/changing text re-uses the same
-        compiled blend program.
+        ``text`` may be a single string (shared by all streams) or a list of
+        N strings (per-stream, e.g. per-camera FPS counters). Glyph masks are
+        rasterized on the host per (text, scale) with bucketed canvases →
+        stable shapes, pre-expanded ×3 for the packed layout, and cached on
+        device; changing strings re-uses the same compiled blend program.
         """
+        from ..ops import draw as _draw
         from ..ops import text as _text
 
-        key = (text, float(scale))
+        per_stream = isinstance(text, (list, tuple))
+        key = (tuple(text) if per_stream else text, float(scale))
         cache = getattr(self, "_text_cache", None)
         if cache is None:
             cache = self._text_cache = {}
         if key not in cache:
-            mask, dx, dy = _text.rasterize(text, scale)
-            mask3 = np.repeat(mask, 3, axis=1)
-            cache.clear()  # keep one live mask (bounded memory)
+            cache.clear()  # keep one live mask set (bounded memory)
+            if per_stream:
+                if len(text) != self.n:
+                    raise ValueError(f"need {self.n} strings, got {len(text)}")
+                rendered = [_text.rasterize(t, scale) for t in text]
+                mh = max(m.shape[0] for m, _, _ in rendered)
+                mw = max(m.shape[1] for m, _, _ in rendered)
+                stack = np.zeros((self.n, mh, mw), np.uint8)
+                for i, (m, _, _) in enumerate(rendered):
+                    stack[i, : m.shape[0], : m.shape[1]] = m
+                mask3 = np.repeat(stack, 3, axis=2)
+                dx, dy = rendered[0][1], rendered[0][2]
+            else:
+                mask, dx, dy = _text.rasterize(text, scale)
+                mask3 = np.repeat(mask, 3, axis=1)
             cache[key] = (jax.device_put(mask3), dx, dy)
         mask3_dev, dx, dy = cache[key]
         orgs = np.tile(
             np.array([[org[0] + dx, org[1] + dy]], np.int32), (self.n, 1)
         )
-        from ..ops import draw as _draw
-
+        color_dev = jax.numpy.asarray(np.array(color, np.int32))
+        if per_stream:
+            return _draw.blend_masks_packed_batch(
+                bgr_packed, mask3_dev, jax.numpy.asarray(orgs), color_dev
+            )
         return _draw.blend_mask_packed_batch(
-            bgr_packed, mask3_dev, jax.numpy.asarray(orgs),
-            jax.numpy.asarray(np.array(color, np.int32)),
+            bgr_packed, mask3_dev, jax.numpy.asarray(orgs), color_dev
         )
 
     def _build_scan_fn(self, k: int):

@@ -136,3 +136,58 @@ class TestHighguiEdge:
         finally:
             del os.environ["RUSTCV_TPU_DISPLAY_DIR"]
         highgui.destroy_all_windows()
+
+
+class TestMultiEngineIsolation:
+    def test_two_engines_coexist(self, jax_cpu):
+        """Two engines with different configs must not interfere (pipeline
+        cache is keyed by spec; per-engine state is isolated)."""
+        from rustcv_tpu.capture import SimulationDriver, synth_raw
+        from rustcv_tpu.core import SimpleConfig
+        from rustcv_tpu.runtime import MultiStreamEngine
+
+        a = MultiStreamEngine(
+            SimulationDriver(paced=False), 2,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
+            device_sim=True,
+        )
+        b = MultiStreamEngine(
+            SimulationDriver(paced=False), 3,
+            SimpleConfig(width=160, height=120, pixel_format=PixelFormat.NV12),
+            filter="sobel_mag", device_sim=True,
+        )
+        ra1 = a.tick(block=True)
+        rb1 = b.tick(block=True)
+        ra2 = a.tick(block=True)
+        assert ra1.numpy("bgr").shape == (2, 48, 64, 3)
+        assert rb1.numpy("bgr").shape == (3, 120, 160, 3)
+        assert list(ra2.sequences) == [1, 1]
+        assert list(rb1.sequences) == [0, 0, 0]
+        want = golden.yuyv_to_bgr(synth_raw(64, 48, PixelFormat.YUYV, 1), 64, 48)
+        np.testing.assert_array_equal(ra2.numpy("bgr")[0], want)
+        a.close()
+        b.close()
+
+
+class TestColorFuzz:
+    def test_yuyv_random_shapes(self, rng, jax_cpu):
+        from rustcv_tpu.ops import color
+
+        for _ in range(12):
+            w = int(rng.integers(1, 100)) * 2
+            h = int(rng.integers(1, 80))
+            src = rng.integers(0, 256, h * w * 2, dtype=np.uint8)
+            want = golden.yuyv_to_bgr(src, w, h)
+            got = np.asarray(color.yuyv_to_bgr(jax_cpu.numpy.asarray(src), w, h))
+            np.testing.assert_array_equal(got, want, err_msg=f"{w}x{h}")
+
+    def test_nv12_random_shapes(self, rng, jax_cpu):
+        from rustcv_tpu.ops import color
+
+        for _ in range(8):
+            w = int(rng.integers(1, 60)) * 2
+            h = int(rng.integers(1, 40)) * 2
+            src = rng.integers(0, 256, h * w * 3 // 2, dtype=np.uint8)
+            want = golden.nv12_to_bgr(src, w, h)
+            got = np.asarray(color.nv12_to_bgr(jax_cpu.numpy.asarray(src), w, h))
+            np.testing.assert_array_equal(got, want, err_msg=f"{w}x{h}")

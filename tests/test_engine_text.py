@@ -30,3 +30,22 @@ def test_text_overlay_matches_host_blend(jax_cpu):
     res2 = eng.tick(block=True, text="FPS 59.9")
     assert res2.numpy("bgr").shape == got.shape
     eng.close()
+
+
+def test_per_stream_text(jax_cpu):
+    eng = MultiStreamEngine(
+        SimulationDriver(paced=False), 2,
+        SimpleConfig(width=160, height=120, pixel_format=PixelFormat.YUYV),
+        device_sim=True,
+    )
+    res = eng.tick(block=True, text=["cam 0", "cam 1"], text_org=(8, 40),
+                   text_color=(255, 255, 255))
+    got = res.numpy("bgr")
+    assert (got[0] != got[1]).any()  # different strings rendered
+    base = golden.yuyv_to_bgr(synth_raw(160, 120, PixelFormat.YUYV, 0), 160, 120)
+    for i, s in enumerate(["cam 0", "cam 1"]):
+        mask, dx, dy = rasterize(s, 1.0)
+        want = base.copy()
+        golden.blend_mask(want, mask, 8 + dx, 40 + dy, (255, 255, 255))
+        np.testing.assert_array_equal(got[i], want, err_msg=f"stream {i}")
+    eng.close()
