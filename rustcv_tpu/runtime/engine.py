@@ -384,7 +384,9 @@ class MultiStreamEngine:
                     x = jax.device_put(np.asarray(x), self._in_sharding)
             self._seqs = seqs + 1
         elif self._mjpeg_hybrid:
+            _tg = time.perf_counter()
             bufs, seqs = self.gather_hybrid()
+            self._last_gather_s = time.perf_counter() - _tg
             coeffs = tuple(
                 jax.device_put(b, self._in_sharding) if self._in_sharding is not None
                 else jax.device_put(b)
@@ -392,7 +394,9 @@ class MultiStreamEngine:
             )
             x = coeffs + self._qts
         else:
+            _tg = time.perf_counter()
             staging, seqs = self.gather()
+            self._last_gather_s = time.perf_counter() - _tg
             if self._in_sharding is not None:
                 x = jax.device_put(staging, self._in_sharding)
             else:
@@ -460,6 +464,7 @@ class MultiStreamEngine:
         lat: List[float] = []
         t0 = time.perf_counter()
         pending = None
+        gather_total = 0.0
         for k in range(n_ticks):
             if measure_latency:
                 t_s = time.perf_counter()
@@ -468,6 +473,8 @@ class MultiStreamEngine:
             else:
                 res = self.tick(rects=rects, rect_colors=rect_colors, block=False)
                 pending = res
+            gather_total += getattr(self, "_last_gather_s", 0.0)
+            self._last_gather_s = 0.0
             if first_seqs is None:
                 first_seqs = res.sequences.copy()
             last_seqs = res.sequences.copy()
@@ -480,6 +487,7 @@ class MultiStreamEngine:
         stats.ticks = n_ticks
         stats.frames = n_ticks * self.n
         stats.wall_s = wall
+        stats.host_gather_ms = gather_total * 1e3 / max(1, n_ticks)
         if lat:
             stats.latencies_ms = lat
             stats.p50_latency_ms = float(np.percentile(lat, 50))

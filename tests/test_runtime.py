@@ -222,3 +222,26 @@ class TestRunSustained:
         with pytest.raises(CameraError):
             eng.run_sustained(1)
         eng.close()
+
+
+class TestSoakAndStats:
+    def test_soak_200_ticks_counters_consistent(self, jax_cpu):
+        eng = MultiStreamEngine(
+            _driver(), 2,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
+            device_sim=True,
+        )
+        stats = eng.run(200, warmup=2, measure_latency=False)
+        assert stats.ticks == 200 and stats.dropped_frames == 0
+        res = eng.tick(block=True)
+        assert list(res.sequences) == [202, 202]  # no clock drift over the soak
+        eng.close()
+
+    def test_host_gather_ms_populated(self, jax_cpu):
+        eng = MultiStreamEngine(
+            _driver(), 2,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
+        )
+        stats = eng.run(5, warmup=1, measure_latency=False)
+        assert stats.host_gather_ms > 0  # host path gathers frames
+        eng.close()
