@@ -162,6 +162,17 @@ def _build(spec: PipelineSpec):
             from ..ops import features as _features
 
             filtered = _features.harris_corners(gray_plane())
+        elif spec.filter == "harris_points":
+            # Serving-friendly output: fixed-size top-K corner coordinates +
+            # validity mask per stream (tiny D2H instead of a full mask).
+            from ..ops import features as _features
+
+            coords, valid = jax.vmap(
+                lambda g: _features.harris_corner_list(g, max_corners=256)
+            )(gray_plane())
+            out["corners"] = coords
+            out["corners_valid"] = valid
+            filtered = None
         elif spec.filter == "none":
             filtered = None
         else:
@@ -180,7 +191,12 @@ def _build(spec: PipelineSpec):
         # tiny D2H that cannot finish before the whole program has executed.
         # (On tunneled devices block_until_ready returns optimistically, so
         # honest timing/sync must fetch data — see MultiStreamEngine.tick.)
-        probe = bgr if spec.emit_bgr else filtered
+        if spec.emit_bgr:
+            probe = bgr
+        elif filtered is not None:
+            probe = filtered
+        else:
+            probe = next(iter(out.values()))
         out["_sync"] = probe.reshape(-1)[:1]
         return out
 

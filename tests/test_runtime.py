@@ -245,3 +245,25 @@ class TestSoakAndStats:
         stats = eng.run(5, warmup=1, measure_latency=False)
         assert stats.host_gather_ms > 0  # host path gathers frames
         eng.close()
+
+
+class TestHarrisPoints:
+    def test_corner_coordinates_output(self, jax_cpu):
+        eng = MultiStreamEngine(
+            _driver(), 2,
+            SimpleConfig(width=160, height=120, pixel_format=PixelFormat.YUYV),
+            filter="harris_points", device_sim=True,
+        )
+        res = eng.tick(block=True)
+        coords = np.asarray(res.outputs["corners"])
+        valid = np.asarray(res.outputs["corners_valid"])
+        assert coords.shape == (2, 256, 2) and valid.shape == (2, 256)
+        n_valid = int(valid[0].sum())
+        assert n_valid > 0
+        # every valid coordinate is a corner in the golden mask
+        raw = synth_raw(160, 120, PixelFormat.YUYV, 0)
+        gray = golden.bgr_to_gray(golden.yuyv_to_bgr(raw, 160, 120))
+        mask = golden.harris_corners(gray)
+        hits = sum(bool(mask[y, x]) for (y, x) in coords[0][valid[0]])
+        assert hits >= 0.9 * n_valid
+        eng.close()
