@@ -175,6 +175,38 @@ def sobel_magnitude(mat: Mat) -> Mat:
     return _apply(mat, dev, host)
 
 
+def threshold(mat: Mat, thresh: int, maxval: int = 255, type: str = "binary") -> Mat:
+    """Element-wise threshold (binary/binary_inv/trunc/tozero/tozero_inv)."""
+    from ..ops import filters as _filters
+
+    return _apply(
+        mat,
+        lambda d: _filters.threshold_u8(d, thresh, maxval, type=type),
+        lambda h: golden.threshold(h, thresh, maxval, type=type),
+    )
+
+
+def flip(mat: Mat, flip_code: int = 0) -> Mat:
+    """Flip: 0 = vertical (x-axis), 1 = horizontal, -1 = both (cv2 codes)."""
+    if mat.is_on_device:
+        d = mat.device()
+        if flip_code == 0:
+            out = d[::-1]
+        elif flip_code > 0:
+            out = d[:, ::-1]
+        else:
+            out = d[::-1, ::-1]
+        return Mat.from_device(out)
+    h = mat.to_numpy()
+    if flip_code == 0:
+        out = h[::-1]
+    elif flip_code > 0:
+        out = h[:, ::-1]
+    else:
+        out = h[::-1, ::-1]
+    return Mat.from_array(np.ascontiguousarray(out))
+
+
 def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_radius: int = 1) -> np.ndarray:
     """Corner mask (H, W) bool."""
     from ..ops import color as _color
@@ -190,6 +222,7 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 
 
 __all__ = [
-    "Point", "Rect", "Scalar", "rectangle", "put_text", "resize",
-    "gaussian_blur", "box_blur", "cvt_gray", "sobel_magnitude", "harris_corners",
+    "Point", "Rect", "Scalar", "box_blur", "cvt_gray", "flip",
+    "gaussian_blur", "harris_corners", "put_text", "rectangle", "resize",
+    "sobel_magnitude", "threshold",
 ]

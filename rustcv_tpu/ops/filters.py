@@ -101,6 +101,29 @@ def blur_sobel_mag_u8(img_bgr: jax.Array) -> jax.Array:
     return gradient_magnitude_u8(gx, gy)
 
 
+@partial(jax.jit, static_argnames=("type",))
+def threshold_u8(img: jax.Array, thresh: jax.Array, maxval: jax.Array, type: str = "binary") -> jax.Array:
+    """Element-wise threshold, bit-exact vs golden.threshold; thresh/maxval
+    are traced (changing them never recompiles)."""
+    a = img.astype(jnp.int32)
+    thresh = jnp.asarray(thresh, jnp.int32)
+    maxval = jnp.asarray(maxval, jnp.int32)
+    above = a > thresh
+    if type == "binary":
+        out = jnp.where(above, maxval, 0)
+    elif type == "binary_inv":
+        out = jnp.where(above, 0, maxval)
+    elif type == "trunc":
+        out = jnp.where(above, thresh, a)
+    elif type == "tozero":
+        out = jnp.where(above, a, 0)
+    elif type == "tozero_inv":
+        out = jnp.where(above, 0, a)
+    else:
+        raise ValueError(f"unknown threshold type {type!r}")
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("ksize",))
 def box_blur_u8(img: jax.Array, ksize: int = 3) -> jax.Array:
     """Box blur k×k (odd k), replicate border, rounded integer mean."""

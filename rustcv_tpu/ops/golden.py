@@ -274,6 +274,36 @@ def blend_mask(
     img[y0 + sy : y0 + ey, x0 + sx : x0 + ex] = blended.astype(np.uint8)
 
 
+THRESH_BINARY = "binary"
+THRESH_BINARY_INV = "binary_inv"
+THRESH_TRUNC = "trunc"
+THRESH_TOZERO = "tozero"
+THRESH_TOZERO_INV = "tozero_inv"
+
+
+def threshold(img: np.ndarray, thresh: int, maxval: int, type: str = THRESH_BINARY) -> np.ndarray:
+    """OpenCV-style threshold (frozen spec; strict ``> thresh`` comparison).
+
+    The reference has no threshold op — spec frozen here for API
+    completeness. u8 in/out, element-wise.
+    """
+    a = img.astype(np.int32)
+    above = a > thresh
+    if type == THRESH_BINARY:
+        out = np.where(above, maxval, 0)
+    elif type == THRESH_BINARY_INV:
+        out = np.where(above, 0, maxval)
+    elif type == THRESH_TRUNC:
+        out = np.where(above, thresh, a)
+    elif type == THRESH_TOZERO:
+        out = np.where(above, a, 0)
+    elif type == THRESH_TOZERO_INV:
+        out = np.where(above, 0, a)
+    else:
+        raise ValueError(f"unknown threshold type {type!r}")
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # Resize (frozen fixed-point bilinear)
 # ---------------------------------------------------------------------------

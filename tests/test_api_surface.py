@@ -168,3 +168,25 @@ class TestModels:
         res = eng.tick(block=True)
         assert res.outputs["filtered"].dtype == bool
         eng.close()
+
+
+class TestThresholdFlip:
+    def test_threshold_all_types(self, rng, jax_cpu):
+        from rustcv_tpu.ops import filters
+
+        img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+        for t in ("binary", "binary_inv", "trunc", "tozero", "tozero_inv"):
+            want = golden.threshold(img, 100, 200, type=t)
+            got = np.asarray(filters.threshold_u8(jax_cpu.numpy.asarray(img), 100, 200, type=t))
+            np.testing.assert_array_equal(got, want, err_msg=t)
+            m = imgproc.threshold(Mat.from_array(img), 100, 200, type=t)
+            np.testing.assert_array_equal(m.to_numpy(), want, err_msg=t)
+
+    def test_flip_codes(self, rng, jax_cpu):
+        img = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+        m = Mat.from_array(img)
+        np.testing.assert_array_equal(imgproc.flip(m, 0).to_numpy(), img[::-1])
+        np.testing.assert_array_equal(imgproc.flip(m, 1).to_numpy(), img[:, ::-1])
+        np.testing.assert_array_equal(imgproc.flip(m, -1).to_numpy(), img[::-1, ::-1])
+        dm = Mat.from_device(jax_cpu.device_put(img))
+        np.testing.assert_array_equal(imgproc.flip(dm, -1).to_numpy(), img[::-1, ::-1])
