@@ -207,6 +207,42 @@ def flip(mat: Mat, flip_code: int = 0) -> Mat:
     return Mat.from_array(np.ascontiguousarray(out))
 
 
+def erode(mat: Mat, ksize: int = 3) -> Mat:
+    """k×k erosion (window minimum), replicate border."""
+    from ..ops import filters as _filters
+
+    return _apply(mat, lambda d: _filters.erode_u8(d, ksize), lambda h: golden.erode(h, ksize))
+
+
+def dilate(mat: Mat, ksize: int = 3) -> Mat:
+    """k×k dilation (window maximum), replicate border."""
+    from ..ops import filters as _filters
+
+    return _apply(mat, lambda d: _filters.dilate_u8(d, ksize), lambda h: golden.dilate(h, ksize))
+
+
+def median_blur(mat: Mat) -> Mat:
+    """3×3 median filter (exact)."""
+    from ..ops import filters as _filters
+
+    return _apply(mat, _filters.median3_u8, golden.median3)
+
+
+def canny(mat: Mat, low: int = 40, high: int = 90) -> Mat:
+    """Canny edges (frozen integer spec, golden.canny). BGR input is
+    converted to gray first; returns a u8 edge mask Mat."""
+    from ..ops import color as _color
+    from ..ops import filters as _filters
+
+    if mat.is_on_device:
+        d = mat.device()
+        g = _color.bgr_to_gray(d) if d.ndim == 3 else d.squeeze()
+        return Mat.from_device(_filters.canny_u8(g, low, high))
+    h = mat.to_numpy()
+    g = golden.bgr_to_gray(h) if h.ndim == 3 and h.shape[-1] == 3 else h.squeeze()
+    return Mat.from_array(golden.canny(g, low, high))
+
+
 def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_radius: int = 1) -> np.ndarray:
     """Corner mask (H, W) bool."""
     from ..ops import color as _color
@@ -222,7 +258,7 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 
 
 __all__ = [
-    "Point", "Rect", "Scalar", "box_blur", "cvt_gray", "flip",
-    "gaussian_blur", "harris_corners", "put_text", "rectangle", "resize",
-    "sobel_magnitude", "threshold",
+    "Point", "Rect", "Scalar", "box_blur", "canny", "cvt_gray", "dilate",
+    "erode", "flip", "gaussian_blur", "harris_corners", "median_blur",
+    "put_text", "rectangle", "resize", "sobel_magnitude", "threshold",
 ]

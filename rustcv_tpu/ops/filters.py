@@ -101,6 +101,71 @@ def blur_sobel_mag_u8(img_bgr: jax.Array) -> jax.Array:
     return gradient_magnitude_u8(gx, gy)
 
 
+def _window_reduce(img: jax.Array, ksize: int, fn) -> jax.Array:
+    has_channels = img.ndim >= 3 and img.shape[-1] in (1, 3, 4)
+    ax_h, ax_w = _spatial_axes(img, has_channels)
+    r = ksize // 2
+    p = _replicate_pad(_replicate_pad(img, ax_h, r), ax_w, r)
+    h = img.shape[ax_h]
+    w = img.shape[ax_w]
+    acc = None
+    for dy in range(ksize):
+        for dx in range(ksize):
+            sl = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(p, dy, dy + h, axis=ax_h), dx, dx + w, axis=ax_w
+            )
+            acc = sl if acc is None else fn(acc, sl)
+    return acc
+
+
+@partial(jax.jit, static_argnames=("ksize",))
+def erode_u8(img: jax.Array, ksize: int = 3) -> jax.Array:
+    """k×k erosion (window min), replicate border — exact vs golden.erode."""
+    return _window_reduce(img, ksize, jnp.minimum)
+
+
+@partial(jax.jit, static_argnames=("ksize",))
+def dilate_u8(img: jax.Array, ksize: int = 3) -> jax.Array:
+    """k×k dilation (window max), replicate border — exact vs golden.dilate."""
+    return _window_reduce(img, ksize, jnp.maximum)
+
+
+@jax.jit
+def median3_u8(img: jax.Array) -> jax.Array:
+    """3×3 median via a 9-element sorting/selection network (exact).
+
+    Uses the classic min/max exchange network for the median of 9 — pure
+    elementwise VPU work, bit-exact vs golden.median3.
+    """
+    has_channels = img.ndim >= 3 and img.shape[-1] in (1, 3, 4)
+    ax_h, ax_w = _spatial_axes(img, has_channels)
+    p = _replicate_pad(_replicate_pad(img, ax_h, 1), ax_w, 1)
+    h = img.shape[ax_h]
+    w = img.shape[ax_w]
+    t = []
+    for dy in range(3):
+        for dx in range(3):
+            t.append(
+                jax.lax.slice_in_dim(
+                    jax.lax.slice_in_dim(p, dy, dy + h, axis=ax_h), dx, dx + w, axis=ax_w
+                )
+            )
+
+    def ex(a, b):  # full compare-exchange: t[a] ≤ t[b] afterwards
+        lo = jnp.minimum(t[a], t[b])
+        hi = jnp.maximum(t[a], t[b])
+        t[a], t[b] = lo, hi
+
+    # Smith's median-of-9 exchange network (19 compare-exchanges).
+    for a, b in (
+        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ):
+        ex(a, b)
+    return t[4]
+
+
 @partial(jax.jit, static_argnames=("type",))
 def threshold_u8(img: jax.Array, thresh: jax.Array, maxval: jax.Array, type: str = "binary") -> jax.Array:
     """Element-wise threshold, bit-exact vs golden.threshold; thresh/maxval
@@ -122,6 +187,54 @@ def threshold_u8(img: jax.Array, thresh: jax.Array, maxval: jax.Array, type: str
     else:
         raise ValueError(f"unknown threshold type {type!r}")
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("low", "high"))
+def canny_u8(gray: jax.Array, low: int = 40, high: int = 90) -> jax.Array:
+    """Canny edges on u8 gray (..., H, W) → u8 mask, bit-exact vs
+    golden.canny (fully integer; see the frozen spec there)."""
+    from .golden import CANNY_HYST_ROUNDS
+
+    blurred = gaussian5_u8(gray, has_channels=False)
+    gx, gy = sobel3_gray(blurred)
+    mag = isqrt_exact(gx * gx + gy * gy)
+
+    a = jnp.abs(gx)
+    b = jnp.abs(gy)
+    sector0 = (b << 16) <= a * 27146
+    sector2 = (b << 16) >= a * 158218
+    diag_main = (~sector0) & (~sector2) & (gx * gy >= 0)
+    diag_anti = (~sector0) & (~sector2) & (gx * gy < 0)
+
+    ax_h, ax_w = -2, -1
+    pad = [(0, 0)] * (mag.ndim - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(mag, pad)  # zeros
+    h = mag.shape[ax_h]
+    w = mag.shape[ax_w]
+
+    def nb(dy, dx):
+        sl = jax.lax.slice_in_dim(p, 1 + dy, 1 + dy + h, axis=ax_h)
+        return jax.lax.slice_in_dim(sl, 1 + dx, 1 + dx + w, axis=ax_w)
+
+    n1 = jnp.where(sector0, nb(0, -1), 0)
+    n2 = jnp.where(sector0, nb(0, 1), 0)
+    n1 = jnp.where(sector2, nb(-1, 0), n1)
+    n2 = jnp.where(sector2, nb(1, 0), n2)
+    n1 = jnp.where(diag_main, nb(-1, -1), n1)
+    n2 = jnp.where(diag_main, nb(1, 1), n2)
+    n1 = jnp.where(diag_anti, nb(-1, 1), n1)
+    n2 = jnp.where(diag_anti, nb(1, -1), n2)
+    nms = jnp.where((mag >= n1) & (mag >= n2), mag, 0)
+
+    strong = (nms > high).astype(jnp.uint8)
+    weak = (nms > low).astype(jnp.uint8)
+
+    def grow(_, s):
+        grown = _window_reduce(s * jnp.uint8(255), 3, jnp.maximum) > 0
+        return jnp.where(weak.astype(bool) & grown, jnp.uint8(1), s)
+
+    strong = jax.lax.fori_loop(0, CANNY_HYST_ROUNDS, grow, strong)
+    return strong * jnp.uint8(255)
 
 
 @partial(jax.jit, static_argnames=("ksize",))

@@ -274,6 +274,41 @@ def blend_mask(
     img[y0 + sy : y0 + ey, x0 + sx : x0 + ex] = blended.astype(np.uint8)
 
 
+def _window_reduce(img: np.ndarray, ksize: int, fn) -> np.ndarray:
+    """k×k windowed reduce with replicate border (morphology helper)."""
+    r = ksize // 2
+    p = _replicate_pad(img.astype(np.int32), r, r)
+    h, w = img.shape[:2]
+    acc = None
+    for dy in range(ksize):
+        for dx in range(ksize):
+            sl = p[dy : dy + h, dx : dx + w]
+            acc = sl if acc is None else fn(acc, sl)
+    return acc.astype(np.uint8)
+
+
+def erode(img: np.ndarray, ksize: int = 3) -> np.ndarray:
+    """k×k erosion (window minimum), replicate border. Frozen spec (the
+    reference has no morphology)."""
+    return _window_reduce(img, ksize, np.minimum)
+
+
+def dilate(img: np.ndarray, ksize: int = 3) -> np.ndarray:
+    """k×k dilation (window maximum), replicate border."""
+    return _window_reduce(img, ksize, np.maximum)
+
+
+def median3(img: np.ndarray) -> np.ndarray:
+    """3×3 median filter, replicate border (exact integer median of 9)."""
+    r = 1
+    p = _replicate_pad(img.astype(np.uint8), r, r)
+    h, w = img.shape[:2]
+    taps = np.stack(
+        [p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)], axis=0
+    )
+    return np.median(taps, axis=0).astype(np.uint8)  # 9 taps → exact integer
+
+
 THRESH_BINARY = "binary"
 THRESH_BINARY_INV = "binary_inv"
 THRESH_TRUNC = "trunc"
@@ -411,6 +446,60 @@ def gradient_magnitude_u8(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
     """Frozen spec: min(255, isqrt(gx² + gy²)) — fully integer, exact."""
     mag2 = gx.astype(np.int64) ** 2 + gy.astype(np.int64) ** 2
     return np.minimum(isqrt_u32(mag2), 255).astype(np.uint8)
+
+
+CANNY_HYST_ROUNDS = 16  # bounded 8-connected hysteresis propagation
+
+
+def canny(gray_u8: np.ndarray, low: int = 40, high: int = 90) -> np.ndarray:
+    """Canny edge detector — frozen integer spec (the reference has none).
+
+    gray → Gaussian5 (frozen) → Sobel → full-range isqrt magnitude →
+    gradient-direction NMS with fixed-point sector quantization
+    (tan 22.5° ≈ 27146/65536, tan 67.5° ≈ 158218/65536; out-of-image
+    neighbors are 0; ties kept with ≥) → double threshold (strict >) →
+    bounded hysteresis (CANNY_HYST_ROUNDS rounds of 3×3 dilation of the
+    strong set masked by the weak set). Output: u8 mask (255/0).
+    """
+    blurred = gaussian5_u8(gray_u8)
+    gx, gy = sobel3_gray(blurred)
+    mag = isqrt_u32(gx.astype(np.int64) ** 2 + gy.astype(np.int64) ** 2).astype(np.int32)
+
+    a = np.abs(gx)
+    b = np.abs(gy)
+    sector0 = (b << 16) <= a * 27146                    # ~horizontal gradient
+    sector2 = (b << 16) >= a * 158218                   # ~vertical gradient
+    diag_main = (~sector0) & (~sector2) & (gx * gy >= 0)  # "\" direction
+    diag_anti = (~sector0) & (~sector2) & (gx * gy < 0)   # "/" direction
+
+    h, w = mag.shape
+    p = np.zeros((h + 2, w + 2), np.int32)
+    p[1:-1, 1:-1] = mag
+
+    def nb(dy, dx):
+        return p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+    n1 = np.where(sector0, nb(0, -1), 0)
+    n2 = np.where(sector0, nb(0, 1), 0)
+    n1 = np.where(sector2, nb(-1, 0), n1)
+    n2 = np.where(sector2, nb(1, 0), n2)
+    n1 = np.where(diag_main, nb(-1, -1), n1)
+    n2 = np.where(diag_main, nb(1, 1), n2)
+    n1 = np.where(diag_anti, nb(-1, 1), n1)
+    n2 = np.where(diag_anti, nb(1, -1), n2)
+    keep = (mag >= n1) & (mag >= n2)
+    nms = np.where(keep, mag, 0)
+
+    strong = nms > high
+    weak = nms > low
+    for _ in range(CANNY_HYST_ROUNDS):
+        grown = dilate((strong * 255).astype(np.uint8), 3) > 0
+        new_strong = strong | (weak & grown)
+        if (new_strong == strong).all():
+            strong = new_strong
+            break
+        strong = new_strong
+    return (strong * 255).astype(np.uint8)
 
 
 def blur_sobel_mag_u8(img_bgr: np.ndarray) -> np.ndarray:

@@ -158,6 +158,8 @@ def _build(spec: PipelineSpec):
                 blurred = _filters.gaussian5_u8(gray, has_channels=False)
                 gx, gy = _filters.sobel3_gray(blurred)
                 filtered = _filters.gradient_magnitude_u8(gx, gy)
+        elif spec.filter == "canny":
+            filtered = _filters.canny_u8(gray_plane())
         elif spec.filter == "harris":
             from ..ops import features as _features
 

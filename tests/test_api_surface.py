@@ -190,3 +190,52 @@ class TestThresholdFlip:
         np.testing.assert_array_equal(imgproc.flip(m, -1).to_numpy(), img[::-1, ::-1])
         dm = Mat.from_device(jax_cpu.device_put(img))
         np.testing.assert_array_equal(imgproc.flip(dm, -1).to_numpy(), img[::-1, ::-1])
+
+
+class TestMorphologyMedianCanny:
+    def test_erode_dilate_parity(self, rng, jax_cpu):
+        from rustcv_tpu.ops import filters
+
+        for shape in [(32, 40), (17, 23, 3)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            for k in (3, 5):
+                np.testing.assert_array_equal(
+                    np.asarray(filters.erode_u8(jax_cpu.numpy.asarray(img), k)),
+                    golden.erode(img, k),
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(filters.dilate_u8(jax_cpu.numpy.asarray(img), k)),
+                    golden.dilate(img, k),
+                )
+
+    def test_median3_parity(self, rng, jax_cpu):
+        from rustcv_tpu.ops import filters
+
+        img = rng.integers(0, 256, (33, 47), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(filters.median3_u8(jax_cpu.numpy.asarray(img))),
+            golden.median3(img),
+        )
+
+    def test_canny_parity_and_sanity(self, jax_cpu):
+        from rustcv_tpu.capture import synth_bgr
+        from rustcv_tpu.ops import filters
+
+        gray = golden.bgr_to_gray(synth_bgr(160, 120, 0))
+        want = golden.canny(gray)
+        got = np.asarray(filters.canny_u8(jax_cpu.numpy.asarray(gray)))
+        np.testing.assert_array_equal(got, want)
+        # sanity: the pattern's bar boundaries & square produce edges
+        assert want.sum() > 0
+        # flat-field → no edges
+        flat = np.full((32, 32), 128, np.uint8)
+        assert golden.canny(flat).sum() == 0
+        assert np.asarray(filters.canny_u8(jax_cpu.numpy.asarray(flat))).sum() == 0
+
+    def test_canny_batched(self, rng, jax_cpu):
+        from rustcv_tpu.ops import filters
+
+        imgs = rng.integers(0, 256, (2, 40, 56), dtype=np.uint8)
+        want = np.stack([golden.canny(i) for i in imgs])
+        got = np.asarray(filters.canny_u8(jax_cpu.numpy.asarray(imgs)))
+        np.testing.assert_array_equal(got, want)

@@ -267,3 +267,19 @@ class TestHarrisPoints:
         hits = sum(bool(mask[y, x]) for (y, x) in coords[0][valid[0]])
         assert hits >= 0.9 * n_valid
         eng.close()
+
+
+class TestCannyFilter:
+    def test_engine_canny(self, jax_cpu):
+        eng = MultiStreamEngine(
+            _driver(), 2,
+            SimpleConfig(width=160, height=120, pixel_format=PixelFormat.YUYV),
+            filter="canny", device_sim=True,
+        )
+        res = eng.tick(block=True)
+        gray = golden.bgr_to_gray(
+            golden.yuyv_to_bgr(synth_raw(160, 120, PixelFormat.YUYV, 0), 160, 120)
+        )
+        want = golden.canny(gray)
+        np.testing.assert_array_equal(np.asarray(res.outputs["filtered"])[0], want)
+        eng.close()
