@@ -71,3 +71,11 @@ class TestExamples:
             stop.set()
             server.shutdown()
             engine.close()
+
+    def test_dual_camera_both_modes(self, capsys):
+        from examples.dual_camera import run_batched, run_independent
+
+        run_batched(3)
+        run_independent(2)
+        out = capsys.readouterr().out
+        assert "batched mode" in out and "independent mode" in out
