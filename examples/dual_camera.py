@@ -19,8 +19,11 @@ from rustcv_tpu.runtime import MultiStreamEngine
 
 
 def run_independent(frames: int) -> None:
+    from rustcv_tpu.core import CameraConfig, PixelFormat as PF, Priority
+
     drv = SimulationDriver(paced=False)
-    cap0, cap1 = VideoCapture(0, drv), VideoCapture(1, drv)
+    cfg = CameraConfig().resolution(640, 480, Priority.REQUIRED).format(PF.YUYV, Priority.REQUIRED)
+    cap0, cap1 = VideoCapture(0, drv, cfg), VideoCapture(1, drv, CameraConfig().resolution(640, 480, Priority.REQUIRED).format(PF.YUYV, Priority.REQUIRED))
     m0, m1 = Mat(), Mat()
     for _ in range(frames):
         ok0, ok1 = cap0.read(m0), cap1.read(m1)
