@@ -94,10 +94,12 @@ int huff_decode(BitReader& br, const HuffTable& t) {
 }
 
 inline int receive_extend(BitReader& br, int s) {
-  if (s == 0) return 0;
+  // s is a coefficient bit-category: valid streams keep it <= 15 (callers
+  // reject larger huffman values), and the arithmetic below stays defined.
+  if (s <= 0) return 0;
   int v = br.get_bits(s);
   if (v < 0) return 0;
-  if (v < (1 << (s - 1))) v += ((-1) << s) + 1;
+  if (v < (1 << (s - 1))) v -= (1 << s) - 1;
   return v;
 }
 
@@ -107,7 +109,9 @@ struct Component {
   int tq = 0;       // quant table id
   int td = 0, ta = 0;  // huff table ids
   int bw = 0, bh = 0;  // padded block grid dims
-  int dc_pred = 0;
+  // int64: corrupt streams can feed ±32767 diffs for millions of blocks;
+  // valid streams stay within ±1024 (UBSan-found signed overflow otherwise).
+  int64_t dc_pred = 0;
 };
 
 struct Decoder {
@@ -134,15 +138,20 @@ struct Decoder {
       if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) continue;
       if (p + 2 > len) return -3;
       int seglen = u16(p);
+      if (seglen < 2) return -3;  // would move p backwards → loop forever
       long seg = p + 2;
       long segend = p + seglen;
       if (segend > len) return -3;
+      // Every field read below is bounded against segend BEFORE the
+      // dereference: this parser runs on untrusted camera/MJPEG bytes
+      // (ADVICE r1: truncated-DQT heap overflow, ASan-confirmed).
       if (m == 0xDB) {  // DQT
         long q = seg;
         while (q < segend) {
           int pq = data[q] >> 4, tq = data[q] & 15;
           q++;
-          if (tq > 3) return -4;
+          if (tq > 3 || pq > 1) return -4;
+          if (q + (pq ? 128 : 64) > segend) return -4;  // truncated table
           for (int k = 0; k < 64; ++k) {
             int val = pq ? ((data[q] << 8) | data[q + 1]) : data[q];
             q += pq ? 2 : 1;
@@ -151,25 +160,31 @@ struct Decoder {
           qt_defined[tq] = true;
         }
       } else if (m == 0xC0 || m == 0xC1) {  // SOF0/1 (baseline huffman)
+        if (seg + 6 > segend) return -5;
         if (data[seg] != 8) return -5;  // 8-bit precision only
         height = u16(seg + 1);
         width = u16(seg + 3);
         ncomp = data[seg + 5];
         if (ncomp != 1 && ncomp != 3) return -6;
+        if (seg + 6 + 3 * (long)ncomp > segend) return -5;
         for (int c = 0; c < ncomp; ++c) {
           comp[c].id = data[seg + 6 + c * 3];
           comp[c].h = data[seg + 7 + c * 3] >> 4;
           comp[c].v = data[seg + 7 + c * 3] & 15;
           comp[c].tq = data[seg + 8 + c * 3];
+          if (comp[c].h < 1 || comp[c].h > 4 || comp[c].v < 1 ||
+              comp[c].v > 4 || comp[c].tq > 3)
+            return -6;
         }
       } else if (m >= 0xC2 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
         return -7;  // progressive/arithmetic unsupported
       } else if (m == 0xC4) {  // DHT
         long q = seg;
         while (q < segend) {
+          if (q + 17 > segend) return -8;  // id byte + 16 count bytes
           int tc = data[q] >> 4, th = data[q] & 15;
           q++;
-          if (th > 3) return -8;
+          if (th > 3 || tc > 1) return -8;
           HuffTable& t = tc ? hac[th] : hdc[th];
           uint8_t counts[17];
           int total = 0;
@@ -177,6 +192,9 @@ struct Decoder {
             counts[l] = data[q++];
             total += counts[l];
           }
+          // total <= 256 also bounds huff_decode's values[] index:
+          // valptr[l] + (code - mincode[l]) < valptr[l] + counts[l] <= total.
+          if (total > 256 || q + total > segend) return -8;
           int code = 0, k = 0;
           for (int l = 1; l <= 16; ++l) {
             t.valptr[l] = k;
@@ -191,22 +209,27 @@ struct Decoder {
             code <<= 1;
           }
           t.maxcode[17] = -1;
-          for (int i = 0; i < total && i < 256; ++i) t.values[i] = data[q + i];
+          for (int i = 0; i < total; ++i) t.values[i] = data[q + i];
           q += total;
           t.defined = true;
         }
       } else if (m == 0xDD) {  // DRI
+        if (seg + 2 > segend) return -3;
         restart_interval = u16(seg);
       } else if (m == 0xDA) {  // SOS
+        if (seg + 1 > segend) return -9;
         int ns = data[seg];
         if (ns != ncomp) return -9;  // interleaved single-scan only
+        if (seg + 1 + 2 * (long)ns > segend) return -9;
         for (int s = 0; s < ns; ++s) {
           int cid = data[seg + 1 + s * 2];
           int tabs = data[seg + 2 + s * 2];
+          int td = tabs >> 4, ta = tabs & 15;
+          if (td > 3 || ta > 3) return -9;  // hdc/hac are 4-entry arrays
           for (int c = 0; c < ncomp; ++c) {
             if (comp[c].id == cid) {
-              comp[c].td = tabs >> 4;
-              comp[c].ta = tabs & 15;
+              comp[c].td = td;
+              comp[c].ta = ta;
             }
           }
         }
@@ -270,7 +293,7 @@ struct Decoder {
             for (int h = 0; h < co.h; ++h) {
               memset(block, 0, sizeof(block));
               int t = huff_decode(br, dct);
-              if (t < 0) return -21;
+              if (t < 0 || t > 15) return -21;  // DC category <= 11 in 8-bit
               co.dc_pred += receive_extend(br, t);
               block[0] = (int16_t)co.dc_pred;
               int k = 1;

@@ -363,9 +363,9 @@ class MultiStreamEngine:
         device futures (pipelined dispatch); blocking is only for latency
         measurement / final consumption.
 
-        Overlay params are cached on device by object identity — treat the
-        ``rects``/``rect_colors`` arrays as immutable and pass a NEW array to
-        change the overlay (in-place mutation would go unnoticed)."""
+        Overlay params are cached on device by CONTENT — mutate or replace
+        the ``rects``/``rect_colors`` arrays freely; a changed value is
+        re-uploaded, an unchanged one costs no transfer."""
         if self._device_sim:
             paced = getattr(self._driver, "paced", False)
             if paced:
@@ -403,10 +403,16 @@ class MultiStreamEngine:
                 x = jax.device_put(staging)
 
         if self.spec.overlay:
-            # Upload overlay params only when they change (identity check):
-            # re-uploading identical small arrays every tick costs a round
-            # trip each on tunneled transports.
-            key = (id(rects), id(rect_colors), thickness)
+            # Upload overlay params only when they change. Keyed by CONTENT,
+            # not id(): CPython recycles ids of same-shape temporaries, so an
+            # id key can silently serve stale rects once the caller's array
+            # is garbage-collected (ADVICE r1). The arrays are tiny (n×4 /
+            # n×3), so hashing their bytes each tick is noise.
+            key = (
+                None if rects is None else np.asarray(rects).tobytes(),
+                None if rect_colors is None else np.asarray(rect_colors).tobytes(),
+                thickness,
+            )
             if self._overlay_cache is not None and self._overlay_cache[0] == key:
                 r, c, th = self._overlay_cache[1]
             else:
@@ -459,8 +465,12 @@ class MultiStreamEngine:
         for _ in range(warmup):
             self.tick(rects=rects, rect_colors=rect_colors, block=True)
 
-        first_seqs = None
-        last_seqs = None
+        # Per-stream first/last GOOD sequence: a contained stream fault
+        # records the sentinel seq=-1, which must not enter the drop math
+        # (ADVICE r1: a first/last-tick fault corrupted the expected count).
+        first_seqs = np.full(self.n, -1, np.int64)
+        last_seqs = np.full(self.n, -1, np.int64)
+        good_counts = np.zeros(self.n, np.int64)
         lat: List[float] = []
         t0 = time.perf_counter()
         pending = None
@@ -475,9 +485,10 @@ class MultiStreamEngine:
                 pending = res
             gather_total += getattr(self, "_last_gather_s", 0.0)
             self._last_gather_s = 0.0
-            if first_seqs is None:
-                first_seqs = res.sequences.copy()
-            last_seqs = res.sequences.copy()
+            good = res.sequences >= 0
+            first_seqs = np.where((first_seqs < 0) & good, res.sequences, first_seqs)
+            last_seqs = np.where(good, res.sequences, last_seqs)
+            good_counts += good
         if pending is not None:
             # Device programs execute in dispatch order, so syncing the last
             # tick's token bounds the whole run (true barrier — see tick()).
@@ -492,9 +503,10 @@ class MultiStreamEngine:
             stats.latencies_ms = lat
             stats.p50_latency_ms = float(np.percentile(lat, 50))
             stats.p99_latency_ms = float(np.percentile(lat, 99))
-        if first_seqs is not None and last_seqs is not None:
-            expected = (last_seqs - first_seqs + 1).sum()
-            stats.dropped_frames = int(max(0, expected - stats.frames))
+        valid = first_seqs >= 0
+        if valid.any():
+            expected = (last_seqs[valid] - first_seqs[valid] + 1).sum()
+            stats.dropped_frames = int(max(0, expected - good_counts[valid].sum()))
         return stats
 
     # ------------------------------------------------------------------

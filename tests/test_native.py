@@ -89,3 +89,47 @@ class TestNativeSource:
             assert src.telemetry().link_throughput_mbps > 0
         finally:
             src.close()
+
+
+class TestJpegEntropyRobustness:
+    """The entropy parser runs on untrusted camera/MJPEG bytes (ADVICE r1:
+    heap overflow on a 7-byte truncated DQT). Malformed input must raise
+    ValueError — never read out of bounds or crash."""
+
+    def _sample(self):
+        from rustcv_tpu.capture.simulation import encode_mjpeg, synth_bgr
+
+        return bytes(encode_mjpeg(synth_bgr(96, 64, 3)))
+
+    def test_advice_repro_truncated_dqt(self):
+        with pytest.raises(ValueError):
+            native.jpeg_entropy_decode(b"\xff\xd8\xff\xdb\x00\x03\x00")
+
+    def test_all_truncations_reject_cleanly(self):
+        data = self._sample()
+        info, coeffs, _ = native.jpeg_entropy_decode(data)  # sanity: valid
+        assert info["width"] == 96
+        for k in range(len(data)):
+            try:
+                native.jpeg_entropy_decode(data[:k])
+            except ValueError:
+                pass  # rejection is the expected outcome; crash is the bug
+
+    def test_header_bitflips_reject_or_decode(self):
+        data = bytearray(self._sample())
+        for i in range(min(len(data), 300)):
+            mutated = bytearray(data)
+            mutated[i] ^= 0xFF
+            try:
+                native.jpeg_entropy_decode(bytes(mutated))
+            except ValueError:
+                pass
+
+    def test_oversubscribed_dht_counts_rejected(self):
+        # DHT whose 16 counts sum to 17*16=272 > 256 must be rejected, not
+        # index values[256] out of bounds.
+        seg = bytes([0x00] + [17] * 16) + bytes(range(256))
+        dht = b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+        data = b"\xff\xd8" + dht + b"\xff\xd9"
+        with pytest.raises(ValueError):
+            native.jpeg_entropy_decode(data)
