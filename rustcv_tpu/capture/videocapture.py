@@ -112,6 +112,9 @@ class VideoCapture:
         self._res: "queue.Queue" = queue.Queue(maxsize=1)
         self._opened = threading.Event()
         self._resolved = None  # set by the worker before _opened
+        # Initialized BEFORE the worker starts: the worker stores its open
+        # error here, so assigning afterwards could erase it (race).
+        self._last_error: Optional[Exception] = None
         self._worker = threading.Thread(
             target=self._worker_loop,
             args=(config if config is not None else CameraConfig(),),
@@ -119,7 +122,6 @@ class VideoCapture:
             daemon=True,
         )
         self._worker.start()
-        self._last_error: Optional[Exception] = None
 
     # -- worker (mod.rs:57-157) -----------------------------------------
 
@@ -130,9 +132,14 @@ class VideoCapture:
             source.start()
             self._resolved = source.resolved_config()
             self._opened.set()
-        except CameraError:
+        except Exception as e:  # noqa: BLE001
             # Degraded open: stay alive, a later SetResolution may recover.
+            # Catches EVERYTHING, not just CameraError — an unexpected error
+            # (e.g. a malformed config object) must not kill the worker:
+            # callers block on the response queue, so a dead worker turns
+            # every later read() into a hang (found by a bad-config probe).
             source = None
+            self._last_error = e
 
         while True:
             cmd = self._cmd.get()
@@ -153,8 +160,8 @@ class VideoCapture:
                             frame.pixel_format, frame.sequence,
                         )
                     )
-                except CameraError as e:
-                    self._res.put(_Error(e))
+                except Exception as e:  # noqa: BLE001 — protocol invariant:
+                    self._res.put(_Error(e))  # every command gets a response
             elif isinstance(cmd, _SetResolution):
                 try:
                     if source is not None:
@@ -167,7 +174,7 @@ class VideoCapture:
                     self._resolved = source.resolved_config()
                     self._opened.set()
                     self._res.put(_PropertySet())
-                except CameraError as e:
+                except Exception as e:  # noqa: BLE001
                     source = None
                     self._opened.clear()
                     self._res.put(_Error(e))
@@ -223,9 +230,7 @@ class VideoCapture:
             mat.ensure_size(h, w, 3)
             mat.array[:] = golden.bgra_to_bgr(fd.data, w, h)
         elif fd.pixel_format == PixelFormat.MJPEG:
-            rgb = _decode.decode_mjpeg_host_rgb(fd.data)
-            mat.ensure_size(rgb.shape[0], rgb.shape[1], 3)
-            mat.array[:] = rgb[..., ::-1]
+            _decode.decode_mjpeg_into_mat(fd.data, mat)
         elif fd.pixel_format == PixelFormat.NV12:
             mat.ensure_size(h, w, 3)
             mat.array[:] = golden.nv12_to_bgr(fd.data, w, h)

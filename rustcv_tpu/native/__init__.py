@@ -21,7 +21,11 @@ from typing import Optional
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [os.path.join(_HERE, "capture.cpp"), os.path.join(_HERE, "jpeg_entropy.cpp")]
+_SRCS = [
+    os.path.join(_HERE, "capture.cpp"),
+    os.path.join(_HERE, "jpeg_entropy.cpp"),
+    os.path.join(_HERE, "jpeg_host.cpp"),
+]
 _SRC = _SRCS[0]
 _SO = os.path.join(_HERE, "librustcv_capture.so")
 
@@ -31,18 +35,23 @@ _build_error: Optional[str] = None
 
 
 def _build() -> Optional[str]:
-    """Compile the shared library; returns an error string or None."""
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        "-o", _SO, *_SRCS,
-    ]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
-    except (OSError, subprocess.TimeoutExpired) as e:
-        return f"g++ invocation failed: {e}"
-    if proc.returncode != 0:
-        return f"g++ failed: {proc.stderr[:2000]}"
-    return None
+    """Compile the shared library; returns an error string or None.
+
+    First attempt links libjpeg-turbo (the fast host MJPEG path); if the
+    header/library is absent the build retries without it and
+    ``rcv_jpeg_host_available()`` reports 0 (PIL fallback)."""
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", "-o", _SO, *_SRCS]
+    attempts = [base[:1] + ["-DRCV_HAVE_LIBJPEG"] + base[1:] + ["-ljpeg"], base]
+    err = None
+    for cmd in attempts:
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        except (OSError, subprocess.TimeoutExpired) as e:
+            return f"g++ invocation failed: {e}"
+        if proc.returncode == 0:
+            return None
+        err = f"g++ failed: {proc.stderr[:2000]}"
+    return err
 
 
 def _bind(lib: ctypes.CDLL) -> None:
@@ -78,6 +87,13 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.rcv_jpeg_coeffs.restype = ctypes.c_int
     lib.rcv_jpeg_coeffs.argtypes = [
         u8cp, ctypes.c_long, i16p, i16p, i16p, u16p, u16p, u16p,
+    ]
+    lib.rcv_jpeg_host_available.restype = ctypes.c_int
+    lib.rcv_jpeg_host_available.argtypes = []
+    lib.rcv_jpeg_decode_pitched.restype = ctypes.c_int
+    lib.rcv_jpeg_decode_pitched.argtypes = [
+        u8cp, ctypes.c_long, u8cp, ctypes.c_long, ctypes.c_long,
+        ctypes.c_int, intp, intp,
     ]
 
 
@@ -144,6 +160,50 @@ def yuyv_to_bgr(src: np.ndarray, w: int, h: int) -> np.ndarray:
     out = np.empty((h, w, 3), np.uint8)
     lib.rcv_yuyv_to_bgr(_u8p(src), _u8p(out), w, h)
     return out
+
+
+def jpeg_host_available() -> bool:
+    """True when the fast libjpeg-turbo host decode was compiled in."""
+    lib = get_lib()
+    return bool(lib is not None and lib.rcv_jpeg_host_available())
+
+
+def jpeg_decode_pitched(
+    data: "np.ndarray | bytes",
+    out: np.ndarray,
+    *,
+    bgr: bool = True,
+) -> tuple:
+    """Decode a JPEG directly into the pitched buffer ``out`` (2-D uint8,
+    one scanline per row, pitch = out.strides[0] — must be C-contiguous
+    rows). Returns (width, height). This is the reference's
+    decompress-into-Mat-with-pitch hot path (decode.rs:92-123): zero
+    intermediate copies, SIMD scanline decode, BGR (or RGB) order emitted
+    by the decoder itself.
+    """
+    lib = get_lib()
+    if lib is None or not lib.rcv_jpeg_host_available():
+        raise RuntimeError("native libjpeg host decode unavailable")
+    if out.dtype != np.uint8 or out.ndim != 2 or out.strides[1] != 1:
+        raise ValueError("out must be a 2-D uint8 row-contiguous buffer")
+    buf = np.frombuffer(
+        bytes(data) if isinstance(data, (bytes, bytearray)) else data.tobytes(),
+        np.uint8,
+    )
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.rcv_jpeg_decode_pitched(
+        _u8p(buf), buf.size, _u8p(out), out.strides[0], out.shape[0],
+        1 if bgr else 0, ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc == -4:
+        raise ValueError(
+            f"JPEG geometry {w.value}x{h.value} exceeds staging "
+            f"({out.shape[0]} rows × pitch {out.strides[0]})"
+        )
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed (rc={rc})")
+    return w.value, h.value
 
 
 def jpeg_entropy_decode(data: "np.ndarray | bytes"):

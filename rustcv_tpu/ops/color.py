@@ -275,6 +275,33 @@ def rgb_to_gray_packed_rows(src: jax.Array, width: int, height: int) -> jax.Arra
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
+def bgr_to_gray_packed_rows(src: jax.Array, width: int, height: int) -> jax.Array:
+    """Packed BGR rows (…, H*W*3 bytes) → gray u8 (…, H, W), word-wise
+    (≡ bgr_to_gray on the HWC view, bit-exact). Requires width % 4 == 0.
+    Same 3-word/4-pixel trick as :func:`rgb_to_gray_packed_rows` with the
+    B/R byte roles swapped (little-endian b0g0r0 b1g1r1 … streams)."""
+    batch = src.shape[:-1] if src.shape[-1] == height * width * 3 else src.shape[:-2]
+    words = jax.lax.bitcast_convert_type(
+        src.reshape(*batch, height, width // 4, 3, 4), jnp.uint32
+    ).astype(jnp.int32)
+    i0, i1, i2 = words[..., 0], words[..., 1], words[..., 2]
+    b0 = i0 & 255;  g0 = (i0 >> 8) & 255;  r0 = (i0 >> 16) & 255;  b1 = (i0 >> 24) & 255  # noqa: E702
+    g1 = i1 & 255;  r1 = (i1 >> 8) & 255;  b2 = (i1 >> 16) & 255;  g2 = (i1 >> 24) & 255  # noqa: E702
+    r2 = i2 & 255;  b3 = (i2 >> 8) & 255;  g3 = (i2 >> 16) & 255;  r3 = (i2 >> 24) & 255  # noqa: E702
+
+    def luma(r, g, b):
+        return (77 * r + 150 * g + 29 * b + 128) >> 8
+
+    w32 = (
+        luma(r0, g0, b0)
+        | (luma(r1, g1, b1) << 8)
+        | (luma(r2, g2, b2) << 16)
+        | (luma(r3, g3, b3) << 24)
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(w32, jnp.uint8).reshape(*batch, height, width)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
 def rgb_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
     batch = src.shape[:-1]
     if width % 4 == 0:

@@ -46,20 +46,22 @@ class PipelineSpec:
     # Hybrid MJPEG: inputs are DCT coefficient grids (C++ entropy decode on
     # the host) and reconstruction runs on-device (ops/jpeg_tpu.py).
     mjpeg_hybrid: bool = False
+    # Full-host MJPEG via native libjpeg-turbo: the decoder emits BGR
+    # scanlines straight into pitched staging (decode.rs:92-123 semantics),
+    # so the staged bytes are already BGR and the device does no swap.
+    mjpeg_staged_bgr: bool = False
 
     def raw_bytes(self) -> int:
         if self.pixel_format == PixelFormat.MJPEG:
-            # MJPEG is entropy-decoded on host to RGB before staging; the
-            # BGR swap happens on-device (host byte shuffles are GIL-bound).
+            # MJPEG is entropy-decoded on host before staging: to BGR by the
+            # native libjpeg path, else to RGB by PIL (the device then swaps).
             return self.width * self.height * 3
         return self.pixel_format.buffer_size(self.width, self.height)
 
     def staged_format(self) -> PixelFormat:
-        return (
-            PixelFormat.RGB24
-            if self.pixel_format == PixelFormat.MJPEG
-            else self.pixel_format
-        )
+        if self.pixel_format == PixelFormat.MJPEG:
+            return PixelFormat.BGR24 if self.mjpeg_staged_bgr else PixelFormat.RGB24
+        return self.pixel_format
 
 
 def _build(spec: PipelineSpec):
@@ -71,7 +73,8 @@ def _build(spec: PipelineSpec):
     # output); other formats currently go through the interleaved path.
     packed = (
         spec.staged_format()
-        in (PixelFormat.YUYV, PixelFormat.NV12, PixelFormat.BGRA32, PixelFormat.RGB24)
+        in (PixelFormat.YUYV, PixelFormat.NV12, PixelFormat.BGRA32,
+            PixelFormat.RGB24, PixelFormat.BGR24)
         and spec.resize_to is None
         and not spec.mjpeg_hybrid
         and (
@@ -111,6 +114,10 @@ def _build(spec: PipelineSpec):
                 bgr = _color.nv12_to_bgr_packed(raw, w, h)
             elif spec.staged_format() == PixelFormat.BGRA32:
                 bgr = _color.bgra_to_bgr_packed(raw, w, h)
+            elif spec.staged_format() == PixelFormat.BGR24:
+                # Already-BGR staging (native MJPEG decode): packed rows is
+                # just the row-major byte view — zero device work.
+                bgr = raw.reshape(*raw.shape[:-1], h, w * 3)
             else:
                 bgr = _color.rgb_to_bgr_packed(raw, w, h)
         else:
@@ -128,6 +135,8 @@ def _build(spec: PipelineSpec):
                     return _color.nv12_to_gray(raw, w, h)
                 if spec.staged_format() == PixelFormat.RGB24 and spec.width % 4 == 0:
                     return _color.rgb_to_gray_packed_rows(raw, w, h)
+                if spec.staged_format() == PixelFormat.BGR24 and spec.width % 4 == 0:
+                    return _color.bgr_to_gray_packed_rows(raw, w, h)
             if packed:
                 # bgr is packed rows here; recover HWC view for the generic
                 # luma (only reachable for BGRA32 — other packed formats take

@@ -314,3 +314,20 @@ class TestBandwidth:
                                   pixel_format=PixelFormat.YUYV), drv
         )
         cam.close()
+
+
+def test_worker_survives_malformed_config(jax_cpu):
+    """A non-CameraError during open (e.g. wrong config type) must degrade —
+    worker alive, read() returns False promptly — never a dead worker that
+    hangs the caller on the response queue (found by a bad-config probe)."""
+    from rustcv_tpu.core import SimpleConfig
+    from rustcv_tpu.core.mat import Mat
+    from rustcv_tpu.capture.videocapture import VideoCapture
+
+    cap = VideoCapture("sim:0", config=SimpleConfig(width=64, height=48))  # wrong type
+    m = Mat.empty()
+    assert cap.read(m) is False
+    assert not cap.is_opened()
+    assert cap._worker.is_alive()  # degraded, not dead
+    assert cap._last_error is not None
+    cap.release()

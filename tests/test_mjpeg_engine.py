@@ -77,3 +77,78 @@ class TestHybridEngine:
         eng.set_resolution(160, 120)
         assert eng.tick(block=True).numpy("bgr").shape == (2, 120, 160, 3)
         eng.close()
+
+
+def test_native_host_decode_bit_exact_with_pil(jax_cpu):
+    """The native libjpeg-turbo pitched decode and the PIL fallback are the
+    same library — outputs must be bit-identical, including into a padded
+    (step > row_bytes) Mat."""
+    from rustcv_tpu import native
+    from rustcv_tpu.core.mat import Mat
+    from rustcv_tpu.ops import decode as _decode
+    from rustcv_tpu.capture.simulation import encode_mjpeg, synth_bgr
+
+    if not native.jpeg_host_available():
+        pytest.skip("native libjpeg host decode not built")
+    jpg = bytes(encode_mjpeg(synth_bgr(324, 244, 3), quality=88))
+    want = _decode.decode_mjpeg_host_rgb(jpg)[..., ::-1]
+
+    mat = Mat.new(244, 324, 3, step=324 * 3 + 128)  # padded stride
+    _decode.decode_mjpeg_into_mat(jpg, mat)
+    np.testing.assert_array_equal(mat.array, want)
+    # padding untouched
+    assert (mat.data[:, 324 * 3:] == 0).all()
+
+
+def test_engine_mjpeg_native_matches_pil_path(jax_cpu):
+    """Engine host MJPEG path: native BGR staging (packed passthrough) must
+    produce the same frames as the PIL+device-swap path."""
+    from rustcv_tpu import native
+
+    if not native.jpeg_host_available():
+        pytest.skip("native libjpeg host decode not built")
+    cfg = SimpleConfig(width=128, height=96, fps=30, pixel_format=PixelFormat.MJPEG)
+    eng_nat = MultiStreamEngine(SimulationDriver(paced=False), 2, cfg)
+    assert eng_nat.spec.mjpeg_staged_bgr
+    out_nat = eng_nat.tick(block=True).numpy("bgr")
+    eng_nat.close()
+
+    eng_pil = MultiStreamEngine(SimulationDriver(paced=False), 2, cfg)
+    eng_pil._mjpeg_native = False  # force PIL fallback
+    from dataclasses import replace
+    from rustcv_tpu.runtime.pipeline import get_pipeline
+
+    eng_pil.spec = replace(eng_pil.spec, mjpeg_staged_bgr=False)
+    eng_pil._fn = get_pipeline(eng_pil.spec)
+    out_pil = eng_pil.tick(block=True).numpy("bgr")
+    eng_pil.close()
+
+    np.testing.assert_array_equal(out_nat, out_pil)
+
+
+def test_engine_mjpeg_native_filter_gray_parity(jax_cpu):
+    """blur_sobel on the BGR24 packed staging (bgr_to_gray_packed_rows) must
+    match the interleaved-path result."""
+    from rustcv_tpu import native
+
+    if not native.jpeg_host_available():
+        pytest.skip("native libjpeg host decode not built")
+    cfg = SimpleConfig(width=128, height=96, fps=30, pixel_format=PixelFormat.MJPEG)
+    eng = MultiStreamEngine(SimulationDriver(paced=False), 1, cfg, filter="blur_sobel")
+    filt_nat = np.asarray(eng.tick(block=True).outputs["filtered"])
+    bgr0 = eng.tick(block=True)  # advance, unused
+    eng.close()
+
+    from rustcv_tpu.ops import golden
+    from rustcv_tpu.ops.decode import decode_mjpeg_host_rgb
+    from rustcv_tpu.capture.simulation import SimulationDriver as SD
+
+    # golden: decode frame 0 on host, gray, gaussian5, sobel
+    drv = SD(paced=False)
+    src, _ = drv.open_simple("sim:0", cfg)
+    src.start()
+    f = src.next_frame()
+    bgr = decode_mjpeg_host_rgb(f.data)[..., ::-1]
+    want = golden.blur_sobel_mag_u8(bgr)
+    np.testing.assert_array_equal(filt_nat[0], want)
+    src.stop()
