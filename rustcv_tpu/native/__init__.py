@@ -88,6 +88,17 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.rcv_jpeg_coeffs.argtypes = [
         u8cp, ctypes.c_long, i16p, i16p, i16p, u16p, u16p, u16p,
     ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    longp = ctypes.POINTER(ctypes.c_long)
+    lib.rcv_jpeg_coeffs_packed.restype = ctypes.c_int
+    lib.rcv_jpeg_coeffs_packed.argtypes = [
+        u8cp, ctypes.c_long, i32p, i16p, ctypes.c_long, u16p, u16p, u16p, longp,
+    ]
+    lib.rcv_jpeg_coeffs_blockpacked.restype = ctypes.c_int
+    lib.rcv_jpeg_coeffs_blockpacked.argtypes = [
+        u8cp, ctypes.c_long, u8cp, i16p, ctypes.c_int, i32p, i16p,
+        ctypes.c_long, u16p, u16p, u16p, longp,
+    ]
     lib.rcv_jpeg_host_available.restype = ctypes.c_int
     lib.rcv_jpeg_host_available.argtypes = []
     lib.rcv_jpeg_decode_pitched.restype = ctypes.c_int
@@ -265,6 +276,144 @@ def jpeg_entropy_decode(data: "np.ndarray | bytes"):
         "v_samp": [vs[c] for c in range(ncomp)],
     }
     return info, coeffs, qts
+
+
+def jpeg_entropy_info(data: "np.ndarray | bytes") -> dict:
+    """Header-only parse: geometry + per-component padded block grids."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    buf = np.frombuffer(
+        bytes(data) if isinstance(data, (bytes, bytearray)) else data.tobytes(),
+        np.uint8,
+    )
+    w = ctypes.c_int(); h = ctypes.c_int(); nc = ctypes.c_int()  # noqa: E702
+    hs = (ctypes.c_int * 3)(); vs = (ctypes.c_int * 3)()  # noqa: E702
+    bw = (ctypes.c_int * 3)(); bh = (ctypes.c_int * 3)()  # noqa: E702
+    rc = lib.rcv_jpeg_info(
+        _u8p(buf), buf.size, ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc),
+        hs, vs, bw, bh,
+    )
+    if rc != 0:
+        raise ValueError(f"unsupported or corrupt JPEG (rcv_jpeg_info rc={rc})")
+    n = nc.value
+    return {
+        "width": w.value, "height": h.value, "ncomp": n,
+        "h_samp": [hs[c] for c in range(n)], "v_samp": [vs[c] for c in range(n)],
+        "blocks": [(bh[c], bw[c]) for c in range(n)],
+    }
+
+
+def jpeg_entropy_decode_packed(data: "np.ndarray | bytes", capacity: int):
+    """Entropy decode to PACKED nonzero coefficients.
+
+    Returns ``(info, pos, val, nnz, qts)`` where ``pos`` (int32) / ``val``
+    (int16) are length-``capacity`` buffers whose first ``nnz`` entries are
+    the nonzero coefficients as flat indices into the concatenated dense
+    per-component layout (scatter-adding val into zeros reproduces
+    :func:`jpeg_entropy_decode`'s grids exactly); entries past ``nnz`` are
+    zero-filled (safe to scatter-add as-is). Returns ``None`` if the frame
+    has more than ``capacity`` nonzeros (caller falls back to dense).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    info = jpeg_entropy_info(data)
+    buf = np.frombuffer(
+        bytes(data) if isinstance(data, (bytes, bytearray)) else data.tobytes(),
+        np.uint8,
+    )
+    pos = np.zeros(capacity, np.int32)
+    val = np.zeros(capacity, np.int16)
+    qs = [np.zeros(64, np.uint16) for _ in range(3)]
+    nnz = ctypes.c_long()
+    rc = lib.rcv_jpeg_coeffs_packed(
+        _u8p(buf), buf.size,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        val.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        capacity,
+        qs[0].ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        qs[1].ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        qs[2].ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.byref(nnz),
+    )
+    if rc == -24:
+        return None  # over capacity — dense fallback
+    if rc != 0:
+        raise ValueError(f"JPEG packed entropy decode failed (rc={rc})")
+    qts = [qs[c].reshape(8, 8) for c in range(info["ncomp"])]
+    return info, pos, val, int(nnz.value), qts
+
+
+def jpeg_entropy_decode_blockpacked(
+    data: "np.ndarray | bytes",
+    k: int,
+    dense_cap: int,
+    out_idx: "np.ndarray | None" = None,
+    out_val: "np.ndarray | None" = None,
+    out_dense_ids: "np.ndarray | None" = None,
+    out_dense_rows: "np.ndarray | None" = None,
+):
+    """Entropy decode to BLOCK-PACKED coefficients.
+
+    Layout: ``idx``/``val`` are ``[total_blocks, k]`` (uint8 natural coeff
+    index / int16 value; unused slots zero-filled) over the concatenated
+    per-component block grid. Blocks with more than ``k`` nonzeros take the
+    DENSE-ROW escape: ``dense_ids`` (int32 global block id) + ``dense_rows``
+    (int16 [dense_cap, 64], the full block). Entries past ``dense_n`` are
+    padded with id = total_blocks (a scratch row the device unpack drops)
+    and zero rows, so the arrays are scatter-safe as-is.
+
+    ``out_*`` buffers may be supplied to avoid per-frame allocation.
+
+    Returns ``(info, idx, val, dense_ids, dense_rows, dense_n, qts)`` or
+    ``None`` if the busy blocks exceed ``dense_cap`` (caller falls back to
+    the fully dense path).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    info = jpeg_entropy_info(data)
+    nblocks = sum(bh * bw for bh, bw in info["blocks"])
+    buf = np.frombuffer(
+        bytes(data) if isinstance(data, (bytes, bytearray)) else data.tobytes(),
+        np.uint8,
+    )
+    idx = out_idx if out_idx is not None else np.zeros((nblocks, k), np.uint8)
+    val = out_val if out_val is not None else np.zeros((nblocks, k), np.int16)
+    dense_ids = (
+        out_dense_ids if out_dense_ids is not None else np.zeros(dense_cap, np.int32)
+    )
+    dense_rows = (
+        out_dense_rows
+        if out_dense_rows is not None
+        else np.zeros((dense_cap, 64), np.int16)
+    )
+    assert idx.shape == (nblocks, k) and val.shape == (nblocks, k)
+    qs = [np.zeros(64, np.uint16) for _ in range(3)]
+    dense_n = ctypes.c_long()
+    rc = lib.rcv_jpeg_coeffs_blockpacked(
+        _u8p(buf), buf.size,
+        _u8p(idx),
+        val.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        k,
+        dense_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dense_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        dense_cap,
+        qs[0].ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        qs[1].ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        qs[2].ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.byref(dense_n),
+    )
+    if rc == -24:
+        return None  # busy blocks over capacity — dense fallback
+    if rc != 0:
+        raise ValueError(f"JPEG blockpacked entropy decode failed (rc={rc})")
+    n = int(dense_n.value)
+    dense_ids[n:] = nblocks  # scratch-row sentinel (buffers reused across ticks)
+    dense_rows[n:] = 0
+    qts = [qs[c].reshape(8, 8) for c in range(info["ncomp"])]
+    return info, idx, val, dense_ids, dense_rows, n, qts
 
 
 class NativeRing:

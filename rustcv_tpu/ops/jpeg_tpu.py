@@ -113,6 +113,59 @@ def upsample(c: jax.Array, fh: int, fv: int) -> jax.Array:
     return jnp.repeat(out, fh, axis=-1)
 
 
+def unpack_coeffs(pos: jax.Array, val: jax.Array, total: int) -> jax.Array:
+    """FLAT-packed nonzeros → dense coefficient vector (int16).
+
+    One scatter-add per stream. Measured ~35 ms/tick at 8×1080p on TPU —
+    kept only as a reference/utility; the production path is
+    :func:`unpack_block_coeffs` (one-hot reduce, ~3-5 ms)."""
+    return jnp.zeros(total, jnp.int16).at[pos].add(val)
+
+
+def choose_block_packing(nnzb: np.ndarray) -> Tuple[int, int]:
+    """Pick (K, dense-row capacity) from a frame's per-block nonzero counts.
+
+    Camera-quality block histograms are bimodal: most blocks hold ≤4
+    nonzeros, a small tail is nearly dense. Pick the K ∈ {2, 4, 6, 8} that
+    minimizes wire bytes (K slots/block at 3 B + 132 B per busy block),
+    with 4× headroom on the busy-block capacity for busier later frames.
+    """
+    nb = nnzb.size
+    best_k, best_bytes, best_busy = 4, None, 0
+    for k in (2, 4, 6, 8):
+        busy = int((nnzb > k).sum())
+        bytes_ = nb * k * 3 + busy * 132
+        if best_bytes is None or bytes_ < best_bytes:
+            best_k, best_bytes, best_busy = k, bytes_, busy
+    cap = int(-(-max(1024, 4 * best_busy) // 1024) * 1024)
+    return best_k, min(cap, nb)
+
+
+def unpack_block_coeffs(
+    idx: jax.Array, val: jax.Array, dense_ids: jax.Array, dense_rows: jax.Array
+) -> jax.Array:
+    """BLOCK-packed coefficients → dense vector (int16, length nblocks·64).
+
+    ``idx``/``val``: [nblocks, K] per-block slots (uint8 natural coefficient
+    index / int16 value, zero-filled when unused — a (0, 0) slot adds value
+    0 at index 0, a no-op). ``dense_ids``/``dense_rows``: busy blocks
+    shipped whole; padded entries carry the sentinel id == nblocks, which
+    lands on a scratch row that is dropped. The per-block unpack is a
+    one-hot compare-multiply-reduce over K (pure VPU; a flat scatter-add
+    measured 10× slower on TPU) plus one row-granular scatter for the few
+    busy blocks.
+    """
+    nblocks = idx.shape[0]
+    j = jnp.arange(64, dtype=jnp.int32)
+    oh = idx.astype(jnp.int32)[..., None] == j  # [nblocks, K, 64] (fused)
+    blocks = jnp.where(oh, val[..., None].astype(jnp.int32), 0).sum(axis=-2)
+    blocks = jnp.concatenate(
+        [blocks.astype(jnp.int16), jnp.zeros((1, 64), jnp.int16)]
+    )
+    blocks = blocks.at[dense_ids].set(dense_rows)
+    return blocks[:nblocks].reshape(-1)
+
+
 @jax.jit
 def ycbcr_to_bgr(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
     yf = y.astype(jnp.float32)

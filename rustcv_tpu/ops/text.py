@@ -2,9 +2,13 @@
 
 The reference rasterizes glyphs with rusttype from an embedded TTF and
 alpha-blends per pixel (``rustcv/src/imgproc/drawing.rs:108-163``, scale =
-``font_scale * 20.0``, ``org`` is the text baseline origin). We rasterize on
-the host **once per (text, scale)** with PIL/FreeType (DejaVuSans, the same
-family the reference embeds) into a u8 coverage mask, then blend on device
+``font_scale * 20.0``, ``org`` is the text baseline origin; the font ships
+inside the binary via ``include_bytes!`` at ``drawing.rs:115``). We match
+that discipline: a VENDORED DejaVuSans.ttf (``rustcv_tpu/assets/``, with its
+Bitstream Vera license) is the only font ever used, so put_text output is
+identical on every host — no environment-dependent fallback chain. Glyphs
+rasterize on the host **once per (text, scale)** with PIL/FreeType into a u8
+coverage mask, then blend on device
 (:func:`rustcv_tpu.ops.draw.blend_mask_at`) or on host
 (:func:`rustcv_tpu.ops.golden.blend_mask`).
 
@@ -14,14 +18,15 @@ never trigger device recompilation.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from typing import Tuple
 
 import numpy as np
 
-_FONT_CANDIDATES = (
-    "DejaVuSans.ttf",
-    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+_VENDORED_FONT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "DejaVuSans.ttf",
 )
 
 # Canvas width buckets (heights derive from font size); powers-of-two-ish so
@@ -33,12 +38,10 @@ _WIDTH_BUCKETS = (64, 128, 256, 512, 1024)
 def _load_font(px_size: int):
     from PIL import ImageFont
 
-    for cand in _FONT_CANDIDATES:
-        try:
-            return ImageFont.truetype(cand, px_size)
-        except OSError:
-            continue
-    return ImageFont.load_default()
+    # Vendored font ONLY: a fallback chain would make the same put_text call
+    # produce different pixels on different hosts, breaking the frozen-spec
+    # discipline (everything else in ops/golden.py is SHA256-pinned).
+    return ImageFont.truetype(_VENDORED_FONT, px_size)
 
 
 def _bucket(n: int, buckets=_WIDTH_BUCKETS) -> int:
@@ -61,10 +64,7 @@ def rasterize(text: str, font_scale: float) -> Tuple[np.ndarray, int, int]:
 
     px_size = max(1, round(font_scale * 20.0))
     font = _load_font(px_size)
-    try:
-        ascent, descent = font.getmetrics()
-    except AttributeError:  # bitmap fallback font
-        ascent, descent = px_size, max(1, px_size // 4)
+    ascent, descent = font.getmetrics()
 
     # Measure
     probe = Image.new("L", (1, 1))

@@ -148,6 +148,8 @@ class MultiStreamEngine:
         )
         self._fn = get_pipeline(self.spec)
         self._coeff_staging = None  # hybrid MJPEG: built lazily at first tick
+        self._packed_staging = None
+        self._fn_dense = None
         self._qts = None
         self.stream_errors = np.zeros(self.n, np.int64)  # per-stream faults
         self._mesh = mesh
@@ -316,46 +318,165 @@ class MultiStreamEngine:
             )
         return frame.sequence, coeffs, qts
 
-    def _gather_row_hybrid(self, i: int, bufs, seqs: np.ndarray) -> None:
-        seq, coeffs, _qts = self._entropy_decode_checked(i)
-        seqs[i] = seq
-        for c in range(3):
-            bufs[c][i] = coeffs[c]
+    def _init_hybrid(self) -> tuple:
+        """Sizing pass: stream 0's first frame fixes the coefficient geometry
+        (subsampling), quant tables, and the packed capacity; compiles the
+        packed-input pipeline variant. Returns (seq0, dense coeffs) so the
+        caller can fold the consumed frame into the first tick."""
+        from dataclasses import replace
+
+        seq, coeffs, qts = self._entropy_decode_checked(0)
+        if coeffs[1].shape != coeffs[2].shape:
+            raise CameraError("hybrid MJPEG expects matching Cb/Cr geometry")
+        self._coeff_shapes = [c.shape for c in coeffs]
+        total = int(sum(c.size for c in coeffs))
+        self._coeff_total = total
+        nblocks = int(sum(c.shape[0] * c.shape[1] for c in coeffs))
+        self._nblocks = nblocks
+        # Block-packed sizing from the first frame's per-block nonzero
+        # histogram (shared policy: ops/jpeg_tpu.choose_block_packing).
+        from ..ops.jpeg_tpu import choose_block_packing
+
+        nnzb = np.concatenate(
+            [(c != 0).sum(axis=(2, 3)).reshape(-1) for c in coeffs]
+        )
+        self._packed_k, self._dense_cap = choose_block_packing(nnzb)
+        k = self._packed_k
+        self._qts = (
+            jax.device_put(qts[0].astype(np.int32)),
+            jax.device_put(qts[1].astype(np.int32)),
+        )
+        self._coeff_staging = [
+            [np.zeros((self.n, *c.shape), np.int16) for c in coeffs]
+            for _ in range(2)
+        ]
+        self._packed_staging = [
+            (
+                np.zeros((self.n, nblocks, k), np.uint8),
+                np.zeros((self.n, nblocks, k), np.int16),
+                np.full((self.n, self._dense_cap), nblocks, np.int32),
+                np.zeros((self.n, self._dense_cap, 64), np.int16),
+            )
+            for _ in range(2)
+        ]
+        # Packed-input program (H2D ~10× smaller); the dense program stays
+        # compiled for over-capacity fallback ticks.
+        self._fn_dense = self._fn
+        geom = tuple((int(s[0]), int(s[1])) for s in self._coeff_shapes)
+        self.spec = replace(self.spec, mjpeg_packed=True, coeff_geometry=geom)
+        self._fn = get_pipeline(self.spec)
+        return seq, coeffs
+
+    def _pack_dense_host(self, i: int, coeffs, staging) -> bool:
+        """Host-side block-pack of dense grids into stream i's packed rows.
+        Returns False if the busy blocks exceed the dense-row capacity."""
+        idx_st, val_st, dense_ids_st, dense_rows_st = staging
+        k = self._packed_k
+        blocks = np.concatenate([c.reshape(-1, 64) for c in coeffs])
+        nnzb = (blocks != 0).sum(axis=1)
+        busy = np.flatnonzero(nnzb > k)
+        if busy.size > self._dense_cap:
+            return False
+        light = nnzb <= k
+        bid, j = np.nonzero(blocks * light[:, None])
+        rank = np.zeros_like(bid)
+        if bid.size:
+            # rank within block (nonzeros are emitted in natural order)
+            starts = np.flatnonzero(np.diff(bid, prepend=-1))
+            rank = np.arange(bid.size) - np.repeat(starts, np.diff(np.append(starts, bid.size)))
+        idx_st[i] = 0
+        val_st[i] = 0
+        idx_st[i, bid, rank] = j.astype(np.uint8)
+        val_st[i, bid, rank] = blocks[bid, j]
+        dense_ids_st[i] = self._nblocks  # scratch-row sentinel
+        dense_rows_st[i] = 0
+        dense_ids_st[i, : busy.size] = busy.astype(np.int32)
+        dense_rows_st[i, : busy.size] = blocks[busy]
+        return True
+
+    def _gather_row_hybrid(self, i, staging, dense_bufs, seqs, dense_flags):
+        """Block-packed entropy decode for stream i; frames whose overflow
+        exceeds capacity dense-decode instead and flag the tick."""
+        from .. import native as _native
+
+        idx_st, val_st, dense_ids_st, dense_rows_st = staging
+        frame = self._sources[i].next_frame()
+        seqs[i] = frame.sequence
+        r = _native.jpeg_entropy_decode_blockpacked(
+            frame.data, self._packed_k, self._dense_cap,
+            out_idx=idx_st[i], out_val=val_st[i],
+            out_dense_ids=dense_ids_st[i], out_dense_rows=dense_rows_st[i],
+        )
+        if r is None:  # busy blocks over capacity — decode dense, same bytes
+            info, coeffs, _qts = _native.jpeg_entropy_decode(frame.data)
+            self._check_geometry(i, info)
+            for c in range(3):
+                dense_bufs[c][i] = coeffs[c]
+            dense_flags[i] = True
+            return
+        self._check_geometry(i, r[0])
+
+    def _check_geometry(self, i: int, info: dict) -> None:
+        if (info["width"], info["height"]) != (
+            self._resolved.width, self._resolved.height,
+        ):
+            raise CameraError(
+                f"stream {i} geometry {info['width']}x{info['height']} != negotiated"
+            )
 
     def gather_hybrid(self):
-        """One frame per stream → int16 DCT coefficient staging (the host
-        does only the sequential entropy decode; GIL is released inside the
-        native call, so streams decode in parallel)."""
+        """One frame per stream → packed nonzero-coefficient staging (the
+        host does only the sequential entropy decode; GIL is released inside
+        the native call, so streams decode in parallel). Returns
+        ``(kind, bufs, seqs)`` with kind "packed" (pos/val arrays) or
+        "dense" (per-component grids, the over-capacity fallback)."""
         seqs = np.zeros(self.n, np.int64)
         first_rest = 0
+        seed = None
         if self._coeff_staging is None:
-            # Sizing pass: stream 0's first frame determines the coefficient
-            # geometry (subsampling) and the quant tables.
-            seq, coeffs, qts = self._entropy_decode_checked(0)
-            if coeffs[1].shape != coeffs[2].shape:
-                raise CameraError("hybrid MJPEG expects matching Cb/Cr geometry")
-            self._coeff_staging = [
-                [np.zeros((self.n, *c.shape), np.int16) for c in coeffs]
-                for _ in range(2)
-            ]
-            self._qts = (
-                jax.device_put(qts[0].astype(np.int32)),
-                jax.device_put(qts[1].astype(np.int32)),
-            )
-            seqs[0] = seq
-            bufs = self._coeff_staging[self._staging_idx]
-            for c in range(3):
-                bufs[c][0] = coeffs[c]
+            seq0, coeffs0 = self._init_hybrid()
+            seqs[0] = seq0
+            seed = coeffs0
             first_rest = 1
-        bufs = self._coeff_staging[self._staging_idx]
+        staging = self._packed_staging[self._staging_idx]
+        dense_bufs = self._coeff_staging[self._staging_idx]
         self._staging_idx ^= 1
+        dense_flags = np.zeros(self.n, bool)
+        if seed is not None:
+            if not self._pack_dense_host(0, seed, staging):
+                for c in range(3):
+                    dense_bufs[c][0] = seed[c]
+                dense_flags[0] = True
         futs = [
-            self._pool.submit(self._gather_row_hybrid, i, bufs, seqs)
+            self._pool.submit(
+                self._gather_row_hybrid, i, staging, dense_bufs, seqs,
+                dense_flags,
+            )
             for i in range(first_rest, self.n)
         ]
         for f in futs:
             f.result()
-        return bufs, seqs
+        if dense_flags.any():
+            # Rare tick: materialize packed streams' dense rows on the host
+            # so the whole batch runs the dense program. add.at (not fancy
+            # assignment): the zero-filled slots land harmlessly on index 0.
+            idx_st, val_st, dense_ids_st, dense_rows_st = staging
+            for i in np.flatnonzero(~dense_flags):
+                blocks = np.zeros((self._nblocks + 1, 64), np.int16)
+                np.add.at(
+                    blocks[: self._nblocks],
+                    (np.arange(self._nblocks)[:, None], idx_st[i].astype(np.intp)),
+                    val_st[i],
+                )
+                blocks[dense_ids_st[i]] = dense_rows_st[i]
+                row = blocks[: self._nblocks].reshape(-1)
+                off = 0
+                for b in dense_bufs:
+                    size = b[i].size
+                    b[i] = row[off : off + size].reshape(b[i].shape)
+                    off += size
+            return "dense", dense_bufs, seqs
+        return "packed", staging, seqs
 
     def gather(self) -> Tuple[np.ndarray, np.ndarray]:
         """Pull one frame per stream into the current staging buffer."""
@@ -374,6 +495,19 @@ class MultiStreamEngine:
             self._gather_row(0, staging, prev, seqs)
         return staging, seqs
 
+    def _timed_gather(self):
+        t = time.perf_counter()
+        pre = self._gather_any()
+        return pre, time.perf_counter() - t
+
+    def _gather_any(self):
+        """Pull one frame per stream; tagged result for :meth:`tick`'s
+        ``pregathered`` argument (prefetch pipelining)."""
+        if self._mjpeg_hybrid:
+            return self.gather_hybrid()
+        staging, seqs = self.gather()
+        return ("raw", staging, seqs)
+
     def tick(
         self,
         rects: Optional[np.ndarray] = None,
@@ -384,6 +518,7 @@ class MultiStreamEngine:
         text_org: Tuple[int, int] = (10, 30),
         text_scale: float = 1.0,
         text_color: Tuple[int, int, int] = (0, 255, 255),
+        pregathered=None,
     ) -> TickResult:
         """One batched step. ``block=False`` leaves results as in-flight
         device futures (pipelined dispatch); blocking is only for latency
@@ -410,19 +545,26 @@ class MultiStreamEngine:
                     x = jax.device_put(np.asarray(x), self._in_sharding)
             self._seqs = seqs + 1
         elif self._mjpeg_hybrid:
-            _tg = time.perf_counter()
-            bufs, seqs = self.gather_hybrid()
-            self._last_gather_s = time.perf_counter() - _tg
-            coeffs = tuple(
+            if pregathered is not None:
+                kind, bufs, seqs = pregathered
+            else:
+                _tg = time.perf_counter()
+                kind, bufs, seqs = self.gather_hybrid()
+                self._last_gather_s = time.perf_counter() - _tg
+            staged = tuple(
                 jax.device_put(b, self._in_sharding) if self._in_sharding is not None
                 else jax.device_put(b)
                 for b in bufs
             )
-            x = coeffs + self._qts
+            x = staged + self._qts
+            fn_override = self._fn if kind == "packed" else self._fn_dense
         else:
-            _tg = time.perf_counter()
-            staging, seqs = self.gather()
-            self._last_gather_s = time.perf_counter() - _tg
+            if pregathered is not None:
+                _kind, staging, seqs = pregathered
+            else:
+                _tg = time.perf_counter()
+                staging, seqs = self.gather()
+                self._last_gather_s = time.perf_counter() - _tg
             if self._in_sharding is not None:
                 x = jax.device_put(staging, self._in_sharding)
             else:
@@ -457,7 +599,12 @@ class MultiStreamEngine:
                 self._overlay_cache = ("dummy", make_dummy_overlay(self.n))
             r, c, th = self._overlay_cache[1]
 
-        fn = self._sim_fn if self._device_sim else self._fn
+        if self._device_sim:
+            fn = self._sim_fn
+        elif self._mjpeg_hybrid:
+            fn = fn_override  # packed program, or dense on fallback ticks
+        else:
+            fn = self._fn
         out = fn(x, r, c, th)
         if self._device_sim and "_next_seqs" in out:
             self._seqs_dev = out["_next_seqs"]
@@ -498,14 +645,35 @@ class MultiStreamEngine:
         last_seqs = np.full(self.n, -1, np.int64)
         good_counts = np.zeros(self.n, np.int64)
         lat: List[float] = []
+        # Throughput mode on host-staged paths: PREFETCH the next tick's
+        # gather on a side thread so host capture/entropy-decode of tick k+1
+        # overlaps tick k's H2D upload and device compute (the host-side
+        # analog of double-buffered DMA; SURVEY §2.7). Latency mode stays
+        # strictly sequential — it measures the full per-tick path.
+        prefetch = not measure_latency and not self._device_sim
+        if prefetch and getattr(self, "_prefetch_pool", None) is None:
+            self._prefetch_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="rustcv-prefetch"
+            )
         t0 = time.perf_counter()
         pending = None
         gather_total = 0.0
+        gfut = self._prefetch_pool.submit(self._timed_gather) if prefetch else None
         for k in range(n_ticks):
             if measure_latency:
                 t_s = time.perf_counter()
                 res = self.tick(rects=rects, rect_colors=rect_colors, block=True)
                 lat.append((time.perf_counter() - t_s) * 1e3)
+            elif prefetch:
+                pre, gather_s = gfut.result()
+                if k + 1 < n_ticks:
+                    gfut = self._prefetch_pool.submit(self._timed_gather)
+                res = self.tick(
+                    rects=rects, rect_colors=rect_colors, block=False,
+                    pregathered=pre,
+                )
+                self._last_gather_s = gather_s  # prefetched (mostly hidden)
+                pending = res
             else:
                 res = self.tick(rects=rects, rect_colors=rect_colors, block=False)
                 pending = res
@@ -584,78 +752,11 @@ class MultiStreamEngine:
             bgr_packed, mask3_dev, jax.numpy.asarray(orgs), color_dev
         )
 
-    def _build_scan_fn(self, k: int):
-        """K ticks in ONE dispatched program via lax.scan — time-batching.
-
-        Every tick's outputs are materialized (stacked [K, ...]) so no work
-        can be dead-code-eliminated; the device-side stream clock advances
-        inside the scan. Amortizes per-dispatch RPC/Python overhead for
-        sustained throughput (BASELINE config 5)."""
-        from ..ops import synth as _synth
-
-        spec = self.spec
-        inner = self._fn
-
-        def run(seqs0, rects, rect_colors, thickness):
-            def body(seqs, _):
-                raw = _synth.synth_raw(seqs, spec.width, spec.height, spec.pixel_format)
-                out = inner(raw, rects, rect_colors, thickness)
-                out.pop("_sync", None)
-                return seqs + 1, out
-
-            next_seqs, outs = jax.lax.scan(body, seqs0, None, length=k)
-            outs["_next_seqs"] = next_seqs
-            probe = outs.get("bgr", next(iter(outs.values())))
-            outs["_sync"] = probe.reshape(-1)[:1]
-            return outs
-
-        return jax.jit(run)
-
-    def run_sustained(
-        self,
-        n_dispatches: int,
-        ticks_per_dispatch: int = 8,
-        *,
-        warmup: int = 2,
-        rects: Optional[np.ndarray] = None,
-        rect_colors: Optional[np.ndarray] = None,
-        thickness: int = 2,
-    ) -> EngineStats:
-        """Max-throughput harness: K ticks per dispatch (device_sim only)."""
-        if not self._device_sim:
-            raise CameraError("run_sustained requires device_sim mode")
-        k = ticks_per_dispatch
-        fn = self._build_scan_fn(k)
-        r = jax.numpy.asarray(
-            rects if rects is not None else np.zeros((self.n, 4), np.int32),
-            jax.numpy.int32,
-        )
-        c = jax.numpy.asarray(
-            rect_colors if rect_colors is not None else np.zeros((self.n, 3), np.uint8),
-            jax.numpy.uint8,
-        )
-        th = jax.numpy.int32(thickness)
-        seqs = jax.numpy.asarray(self._seqs.astype(np.int32))
-
-        for _ in range(warmup):
-            out = fn(seqs, r, c, th)
-            seqs = out["_next_seqs"]
-            np.asarray(out["_sync"])
-
-        t0 = time.perf_counter()
-        for _ in range(n_dispatches):
-            out = fn(seqs, r, c, th)
-            seqs = out["_next_seqs"]
-        np.asarray(out["_sync"])  # true barrier over the whole run
-        wall = time.perf_counter() - t0
-
-        self._seqs = self._seqs + (warmup + n_dispatches) * k
-        self._seqs_dev = None
-        stats = EngineStats()
-        stats.ticks = n_dispatches * k
-        stats.frames = stats.ticks * self.n
-        stats.wall_s = wall
-        return stats
+    # run_sustained (lax.scan time-batching) was removed in round 2: it
+    # showed no measured win over single-tick dispatch on this transport
+    # (CLAUDE.md round-1 finding), and carrying an unjustified slower-or-
+    # equal path violates the bench discipline. The device-resident stream
+    # clock (_next_seqs feedback) already gives zero-upload steady state.
 
     def warm_buckets(self, buckets=None) -> int:
         """Ahead-of-time compile this engine's pipeline for every shape
@@ -695,8 +796,12 @@ class MultiStreamEngine:
             mjpeg_staged_bgr=self.spec.mjpeg_staged_bgr,
         )
         self._fn = get_pipeline(self.spec)
-        # Hybrid coefficient staging is geometry-dependent: rebuild lazily.
+        # Hybrid coefficient staging is geometry-dependent: rebuild lazily
+        # (the fresh spec above is non-packed; _init_hybrid re-derives the
+        # packed variant from the new geometry).
         self._coeff_staging = None
+        self._packed_staging = None
+        self._fn_dense = None
         self._qts = None
         self._overlay_cache = None
         if self._device_sim:
@@ -767,6 +872,9 @@ class MultiStreamEngine:
             s.stop()
         if self._pool is not None:
             self._pool.shutdown(wait=False)
+        if getattr(self, "_prefetch_pool", None) is not None:
+            self._prefetch_pool.shutdown(wait=False)
+            self._prefetch_pool = None
 
     def __enter__(self) -> "MultiStreamEngine":
         return self

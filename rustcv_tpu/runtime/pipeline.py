@@ -46,6 +46,13 @@ class PipelineSpec:
     # Hybrid MJPEG: inputs are DCT coefficient grids (C++ entropy decode on
     # the host) and reconstruction runs on-device (ops/jpeg_tpu.py).
     mjpeg_hybrid: bool = False
+    # Packed hybrid: inputs are BLOCK-packed nonzeros (K slots per 8×8 block
+    # + a dense-row escape for busy blocks) instead of dense grids (~6-10×
+    # fewer H2D bytes); the device unpacks with a one-hot reduce + row
+    # scatter into the dense layout described by coeff_geometry = ((bh, bw)
+    # per component), which must be set (static program geometry).
+    mjpeg_packed: bool = False
+    coeff_geometry: Tuple[Tuple[int, int], ...] = ()
     # Full-host MJPEG via native libjpeg-turbo: the decoder emits BGR
     # scanlines straight into pitched staging (decode.rs:92-123 semantics),
     # so the staged bytes are already BGR and the device does no swap.
@@ -87,7 +94,17 @@ def _build(spec: PipelineSpec):
         """Batched coefficient-level reconstruction (x = coeff/qt arrays)."""
         from ..ops import jpeg_tpu
 
-        y_c, cb_c, cr_c, qty, qtc = x
+        if spec.mjpeg_packed:
+            idx, val, dense_ids, dense_rows, qty, qtc = x
+            geom = spec.coeff_geometry
+            dense = jax.vmap(jpeg_tpu.unpack_block_coeffs)(idx, val, dense_ids, dense_rows)
+            splits, off = [], 0
+            for bh, bw in geom:
+                splits.append(dense[:, off : off + bh * bw * 64].reshape(-1, bh, bw, 8, 8))
+                off += bh * bw * 64
+            y_c, cb_c, cr_c = splits
+        else:
+            y_c, cb_c, cr_c, qty, qtc = x
         planes = []
         for coeff, qt in ((y_c, qty), (cb_c, qtc), (cr_c, qtc)):
             p = jax.vmap(jpeg_tpu.dequant_idct_plane, in_axes=(0, None))(coeff, qt)

@@ -152,3 +152,66 @@ def test_engine_mjpeg_native_filter_gray_parity(jax_cpu):
     want = golden.blur_sobel_mag_u8(bgr)
     np.testing.assert_array_equal(filt_nat[0], want)
     src.stop()
+
+
+class TestPackedHybrid:
+    def _engine(self, n=2):
+        cfg = SimpleConfig(width=128, height=96, fps=30, pixel_format=PixelFormat.MJPEG)
+        return MultiStreamEngine(
+            SimulationDriver(paced=False), n, cfg, mjpeg_backend="hybrid"
+        )
+
+    def test_packed_is_default_and_matches_dense(self, jax_cpu):
+        """Ticks after sizing run the packed-input program; its frames must
+        equal the dense program's bit-for-bit (scatter-add reproduces the
+        dense grids exactly)."""
+        eng = self.__class__._engine(self)
+        r1 = eng.tick(block=True)
+        assert eng.spec.mjpeg_packed and eng.spec.coeff_geometry
+        packed_bgr = r1.numpy("bgr")
+
+        # Same frames through the dense program: rebuild engine, force the
+        # dense path by setting capacity to 0 on tick 2.
+        eng2 = self.__class__._engine(self)
+        eng2.tick(block=True)  # sizing + packed tick 0
+        eng2._dense_cap = 0  # force busy blocks over capacity → dense fallback
+        r2 = eng2.tick(block=True)
+        eng3 = self.__class__._engine(self)
+        eng3.tick(block=True)
+        r3 = eng3.tick(block=True)  # packed tick 1
+        np.testing.assert_array_equal(r2.numpy("bgr"), r3.numpy("bgr"))
+        assert packed_bgr.shape == r2.numpy("bgr").shape
+        eng.close(); eng2.close(); eng3.close()
+
+    def test_fallback_mixed_capacity(self, jax_cpu):
+        """One stream over capacity → whole tick runs dense; packed streams'
+        rows are host-scattered (np.add.at) and must match exactly."""
+        eng = self.__class__._engine(self, n=2)
+        eng.tick(block=True)
+
+        # Patch stream 1's packed decode to simulate over-capacity while
+        # stream 0 stays packed.
+        import rustcv_tpu.native as native
+
+        orig = native.jpeg_entropy_decode_blockpacked
+        calls = {"n": 0}
+
+        def flaky(data, k, dense_cap, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:  # second stream this tick
+                return None
+            return orig(data, k, dense_cap, **kw)
+
+        native.jpeg_entropy_decode_blockpacked = flaky
+        try:
+            r = eng.tick(block=True)
+        finally:
+            native.jpeg_entropy_decode_blockpacked = orig
+        mixed = r.numpy("bgr")
+
+        # Reference: a clean engine at the same tick (all packed).
+        eng2 = self.__class__._engine(self, n=2)
+        eng2.tick(block=True)
+        want = eng2.tick(block=True).numpy("bgr")
+        np.testing.assert_array_equal(mixed, want)
+        eng.close(); eng2.close()

@@ -33,56 +33,6 @@ class TestStencilKernel:
         np.testing.assert_array_equal(got, want)
 
 
-class TestMegaKernel:
-    @pytest.mark.parametrize("w,h,tile", [(64, 48, 16), (128, 96, 32), (64, 50, 16)])
-    def test_full_tick_parity(self, jax_cpu, w, h, tile):
-        """The complete fused tick (synth→decode→gray→blur→sobel→|∇|→overlay)
-        must match the golden chain bit-for-bit."""
-        import jax.numpy as jnp
-
-        from rustcv_tpu.ops.pallas.megapipe import (
-            fused_capture_pipeline,
-            mag_words_to_numpy,
-            wordplanes_to_packed_numpy,
-        )
-
-        seqs = np.array([0, 7], np.int32)
-        rects = np.array([[5, 5, 30, 20], [-3, -3, 10, 10]], np.int32)
-        cols = np.array([[9, 99, 199], [255, 0, 0]], np.int32)
-        out = fused_capture_pipeline(
-            jnp.asarray(seqs), jnp.asarray(rects), jnp.asarray(cols), 2,
-            width=w, height=h, tile_rows=tile,
-        )
-        bgr = wordplanes_to_packed_numpy(np.asarray(out["bgr_wordplanes"]))
-        mag = mag_words_to_numpy(np.asarray(out["mag_words"]))
-        for k, s in enumerate(seqs):
-            raw = sim.synth_raw(w, h, PixelFormat.YUYV, int(s))
-            want_bgr = golden.yuyv_to_bgr(raw, w, h)
-            gray = golden.bgr_to_gray(want_bgr)
-            want_mag = golden.gradient_magnitude_u8(
-                *golden.sobel3_gray(golden.gaussian5_u8(gray))
-            )
-            ov = want_bgr.copy()
-            golden.rectangle(
-                ov.reshape(h, -1), h, w, w * 3, tuple(rects[k]), tuple(cols[k]), 2
-            )
-            np.testing.assert_array_equal(mag[k], want_mag, err_msg=f"mag stream {k}")
-            np.testing.assert_array_equal(
-                bgr[k], ov.reshape(h, w, 3), err_msg=f"bgr stream {k}"
-            )
-
-    def test_width_constraint(self, jax_cpu):
-        import jax.numpy as jnp
-
-        from rustcv_tpu.ops.pallas.megapipe import fused_capture_pipeline
-
-        with pytest.raises(ValueError):
-            fused_capture_pipeline(
-                jnp.asarray([0], jnp.int32), jnp.zeros((1, 4), jnp.int32),
-                jnp.zeros((1, 3), jnp.int32), 1, width=66, height=48,
-            )
-
-
 class TestStencilV2:
     @pytest.mark.parametrize(
         "shape,tile", [((2, 48, 64), 32), ((1, 135, 256), 128), ((1, 6, 128), 128)],

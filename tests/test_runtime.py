@@ -195,35 +195,6 @@ class TestWarmBuckets:
         eng.close()
 
 
-class TestRunSustained:
-    def test_scan_mode_advances_and_counts(self, jax_cpu):
-        eng = MultiStreamEngine(
-            _driver(), 2,
-            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
-            filter="sobel_mag", overlay=True, device_sim=True,
-        )
-        stats = eng.run_sustained(n_dispatches=3, ticks_per_dispatch=4, warmup=1)
-        assert stats.ticks == 12 and stats.frames == 24
-        assert stats.fps_total > 0
-        # stream clock advanced by (warmup + dispatches) * K
-        res = eng.tick(block=True)
-        assert list(res.sequences) == [16, 16]
-        want = golden.yuyv_to_bgr(synth_raw(64, 48, PixelFormat.YUYV, 16), 64, 48)
-        np.testing.assert_array_equal(res.numpy("bgr")[0], want)
-        eng.close()
-
-    def test_scan_mode_requires_device_sim(self, jax_cpu):
-        from rustcv_tpu.core import CameraError
-
-        eng = MultiStreamEngine(
-            _driver(), 1,
-            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
-        )
-        with pytest.raises(CameraError):
-            eng.run_sustained(1)
-        eng.close()
-
-
 class TestSoakAndStats:
     def test_soak_200_ticks_counters_consistent(self, jax_cpu):
         eng = MultiStreamEngine(

@@ -71,3 +71,29 @@ def test_harris_corner_count_frozen():
     yuyv = sim.synth_raw(W, H, PixelFormat.YUYV, SEQ)
     gray = golden.bgr_to_gray(golden.yuyv_to_bgr(yuyv, W, H))
     assert int(golden.harris_corners(gray).sum()) == HARRIS_CORNER_COUNT
+
+
+def test_put_text_masks_frozen():
+    """put_text is part of the frozen spec: the font is VENDORED
+    (rustcv_tpu/assets/DejaVuSans.ttf, matching the reference's
+    include_bytes! discipline at drawing.rs:115), so glyph masks must be
+    byte-identical on every host."""
+    from rustcv_tpu.ops import text as _text
+
+    cases = {
+        ("FPS: 42.0", 1.0): ("ee52d0a2ba9dbb36", (24, 128), 0, -19),
+        ("Hello, RustCV!", 0.75): ("56b219d91ce6f70f", (18, 128), 0, -14),
+        ("XyZ 089", 2.0): ("d4ad8f4689ecea68", (48, 256), 0, -38),
+    }
+    for (s, scale), (want, shape, dx, dy) in cases.items():
+        mask, gdx, gdy = _text.rasterize(s, scale)
+        assert (_h(mask), mask.shape, gdx, gdy) == (want, shape, dx, dy), (s, scale)
+
+
+def test_font_is_vendored():
+    import os
+
+    from rustcv_tpu.ops.text import _VENDORED_FONT
+
+    assert os.path.exists(_VENDORED_FONT)
+    assert os.path.exists(_VENDORED_FONT.replace(".ttf", ".LICENSE"))
