@@ -25,9 +25,21 @@ from .source import DeviceControls, Driver, FrameSource
 _DEFAULT_DRIVER: Optional[SimulationDriver] = None
 
 
-def default_driver() -> SimulationDriver:
+def default_driver():
+    """Real camera when present (V4L2 on Linux), else simulation — the
+    runtime analog of the reference's compile-time backend switch."""
     global _DEFAULT_DRIVER
     if _DEFAULT_DRIVER is None:
+        try:
+            from .v4l2 import V4L2Driver, list_video_devices
+
+            if list_video_devices():
+                drv = V4L2Driver()
+                if drv.list_devices():
+                    _DEFAULT_DRIVER = drv
+                    return _DEFAULT_DRIVER
+        except Exception:  # noqa: BLE001 — any probe failure → simulation
+            pass
         _DEFAULT_DRIVER = SimulationDriver()
     return _DEFAULT_DRIVER
 

@@ -89,8 +89,10 @@ def resolve_device_id(index_or_id: Union[int, str], driver: Driver) -> str:
     if 0 <= index_or_id < len(devices):
         return devices[index_or_id].id
     # Mirror the reference's optimistic path: synthesize the id even if not
-    # currently enumerated (open will fail with DeviceNotFound).
-    return f"sim:{index_or_id}"
+    # currently enumerated (open will fail with DeviceNotFound). The prefix
+    # is backend-specific (linux: "/dev/video{i}", mod.rs:305).
+    prefix = getattr(driver, "device_prefix", "sim:")
+    return f"{prefix}{index_or_id}"
 
 
 class VideoCapture:

@@ -25,6 +25,7 @@ _SRCS = [
     os.path.join(_HERE, "capture.cpp"),
     os.path.join(_HERE, "jpeg_entropy.cpp"),
     os.path.join(_HERE, "jpeg_host.cpp"),
+    os.path.join(_HERE, "v4l2.cpp"),
 ]
 _SRC = _SRCS[0]
 _SO = os.path.join(_HERE, "librustcv_capture.so")
@@ -101,6 +102,26 @@ def _bind(lib: ctypes.CDLL) -> None:
     ]
     lib.rcv_jpeg_host_available.restype = ctypes.c_int
     lib.rcv_jpeg_host_available.argtypes = []
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.rcv_v4l2_available.restype = ctypes.c_int
+    lib.rcv_v4l2_open.restype = ctypes.c_void_p
+    lib.rcv_v4l2_open.argtypes = [ctypes.c_char_p, intp]
+    lib.rcv_v4l2_enum_modes.restype = ctypes.c_long
+    lib.rcv_v4l2_enum_modes.argtypes = [
+        ctypes.c_void_p, u32p, intp, intp, intp, ctypes.c_long,
+    ]
+    lib.rcv_v4l2_setup.restype = ctypes.c_int
+    lib.rcv_v4l2_setup.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, u32p, intp, intp, intp, longp,
+    ]
+    lib.rcv_v4l2_dequeue.restype = ctypes.c_long
+    lib.rcv_v4l2_dequeue.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(u8p), longp, longp, longp,
+    ]
+    lib.rcv_v4l2_stop.restype = ctypes.c_int
+    lib.rcv_v4l2_stop.argtypes = [ctypes.c_void_p]
+    lib.rcv_v4l2_close.argtypes = [ctypes.c_void_p]
     lib.rcv_jpeg_decode_pitched.restype = ctypes.c_int
     lib.rcv_jpeg_decode_pitched.argtypes = [
         u8cp, ctypes.c_long, u8cp, ctypes.c_long, ctypes.c_long,

@@ -97,11 +97,14 @@ def _build(spec: PipelineSpec):
         if spec.mjpeg_packed:
             idx, val, dense_ids, dense_rows, qty, qtc = x
             geom = spec.coeff_geometry
+            # [N, nblocks, 64] block rows — sliced per component along the
+            # block axis, straight into the [64, 64] IDCT matmul (layout-
+            # preserving; flattening here measured ~13 ms/tick in relayouts).
             dense = jax.vmap(jpeg_tpu.unpack_block_coeffs)(idx, val, dense_ids, dense_rows)
             splits, off = [], 0
             for bh, bw in geom:
-                splits.append(dense[:, off : off + bh * bw * 64].reshape(-1, bh, bw, 8, 8))
-                off += bh * bw * 64
+                splits.append(dense[:, off : off + bh * bw].reshape(-1, bh, bw, 8, 8))
+                off += bh * bw
             y_c, cb_c, cr_c = splits
         else:
             y_c, cb_c, cr_c, qty, qtc = x

@@ -19,8 +19,9 @@ from .capture.source import Driver
 
 def create_driver(backend: str = "simulation", **kwargs) -> Driver:
     """Backend factory (the ``create_driver``/``BackendType`` analog,
-    ``rustcv/src/videoio/backend.rs:6-48``). TPU hosts have no camera
-    drivers; "simulation" (Python) and "native" (C++ ring) are built in."""
+    ``rustcv/src/videoio/backend.rs:6-48``): "simulation" (Python),
+    "native" (C++ ring), and "v4l2" (real direct-ioctl camera capture on
+    Linux hosts with ``/dev/video*`` — capture/v4l2.py)."""
     if backend == "simulation":
         return SimulationDriver(**kwargs)
     if backend == "native":
@@ -29,10 +30,25 @@ def create_driver(backend: str = "simulation", **kwargs) -> Driver:
         # The native ring is exposed per-source; enumeration still comes
         # from the simulation driver (same virtual devices).
         return SimulationDriver(**kwargs)
-    raise ValueError(f"unknown backend {backend!r} (available: simulation, native)")
+    if backend == "v4l2":
+        from .capture.v4l2 import V4L2Driver
+
+        return V4L2Driver(**kwargs)
+    raise ValueError(
+        f"unknown backend {backend!r} (available: simulation, native, v4l2)"
+    )
 
 
 def default_backend() -> str:
+    """Prefer a real camera when one exists (the reference's compile-time
+    OS switch, resolved at runtime here); otherwise simulation."""
+    try:
+        from .capture.v4l2 import V4L2Driver, list_video_devices
+
+        if list_video_devices() and V4L2Driver().list_devices():
+            return "v4l2"
+    except Exception:  # noqa: BLE001 — any probe failure → simulation
+        pass
     return "simulation"
 
 
