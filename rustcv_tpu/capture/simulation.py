@@ -222,7 +222,8 @@ _DEFAULT_RESOLUTIONS = (
 _DEFAULT_FORMATS = (
     PixelFormat.YUYV, PixelFormat.MJPEG, PixelFormat.NV12,
     PixelFormat.BGRA32, PixelFormat.RGB24, PixelFormat.BGR24,
-    PixelFormat.BAYER_RGGB,
+    PixelFormat.BAYER_RGGB, PixelFormat.BAYER_BGGR,
+    PixelFormat.BAYER_GBRG, PixelFormat.BAYER_GRBG,
 )
 _DEFAULT_FPS = (30, 60, 120)
 

@@ -312,13 +312,90 @@ def rgb_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("pattern", "width", "height"))
+def demosaic_bilinear_packed(
+    raw: jax.Array, pattern: str, width: int, height: int
+) -> jax.Array:
+    """Integer bilinear Bayer demosaic → packed-rows BGR u8 (…, H, W*3).
+
+    Bit-exact vs ``golden.demosaic_bilinear`` (then packed). The CFA is
+    period-2 in x, so the image deinterleaves into even/odd column planes
+    with ONE u8→u16 bitcast (no strided gathers); every neighbor sum is a
+    shift of those planes, the per-site select collapses to row-parity masks
+    (column parity is static per plane), and the output pair-interleaves
+    through the same u16 word trick as the YUYV path. Requires width % 2 == 0.
+    """
+    from .golden import BAYER_PATTERNS
+
+    spec = BAYER_PATTERNS[pattern]
+    batch = raw.shape[:-1] if raw.shape[-1] == height * width else raw.shape[:-2]
+    hw = width // 2
+    # Deinterleave even/odd columns: u16 words, lo byte = even col.
+    words = jax.lax.bitcast_convert_type(
+        raw.reshape(*batch, height, hw, 2), jnp.uint16
+    ).astype(jnp.int32)
+    a_e = words & 255
+    a_o = words >> 8
+
+    def up(p):  # row -1 ↦ row 1 (reflect-101, matching golden's jnp.pad)
+        return jnp.concatenate([p[..., 1:2, :], p[..., :-1, :]], axis=-2)
+
+    def down(p):  # row H ↦ row H-2
+        return jnp.concatenate([p[..., 1:, :], p[..., -2:-1, :]], axis=-2)
+
+    def left_of_even(o):  # even col 2k: left = odd col 2k-1; col -1 ↦ col 1
+        return jnp.concatenate([o[..., :, 0:1], o[..., :, :-1]], axis=-1)
+
+    def right_of_odd(e):  # odd col 2k+1: right = even col 2k+2; col W ↦ W-2
+        return jnp.concatenate([e[..., :, 1:], e[..., :, -1:]], axis=-1)
+
+    def site_values(a_same, h_l, h_r):
+        horiz = h_l + h_r
+        vert = up(a_same) + down(a_same)
+        diag = up(h_l) + up(h_r) + down(h_l) + down(h_r)
+        g4 = (horiz + vert + 2) >> 2
+        h2 = (horiz + 1) >> 1
+        v2 = (vert + 1) >> 1
+        d4 = (diag + 2) >> 2
+        return g4, h2, v2, d4
+
+    ge4, he2, ve2, de4 = site_values(a_e, left_of_even(a_o), a_o)
+    go4, ho2, vo2, do4 = site_values(a_o, a_e, right_of_odd(a_e))
+
+    row_par = jax.lax.broadcasted_iota(jnp.int32, (height, 1), 0) % 2
+    (ry, rx), (by, bx) = spec["r"], spec["b"]
+
+    def plane_bgr(a, g4, h2, v2, d4, colpar):
+        # Per column-parity plane the site type depends only on row parity.
+        is_r = (row_par == ry) & (rx == colpar)
+        is_b = (row_par == by) & (bx == colpar)
+        g_red_row = (row_par == ry) & ~is_r & ~is_b
+        g_blue_row = (row_par == by) & ~is_r & ~is_b
+        r = jnp.where(is_r, a, jnp.where(g_red_row, h2, jnp.where(g_blue_row, v2, d4)))
+        b = jnp.where(is_b, a, jnp.where(g_blue_row, h2, jnp.where(g_red_row, v2, d4)))
+        g = jnp.where(is_r | is_b, g4, a)
+        return b, g, r
+
+    b0, g0, r0 = plane_bgr(a_e, ge4, he2, ve2, de4, 0)
+    b1, g1, r1 = plane_bgr(a_o, go4, ho2, vo2, do4, 1)
+    clip = lambda x: jnp.clip(x, 0, 255)  # noqa: E731
+    return _interleave_pair_bgr(
+        clip(b0), clip(g0), clip(r0), clip(b1), clip(g1), clip(r1), width, height
+    )
+
+
+@partial(jax.jit, static_argnames=("pattern", "width", "height"))
 def demosaic_bilinear(raw: jax.Array, pattern: str, width: int, height: int) -> jax.Array:
     """Integer bilinear Bayer demosaic → (..., H, W, 3) u8 BGR.
 
     Bit-exact vs golden.demosaic_bilinear; ``raw``: u8 flat (..., H*W) or
     (..., H, W). The reference only enumerates the Bayer FourCCs — the spec
-    is frozen in golden.py.
+    is frozen in golden.py. Even widths route through the packed-rows
+    kernel (device-native layout) and reshape the byte-identical result.
     """
+    if width % 2 == 0:
+        batch = raw.shape[:-1] if raw.shape[-1] == height * width else raw.shape[:-2]
+        packed = demosaic_bilinear_packed(raw, pattern, width, height)
+        return packed.reshape(*batch, height, width, 3)
     from .golden import BAYER_PATTERNS
 
     spec = BAYER_PATTERNS[pattern]

@@ -79,9 +79,12 @@ def _build(spec: PipelineSpec):
     # YUYV/NV12 fast paths stay packed end-to-end (decode → overlay →
     # output); other formats currently go through the interleaved path.
     packed = (
-        spec.staged_format()
-        in (PixelFormat.YUYV, PixelFormat.NV12, PixelFormat.BGRA32,
-            PixelFormat.RGB24, PixelFormat.BGR24)
+        (
+            spec.staged_format()
+            in (PixelFormat.YUYV, PixelFormat.NV12, PixelFormat.BGRA32,
+                PixelFormat.RGB24, PixelFormat.BGR24)
+            or spec.staged_format().is_bayer
+        )
         and spec.resize_to is None
         and not spec.mjpeg_hybrid
         and (
@@ -138,6 +141,10 @@ def _build(spec: PipelineSpec):
                 # Already-BGR staging (native MJPEG decode): packed rows is
                 # just the row-major byte view — zero device work.
                 bgr = raw.reshape(*raw.shape[:-1], h, w * 3)
+            elif spec.staged_format().is_bayer:
+                bgr = _color.demosaic_bilinear_packed(
+                    raw, spec.staged_format().value.split("_")[1], w, h
+                )
             else:
                 bgr = _color.rgb_to_bgr_packed(raw, w, h)
         else:
@@ -158,6 +165,9 @@ def _build(spec: PipelineSpec):
                 if spec.staged_format() == PixelFormat.BGR24 and spec.width % 4 == 0:
                     return _color.bgr_to_gray_packed_rows(raw, w, h)
             if packed:
+                if spec.staged_format().is_bayer:
+                    # Luma straight off the packed demosaic rows (word-wise).
+                    return _color.bgr_to_gray_packed_rows(bgr, w, h)
                 # bgr is packed rows here; recover HWC view for the generic
                 # luma (only reachable for BGRA32 — other packed formats take
                 # the direct branches above).
@@ -177,12 +187,21 @@ def _build(spec: PipelineSpec):
         elif spec.filter == "blur_sobel":
             gray = gray_plane()
             if spec.stencil_impl == "pallas":
-                # v1 (manual halo DMA). The auto-pipelined v2 wins standalone
-                # (1.72 vs 2.09 ms at 8×1080p) but is a wash inside the fused
-                # pipeline and costs an extra halo gather — measured A/B.
+                # v3: auto-pipelined with zero-copy halos (overlapping
+                # BlockSpec views of one padded buffer) — beats v1's manual
+                # serialized DMA and v2's slice+gather staging, measured A/B
+                # standalone and in-pipeline on TPU.
+                from ..ops.pallas.stencil_v3 import blur_sobel_mag_pallas_v3
+
+                filtered = blur_sobel_mag_pallas_v3(gray)
+            elif spec.stencil_impl == "pallas_v1":
                 from ..ops.pallas.stencil import blur_sobel_mag_pallas
 
                 filtered = blur_sobel_mag_pallas(gray)
+            elif spec.stencil_impl == "pallas_v2":
+                from ..ops.pallas.stencil_v2 import blur_sobel_mag_pallas_v2
+
+                filtered = blur_sobel_mag_pallas_v2(gray)
             else:
                 blurred = _filters.gaussian5_u8(gray, has_channels=False)
                 gx, gy = _filters.sobel3_gray(blurred)
