@@ -5,14 +5,21 @@ Reference: ``rustcv/src/highgui/mod.rs:12-141`` — a global window manager
 ``wait_key`` mapping Esc/Space/Enter/Q → 27/32/13/113, BGR→0x00RRGGBB
 packing for the framebuffer.
 
-TPU hosts are headless, so the "window" is a sink abstraction:
+TPU hosts are usually headless, so the "window" is a sink abstraction:
 - default: an in-memory framebuffer (inspectable via :func:`get_window_frame`
   — what a test or notebook polls instead of a screen);
 - ``RUSTCV_TPU_DISPLAY_DIR=/path``: additionally writes ``{name}.png`` per
   imshow (atomic replace), so any file watcher becomes the display;
 - key events come from :func:`push_key` (tests/automation) — ``wait_key``
   sleeps the requested delay and pops the injected queue, returning -1 when
-  empty, exactly like the reference with no key down.
+  empty, exactly like the reference with no key down;
+- **real window (opt-in)**: when ``DISPLAY`` is set (or ``RUSTCV_GUI=1``),
+  imshow additionally drives an SDL window (pygame) — recreated on size
+  change like the reference's minifb path (mod.rs:36-70) — and ``wait_key``
+  polls the real keyboard with the same Esc/Space/Enter/Q map.
+  ``RUSTCV_GUI=dummy`` uses SDL's off-screen driver (headless CI for the
+  real code path); ``RUSTCV_GUI=0`` forces the sink even under X.
+  One OS window at a time (SDL display model); named sinks are unlimited.
 """
 
 from __future__ import annotations
@@ -36,6 +43,77 @@ KEY_Q = 113
 _lock = threading.Lock()
 _windows: Dict[str, np.ndarray] = {}
 _key_queue: Deque[int] = deque()
+_gui = None  # lazy _SdlWindow singleton (False once probing failed)
+
+
+def _gui_wanted() -> bool:
+    v = os.environ.get("RUSTCV_GUI", "")
+    if v in ("0", "off"):
+        return False
+    if v in ("1", "dummy"):
+        return True
+    return bool(os.environ.get("DISPLAY"))
+
+
+class _SdlWindow:
+    """The opt-in real window: SDL (pygame) surface + keyboard events."""
+
+    def __init__(self):
+        if os.environ.get("RUSTCV_GUI") == "dummy":
+            os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+        import pygame
+
+        pygame.display.init()
+        self.pg = pygame
+        self.size: Optional[Tuple[int, int]] = None
+        self.name: Optional[str] = None
+        self.screen = None
+
+    def show(self, name: str, frame_bgr: np.ndarray) -> None:
+        pg = self.pg
+        h, w = frame_bgr.shape[:2]
+        if self.size != (w, h) or self.name != name:
+            # Recreate on size change — the reference drops and rebuilds the
+            # minifb window (mod.rs:36-70); SDL set_mode does the same.
+            self.screen = pg.display.set_mode((w, h))
+            pg.display.set_caption(name)
+            self.size = (w, h)
+            self.name = name
+        rgb = np.ascontiguousarray(frame_bgr[..., ::-1])
+        surf = pg.image.frombuffer(rgb.tobytes(), (w, h), "RGB")
+        self.screen.blit(surf, (0, 0))
+        pg.display.flip()
+
+    def poll_key(self) -> int:
+        pg = self.pg
+        keymap = {
+            pg.K_ESCAPE: KEY_ESC, pg.K_SPACE: KEY_SPACE,
+            pg.K_RETURN: KEY_ENTER, pg.K_q: KEY_Q,
+        }
+        for e in pg.event.get():
+            if e.type == pg.KEYDOWN and e.key in keymap:
+                return keymap[e.key]
+            if e.type == pg.QUIT:
+                return KEY_ESC
+        return -1
+
+    def close(self) -> None:
+        self.pg.display.quit()
+        self.size = None
+        self.name = None
+
+
+def _get_gui():
+    """The live window backend, or None (headless / probing failed)."""
+    global _gui
+    if _gui is None:
+        if not _gui_wanted():
+            return None
+        try:
+            _gui = _SdlWindow()
+        except Exception:  # noqa: BLE001 — no SDL/X: degrade to the sink
+            _gui = False
+    return _gui or None
 
 
 def mat_to_u32_buffer(mat: Mat) -> np.ndarray:
@@ -51,6 +129,9 @@ def imshow(winname: str, mat: Mat) -> None:
     frame = mat.to_numpy()
     with _lock:
         _windows[winname] = frame
+        gui = _get_gui()
+        if gui is not None:
+            gui.show(winname, frame)
     out_dir = os.environ.get("RUSTCV_TPU_DISPLAY_DIR")
     if out_dir:
         from PIL import Image
@@ -80,23 +161,42 @@ def push_key(key: int) -> None:
 
 
 def wait_key(delay_ms: int = 0) -> int:
-    """Sleep ``delay_ms`` then return the next injected key, or -1."""
-    if delay_ms > 0:
-        time.sleep(delay_ms / 1000.0)
+    """Wait ``delay_ms`` then return the next key, or -1.
+
+    Injected keys (:func:`push_key`) take precedence; with the opt-in real
+    window active, the keyboard is polled for the whole delay (reference
+    semantics: sleep then check key state, mod.rs:85-112)."""
     with _lock:
-        if _key_queue:
-            return _key_queue.popleft()
-    return -1
+        gui = _get_gui()
+    deadline = time.monotonic() + delay_ms / 1000.0
+    while True:
+        with _lock:
+            if _key_queue:
+                return _key_queue.popleft()
+        if gui is not None:
+            k = gui.poll_key()
+            if k != -1:
+                return k
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return -1
+        time.sleep(min(0.005, remaining))
 
 
 def destroy_window(winname: str) -> None:
     with _lock:
         _windows.pop(winname, None)
+        if _gui and _gui.name == winname:
+            _gui.close()
 
 
 def destroy_all_windows() -> None:
+    global _gui
     with _lock:
         _windows.clear()
+        if _gui:
+            _gui.close()
+            _gui = None
 
 
 __all__ = [
