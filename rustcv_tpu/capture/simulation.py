@@ -220,7 +220,8 @@ _DEFAULT_RESOLUTIONS = (
     (1920, 1080), (3840, 2160),
 )
 _DEFAULT_FORMATS = (
-    PixelFormat.YUYV, PixelFormat.MJPEG, PixelFormat.NV12,
+    PixelFormat.YUYV, PixelFormat.UYVY, PixelFormat.MJPEG,
+    PixelFormat.NV12, PixelFormat.YV12,
     PixelFormat.BGRA32, PixelFormat.RGB24, PixelFormat.BGR24,
     PixelFormat.BAYER_RGGB, PixelFormat.BAYER_BGGR,
     PixelFormat.BAYER_GBRG, PixelFormat.BAYER_GRBG,

@@ -110,15 +110,42 @@ def yuyv_to_gray(src: jax.Array, width: int, height: int) -> jax.Array:
     return jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(*batch, height, width)
 
 
+def _unpack_uyvy_words(src: jax.Array, width: int, height: int):
+    """UYVY macro-pixels via u8→u32 bitcast → int32 planes y0, u, y1, v."""
+    batch = src.shape[:-1] if src.ndim > 1 and src.shape[-1] == height * width * 2 else src.shape[:-2]
+    words = jax.lax.bitcast_convert_type(
+        src.reshape(*batch, height, width // 2, 4), jnp.uint32
+    ).astype(jnp.int32)
+    # little-endian byte order U Y0 V Y1 (mask byte 3: the int32 cast of the
+    # uint32 word sign-extends a plain >> 24)
+    return (words >> 8) & 255, words & 255, (words >> 24) & 255, (words >> 16) & 255
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def uyvy_to_bgr_packed(src: jax.Array, width: int, height: int) -> jax.Array:
+    """UYVY → packed-rows BGR u8 (…, H, W*3) — device-native layout."""
+    y0, u, y1, v = _unpack_uyvy_words(src, width, height)
+    b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
+    return _interleave_pair_bgr(b0, g0, r0, b1, g1, r1, width, height)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def uyvy_to_gray(src: jax.Array, width: int, height: int) -> jax.Array:
+    """UYVY → gray u8 directly (≡ bgr_to_gray(uyvy_to_bgr(src)) bit-exact)."""
+    y0, u, y1, v = _unpack_uyvy_words(src, width, height)
+    b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
+    gr0 = (77 * r0 + 150 * g0 + 29 * b0 + 128) >> 8
+    gr1 = (77 * r1 + 150 * g1 + 29 * b1 + 128) >> 8
+    batch = gr0.shape[:-2]
+    w = (gr0 | (gr1 << 8)).astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(*batch, height, width)
+
+
 @partial(jax.jit, static_argnames=("width", "height"))
 def uyvy_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
     batch = src.shape[:-1] if src.ndim > 1 and src.shape[-1] == height * width * 2 else src.shape[:-2]
-    m = src.reshape(*batch, height, width // 2, 4).astype(jnp.int32)
-    u, y0, v, y1 = m[..., 0], m[..., 1], m[..., 2], m[..., 3]
-    y = jnp.stack([y0, y1], axis=-1)
-    u2 = jnp.broadcast_to(u[..., None], y.shape)
-    v2 = jnp.broadcast_to(v[..., None], y.shape)
-    return _bt601(y, u2, v2).reshape(*batch, height, width, 3)
+    out = uyvy_to_bgr_packed(src, width, height)
+    return out.reshape(*batch, height, width, 3)
 
 
 def _unpack_nv12_pairs(src: jax.Array, width: int, height: int):
@@ -161,18 +188,60 @@ def nv12_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
-def yv12_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
-    """YV12 (planar Y, V, U — V first) → BGR u8; bit-exact vs golden."""
+def yv12_to_bgr_packed(src: jax.Array, width: int, height: int) -> jax.Array:
+    """YV12 (planar Y, V, U — V first) → packed-rows BGR u8 (…, H, W*3).
+
+    Pair-form like NV12: Y even/odd columns via one u16 bitcast; the
+    half-res chroma planes map 1:1 onto pixel pairs after a 2× row repeat
+    (chroma column k IS pair k — no column work)."""
     batch = src.shape[:-1]
     npix = width * height
     nq = npix // 4
     flat = src.reshape(*batch, npix * 3 // 2)
-    y = flat[..., :npix].astype(jnp.int32).reshape(*batch, height, width)
+    yw = jax.lax.bitcast_convert_type(
+        flat[..., :npix].reshape(*batch, height, width // 2, 2), jnp.uint16
+    ).astype(jnp.int32)
+    y0 = yw & 255
+    y1 = yw >> 8
     v = flat[..., npix : npix + nq].astype(jnp.int32).reshape(*batch, height // 2, width // 2)
     u = flat[..., npix + nq :].astype(jnp.int32).reshape(*batch, height // 2, width // 2)
-    u = jnp.repeat(jnp.repeat(u, 2, axis=-2), 2, axis=-1)
-    v = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1)
-    return _bt601(y, u, v)
+    u = jnp.repeat(u, 2, axis=-2)
+    v = jnp.repeat(v, 2, axis=-2)
+    b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
+    return _interleave_pair_bgr(b0, g0, r0, b1, g1, r1, width, height)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def yv12_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
+    """YV12 planar → BGR u8 (…, H, W, 3); bit-exact vs golden."""
+    batch = src.shape[:-1]
+    out = yv12_to_bgr_packed(src, width, height)
+    return out.reshape(*batch, height, width, 3)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def yv12_to_gray(src: jax.Array, width: int, height: int) -> jax.Array:
+    """YV12 → gray u8 directly (≡ bgr_to_gray(yv12_to_bgr(src)) bit-exact).
+    Luma still needs the full BT.601 round trip — the stored Y is not the
+    output gray (range expansion + BGR rounding)."""
+    npix = width * height
+    nq = npix // 4
+    batch = src.shape[:-1]
+    flat = src.reshape(*batch, npix * 3 // 2)
+    yw = jax.lax.bitcast_convert_type(
+        flat[..., :npix].reshape(*batch, height, width // 2, 2), jnp.uint16
+    ).astype(jnp.int32)
+    y0 = yw & 255
+    y1 = yw >> 8
+    v = flat[..., npix : npix + nq].astype(jnp.int32).reshape(*batch, height // 2, width // 2)
+    u = flat[..., npix + nq :].astype(jnp.int32).reshape(*batch, height // 2, width // 2)
+    u = jnp.repeat(u, 2, axis=-2)
+    v = jnp.repeat(v, 2, axis=-2)
+    b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
+    gr0 = (77 * r0 + 150 * g0 + 29 * b0 + 128) >> 8
+    gr1 = (77 * r1 + 150 * g1 + 29 * b1 + 128) >> 8
+    w = (gr0 | (gr1 << 8)).astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(*batch, height, width)
 
 
 @partial(jax.jit, static_argnames=("width", "height"))

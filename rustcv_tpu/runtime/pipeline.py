@@ -78,19 +78,19 @@ def _build(spec: PipelineSpec):
     # channel dim of 3 uses 3/128 lanes (42× wasted HBM bandwidth). The
     # YUYV/NV12 fast paths stay packed end-to-end (decode → overlay →
     # output); other formats currently go through the interleaved path.
+    _PAIRWISE = (
+        PixelFormat.YUYV, PixelFormat.UYVY, PixelFormat.NV12, PixelFormat.YV12,
+    )
     packed = (
         (
             spec.staged_format()
-            in (PixelFormat.YUYV, PixelFormat.NV12, PixelFormat.BGRA32,
-                PixelFormat.RGB24, PixelFormat.BGR24)
+            in _PAIRWISE
+            + (PixelFormat.BGRA32, PixelFormat.RGB24, PixelFormat.BGR24)
             or spec.staged_format().is_bayer
         )
         and spec.resize_to is None
         and not spec.mjpeg_hybrid
-        and (
-            spec.staged_format() in (PixelFormat.YUYV, PixelFormat.NV12)
-            or spec.width % 4 == 0
-        )
+        and (spec.staged_format() in _PAIRWISE or spec.width % 4 == 0)
     )
 
     def reconstruct_mjpeg(x):
@@ -133,8 +133,12 @@ def _build(spec: PipelineSpec):
         elif packed:
             if spec.staged_format() == PixelFormat.YUYV:
                 bgr = _color.yuyv_to_bgr_packed(raw, w, h)
+            elif spec.staged_format() == PixelFormat.UYVY:
+                bgr = _color.uyvy_to_bgr_packed(raw, w, h)
             elif spec.staged_format() == PixelFormat.NV12:
                 bgr = _color.nv12_to_bgr_packed(raw, w, h)
+            elif spec.staged_format() == PixelFormat.YV12:
+                bgr = _color.yv12_to_bgr_packed(raw, w, h)
             elif spec.staged_format() == PixelFormat.BGRA32:
                 bgr = _color.bgra_to_bgr_packed(raw, w, h)
             elif spec.staged_format() == PixelFormat.BGR24:
@@ -158,8 +162,12 @@ def _build(spec: PipelineSpec):
             if spec.resize_to is None and not spec.mjpeg_hybrid:
                 if spec.staged_format() == PixelFormat.YUYV:
                     return _color.yuyv_to_gray(raw, w, h)
+                if spec.staged_format() == PixelFormat.UYVY:
+                    return _color.uyvy_to_gray(raw, w, h)
                 if spec.staged_format() == PixelFormat.NV12:
                     return _color.nv12_to_gray(raw, w, h)
+                if spec.staged_format() == PixelFormat.YV12:
+                    return _color.yv12_to_gray(raw, w, h)
                 if spec.staged_format() == PixelFormat.RGB24 and spec.width % 4 == 0:
                     return _color.rgb_to_gray_packed_rows(raw, w, h)
                 if spec.staged_format() == PixelFormat.BGR24 and spec.width % 4 == 0:

@@ -1,9 +1,10 @@
 """Extra format coverage: UYVY simulation round-trip, GRAY8 decode paths."""
 
 import numpy as np
+import pytest
 
 from rustcv_tpu.capture import Camera, SimulationDriver, simulation as sim
-from rustcv_tpu.core import Frame, Mat, PixelFormat, Timestamp
+from rustcv_tpu.core import Frame, Mat, PixelFormat, SimpleConfig, Timestamp
 from rustcv_tpu.ops import golden
 from rustcv_tpu.ops.decode import decode_frame_host, decode_to_device
 
@@ -178,3 +179,37 @@ class TestYv12:
         want = golden.yv12_to_bgr(sim.synth_raw(64, 48, PixelFormat.YV12, 0), 64, 48)
         np.testing.assert_array_equal(mat.to_numpy(), want)
         cam.close()
+
+
+class TestPairwisePackedFormats:
+    """UYVY and YV12 now take the packed-rows pair decode in the pipeline;
+    engine output must stay bit-exact vs golden, incl. the direct-gray
+    filter path."""
+
+    @pytest.mark.parametrize("fmt,gold", [
+        (PixelFormat.UYVY, golden.uyvy_to_bgr),
+        (PixelFormat.YV12, golden.yv12_to_bgr),
+    ])
+    def test_engine_packed_parity(self, jax_cpu, fmt, gold):
+        from rustcv_tpu.capture import SimulationDriver, synth_raw
+        from rustcv_tpu.runtime import MultiStreamEngine
+
+        eng = MultiStreamEngine(
+            SimulationDriver(paced=False), 2,
+            SimpleConfig(width=64, height=48, pixel_format=fmt),
+            filter="blur_sobel", overlay=True,
+        )
+        rects = np.tile(np.array([[4, 4, 20, 16]], np.int32), (2, 1))
+        cols = np.tile(np.array([[9, 99, 199]], np.uint8), (2, 1))
+        r = eng.tick(rects=rects, rect_colors=cols, block=True)
+        for i in range(2):
+            raw = synth_raw(64, 48, fmt, 0)
+            want = gold(raw, 64, 48)
+            ov = want.copy()
+            golden.rectangle(ov.reshape(48, -1), 48, 64, 64 * 3, (4, 4, 20, 16), (9, 99, 199), 2)
+            np.testing.assert_array_equal(r.numpy("bgr")[i], ov, err_msg=f"{fmt} bgr {i}")
+            want_f = golden.blur_sobel_mag_u8(want)
+            np.testing.assert_array_equal(
+                np.asarray(r.outputs["filtered"])[i], want_f, err_msg=f"{fmt} filt {i}"
+            )
+        eng.close()
