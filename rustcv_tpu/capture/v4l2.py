@@ -37,7 +37,21 @@ from ..core.pixel_format import FourCC, PixelFormat, from_fourcc, to_fourcc
 from ..core.telemetry import DeviceTelemetry
 from ..core.time_sync import ClockSynchronizer
 from .negotiate import negotiate, resolve
-from .source import DeviceControls, DeviceInfo, Driver, FrameSource, ModeDescriptor
+from .source import (
+    DeviceControls, DeviceInfo, Driver, FrameSource, LensControl,
+    ModeDescriptor, SensorControl, SystemControl, TriggerConfig,
+)
+
+# V4L2 control ids (the reference's hand-defined set,
+# rustcv-backend-v4l2/src/controls.rs:15-26 + sys.rs:443).
+CID_EXPOSURE_AUTO = 0x009A0901      # 1 = manual, 3 = aperture-priority auto
+CID_EXPOSURE_ABSOLUTE = 0x009A0902  # units of 100 µs
+CID_GAIN = 0x00980913
+CID_FOCUS_ABSOLUTE = 0x009A090A
+CID_FOCUS_AUTO = 0x009A090C
+CID_ZOOM_ABSOLUTE = 0x009A090D
+EXPOSURE_MANUAL = 1
+EXPOSURE_APERTURE_PRIORITY = 3
 
 
 def _lib():
@@ -129,7 +143,11 @@ class V4L2Source(FrameSource):
     def start(self) -> None:
         if self._h is None:
             raise CameraError("source closed")
-        self._started = True
+        if not self._started:
+            rc = self._lib.rcv_v4l2_restart(self._h)
+            if rc != 0:
+                raise CameraError(f"V4L2 restart failed on {self._path} (rc={rc})")
+            self._started = True
 
     def stop(self) -> None:
         if self._h is not None and self._started:
@@ -192,6 +210,77 @@ class V4L2Source(FrameSource):
             pass
 
 
+class _V4L2Controls(SensorControl, LensControl, SystemControl):
+    """Real control planes over VIDIOC_S_CTRL/G_CTRL, following the
+    reference's sequences (controls.rs:44-105,125-138): exposure = auto→
+    manual then absolute (100 µs units); focus = autofocus off then
+    absolute; export_state = JSON snapshot of exposure/gain."""
+
+    def __init__(self, source: "V4L2Source"):
+        self._src = source
+
+    def _set(self, cid: int, value: int) -> None:
+        rc = self._src._lib.rcv_v4l2_set_ctrl(self._src._h, cid, int(value))
+        if rc != 0:
+            raise CameraError(f"V4L2 control {cid:#x} set failed (rc={rc})")
+
+    def _get(self, cid: int) -> Optional[int]:
+        out = ctypes.c_int32()
+        rc = self._src._lib.rcv_v4l2_get_ctrl(self._src._h, cid, ctypes.byref(out))
+        return int(out.value) if rc == 0 else None
+
+    # SensorControl (controls.rs:44-60)
+    def set_exposure(self, exposure_us: Optional[int]) -> None:
+        if exposure_us is None:
+            self._set(CID_EXPOSURE_AUTO, EXPOSURE_APERTURE_PRIORITY)
+        else:
+            self._set(CID_EXPOSURE_AUTO, EXPOSURE_MANUAL)
+            self._set(CID_EXPOSURE_ABSOLUTE, max(1, exposure_us // 100))
+
+    def set_gain(self, gain: Optional[float]) -> None:
+        if gain is not None:
+            self._set(CID_GAIN, int(gain))
+
+    # LensControl (controls.rs:84-105)
+    def set_zoom(self, zoom: float) -> None:
+        self._set(CID_ZOOM_ABSOLUTE, int(zoom))
+
+    def set_focus(self, focus: Optional[int]) -> None:
+        if focus is None:
+            self._set(CID_FOCUS_AUTO, 1)
+        else:
+            self._set(CID_FOCUS_AUTO, 0)
+            self._set(CID_FOCUS_ABSOLUTE, focus)
+
+    # SystemControl
+    def force_reset(self) -> None:
+        # The stop→renegotiate→restart path is the recovery mechanism
+        # (mod.rs:115-147); here: STREAMOFF + full re-setup via reopen.
+        self._src.stop()
+        self._src.start()
+
+    def set_trigger(self, config: TriggerConfig) -> None:
+        from ..core.errors import SimulationError
+
+        raise SimulationError("hardware trigger not supported on V4L2 UVC devices")
+
+    def export_state(self) -> dict:
+        # controls.rs:125-138: JSON snapshot of exposure/gain (None when the
+        # device does not expose the control).
+        return {
+            "exposure_auto": self._get(CID_EXPOSURE_AUTO),
+            "exposure_absolute": self._get(CID_EXPOSURE_ABSOLUTE),
+            "gain": self._get(CID_GAIN),
+            "zoom": self._get(CID_ZOOM_ABSOLUTE),
+            "focus": self._get(CID_FOCUS_ABSOLUTE),
+        }
+
+
+def _make_controls(source: "V4L2Source") -> DeviceControls:
+    ctl = _V4L2Controls(source)
+    return DeviceControls(sensor=ctl, lens=ctl, system=ctl)
+
+
 class V4L2Driver(Driver):
     """Driver over ``/dev/video*`` (Stack-A ``V4l2Driver`` semantics)."""
 
@@ -220,7 +309,8 @@ class V4L2Driver(Driver):
             fps=best.fps_options[0], pixel_format=best.pixel_format,
             buffer_count=config.buffer_count,
         )
-        return V4L2Source(device_id, resolved), DeviceControls()
+        src = V4L2Source(device_id, resolved)
+        return src, _make_controls(src)
 
     def open_simple(
         self, device_id: str, config: SimpleConfig
@@ -232,4 +322,5 @@ class V4L2Driver(Driver):
         if not modes:
             raise FormatNotSupported(f"{device_id} exposes no supported formats")
         resolved = resolve(config, modes)
-        return V4L2Source(device_id, resolved), DeviceControls()
+        src = V4L2Source(device_id, resolved)
+        return src, _make_controls(src)

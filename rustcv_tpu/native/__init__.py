@@ -119,6 +119,14 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.rcv_v4l2_dequeue.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(u8p), longp, longp, longp,
     ]
+    lib.rcv_v4l2_set_ctrl.restype = ctypes.c_int
+    lib.rcv_v4l2_set_ctrl.argtypes = [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_int32]
+    lib.rcv_v4l2_get_ctrl.restype = ctypes.c_int
+    lib.rcv_v4l2_get_ctrl.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.rcv_v4l2_restart.restype = ctypes.c_int
+    lib.rcv_v4l2_restart.argtypes = [ctypes.c_void_p]
     lib.rcv_v4l2_stop.restype = ctypes.c_int
     lib.rcv_v4l2_stop.argtypes = [ctypes.c_void_p]
     lib.rcv_v4l2_close.argtypes = [ctypes.c_void_p]

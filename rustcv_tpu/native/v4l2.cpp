@@ -232,6 +232,27 @@ long rcv_v4l2_dequeue(void* h, uint8_t** data, long* bytesused, long* seq,
   return buf.index;
 }
 
+// Generic control plane (VIDIOC_S_CTRL/G_CTRL) — the Python layer maps the
+// reference's CID set (exposure/gain/zoom/focus, controls.rs:15-26).
+int rcv_v4l2_set_ctrl(void* h, uint32_t id, int32_t value) {
+  V4l2Cam* c = (V4l2Cam*)h;
+  v4l2_control ctrl;
+  memset(&ctrl, 0, sizeof(ctrl));
+  ctrl.id = id;
+  ctrl.value = value;
+  return xioctl(c->fd, VIDIOC_S_CTRL, &ctrl) < 0 ? -errno : 0;
+}
+
+int rcv_v4l2_get_ctrl(void* h, uint32_t id, int32_t* value) {
+  V4l2Cam* c = (V4l2Cam*)h;
+  v4l2_control ctrl;
+  memset(&ctrl, 0, sizeof(ctrl));
+  ctrl.id = id;
+  if (xioctl(c->fd, VIDIOC_G_CTRL, &ctrl) < 0) return -errno;
+  *value = ctrl.value;
+  return 0;
+}
+
 int rcv_v4l2_stop(void* h) {
   V4l2Cam* c = (V4l2Cam*)h;
   if (c->streaming) {
@@ -240,6 +261,27 @@ int rcv_v4l2_stop(void* h) {
     c->streaming = false;
     c->pending = -1;
   }
+  return 0;
+}
+
+// Resume after rcv_v4l2_stop: STREAMOFF returned all buffers to userspace,
+// so re-queue the whole ring and STREAMON again.
+int rcv_v4l2_restart(void* h) {
+  V4l2Cam* c = (V4l2Cam*)h;
+  if (c->streaming) return 0;
+  if (c->nbufs == 0) return -2001;  // setup never ran
+  for (int i = 0; i < c->nbufs; ++i) {
+    v4l2_buffer buf;
+    memset(&buf, 0, sizeof(buf));
+    buf.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
+    buf.memory = V4L2_MEMORY_MMAP;
+    buf.index = (uint32_t)i;
+    if (xioctl(c->fd, VIDIOC_QBUF, &buf) < 0) return -errno;
+  }
+  v4l2_buf_type type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
+  if (xioctl(c->fd, VIDIOC_STREAMON, &type) < 0) return -errno;
+  c->streaming = true;
+  c->pending = -1;
   return 0;
 }
 
@@ -269,6 +311,9 @@ int rcv_v4l2_setup(void*, uint32_t, int, int, int, int, uint32_t*, int*, int*,
   return -1;
 }
 long rcv_v4l2_dequeue(void*, uint8_t**, long*, long*, long*) { return -1; }
+int rcv_v4l2_set_ctrl(void*, uint32_t, int32_t) { return -1; }
+int rcv_v4l2_get_ctrl(void*, uint32_t, int32_t*) { return -1; }
+int rcv_v4l2_restart(void*) { return -1; }
 int rcv_v4l2_stop(void*) { return -1; }
 void rcv_v4l2_close(void*) {}
 }

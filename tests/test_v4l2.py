@@ -69,3 +69,44 @@ def test_live_capture_zero_copy():
         assert not np.shares_memory(np.empty(1), d1)  # trivially true; keeps d1 alive
     finally:
         src.close()
+
+
+def test_controls_trigger_unsupported():
+    """UVC devices have no hardware trigger; the reference's V4L2 backend
+    rejects it the same way (stream.rs:105-110 semantics)."""
+    from rustcv_tpu.capture.v4l2 import _V4L2Controls
+    from rustcv_tpu.core.errors import SimulationError
+
+    ctl = _V4L2Controls(None)  # set_trigger never touches the source
+    with pytest.raises(SimulationError):
+        ctl.set_trigger(None)
+
+
+@pytest.mark.skipif(
+    not __import__("glob").glob("/dev/video*"), reason="no V4L2 camera on this host"
+)
+def test_live_controls_and_restart():
+    """Hardware-gated: real exposure/zoom controls + stop/start resume."""
+    from rustcv_tpu.capture.v4l2 import V4L2Driver
+
+    drv = V4L2Driver()
+    devs = drv.list_devices()
+    if not devs:
+        pytest.skip("video nodes exist but none are capture devices")
+    src, ctl = drv.open_simple(devs[0].id, SimpleConfig(width=640, height=480))
+    try:
+        assert ctl.sensor is not None and ctl.system is not None
+        state = ctl.system.export_state()
+        assert isinstance(state, dict) and "exposure_auto" in state
+        try:
+            ctl.sensor.set_exposure(10_000)
+            ctl.sensor.set_exposure(None)
+        except CameraError:
+            pass  # device may not expose manual exposure — rejection is clean
+        src.next_frame()
+        src.stop()
+        src.start()  # restart re-queues the ring + STREAMON
+        f = src.next_frame()
+        assert f.data.size > 0
+    finally:
+        src.close()
