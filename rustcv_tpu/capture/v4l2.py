@@ -126,6 +126,10 @@ class V4L2Source(FrameSource):
             raise CameraError(f"V4L2 setup failed on {path} (rc={rc})")
         fmt = from_fourcc(FourCC(got_fcc.value))
         if fmt == PixelFormat.OTHER:
+            # Close before raising: STREAMON already ran, so leaking the
+            # handle would keep the camera busy (EBUSY for every later open).
+            lib.rcv_v4l2_close(self._h)
+            self._h = None
             raise FormatNotSupported(f"driver applied unknown fourcc {got_fcc.value:#x}")
         # The driver may adjust geometry: the RESOLVED config is what it did.
         self._cfg = ResolvedConfig(
@@ -219,14 +223,20 @@ class _V4L2Controls(SensorControl, LensControl, SystemControl):
     def __init__(self, source: "V4L2Source"):
         self._src = source
 
+    def _handle(self):
+        h = self._src._h
+        if h is None:  # guard: a NULL handle would segfault in C
+            raise CameraError("V4L2 source is closed")
+        return h
+
     def _set(self, cid: int, value: int) -> None:
-        rc = self._src._lib.rcv_v4l2_set_ctrl(self._src._h, cid, int(value))
+        rc = self._src._lib.rcv_v4l2_set_ctrl(self._handle(), cid, int(value))
         if rc != 0:
             raise CameraError(f"V4L2 control {cid:#x} set failed (rc={rc})")
 
     def _get(self, cid: int) -> Optional[int]:
         out = ctypes.c_int32()
-        rc = self._src._lib.rcv_v4l2_get_ctrl(self._src._h, cid, ctypes.byref(out))
+        rc = self._src._lib.rcv_v4l2_get_ctrl(self._handle(), cid, ctypes.byref(out))
         return int(out.value) if rc == 0 else None
 
     # SensorControl (controls.rs:44-60)

@@ -184,10 +184,12 @@ def wait_key(delay_ms: int = 0) -> int:
 
 
 def destroy_window(winname: str) -> None:
+    global _gui
     with _lock:
         _windows.pop(winname, None)
         if _gui and _gui.name == winname:
             _gui.close()
+            _gui = None  # stale handle would crash the next poll/show
 
 
 def destroy_all_windows() -> None:

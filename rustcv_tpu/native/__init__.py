@@ -176,6 +176,18 @@ def build_error() -> Optional[str]:
 # ---------------------------------------------------------------------------
 
 
+
+def _as_u8_buf(data: "np.ndarray | bytes") -> np.ndarray:
+    """Flat uint8 view of frame bytes — zero-copy for the common case (a
+    contiguous uint8 ndarray, e.g. a ring/mmap view on the per-tick hot
+    path); only non-array or non-contiguous inputs are copied."""
+    if isinstance(data, np.ndarray):
+        if data.dtype == np.uint8 and data.flags.c_contiguous:
+            return data.reshape(-1)
+        return np.ascontiguousarray(data).reshape(-1).view(np.uint8)
+    return np.frombuffer(bytes(data), np.uint8)
+
+
 def _u8p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
@@ -226,10 +238,7 @@ def jpeg_decode_pitched(
         raise RuntimeError("native libjpeg host decode unavailable")
     if out.dtype != np.uint8 or out.ndim != 2 or out.strides[1] != 1:
         raise ValueError("out must be a 2-D uint8 row-contiguous buffer")
-    buf = np.frombuffer(
-        bytes(data) if isinstance(data, (bytes, bytearray)) else data.tobytes(),
-        np.uint8,
-    )
+    buf = _as_u8_buf(data)
     w = ctypes.c_int()
     h = ctypes.c_int()
     rc = lib.rcv_jpeg_decode_pitched(
@@ -257,7 +266,7 @@ def jpeg_entropy_decode(data: "np.ndarray | bytes"):
     lib = get_lib()
     if lib is None:
         raise RuntimeError(f"native library unavailable: {_build_error}")
-    buf = np.frombuffer(bytes(data) if isinstance(data, (bytes, bytearray)) else data.tobytes(), np.uint8)
+    buf = _as_u8_buf(data)
     w = ctypes.c_int()
     h = ctypes.c_int()
     nc = ctypes.c_int()
@@ -312,10 +321,7 @@ def jpeg_entropy_info(data: "np.ndarray | bytes") -> dict:
     lib = get_lib()
     if lib is None:
         raise RuntimeError(f"native library unavailable: {_build_error}")
-    buf = np.frombuffer(
-        bytes(data) if isinstance(data, (bytes, bytearray)) else data.tobytes(),
-        np.uint8,
-    )
+    buf = _as_u8_buf(data)
     w = ctypes.c_int(); h = ctypes.c_int(); nc = ctypes.c_int()  # noqa: E702
     hs = (ctypes.c_int * 3)(); vs = (ctypes.c_int * 3)()  # noqa: E702
     bw = (ctypes.c_int * 3)(); bh = (ctypes.c_int * 3)()  # noqa: E702
@@ -348,10 +354,7 @@ def jpeg_entropy_decode_packed(data: "np.ndarray | bytes", capacity: int):
     if lib is None:
         raise RuntimeError(f"native library unavailable: {_build_error}")
     info = jpeg_entropy_info(data)
-    buf = np.frombuffer(
-        bytes(data) if isinstance(data, (bytes, bytearray)) else data.tobytes(),
-        np.uint8,
-    )
+    buf = _as_u8_buf(data)
     pos = np.zeros(capacity, np.int32)
     val = np.zeros(capacity, np.int16)
     qs = [np.zeros(64, np.uint16) for _ in range(3)]
@@ -404,10 +407,7 @@ def jpeg_entropy_decode_blockpacked(
         raise RuntimeError(f"native library unavailable: {_build_error}")
     info = jpeg_entropy_info(data)
     nblocks = sum(bh * bw for bh, bw in info["blocks"])
-    buf = np.frombuffer(
-        bytes(data) if isinstance(data, (bytes, bytearray)) else data.tobytes(),
-        np.uint8,
-    )
+    buf = _as_u8_buf(data)
     idx = out_idx if out_idx is not None else np.zeros((nblocks, k), np.uint8)
     val = out_val if out_val is not None else np.zeros((nblocks, k), np.int16)
     dense_ids = (

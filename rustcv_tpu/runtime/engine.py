@@ -394,27 +394,49 @@ class MultiStreamEngine:
         dense_rows_st[i, : busy.size] = blocks[busy]
         return True
 
-    def _gather_row_hybrid(self, i, staging, dense_bufs, seqs, dense_flags):
+    def _gather_row_hybrid(
+        self, i, staging, prev_staging, dense_bufs, seqs, dense_flags
+    ):
         """Block-packed entropy decode for stream i; frames whose overflow
-        exceeds capacity dense-decode instead and flag the tick."""
+        exceeds capacity dense-decode instead and flag the tick. Per-stream
+        fault containment like the raw path: capture/decode errors reuse the
+        previous tick's packed rows (seq=-1 sentinel, error counted) instead
+        of killing the whole batched tick."""
         from .. import native as _native
 
         idx_st, val_st, dense_ids_st, dense_rows_st = staging
-        frame = self._sources[i].next_frame()
-        seqs[i] = frame.sequence
-        r = _native.jpeg_entropy_decode_blockpacked(
-            frame.data, self._packed_k, self._dense_cap,
-            out_idx=idx_st[i], out_val=val_st[i],
-            out_dense_ids=dense_ids_st[i], out_dense_rows=dense_rows_st[i],
-        )
-        if r is None:  # busy blocks over capacity — decode dense, same bytes
-            info, coeffs, _qts = _native.jpeg_entropy_decode(frame.data)
-            self._check_geometry(i, info)
-            for c in range(3):
-                dense_bufs[c][i] = coeffs[c]
-            dense_flags[i] = True
-            return
-        self._check_geometry(i, r[0])
+        try:
+            frame = self._sources[i].next_frame()
+            seqs[i] = frame.sequence
+            try:
+                r = _native.jpeg_entropy_decode_blockpacked(
+                    frame.data, self._packed_k, self._dense_cap,
+                    out_idx=idx_st[i], out_val=val_st[i],
+                    out_dense_ids=dense_ids_st[i], out_dense_rows=dense_rows_st[i],
+                )
+            except ValueError as e:  # corrupt frame → taxonomy
+                raise DecodeError(str(e)) from e
+            if r is None:  # busy blocks over capacity — decode dense, same bytes
+                try:
+                    info, coeffs, _qts = _native.jpeg_entropy_decode(frame.data)
+                except ValueError as e:
+                    raise DecodeError(str(e)) from e
+                self._check_geometry(i, info)
+                for c in range(3):
+                    dense_bufs[c][i] = coeffs[c]
+                dense_flags[i] = True
+                return
+            self._check_geometry(i, r[0])
+        except CameraError as e:
+            self.stream_errors[i] += 1
+            seqs[i] = -1
+            for cur, prev in zip(staging, prev_staging):
+                cur[i] = prev[i]  # last good packed rows
+            from ..utils import get_logger
+
+            get_logger().warning(
+                "stream %d hybrid capture failed (reusing last frame): %s", i, e
+            )
 
     def _check_geometry(self, i: int, info: dict) -> None:
         if (info["width"], info["height"]) != (
@@ -439,6 +461,7 @@ class MultiStreamEngine:
             seed = coeffs0
             first_rest = 1
         staging = self._packed_staging[self._staging_idx]
+        prev_staging = self._packed_staging[self._staging_idx ^ 1]
         dense_bufs = self._coeff_staging[self._staging_idx]
         self._staging_idx ^= 1
         dense_flags = np.zeros(self.n, bool)
@@ -449,8 +472,8 @@ class MultiStreamEngine:
                 dense_flags[0] = True
         futs = [
             self._pool.submit(
-                self._gather_row_hybrid, i, staging, dense_bufs, seqs,
-                dense_flags,
+                self._gather_row_hybrid, i, staging, prev_staging, dense_bufs,
+                seqs, dense_flags,
             )
             for i in range(first_rest, self.n)
         ]
@@ -650,7 +673,7 @@ class MultiStreamEngine:
         # overlaps tick k's H2D upload and device compute (the host-side
         # analog of double-buffered DMA; SURVEY §2.7). Latency mode stays
         # strictly sequential — it measures the full per-tick path.
-        prefetch = not measure_latency and not self._device_sim
+        prefetch = not measure_latency and not self._device_sim and n_ticks > 0
         if prefetch and getattr(self, "_prefetch_pool", None) is None:
             self._prefetch_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="rustcv-prefetch"

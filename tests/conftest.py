@@ -7,6 +7,11 @@ set before jax is imported anywhere.
 
 import os
 
+# Tests must not pop OS windows or couple to the window system: force the
+# headless highgui sink regardless of DISPLAY. The dedicated GUI test
+# re-enables the SDL path in a subprocess with RUSTCV_GUI=dummy.
+os.environ["RUSTCV_GUI"] = "0"
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

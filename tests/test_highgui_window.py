@@ -60,11 +60,12 @@ def test_sdl_dummy_window_end_to_end():
 
 
 def test_headless_sink_unchanged():
-    """Without DISPLAY/RUSTCV_GUI the sink path is untouched."""
+    """With the GUI forced off (conftest sets RUSTCV_GUI=0) the sink path is
+    untouched regardless of DISPLAY."""
     from rustcv_tpu import highgui
     from rustcv_tpu.core.mat import Mat
 
-    assert os.environ.get("DISPLAY") in (None, "")
+    assert not highgui._gui_wanted()
     m = Mat.from_array(np.ones((8, 8, 3), np.uint8))
     highgui.imshow("sink", m)
     assert highgui.get_window_frame("sink").shape == (8, 8, 3)

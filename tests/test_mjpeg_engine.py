@@ -215,3 +215,50 @@ class TestPackedHybrid:
         want = eng2.tick(block=True).numpy("bgr")
         np.testing.assert_array_equal(mixed, want)
         eng.close(); eng2.close()
+
+
+def test_hybrid_stream_fault_contained(jax_cpu):
+    """A failing source (or corrupt JPEG) in hybrid mode degrades ONE stream
+    (seq=-1, last packed rows reused) — it must not kill the batched tick
+    or leak non-CameraError exceptions (round-2 review finding)."""
+    from rustcv_tpu.core import CameraError
+
+    cfg = SimpleConfig(width=128, height=96, fps=30, pixel_format=PixelFormat.MJPEG)
+    eng = MultiStreamEngine(
+        SimulationDriver(paced=False), 2, cfg, mjpeg_backend="hybrid"
+    )
+    r1 = eng.tick(block=True)
+
+    src = eng._sources[1]
+
+    class Corrupt:
+        def __getattr__(s, k):
+            return getattr(src, k)
+
+        def next_frame(s):
+            f = src.next_frame()
+            d = np.array(f.data)
+            d[30:] = 0xFF  # trash the scan → DecodeError inside the gather
+            from types import SimpleNamespace
+
+            return SimpleNamespace(sequence=f.sequence, data=d)
+
+    eng._sources[1] = Corrupt()
+    r2 = eng.tick(block=True)
+    assert r2.sequences[1] == -1 and eng.stream_errors[1] == 1
+    # stream 1 reused its last good packed rows → same pixels as tick 1
+    np.testing.assert_array_equal(r2.numpy("bgr")[1], r1.numpy("bgr")[1])
+    # stream 0 advanced normally
+    assert r2.sequences[0] == 1
+
+    class Dead:
+        def __getattr__(s, k):
+            return getattr(src, k)
+
+        def next_frame(s):
+            raise CameraError("device unplugged")
+
+    eng._sources[1] = Dead()
+    r3 = eng.tick(block=True)
+    assert r3.sequences[1] == -1 and eng.stream_errors[1] == 2
+    eng.close()
