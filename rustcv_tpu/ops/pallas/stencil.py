@@ -44,6 +44,18 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _clamp_tile_rows(tile_rows: int, h: int, wp: int) -> int:
+    """Largest safe tile height (multiple of 8) for this padded width.
+
+    Peak scoped VMEM ≈ 24 bytes/row/lane-column (measured: th=256 at
+    wp=3968 allocates 24.55 MB ≈ 95 KB/row against the 16 MB limit — the
+    int32 blur/Sobel intermediates dominate). Clamping here turns a
+    compile-time VMEM OOM on wide images into a working smaller tile."""
+    budget_rows = max(8, (15_000_000 // (24 * wp)) // 8 * 8)
+    th = min(_round_up(tile_rows, 8), _round_up(h, 8), budget_rows)
+    return th
+
+
 def _taps_h(a, weights, width, start):
     acc = None
     for k, w in enumerate(weights):
@@ -137,7 +149,7 @@ def blur_sobel_mag_pallas(gray: jax.Array, tile_rows: int = 128) -> jax.Array:
         gray = gray[None]
     n, h, w = gray.shape
     # Mosaic requires output block rows ≡ 0 (mod 8) (or the full dim).
-    th = min(_round_up(tile_rows, 8), _round_up(h, 8))
+    th = _clamp_tile_rows(tile_rows, h, _round_up(w + 2 * GAUSS_R, 128))
     n_tiles = -(-h // th)
     h_pad = n_tiles * th
     rem = h - (n_tiles - 1) * th  # valid rows in the last tile (static)

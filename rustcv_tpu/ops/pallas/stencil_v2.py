@@ -20,7 +20,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stencil import GAUSS_R, RPAD, _G5, _interpret, _round_up, _taps_h, _taps_v
+from .stencil import _clamp_tile_rows, GAUSS_R, RPAD, _G5, _interpret, _round_up, _taps_h, _taps_v
 
 HSTRIP = 8  # halo strip rows (Mosaic block sublane granularity)
 
@@ -67,7 +67,8 @@ def blur_sobel_mag_pallas_v2(gray: jax.Array, tile_rows: int = 128) -> jax.Array
     if squeeze:
         gray = gray[None]
     n, h, w = gray.shape
-    th = min(_round_up(tile_rows, 8), _round_up(h, 8))
+    wp_est = _round_up(w + 2 * GAUSS_R, 128)
+    th = _clamp_tile_rows(tile_rows, h, wp_est)
     n_tiles = -(-h // th)
     h_pad = n_tiles * th
     rem = h - (n_tiles - 1) * th
