@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stencil import _clamp_tile_rows, GAUSS_R, HALO, RPAD, _G5, _interpret, _round_up, _taps_h, _taps_v
+from .stencil import _clamp_tile_rows, GAUSS_R, RPAD, _G5, _interpret, _round_up, _taps_h, _taps_v
 
 HSTRIP = 8  # bottom halo strip rows (Mosaic block sublane granularity)
 

@@ -118,6 +118,12 @@ def _build(spec: PipelineSpec):
         # Upsampling factors from plane shape ratios (static).
         fy = planes[0].shape[-2] // planes[1].shape[-2]
         fx = planes[0].shape[-1] // planes[1].shape[-1]
+        # NOTE (measured r2): a pair-form fused upsample+color (all math at
+        # half-width, u16 word interleaves) was bit-exact and looked 2×
+        # faster in an isolated stage probe, but REGRESSED the composed
+        # pipeline 8.2 → 18.1 ms/tick at 8×1080p→640×480 — XLA fuses these
+        # generic interleaves with the color+resize consumers better than
+        # the bitcast form. Reverted; measure composed, not stages.
         cb = jpeg_tpu.upsample(planes[1], fx, fy)[..., :h, :w]
         cr = jpeg_tpu.upsample(planes[2], fx, fy)[..., :h, :w]
         return jpeg_tpu.ycbcr_to_bgr(planes[0][..., :h, :w], cb, cr)
