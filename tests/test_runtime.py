@@ -254,3 +254,39 @@ class TestCannyFilter:
         want = golden.canny(gray)
         np.testing.assert_array_equal(np.asarray(res.outputs["filtered"])[0], want)
         eng.close()
+
+
+class TestSpatialParallel:
+    """Row-band spatial sharding: ppermute halo exchange, bit-exact with the
+    golden chain incl. the two-stage global border rule."""
+
+    def test_spatial_blur_sobel_bit_exact(self, rng, jax_cpu):
+        from rustcv_tpu.parallel import blur_sobel_mag_spatial, stream_mesh
+
+        mesh = stream_mesh(axis="rows")
+        for shape in ((2, 64, 96), (1, 1080, 256), (3, 48, 64)):
+            g = rng.integers(0, 256, shape, dtype=np.uint8)
+            got = np.asarray(blur_sobel_mag_spatial(jax_cpu.numpy.asarray(g), mesh))
+            want = np.stack([
+                golden.gradient_magnitude_u8(*golden.sobel3_gray(golden.gaussian5_u8(x)))
+                for x in g
+            ])
+            np.testing.assert_array_equal(got, want, err_msg=str(shape))
+
+    def test_spatial_rejects_tiny_bands(self, rng, jax_cpu):
+        from rustcv_tpu.parallel import blur_sobel_mag_spatial, stream_mesh
+
+        mesh = stream_mesh(axis="rows")
+        g = rng.integers(0, 256, (1, 8, 128), dtype=np.uint8)  # 1-row bands
+        with pytest.raises(ValueError):
+            blur_sobel_mag_spatial(jax_cpu.numpy.asarray(g), mesh)
+        with pytest.raises(ValueError):  # indivisible height
+            blur_sobel_mag_spatial(jax_cpu.numpy.asarray(g[:, :7]), mesh)
+
+    def test_spatial_output_stays_sharded(self, rng, jax_cpu):
+        from rustcv_tpu.parallel import blur_sobel_mag_spatial, stream_mesh
+
+        mesh = stream_mesh(axis="rows")
+        g = jax_cpu.numpy.asarray(rng.integers(0, 256, (1, 64, 128), np.uint8))
+        out = blur_sobel_mag_spatial(g, mesh)
+        assert len(out.sharding.device_set) == mesh.devices.size
