@@ -79,3 +79,9 @@ class TestExamples:
         run_independent(2)
         out = capsys.readouterr().out
         assert "batched mode" in out and "independent mode" in out
+
+
+def test_spatial_parallel_example(jax_cpu):
+    from examples.spatial_parallel import main
+
+    main()  # asserts bit-exactness internally on the 8-device mesh
