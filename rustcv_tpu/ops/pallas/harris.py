@@ -145,7 +145,14 @@ def harris_response_pallas(
     if squeeze:
         gray = gray[None]
     n, h, w = gray.shape
-    th = min(_round_up(tile_rows, 8), _round_up(h, 8))
+    # VMEM-aware clamp like the blur/Sobel kernels, with a fatter per-row
+    # cost (three extra f32 scratch planes + wider int32/f32 intermediates:
+    # ~60 B/row/lane-column — measured 17.98 MB at an 88-row tile, wp 3968).
+    wp0 = _round_up(w + 2 * HALO, 128)
+    th = min(
+        _round_up(tile_rows, 8), _round_up(h, 8),
+        max(8, (15_000_000 // (60 * wp0)) // 8 * 8),
+    )
     n_tiles = -(-h // th)
     h_pad = n_tiles * th
     rem = h - (n_tiles - 1) * th

@@ -149,11 +149,11 @@ def blur_sobel_mag_pallas(gray: jax.Array, tile_rows: int = 128) -> jax.Array:
         gray = gray[None]
     n, h, w = gray.shape
     # Mosaic requires output block rows ≡ 0 (mod 8) (or the full dim).
-    th = _clamp_tile_rows(tile_rows, h, _round_up(w + 2 * GAUSS_R, 128))
+    wp = _round_up(w + 2 * GAUSS_R, 128)
+    th = _clamp_tile_rows(tile_rows, h, wp)
     n_tiles = -(-h // th)
     h_pad = n_tiles * th
     rem = h - (n_tiles - 1) * th  # valid rows in the last tile (static)
-    wp = _round_up(w + 2 * GAUSS_R, 128)
     # Replicate-pad: rows by HALO each side plus the ceil-tiling remainder at
     # the bottom (those extra output rows are garbage and cropped); cols by
     # GAUSS_R, then zeros to lane alignment. The through-padding edge-center

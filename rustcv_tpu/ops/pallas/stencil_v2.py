@@ -67,12 +67,11 @@ def blur_sobel_mag_pallas_v2(gray: jax.Array, tile_rows: int = 128) -> jax.Array
     if squeeze:
         gray = gray[None]
     n, h, w = gray.shape
-    wp_est = _round_up(w + 2 * GAUSS_R, 128)
-    th = _clamp_tile_rows(tile_rows, h, wp_est)
+    wp = _round_up(w + 2 * GAUSS_R, 128)
+    th = _clamp_tile_rows(tile_rows, h, wp)
     n_tiles = -(-h // th)
     h_pad = n_tiles * th
     rem = h - (n_tiles - 1) * th
-    wp = _round_up(w + 2 * GAUSS_R, 128)
     padded = jnp.pad(
         gray,
         [(0, 0), (RPAD, RPAD + (h_pad - h)), (GAUSS_R, wp - w - GAUSS_R)],

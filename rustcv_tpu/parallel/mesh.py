@@ -18,6 +18,11 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover — older jax
+    from jax.experimental.shard_map import shard_map
+
 
 def stream_mesh(devices: Optional[Sequence] = None, axis: str = "stream") -> Mesh:
     """A 1-D mesh over ``devices`` (default: all) named for the stream axis."""
@@ -45,11 +50,6 @@ def corner_counts_psum(corner_mask, mesh: Mesh):
     Runs under ``shard_map`` so the per-chip partial sums reduce over ICI
     with a single ``psum``.
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover — older jax
-        from jax.experimental.shard_map import shard_map
-
     axis = mesh.axis_names[0]
 
     def local(m):

@@ -17,19 +17,14 @@ result equals the single-device kernel exactly, tested on the virtual mesh.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:
-    from jax import shard_map
-except ImportError:  # pragma: no cover — older jax
-    from jax.experimental.shard_map import shard_map
-
-_G5 = (1, 4, 6, 4, 1)
-HALO = 3  # 2 (Gaussian) + 1 (Sobel)
+from ..ops.pallas.stencil import HALO, _G5  # one source of truth for radii
+from .mesh import shard_map
 
 
 def _taps(a, weights, axis, start, size):
@@ -92,17 +87,37 @@ def _band_blur_sobel(g, axis_name: str, n_dev: int):
     return jnp.minimum(s, 255).astype(jnp.uint8)
 
 
+@lru_cache(maxsize=8)
+def _spatial_fn(mesh: Mesh, axis: str, n_dev: int):
+    """Cached jitted shard_map program per (mesh, axis) — rebuilding the
+    shard_map wrapper per call re-traced eagerly (~127 XLA compilations per
+    warm call, measured); the jit wrapper compiles once per input shape."""
+    return jax.jit(
+        shard_map(
+            partial(_band_blur_sobel, axis_name=axis, n_dev=n_dev),
+            mesh=mesh,
+            in_specs=P(None, axis, None),
+            out_specs=P(None, axis, None),
+        )
+    )
+
+
 def blur_sobel_mag_spatial(gray: jax.Array, mesh: Mesh) -> jax.Array:
     """Fused Gaussian5+Sobel+|∇| with the ROW axis sharded across the mesh.
 
-    ``gray``: u8 [N, H, W] (or [H, W]); H must divide evenly by the mesh
-    size. Bit-exact with the single-device golden chain.
+    ``gray``: u8 [N, H, W] (or [H, W]); H must divide evenly by the (1-D)
+    mesh size and each band must be at least HALO rows. Bit-exact with the
+    single-device golden chain.
     """
     squeeze = gray.ndim == 2
     if squeeze:
         gray = gray[None]
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"spatial sharding expects a 1-D mesh, got axes {mesh.axis_names}"
+        )
     axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
+    n_dev = int(mesh.shape[axis])
     if gray.shape[-2] % n_dev != 0:
         raise ValueError(
             f"H={gray.shape[-2]} must divide evenly over {n_dev} devices"
@@ -112,11 +127,5 @@ def blur_sobel_mag_spatial(gray: jax.Array, mesh: Mesh) -> jax.Array:
             f"band height {gray.shape[-2] // n_dev} < halo {HALO}: use fewer "
             "devices for this image height"
         )
-    fn = shard_map(
-        partial(_band_blur_sobel, axis_name=axis, n_dev=n_dev),
-        mesh=mesh,
-        in_specs=P(None, axis, None),
-        out_specs=P(None, axis, None),
-    )
-    out = fn(gray)
+    out = _spatial_fn(mesh, axis, n_dev)(gray)
     return out[0] if squeeze else out

@@ -277,6 +277,8 @@ class TestSpatialParallel:
         from rustcv_tpu.parallel import blur_sobel_mag_spatial, stream_mesh
 
         mesh = stream_mesh(axis="rows")
+        if mesh.devices.size == 1:
+            pytest.skip("band/divisibility constraints are vacuous on 1 device")
         g = rng.integers(0, 256, (1, 8, 128), dtype=np.uint8)  # 1-row bands
         with pytest.raises(ValueError):
             blur_sobel_mag_spatial(jax_cpu.numpy.asarray(g), mesh)
