@@ -262,3 +262,30 @@ def test_hybrid_stream_fault_contained(jax_cpu):
     r3 = eng.tick(block=True)
     assert r3.sequences[1] == -1 and eng.stream_errors[1] == 2
     eng.close()
+
+
+def test_hybrid_packed_on_mesh(jax_cpu):
+    """Block-packed hybrid MJPEG sharded over the stream mesh: the packed
+    staging arrays (idx/val/dense rows) ride the same NamedSharding as raw
+    staging; frames must match the meshless engine bit-for-bit."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (virtual CPU mesh)")
+    from rustcv_tpu.parallel import stream_mesh
+
+    cfg = SimpleConfig(width=128, height=96, fps=30, pixel_format=PixelFormat.MJPEG)
+    mesh = stream_mesh()
+    eng_m = MultiStreamEngine(
+        SimulationDriver(paced=False), 8, cfg, mjpeg_backend="hybrid", mesh=mesh
+    )
+    r_m = eng_m.tick(block=True)
+    assert len(r_m.outputs["bgr"].sharding.device_set) == 8
+    eng_m.close()
+
+    eng_s = MultiStreamEngine(
+        SimulationDriver(paced=False), 8, cfg, mjpeg_backend="hybrid"
+    )
+    r_s = eng_s.tick(block=True)
+    eng_s.close()
+    np.testing.assert_array_equal(r_m.numpy("bgr"), r_s.numpy("bgr"))
