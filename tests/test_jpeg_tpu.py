@@ -100,3 +100,37 @@ class TestHybridReconstruction:
             got = np.asarray(decode_jpeg_tpu(data)).astype(np.int32)
             errs.append(np.abs(got - bgr).mean())
         assert errs[0] >= errs[1] >= errs[2]
+
+
+class TestChromaSubsamplings:
+    """Real UVC cameras commonly emit 4:2:2 MJPEG (the simulation encodes
+    4:2:0); the hybrid reconstruction must handle 4:2:2 (h2v1 fancy) and
+    4:4:4 (no upsampling) too."""
+
+    @pytest.mark.parametrize("subsampling,name", [(0, "444"), (1, "422"), (2, "420")])
+    def test_hybrid_matches_oracle(self, jax_cpu, subsampling, name):
+        import io
+
+        from PIL import Image
+
+        from rustcv_tpu.capture.simulation import synth_bgr
+        from rustcv_tpu.ops.jpeg_tpu import decode_jpeg_numpy, decode_jpeg_tpu
+
+        bgr = synth_bgr(96, 64, 3)
+        buf = io.BytesIO()
+        Image.fromarray(bgr[..., ::-1]).save(
+            buf, format="JPEG", quality=88, subsampling=subsampling
+        )
+        data = buf.getvalue()
+        got = np.asarray(decode_jpeg_tpu(data))
+        want = decode_jpeg_numpy(data)
+        # f32-vs-f64 IDCT rounding is ≤1 LSB per sample, but an off-by-one
+        # Y can amplify to 2 through the color round — rare (<1% of
+        # pixels), all subsamplings. Documented device-vs-oracle tolerance.
+        d = np.abs(got.astype(int) - want.astype(int))
+        assert d.max() <= 2, name
+        assert (d > 1).mean() < 0.01, name
+        # and the device path tracks the full-host libjpeg decode closely
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))[..., ::-1]
+        diff = np.abs(got.astype(int) - pil.astype(int))
+        assert np.percentile(diff, 99) <= 2 and diff.mean() < 1.0, name
