@@ -58,7 +58,11 @@ def main() -> None:
     ]  # [N, bh, bw, 8, 8] i16
     geom = tuple((c.shape[1], c.shape[2]) for c in coeffs)
     total = sum(bh * bw * 64 for bh, bw in geom)
-    packed = [native.jpeg_entropy_decode_packed(j, capacity=total // 3) for j in jpgs]
+    packed = [
+        native.jpeg_entropy_decode_packed(j, capacity=total // 3)
+        or native.jpeg_entropy_decode_packed(j, capacity=total)
+        for j in jpgs
+    ]
     nnz = [p[3] for p in packed]
 
     # Block-packed (the production packed path): K slots/block + overflow,

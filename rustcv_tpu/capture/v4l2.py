@@ -179,7 +179,9 @@ class V4L2Source(FrameSource):
         )
         if slot < 0:
             raise CameraError(f"DQBUF failed on {self._path} (rc={slot})")
-        view = np.ctypeslib.as_array(data, shape=(used.value,))
+        raw_view = np.ctypeslib.as_array(data, shape=(used.value,))
+        view = self._compact_rows(raw_view)
+        stride = self._stride if view is raw_view and self._stride else None
         if self._first_seq is None:
             self._first_seq = int(seq.value)
         self._last_seq = int(seq.value)
@@ -188,11 +190,39 @@ class V4L2Source(FrameSource):
             view, self._cfg.width, self._cfg.height, self._cfg.pixel_format,
             int(seq.value),
             Timestamp(int(ts.value), self._clock.correct(int(ts.value))),
-            stride=self._stride if self._stride else None,
+            stride=stride,
             metadata=FrameMetadata(),
         )
         self._prev_frame = frame
         return frame
+
+    def _compact_rows(self, view: np.ndarray) -> np.ndarray:
+        """De-stride padded rows: some drivers align bytesperline (e.g. to
+        64 B), but every decoder here assumes packed rows. Packed-format
+        frames with stride padding are compacted (one copy — padding makes
+        zero-copy impossible anyway); exactly-packed frames stay zero-copy.
+        MJPEG is a byte stream (no rows); padded PLANAR frames are rejected
+        (per-plane pitches are driver-specific)."""
+        fmt = self._cfg.pixel_format
+        if fmt == PixelFormat.MJPEG or not self._stride:
+            return view
+        h, w = self._cfg.height, self._cfg.width
+        expected = fmt.buffer_size(w, h)
+        if view.size == expected:
+            return view  # packed already (stride == row bytes)
+        if fmt in (PixelFormat.NV12, PixelFormat.YV12):
+            raise CameraError(
+                f"padded stride {self._stride} unsupported for planar {fmt}"
+            )
+        if view.size != self._stride * h:
+            raise CameraError(
+                f"frame bytes {view.size} inconsistent with stride "
+                f"{self._stride} × {h} rows on {self._path}"
+            )
+        row_bytes = expected // h
+        return np.ascontiguousarray(
+            view[: self._stride * h].reshape(h, self._stride)[:, :row_bytes]
+        ).reshape(-1)
 
     def telemetry(self) -> DeviceTelemetry:
         t = DeviceTelemetry()
@@ -264,8 +294,10 @@ class _V4L2Controls(SensorControl, LensControl, SystemControl):
 
     # SystemControl
     def force_reset(self) -> None:
-        # The stop→renegotiate→restart path is the recovery mechanism
-        # (mod.rs:115-147); here: STREAMOFF + full re-setup via reopen.
+        """STREAMOFF → re-queue the whole ring → STREAMON on the same fd
+        (clears wedged queues/sequence state). Faults that need full
+        renegotiation (S_FMT/REQBUFS) go through the facade's
+        stop→reopen path instead (mod.rs:115-147 semantics)."""
         self._src.stop()
         self._src.start()
 
@@ -300,9 +332,14 @@ class V4L2Driver(Driver):
         out = []
         for path in list_video_devices():
             try:
-                enumerate_modes(path)
+                modes = enumerate_modes(path)
             except CameraError:
                 continue  # metadata/output nodes etc.
+            if not any(m.pixel_format != PixelFormat.OTHER for m in modes):
+                # Stepwise/continuous-only or idle loopback nodes enumerate
+                # zero usable discrete modes — opening them can never work,
+                # and listing them would steal the default from simulation.
+                continue
             out.append(DeviceInfo(id=path, name=path, driver="v4l2"))
         return out
 

@@ -167,7 +167,16 @@ class VideoCapture:
             elif isinstance(cmd, _SetResolution):
                 try:
                     if source is not None:
-                        source.stop()
+                        # Fully RELEASE the old source before reopening: real
+                        # V4L2 devices are exclusive — STREAMOFF alone keeps
+                        # the fd + mmap ring owned, so the reopen would EBUSY
+                        # forever (stop→drop→reopen, mod.rs:115-147).
+                        if hasattr(source, "close"):
+                            source.close()
+                        else:
+                            source.stop()
+                        source = None
+                        _controls = None
                     cfg = CameraConfig().resolution(
                         cmd.width, cmd.height, Priority.REQUIRED
                     )

@@ -418,7 +418,14 @@ def jpeg_entropy_decode_blockpacked(
         if out_dense_rows is not None
         else np.zeros((dense_cap, 64), np.int16)
     )
-    assert idx.shape == (nblocks, k) and val.shape == (nblocks, k)
+    if idx.shape != (nblocks, k) or val.shape != (nblocks, k):
+        # ValueError (not assert): callers map this into the DecodeError
+        # taxonomy so a mid-stream geometry/subsampling change is a
+        # contained per-stream fault, not a batch-killing AssertionError.
+        raise ValueError(
+            f"staging shape {idx.shape} != frame block grid ({nblocks}, {k}) "
+            "(geometry or subsampling changed mid-stream)"
+        )
     qs = [np.zeros(64, np.uint16) for _ in range(3)]
     dense_n = ctypes.c_long()
     rc = lib.rcv_jpeg_coeffs_blockpacked(

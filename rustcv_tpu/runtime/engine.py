@@ -417,17 +417,29 @@ class MultiStreamEngine:
             except ValueError as e:  # corrupt frame → taxonomy
                 raise DecodeError(str(e)) from e
             if r is None:  # busy blocks over capacity — decode dense, same bytes
+                # The aborted packed decode left stream i's staging rows
+                # partially overwritten; restore the last good rows so a
+                # later fault-reuse never copies a half-written frame.
+                for cur, prev in zip(staging, prev_staging):
+                    cur[i] = prev[i]
                 try:
                     info, coeffs, _qts = _native.jpeg_entropy_decode(frame.data)
                 except ValueError as e:
                     raise DecodeError(str(e)) from e
                 self._check_geometry(i, info)
                 for c in range(3):
+                    if dense_bufs[c][i].shape != coeffs[c].shape:
+                        raise DecodeError(
+                            f"stream {i} coefficient grid {coeffs[c].shape} != "
+                            f"negotiated {dense_bufs[c][i].shape} (subsampling changed)"
+                        )
                     dense_bufs[c][i] = coeffs[c]
                 dense_flags[i] = True
                 return
             self._check_geometry(i, r[0])
-        except CameraError as e:
+        except (CameraError, ValueError) as e:
+            # ValueError: staging/grid mismatches from mid-stream geometry
+            # changes (wrapper raises them deliberately) — same containment.
             self.stream_errors[i] += 1
             seqs[i] = -1
             for cur, prev in zip(staging, prev_staging):

@@ -289,3 +289,39 @@ def test_hybrid_packed_on_mesh(jax_cpu):
     r_s = eng_s.tick(block=True)
     eng_s.close()
     np.testing.assert_array_equal(r_m.numpy("bgr"), r_s.numpy("bgr"))
+
+
+def test_hybrid_subsampling_change_contained(jax_cpu):
+    """A stream that switches chroma subsampling mid-run (grid mismatch vs
+    the sizing frame) must degrade that stream only — pre-fix this was a
+    batch-killing AssertionError from the staging-shape assert."""
+    import io
+
+    from types import SimpleNamespace
+
+    from PIL import Image
+
+    cfg = SimpleConfig(width=128, height=96, fps=30, pixel_format=PixelFormat.MJPEG)
+    eng = MultiStreamEngine(SimulationDriver(paced=False), 2, cfg, mjpeg_backend="hybrid")
+    r1 = eng.tick(block=True)
+    src = eng._sources[1]
+
+    class SubsamplingSwitch:
+        def __getattr__(s, k):
+            return getattr(src, k)
+
+        def next_frame(s):
+            f = src.next_frame()
+            img = Image.open(io.BytesIO(bytes(f.data))).convert("RGB")
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG", quality=88, subsampling=1)  # 4:2:2
+            return SimpleNamespace(
+                sequence=f.sequence, data=np.frombuffer(buf.getvalue(), np.uint8)
+            )
+
+    eng._sources[1] = SubsamplingSwitch()
+    r2 = eng.tick(block=True)
+    assert r2.sequences[1] == -1 and eng.stream_errors[1] == 1
+    np.testing.assert_array_equal(r2.numpy("bgr")[1], r1.numpy("bgr")[1])
+    assert r2.sequences[0] == 1  # healthy stream advanced
+    eng.close()
