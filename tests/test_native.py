@@ -133,3 +133,29 @@ class TestJpegEntropyRobustness:
         data = b"\xff\xd8" + dht + b"\xff\xd9"
         with pytest.raises(ValueError):
             native.jpeg_entropy_decode(data)
+
+    def test_packed_emitters_reject_truncations(self):
+        """The packed/blockpacked emitters share the hardened parser; every
+        truncation must reject via ValueError (ASan/UBSan-fuzzed in dev) —
+        and None (over capacity) only on otherwise-valid streams."""
+        data = self._sample()
+        for k in range(0, len(data), 7):
+            try:
+                native.jpeg_entropy_decode_packed(data[:k], capacity=4096)
+            except ValueError:
+                pass
+            try:
+                native.jpeg_entropy_decode_blockpacked(data[:k], 4, 1024)
+            except ValueError:
+                pass
+
+    def test_blockpacked_staging_shape_mismatch_is_valueerror(self):
+        data = self._sample()
+        import numpy as _np
+
+        with pytest.raises(ValueError):
+            native.jpeg_entropy_decode_blockpacked(
+                data, 4, 64,
+                out_idx=_np.zeros((7, 4), _np.uint8),
+                out_val=_np.zeros((7, 4), _np.int16),
+            )
