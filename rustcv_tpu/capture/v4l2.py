@@ -85,7 +85,7 @@ def enumerate_modes(path: str) -> List[ModeDescriptor]:
         n = lib.rcv_v4l2_enum_modes(h, fourccs, ws, hs, fps, cap)
         modes = []
         for i in range(n):
-            fmt = from_fourcc(FourCC(fourccs[i]))
+            fmt, _ = from_fourcc(FourCC(fourccs[i]))
             modes.append(
                 ModeDescriptor(
                     pixel_format=fmt, width=ws[i], height=hs[i],
@@ -124,7 +124,7 @@ class V4L2Source(FrameSource):
             lib.rcv_v4l2_close(self._h)
             self._h = None
             raise CameraError(f"V4L2 setup failed on {path} (rc={rc})")
-        fmt = from_fourcc(FourCC(got_fcc.value))
+        fmt, _ = from_fourcc(FourCC(got_fcc.value))
         if fmt == PixelFormat.OTHER:
             # Close before raising: STREAMON already ran, so leaking the
             # handle would keep the camera busy (EBUSY for every later open).

@@ -112,6 +112,7 @@ class Frame:
             timestamp=self.timestamp,
             stride=self.stride,
             metadata=self.metadata,
+            bottom_up=self.bottom_up,
         )
 
     def decode_bgr(self):
@@ -136,9 +137,11 @@ class OwnedFrame:
     timestamp: Timestamp
     stride: Optional[int] = None
     metadata: FrameMetadata = field(default_factory=FrameMetadata)
+    bottom_up: bool = False
 
     def as_frame(self) -> Frame:
         return Frame(
             self.data, self.width, self.height, self.pixel_format,
             self.sequence, self.timestamp, self.stride, self.metadata,
+            bottom_up=self.bottom_up,
         )

@@ -188,13 +188,13 @@ class Mat:
     # ---- misc ----------------------------------------------------------
 
     def copy(self) -> "Mat":
-        m = Mat(self.rows, self.cols, self.channels, self.step)
-        if self._host is not None:
-            m._host = self._host.copy()
-        elif self._dev is not None:
-            m._host = None
-            m._dev = self._dev
-        return m
+        # Pass buffers through the constructor: the bare Mat(rows, ...) form
+        # would allocate+zero a full frame only to discard it.
+        return Mat(
+            self.rows, self.cols, self.channels, self.step,
+            _host=None if self._host is None else self._host.copy(),
+            _dev=self._dev,
+        )
 
     def __repr__(self) -> str:
         loc = "device" if (self._dev is not None and self._host is None) else "host"

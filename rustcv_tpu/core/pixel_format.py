@@ -165,6 +165,10 @@ _FMT_TO_FOURCC = {
     PixelFormat.H264: H264,
 }
 _FOURCC_TO_FMT = {fcc.value: fmt for fmt, fcc in _FMT_TO_FOURCC.items()}
+# GRAY8 maps out as V4L2's 'GREY' (to_fourcc below); accept it and the
+# common 'Y800' alias back, preserving from_fourcc(to_fourcc(f))[0] == f.
+_FOURCC_TO_FMT[FourCC.from_str("GREY").value] = PixelFormat.GRAY8
+_FOURCC_TO_FMT[FourCC.from_str("Y800").value] = PixelFormat.GRAY8
 
 
 def from_fourcc(fcc: "FourCC | int | str"):

@@ -105,9 +105,7 @@ def yuyv_to_gray(src: jax.Array, width: int, height: int) -> jax.Array:
     b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
     gr0 = (77 * r0 + 150 * g0 + 29 * b0 + 128) >> 8
     gr1 = (77 * r1 + 150 * g1 + 29 * b1 + 128) >> 8
-    batch = gr0.shape[:-2]
-    w = (gr0 | (gr1 << 8)).astype(jnp.uint16)
-    return jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(*batch, height, width)
+    return _pack_gray_pairs(gr0, gr1, width, height)
 
 
 def _unpack_uyvy_words(src: jax.Array, width: int, height: int):
@@ -136,9 +134,7 @@ def uyvy_to_gray(src: jax.Array, width: int, height: int) -> jax.Array:
     b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
     gr0 = (77 * r0 + 150 * g0 + 29 * b0 + 128) >> 8
     gr1 = (77 * r1 + 150 * g1 + 29 * b1 + 128) >> 8
-    batch = gr0.shape[:-2]
-    w = (gr0 | (gr1 << 8)).astype(jnp.uint16)
-    return jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(*batch, height, width)
+    return _pack_gray_pairs(gr0, gr1, width, height)
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
@@ -187,13 +183,10 @@ def nv12_to_bgr(src: jax.Array, width: int, height: int) -> jax.Array:
     return out.reshape(*out.shape[:-2], height, width, 3)
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
-def yv12_to_bgr_packed(src: jax.Array, width: int, height: int) -> jax.Array:
-    """YV12 (planar Y, V, U — V first) → packed-rows BGR u8 (…, H, W*3).
-
-    Pair-form like NV12: Y even/odd columns via one u16 bitcast; the
-    half-res chroma planes map 1:1 onto pixel pairs after a 2× row repeat
-    (chroma column k IS pair k — no column work)."""
+def _unpack_yv12_pairs(src: jax.Array, width: int, height: int):
+    """YV12 → pair-form planes (…, H, W/2) int32: y0, y1, u, v (V plane
+    first in the wire format; chroma row-doubled, columns map 1:1 onto
+    pixel pairs)."""
     batch = src.shape[:-1]
     npix = width * height
     nq = npix // 4
@@ -201,12 +194,26 @@ def yv12_to_bgr_packed(src: jax.Array, width: int, height: int) -> jax.Array:
     yw = jax.lax.bitcast_convert_type(
         flat[..., :npix].reshape(*batch, height, width // 2, 2), jnp.uint16
     ).astype(jnp.int32)
-    y0 = yw & 255
-    y1 = yw >> 8
     v = flat[..., npix : npix + nq].astype(jnp.int32).reshape(*batch, height // 2, width // 2)
     u = flat[..., npix + nq :].astype(jnp.int32).reshape(*batch, height // 2, width // 2)
-    u = jnp.repeat(u, 2, axis=-2)
-    v = jnp.repeat(v, 2, axis=-2)
+    return yw & 255, yw >> 8, jnp.repeat(u, 2, axis=-2), jnp.repeat(v, 2, axis=-2)
+
+
+def _pack_gray_pairs(gr0, gr1, width: int, height: int) -> jax.Array:
+    """Interleave per-pair luma planes (…, H, W/2) → gray u8 (…, H, W)."""
+    batch = gr0.shape[:-2]
+    w16 = (gr0 | (gr1 << 8)).astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(w16, jnp.uint8).reshape(*batch, height, width)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def yv12_to_bgr_packed(src: jax.Array, width: int, height: int) -> jax.Array:
+    """YV12 (planar Y, V, U — V first) → packed-rows BGR u8 (…, H, W*3).
+
+    Pair-form like NV12: Y even/odd columns via one u16 bitcast; the
+    half-res chroma planes map 1:1 onto pixel pairs after a 2× row repeat
+    (chroma column k IS pair k — no column work)."""
+    y0, y1, u, v = _unpack_yv12_pairs(src, width, height)
     b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
     return _interleave_pair_bgr(b0, g0, r0, b1, g1, r1, width, height)
 
@@ -224,24 +231,11 @@ def yv12_to_gray(src: jax.Array, width: int, height: int) -> jax.Array:
     """YV12 → gray u8 directly (≡ bgr_to_gray(yv12_to_bgr(src)) bit-exact).
     Luma still needs the full BT.601 round trip — the stored Y is not the
     output gray (range expansion + BGR rounding)."""
-    npix = width * height
-    nq = npix // 4
-    batch = src.shape[:-1]
-    flat = src.reshape(*batch, npix * 3 // 2)
-    yw = jax.lax.bitcast_convert_type(
-        flat[..., :npix].reshape(*batch, height, width // 2, 2), jnp.uint16
-    ).astype(jnp.int32)
-    y0 = yw & 255
-    y1 = yw >> 8
-    v = flat[..., npix : npix + nq].astype(jnp.int32).reshape(*batch, height // 2, width // 2)
-    u = flat[..., npix + nq :].astype(jnp.int32).reshape(*batch, height // 2, width // 2)
-    u = jnp.repeat(u, 2, axis=-2)
-    v = jnp.repeat(v, 2, axis=-2)
+    y0, y1, u, v = _unpack_yv12_pairs(src, width, height)
     b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
     gr0 = (77 * r0 + 150 * g0 + 29 * b0 + 128) >> 8
     gr1 = (77 * r1 + 150 * g1 + 29 * b1 + 128) >> 8
-    w = (gr0 | (gr1 << 8)).astype(jnp.uint16)
-    return jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(*batch, height, width)
+    return _pack_gray_pairs(gr0, gr1, width, height)
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
@@ -251,9 +245,7 @@ def nv12_to_gray(src: jax.Array, width: int, height: int) -> jax.Array:
     b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
     gr0 = (77 * r0 + 150 * g0 + 29 * b0 + 128) >> 8
     gr1 = (77 * r1 + 150 * g1 + 29 * b1 + 128) >> 8
-    batch = gr0.shape[:-2]
-    w16 = (gr0 | (gr1 << 8)).astype(jnp.uint16)
-    return jax.lax.bitcast_convert_type(w16, jnp.uint8).reshape(*batch, height, width)
+    return _pack_gray_pairs(gr0, gr1, width, height)
 
 
 def _bgra_pixel_words(src: jax.Array, width: int, height: int):

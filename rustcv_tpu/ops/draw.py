@@ -90,30 +90,9 @@ def rectangle(img: jax.Array, rect_xywh: jax.Array, color_bgr: jax.Array, thickn
     thickness = jnp.asarray(thickness, jnp.int32)
     color_bgr = jnp.asarray(color_bgr, jnp.uint8)
 
-    x, y, rw, rh = (rect_xywh[..., i] for i in range(4))
-    x_min = jnp.maximum(x, 0)
-    y_min = jnp.maximum(y, 0)
-    x_max = jnp.minimum(x + rw, w)
-    y_max = jnp.minimum(y + rh, h)
-    degenerate = (x_min >= x_max) | (y_min >= y_max)
-
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)  # (H, 1)
     xs = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)  # (1, W)
-
-    def expand(v):  # (...,) → (..., 1, 1) for broadcast against (H, W)
-        return v[..., None, None]
-
-    x_min_e, x_max_e = expand(x_min), expand(x_max)
-    y_min_e, y_max_e = expand(y_min), expand(y_max)
-    th = expand(thickness)
-
-    x_span = (xs >= x_min_e) & (xs < x_max_e)
-    y_span = (ys >= y_min_e) & (ys < y_max_e)
-    top_bot = ((ys >= y_min_e) & (ys < y_min_e + th)) | ((ys >= y_max_e - th) & (ys < y_max_e))
-    left_right = ((xs >= x_min_e) & (xs < x_min_e + th)) | ((xs >= x_max_e - th) & (xs < x_max_e))
-
-    mask = (x_span & top_bot) | (y_span & left_right)
-    mask = mask & ~expand(degenerate)
+    mask, _ = _edge_masks(xs, ys, rect_xywh, thickness, w, h)
     color = color_bgr[..., None, None, :]  # (..., 1, 1, 3)
     return jnp.where(mask[..., None], color, img)
 

@@ -57,11 +57,14 @@ def harris_corners(
     Batched inputs reduce max over the spatial axes per image.
     """
     resp = harris_response(gray_u8, k=k)
+    return _corner_mask(resp, threshold_rel, nms_radius)
+
+
+def _corner_mask(resp: jax.Array, threshold_rel: float, nms_radius: int) -> jax.Array:
     spatial_max = jnp.max(resp, axis=(-2, -1), keepdims=True)
     thresh = jnp.float32(threshold_rel) * spatial_max
 
-    r = nms_radius
-    win = 2 * r + 1
+    win = 2 * nms_radius + 1
     dims = (1,) * (resp.ndim - 2) + (win, win)
     strides = (1,) * resp.ndim
     neigh_max = jax.lax.reduce_window(
@@ -84,7 +87,7 @@ def harris_corner_list(
     a fixed-size top-K by response with a mask — the jit-friendly contract.
     """
     resp = harris_response(gray_u8, k=k)
-    mask = harris_corners(gray_u8, k=k, threshold_rel=threshold_rel, nms_radius=nms_radius)
+    mask = _corner_mask(resp, threshold_rel, nms_radius)  # shares resp
     h, w = resp.shape[-2], resp.shape[-1]
     scores = jnp.where(mask, resp, -jnp.inf).reshape(*resp.shape[:-2], h * w)
     top, idx = jax.lax.top_k(scores, max_corners)

@@ -358,9 +358,7 @@ def resize_coeffs(src_size: int, dst_size: int):
     dx = np.arange(dst_size, dtype=np.float64)
     fx = (dx + 0.5) * (src_size / dst_size) - 0.5
     ix = np.floor(fx).astype(np.int64)
-    frac = fx - ix
     # Clamp: fx < 0 → pixel 0 with frac 0; ix ≥ src-1 → pixels src-2, src-1
-    frac = np.where(ix < 0, 0.0, frac)
     ix = np.clip(ix, 0, max(src_size - 2, 0))
     fx_clamped = np.minimum(fx, src_size - 1)
     frac = np.clip(fx_clamped - ix, 0.0, 1.0)

@@ -32,41 +32,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .stencil import _interpret, _round_up, _taps_h, _taps_v
+
 SOBEL_R = 1
 WIN_R = 2
 HALO = SOBEL_R + WIN_R  # 3 input cols beyond each edge
 RPAD = 4  # rows padded per side (DMA windows must be 8-row multiples)
 _G5F = tuple(x / 16.0 for x in (1.0, 4.0, 6.0, 4.0, 1.0))
 
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-def _taps_h(a, weights, width, start):
-    acc = None
-    for k, w in enumerate(weights):
-        if w == 0:
-            continue
-        sl = a[:, start + k : start + k + width]
-        term = sl if w == 1 else w * sl
-        acc = term if acc is None else acc + term
-    return acc
-
-
-def _taps_v(a, weights, height, start):
-    acc = None
-    for k, w in enumerate(weights):
-        if w == 0:
-            continue
-        sl = a[start + k : start + k + height, :]
-        term = sl if w == 1 else w * sl
-        acc = term if acc is None else acc + term
-    return acc
 
 
 def _kernel(
@@ -148,15 +121,14 @@ def harris_response_pallas(
     # VMEM-aware clamp like the blur/Sobel kernels, with a fatter per-row
     # cost (three extra f32 scratch planes + wider int32/f32 intermediates:
     # ~60 B/row/lane-column — measured 17.98 MB at an 88-row tile, wp 3968).
-    wp0 = _round_up(w + 2 * HALO, 128)
+    wp = _round_up(w + 2 * HALO, 128)
     th = min(
         _round_up(tile_rows, 8), _round_up(h, 8),
-        max(8, (15_000_000 // (60 * wp0)) // 8 * 8),
+        max(8, (15_000_000 // (60 * wp)) // 8 * 8),
     )
     n_tiles = -(-h // th)
     h_pad = n_tiles * th
     rem = h - (n_tiles - 1) * th
-    wp = _round_up(w + 2 * HALO, 128)
     padded = jnp.pad(
         gray,
         [(0, 0), (RPAD, RPAD + (h_pad - h)), (HALO, wp - w - HALO)],
