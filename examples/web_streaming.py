@@ -42,12 +42,27 @@ class Broadcast:
             return self._payload, self._version
 
 
-def capture_loop(engine: MultiStreamEngine, channels, stop: threading.Event, quality: int):
+def capture_loop(engine: MultiStreamEngine, channels, stop: threading.Event,
+                 quality: int, encoder: str = "host"):
     from PIL import Image
 
     while not stop.is_set():
         try:
             res = engine.tick(block=True)
+            if encoder == "tpu":
+                # Feed the device-resident packed-rows batch straight into
+                # the hybrid encoder: color convert + subsample + FDCT +
+                # quantize stay on-chip; only quantized coefficients come
+                # back; the host does Huffman coding per stream.
+                from rustcv_tpu.ops.jpeg_encode import encode_jpeg_batch_tpu
+
+                dev = res.outputs["bgr"]
+                if dev.ndim == 3:  # packed rows (N, H, W*3)
+                    n, h, w3 = dev.shape
+                    dev = dev.reshape(n, h, w3 // 3, 3)
+                for ch, payload in zip(channels, encode_jpeg_batch_tpu(dev, quality)):
+                    ch.publish(payload)
+                continue
             bgr = res.numpy("bgr")  # (N, H, W, 3)
             for i, ch in enumerate(channels):
                 buf = io.BytesIO()
@@ -101,7 +116,7 @@ def make_handler(channels):
 
 
 def main(port: int = 8080, n_streams: int = 2, width: int = 640, height: int = 480,
-         quality: int = 80, duration: float = 0.0) -> None:
+         quality: int = 80, duration: float = 0.0, encoder: str = "host") -> None:
     engine = MultiStreamEngine(
         SimulationDriver(device_count=n_streams, paced=True), n_streams,
         SimpleConfig(width=width, height=height, fps=30, pixel_format=PixelFormat.YUYV),
@@ -109,7 +124,8 @@ def main(port: int = 8080, n_streams: int = 2, width: int = 640, height: int = 4
     )
     channels = [Broadcast() for _ in range(n_streams)]
     stop = threading.Event()
-    t = threading.Thread(target=capture_loop, args=(engine, channels, stop, quality), daemon=True)
+    t = threading.Thread(target=capture_loop,
+                         args=(engine, channels, stop, quality, encoder), daemon=True)
     t.start()
 
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(channels))
@@ -130,5 +146,7 @@ if __name__ == "__main__":
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--streams", type=int, default=2)
     p.add_argument("--duration", type=float, default=0.0, help="auto-stop after N s")
+    p.add_argument("--encoder", choices=("host", "tpu"), default="host",
+                   help="JPEG encoder: host PIL or the hybrid TPU FDCT path")
     a = p.parse_args()
-    main(a.port, a.streams, duration=a.duration)
+    main(a.port, a.streams, duration=a.duration, encoder=a.encoder)

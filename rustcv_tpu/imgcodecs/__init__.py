@@ -28,6 +28,67 @@ def imread(path: str) -> Mat:
     return Mat.from_array(np.ascontiguousarray(rgb[..., ::-1]))
 
 
+def imencode(ext: str, mat: Mat, quality: int = 95, backend: str = "host") -> bytes:
+    """Encode a BGR Mat to in-memory image bytes (OpenCV ``imencode``).
+
+    ``ext``: ".jpg"/".jpeg"/".png"/... (PIL format inferred). For JPEG,
+    ``backend="tpu"`` routes through the hybrid encoder — the numeric path
+    (color convert, subsample, FDCT, quantize) runs on-device and only the
+    Huffman coding on the host (:mod:`rustcv_tpu.ops.jpeg_encode`); the
+    right choice when frames already live in HBM or when batching. The
+    default host backend (PIL) is faster for one-off host-resident images
+    on high-RTT transports.
+    """
+    import io
+
+    from PIL import Image
+
+    if mat.is_empty():
+        raise CameraError("imencode: empty Mat")
+    e = ext.lower().lstrip(".")
+    bgr = mat.to_numpy()
+    if e in ("jpg", "jpeg") and backend == "tpu":
+        from ..ops.jpeg_encode import encode_jpeg_tpu
+
+        return encode_jpeg_tpu(bgr, quality=quality)
+    if backend not in ("host", "tpu"):
+        raise ValueError(f"imencode: unknown backend {backend!r}")
+    buf = io.BytesIO()
+    fmt = {"jpg": "JPEG", "jpeg": "JPEG"}.get(e, e.upper())
+    kw = {"quality": quality} if fmt == "JPEG" else {}
+    try:
+        Image.fromarray(bgr[..., ::-1]).save(buf, fmt, **kw)
+    except (ValueError, OSError, KeyError) as err:
+        raise CameraError(f"imencode: cannot encode {ext!r}: {err}") from err
+    return buf.getvalue()
+
+
+def imdecode(data: bytes, backend: str = "host") -> Mat:
+    """Decode in-memory image bytes to a BGR Mat (OpenCV ``imdecode``).
+
+    ``backend="tpu"`` uses the hybrid JPEG path (host entropy decode →
+    device IDCT/upsample/color, :mod:`rustcv_tpu.ops.jpeg_tpu`) — JPEG
+    only; other formats and the default go through PIL on the host.
+    """
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    if backend == "tpu":
+        from ..ops.jpeg_tpu import decode_jpeg_tpu
+
+        return Mat.from_array(np.asarray(decode_jpeg_tpu(data)))
+    if backend != "host":
+        raise ValueError(f"imdecode: unknown backend {backend!r}")
+    try:
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+    except Exception as e:  # noqa: BLE001
+        raise CameraError(f"imdecode: cannot decode buffer: {e}") from e
+    rgb = np.asarray(img, dtype=np.uint8)
+    return Mat.from_array(np.ascontiguousarray(rgb[..., ::-1]))
+
+
 def imwrite(path: str, mat: Mat) -> bool:
     """Write a BGR Mat to an image file (format from the extension)."""
     from PIL import Image
@@ -42,4 +103,4 @@ def imwrite(path: str, mat: Mat) -> bool:
     return True
 
 
-__all__ = ["imread", "imwrite"]
+__all__ = ["imread", "imwrite", "imencode", "imdecode"]

@@ -24,6 +24,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [
     os.path.join(_HERE, "capture.cpp"),
     os.path.join(_HERE, "jpeg_entropy.cpp"),
+    os.path.join(_HERE, "jpeg_encode.cpp"),
     os.path.join(_HERE, "jpeg_host.cpp"),
     os.path.join(_HERE, "v4l2.cpp"),
 ]
@@ -102,6 +103,11 @@ def _bind(lib: ctypes.CDLL) -> None:
     ]
     lib.rcv_jpeg_host_available.restype = ctypes.c_int
     lib.rcv_jpeg_host_available.argtypes = []
+    lib.rcv_jpeg_entropy_encode.restype = ctypes.c_long
+    lib.rcv_jpeg_entropy_encode.argtypes = [
+        i16p, i16p, i16p, ctypes.c_int, intp, intp, intp, intp,
+        ctypes.c_int, ctypes.c_int, u16p, u16p, u8cp, ctypes.c_long,
+    ]
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.rcv_v4l2_available.restype = ctypes.c_int
     lib.rcv_v4l2_open.restype = ctypes.c_void_p
@@ -450,6 +456,69 @@ def jpeg_entropy_decode_blockpacked(
     dense_rows[n:] = 0
     qts = [qs[c].reshape(8, 8) for c in range(info["ncomp"])]
     return info, idx, val, dense_ids, dense_rows, n, qts
+
+
+def jpeg_entropy_encode(
+    coeffs: list,
+    qts: list,
+    width: int,
+    height: int,
+    h_samp: list,
+    v_samp: list,
+) -> bytes:
+    """Baseline-JPEG entropy encode: quantized coefficient grids → JFIF bytes.
+
+    The host half of the TPU encode path (mirror of
+    :func:`jpeg_entropy_decode`): ``coeffs[c]`` is int16 ``[bh, bw, 64]``
+    (or ``[bh, bw, 8, 8]``) in natural order over the full padded MCU grid,
+    ``qts[c]`` the natural-order quant table (uint16, 64 entries; component
+    0 = luma table, components 1-2 share the chroma table). Standard
+    Annex-K Huffman tables, single interleaved scan.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    ncomp = len(coeffs)
+    if ncomp not in (1, 3):
+        raise ValueError(f"ncomp must be 1 or 3, got {ncomp}")
+    arrs = []
+    bws = (ctypes.c_int * 3)()
+    bhs = (ctypes.c_int * 3)()
+    hs = (ctypes.c_int * 3)()
+    vs = (ctypes.c_int * 3)()
+    total_blocks = 0
+    for c in range(ncomp):
+        a = np.ascontiguousarray(coeffs[c], np.int16).reshape(
+            coeffs[c].shape[0], coeffs[c].shape[1], 64
+        )
+        arrs.append(a)
+        bhs[c], bws[c] = a.shape[0], a.shape[1]
+        hs[c], vs[c] = h_samp[c], v_samp[c]
+        total_blocks += a.shape[0] * a.shape[1]
+    while len(arrs) < 3:
+        arrs.append(np.zeros((1, 1, 64), np.int16))
+    q0 = np.ascontiguousarray(qts[0], np.uint16).reshape(64)
+    q1 = (
+        np.ascontiguousarray(qts[1], np.uint16).reshape(64)
+        if ncomp == 3
+        else q0
+    )
+    # Worst case ≈ headers + stuffed max-rate entropy data; generous bound.
+    cap = 1024 + total_blocks * 64 * 4
+    out = np.empty(cap, np.uint8)
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    u16 = ctypes.POINTER(ctypes.c_uint16)
+    n = lib.rcv_jpeg_entropy_encode(
+        arrs[0].ctypes.data_as(i16),
+        arrs[1].ctypes.data_as(i16),
+        arrs[2].ctypes.data_as(i16),
+        ncomp, bws, bhs, hs, vs, width, height,
+        q0.ctypes.data_as(u16), q1.ctypes.data_as(u16),
+        _u8p(out), cap,
+    )
+    if n < 0:
+        raise ValueError(f"JPEG entropy encode failed (rc={n})")
+    return out[:n].tobytes()
 
 
 class NativeRing:

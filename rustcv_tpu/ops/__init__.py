@@ -9,6 +9,8 @@ Submodules:
 - ``draw``     — device rectangle / alpha-mask blend.
 - ``text``     — host glyph rasterization (masks consumed by ``draw``).
 - ``decode``   — PixelFormat dispatch (host oracle + device paths).
+- ``jpeg_tpu``    — hybrid MJPEG decode (host entropy → device IDCT).
+- ``jpeg_encode`` — hybrid JPEG encode (device FDCT → host entropy).
 - ``pallas``   — hand-fused TPU kernels for the hot pipelines.
 """
 
@@ -19,6 +21,7 @@ from . import (  # noqa: F401
     features,
     filters,
     golden,
+    jpeg_encode,
     jpeg_tpu,
     resize,
     synth,

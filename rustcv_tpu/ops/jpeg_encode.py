@@ -1,0 +1,319 @@
+"""TPU-side JPEG *encode*: BGR→YCbCr → chroma subsampling → forward DCT
+(one [64,64] MXU matmul) → quantization — the mirror image of
+:mod:`rustcv_tpu.ops.jpeg_tpu`.
+
+The host half (:func:`rustcv_tpu.native.jpeg_entropy_encode`) performs the
+sequential Huffman entropy coding; this module does everything numeric
+on-device. The reference encodes camera frames to JPEG on the host with
+turbojpeg for MJPEG-over-HTTP fan-out
+(rustcv-backend-v4l2/examples/web_streaming.rs:44-100); here the
+number-crunching half moves to the TPU and only quantized (mostly-zero)
+coefficients cross back to the host.
+
+Frozen encode spec (our oracle — float64 in :func:`encode_coeffs_numpy`,
+tolerance-tested vs the float32 device path):
+- pad the BGR image to MCU-aligned dims by edge replication;
+- color: Y = 0.299·R + 0.587·G + 0.114·B,
+  Cb = −0.168736·R − 0.331264·G + 0.5·B + 128,
+  Cr = 0.5·R − 0.418688·G − 0.081312·B + 128, rounded (half-to-even),
+  clamped to [0, 255] integers;
+- subsampling (integer, on the rounded planes): 4:2:0 = (a+b+c+d+2)>>2
+  over 2×2; 4:2:2 = (a+b+1)>>1 over horizontal pairs; 4:4:4 = none;
+- level shift −128, 2-D forward DCT as ONE [nblocks, 64] @ [64, 64] matmul
+  with Kf = idct_kmat().T (the IDCT basis is orthogonal, so the forward
+  transform is its transpose — same no-relayout block-row trick, see
+  jpeg_tpu.idct_kmat);
+- quantize: round(F / q) (half-to-even), clamped to [−1023, 1023] so every
+  value fits baseline Huffman categories (AC ≤ 10 bits, DC diff ≤ 11).
+
+Quality → quant tables: the standard IJG mapping over the Annex-K base
+tables (scale = 5000/q below 50 else 200−2q; entries clamped to [1, 255]).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .jpeg_tpu import idct_kmat
+
+# Annex K.1/K.2 base quantization tables (natural row-major order).
+BASE_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    np.int64,
+)
+BASE_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    np.int64,
+)
+
+_SAMP = {"4:2:0": (2, 2), "4:2:2": (2, 1), "4:4:4": (1, 1)}
+
+
+@lru_cache(maxsize=64)
+def quant_tables(quality: int) -> Tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling → (luma, chroma) uint16 tables, natural order."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qy = np.clip((BASE_QT_LUMA * scale + 50) // 100, 1, 255)
+    qc = np.clip((BASE_QT_CHROMA * scale + 50) // 100, 1, 255)
+    return qy.astype(np.uint16), qc.astype(np.uint16)
+
+
+def _geometry(w: int, h: int, subsampling: str) -> dict:
+    """MCU-aligned geometry for a 3-component image."""
+    fh, fv = _SAMP[subsampling]
+    mcu_w, mcu_h = 8 * fh, 8 * fv
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+    return {
+        "pad_w": mcus_x * mcu_w,
+        "pad_h": mcus_y * mcu_h,
+        "h_samp": [fh, 1, 1],
+        "v_samp": [fv, 1, 1],
+        "blocks": [
+            (mcus_y * fv, mcus_x * fh),
+            (mcus_y, mcus_x),
+            (mcus_y, mcus_x),
+        ],
+    }
+
+
+@lru_cache(maxsize=1)
+def fdct_kmat() -> np.ndarray:
+    """Forward 2-D DCT as ONE [64, 64] matrix (transpose of the IDCT kmat:
+    the separable basis is orthogonal)."""
+    return np.ascontiguousarray(idct_kmat().T)
+
+
+def _blocks(plane: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) → [nblocks, 64] block rows (natural order within blocks)."""
+    h, w = plane.shape
+    bh, bw = h // 8, w // 8
+    return (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(bh * bw, 64)
+    )
+
+
+def _fdct_quant(plane: jnp.ndarray, qt: jnp.ndarray) -> jnp.ndarray:
+    """Integer plane → quantized coefficient rows [nblocks, 64] (int16)."""
+    x = _blocks(plane).astype(jnp.float32) - 128.0
+    k = jnp.asarray(fdct_kmat())
+    f = jax.lax.dot(x, k, precision=jax.lax.Precision.HIGHEST)
+    q = jnp.round(f / qt.reshape(64).astype(jnp.float32))
+    return jnp.clip(q, -1023, 1023).astype(jnp.int16)
+
+
+def _subsample_h2v2(p: jnp.ndarray) -> jnp.ndarray:
+    h, w = p.shape
+    q = p.reshape(h // 2, 2, w // 2, 2).astype(jnp.int32)
+    return (q.sum(axis=(1, 3)) + 2) >> 2
+
+
+def _subsample_h2v1(p: jnp.ndarray) -> jnp.ndarray:
+    h, w = p.shape
+    q = p.reshape(h, w // 2, 2).astype(jnp.int32)
+    return (q.sum(axis=-1) + 1) >> 1
+
+
+@partial(jax.jit, static_argnames=("quality", "subsampling"))
+def encode_coeffs_tpu(
+    bgr: jax.Array, quality: int = 90, subsampling: str = "4:2:0"
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(H, W, 3) u8 BGR → quantized coefficient rows per component.
+
+    Everything numeric on-device in one fused program; feed the results to
+    :func:`rustcv_tpu.native.jpeg_entropy_encode` (see
+    :func:`encode_jpeg_tpu`). Returns ([nby, 64], [nbc, 64], [nbc, 64])
+    int16 in natural order over the padded MCU grid.
+    """
+    h, w = bgr.shape[0], bgr.shape[1]
+    g = _geometry(w, h, subsampling)
+    qy, qc = quant_tables(quality)
+    pad = ((0, g["pad_h"] - h), (0, g["pad_w"] - w), (0, 0))
+    img = jnp.pad(bgr, pad, mode="edge").astype(jnp.float32)
+    b, gg, r = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * gg + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * gg + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * gg - 0.081312 * b + 128.0
+    y, cb, cr = (
+        jnp.clip(jnp.round(p), 0, 255).astype(jnp.int32) for p in (y, cb, cr)
+    )
+    fh, fv = _SAMP[subsampling]
+    if (fh, fv) == (2, 2):
+        cb, cr = _subsample_h2v2(cb), _subsample_h2v2(cr)
+    elif (fh, fv) == (2, 1):
+        cb, cr = _subsample_h2v1(cb), _subsample_h2v1(cr)
+    qyj = jnp.asarray(qy.astype(np.int32))
+    qcj = jnp.asarray(qc.astype(np.int32))
+    return (
+        _fdct_quant(y, qyj),
+        _fdct_quant(cb, qcj),
+        _fdct_quant(cr, qcj),
+    )
+
+
+@partial(jax.jit, static_argnames=("quality",))
+def encode_coeffs_gray_tpu(gray: jax.Array, quality: int = 90) -> jax.Array:
+    """(H, W) u8 grayscale → quantized luma coefficient rows [nb, 64]."""
+    h, w = gray.shape[0], gray.shape[1]
+    pad_h, pad_w = -(-h // 8) * 8, -(-w // 8) * 8
+    plane = jnp.pad(gray, ((0, pad_h - h), (0, pad_w - w)), mode="edge")
+    qy, _ = quant_tables(quality)
+    return _fdct_quant(plane.astype(jnp.int32), jnp.asarray(qy.astype(np.int32)))
+
+
+def encode_jpeg_tpu(
+    bgr, quality: int = 90, subsampling: str = "4:2:0"
+) -> bytes:
+    """Full hybrid encode: device numeric path → host entropy coding.
+
+    ``bgr`` is (H, W, 3) u8 BGR (host or device array); 2-D input encodes
+    grayscale. Returns baseline JFIF bytes decodable by any JPEG decoder.
+    """
+    from .. import native
+
+    a = jnp.asarray(bgr)
+    if a.ndim == 2:
+        qy, _ = quant_tables(quality)
+        co = np.asarray(encode_coeffs_gray_tpu(a, quality))
+        bh, bw = a.shape[0], a.shape[1]
+        bh, bw = -(-bh // 8), -(-bw // 8)
+        return native.jpeg_entropy_encode(
+            [co.reshape(bh, bw, 64)], [qy],
+            int(a.shape[1]), int(a.shape[0]), [1], [1],
+        )
+    h, w = int(a.shape[0]), int(a.shape[1])
+    g = _geometry(w, h, subsampling)
+    qy, qc = quant_tables(quality)
+    cy, cb, cr = encode_coeffs_tpu(a, quality, subsampling)
+    comps = []
+    for c, arr in enumerate((cy, cb, cr)):
+        bh, bw = g["blocks"][c]
+        comps.append(np.asarray(arr).reshape(bh, bw, 64))
+    return native.jpeg_entropy_encode(
+        comps, [qy, qc, qc], w, h, g["h_samp"], g["v_samp"]
+    )
+
+
+@partial(jax.jit, static_argnames=("quality", "subsampling"))
+def _encode_coeffs_batch(bgr, quality, subsampling):
+    return jax.vmap(
+        lambda f: encode_coeffs_tpu(f, quality, subsampling)
+    )(bgr)
+
+
+def encode_jpeg_batch_tpu(
+    bgr, quality: int = 90, subsampling: str = "4:2:0"
+) -> List[bytes]:
+    """Batched encode: (N, H, W, 3) u8 BGR → N JFIF byte strings.
+
+    One fused device program computes all N frames' coefficients (the MJPEG
+    fan-out shape — N streams per tick, cf. web_streaming); the host loop
+    entropy-encodes each frame.
+    """
+    from .. import native
+
+    a = jnp.asarray(bgr)
+    n, h, w = int(a.shape[0]), int(a.shape[1]), int(a.shape[2])
+    g = _geometry(w, h, subsampling)
+    qy, qc = quant_tables(quality)
+    cy, cb, cr = _encode_coeffs_batch(a, quality, subsampling)
+    cy, cb, cr = np.asarray(cy), np.asarray(cb), np.asarray(cr)
+    out = []
+    for i in range(n):
+        comps = []
+        for c, arr in enumerate((cy[i], cb[i], cr[i])):
+            bh, bw = g["blocks"][c]
+            comps.append(arr.reshape(bh, bw, 64))
+        out.append(
+            native.jpeg_entropy_encode(
+                comps, [qy, qc, qc], w, h, g["h_samp"], g["v_samp"]
+            )
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracle (same frozen spec, float64 transform — used by tests)
+# ---------------------------------------------------------------------------
+
+
+def encode_coeffs_numpy(
+    bgr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0"
+) -> Tuple[List[np.ndarray], List[np.ndarray], dict]:
+    """Float64 oracle for :func:`encode_coeffs_tpu`.
+
+    Returns (coeffs [list of [bh, bw, 64] int16], qts, geometry).
+    """
+    h, w = bgr.shape[:2]
+    g = _geometry(w, h, subsampling)
+    qy, qc = quant_tables(quality)
+    img = np.pad(
+        bgr, ((0, g["pad_h"] - h), (0, g["pad_w"] - w), (0, 0)), mode="edge"
+    ).astype(np.float64)
+    b, gg, r = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * gg + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * gg + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * gg - 0.081312 * b + 128.0
+    planes = [
+        np.clip(np.round(p), 0, 255).astype(np.int64) for p in (y, cb, cr)
+    ]
+    fh, fv = _SAMP[subsampling]
+    for i in (1, 2):
+        p = planes[i]
+        if (fh, fv) == (2, 2):
+            ph, pw = p.shape
+            p = (p.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3)) + 2) >> 2
+        elif (fh, fv) == (2, 1):
+            ph, pw = p.shape
+            p = (p.reshape(ph, pw // 2, 2).sum(axis=-1) + 1) >> 1
+        planes[i] = p
+    k = fdct_kmat().astype(np.float64)
+    coeffs = []
+    for c, p in enumerate(planes):
+        ph, pw = p.shape
+        bh, bw = ph // 8, pw // 8
+        x = (
+            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(bh * bw, 64)
+        ).astype(np.float64) - 128.0
+        f = x @ k
+        qt = (qy if c == 0 else qc).astype(np.float64).reshape(64)
+        q = np.clip(np.round(f / qt), -1023, 1023).astype(np.int16)
+        coeffs.append(q.reshape(bh, bw, 64))
+    return coeffs, [qy, qc, qc], g
+
+
+def encode_jpeg_numpy(
+    bgr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0"
+) -> bytes:
+    """Full oracle encode (float64 numeric path + native entropy coder)."""
+    from .. import native
+
+    coeffs, qts, g = encode_coeffs_numpy(bgr, quality, subsampling)
+    return native.jpeg_entropy_encode(
+        coeffs, qts, bgr.shape[1], bgr.shape[0], g["h_samp"], g["v_samp"]
+    )

@@ -72,6 +72,47 @@ class TestExamples:
             server.shutdown()
             engine.close()
 
+    def test_web_streaming_tpu_encoder(self):
+        """The --encoder tpu path: device FDCT coefficients → host Huffman,
+        published frames must be valid JPEG."""
+        import io
+        import time
+
+        from PIL import Image
+
+        from examples import web_streaming as ws
+
+        from rustcv_tpu.capture import SimulationDriver
+        from rustcv_tpu.core import PixelFormat, SimpleConfig
+        from rustcv_tpu.runtime import MultiStreamEngine
+
+        pytest.importorskip("rustcv_tpu.native")
+        from rustcv_tpu import native
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        engine = MultiStreamEngine(
+            SimulationDriver(device_count=2, paced=False), 2,
+            SimpleConfig(width=64, height=48, fps=30, pixel_format=PixelFormat.YUYV),
+            device_sim=True,
+        )
+        channels = [ws.Broadcast() for _ in range(2)]
+        stop = threading.Event()
+        t = threading.Thread(
+            target=ws.capture_loop,
+            args=(engine, channels, stop, 85, "tpu"), daemon=True,
+        )
+        t.start()
+        try:
+            payload, version = channels[1].wait(0, timeout=30.0)
+            assert version > 0 and payload[:2] == b"\xff\xd8"
+            img = Image.open(io.BytesIO(payload))
+            assert img.size == (64, 48)
+        finally:
+            stop.set()
+            t.join(timeout=10)
+            engine.close()
+
     def test_dual_camera_both_modes(self, capsys):
         from examples.dual_camera import run_batched, run_independent
 
