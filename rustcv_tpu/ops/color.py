@@ -311,6 +311,45 @@ def rgb_to_bgr_packed(src: jax.Array, width: int, height: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
+def unpack_bgr_planes(src: jax.Array, width: int, height: int):
+    """Packed BGR rows (…, H, W*3) → int32 planes (b, g, r), each (…, H, W),
+    via the 3-word/4-pixel bitcast trick (no strided u8 gathers). Requires
+    width % 4 == 0. Inverse of :func:`interleave_bgr_planes`."""
+    batch = src.shape[:-1] if src.shape[-1] == height * width * 3 else src.shape[:-2]
+    words = jax.lax.bitcast_convert_type(
+        src.reshape(*batch, height, width // 4, 3, 4), jnp.uint32
+    ).astype(jnp.int32)
+    i0, i1, i2 = words[..., 0], words[..., 1], words[..., 2]
+    b0 = i0 & 255;  g0 = (i0 >> 8) & 255;  r0 = (i0 >> 16) & 255;  b1 = (i0 >> 24) & 255  # noqa: E702
+    g1 = i1 & 255;  r1 = (i1 >> 8) & 255;  b2 = (i1 >> 16) & 255;  g2 = (i1 >> 24) & 255  # noqa: E702
+    r2 = i2 & 255;  b3 = (i2 >> 8) & 255;  g3 = (i2 >> 16) & 255;  r3 = (i2 >> 24) & 255  # noqa: E702
+
+    def merge(p0, p1, p2, p3):
+        return jnp.stack([p0, p1, p2, p3], axis=-1).reshape(*batch, height, width)
+
+    return merge(b0, b1, b2, b3), merge(g0, g1, g2, g3), merge(r0, r1, r2, r3)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def interleave_bgr_planes(b, g, r, width: int, height: int) -> jax.Array:
+    """int32/u8 planes (…, H, W) → packed BGR rows u8 (…, H, W*3) via three
+    u32 words per 4-pixel group. Requires width % 4 == 0."""
+    batch = b.shape[:-2]
+    bb = b.astype(jnp.int32).reshape(*batch, height, width // 4, 4)
+    gg = g.astype(jnp.int32).reshape(*batch, height, width // 4, 4)
+    rr = r.astype(jnp.int32).reshape(*batch, height, width // 4, 4)
+    b0, b1, b2, b3 = bb[..., 0], bb[..., 1], bb[..., 2], bb[..., 3]
+    g0, g1, g2, g3 = gg[..., 0], gg[..., 1], gg[..., 2], gg[..., 3]
+    r0, r1, r2, r3 = rr[..., 0], rr[..., 1], rr[..., 2], rr[..., 3]
+    o0 = b0 | (g0 << 8) | (r0 << 16) | (b1 << 24)
+    o1 = g1 | (r1 << 8) | (b2 << 16) | (g2 << 24)
+    o2 = r2 | (b3 << 8) | (g3 << 16) | (r3 << 24)
+    packed = jnp.stack([o0, o1, o2], axis=-1).astype(jnp.uint32)
+    bytes_ = jax.lax.bitcast_convert_type(packed, jnp.uint8)
+    return bytes_.reshape(*batch, height, width * 3)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
 def rgb_to_gray_packed_rows(src: jax.Array, width: int, height: int) -> jax.Array:
     """Packed RGB rows (…, H*W*3 bytes) → gray u8 (…, H, W), word-wise
     (≡ bgr_to_gray(rgb_to_bgr(src)) bit-exact). Requires width % 4 == 0."""

@@ -21,12 +21,14 @@ from . import golden
 
 @lru_cache(maxsize=128)
 def _tables(src: int, dst: int):
+    # NumPy (not jnp): these are jit-trace constants; device arrays created
+    # inside a trace are tracers and caching them across traces leaks.
     lo, w_hi = golden.resize_coeffs(src, dst)
     hi = np.minimum(lo + 1, src - 1)
     return (
-        jnp.asarray(lo, jnp.int32),
-        jnp.asarray(hi, jnp.int32),
-        jnp.asarray(w_hi, jnp.int32),
+        lo.astype(np.int32),
+        hi.astype(np.int32),
+        w_hi.astype(np.int32),
     )
 
 
@@ -48,6 +50,99 @@ def resize_bilinear(img: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
     lo = jnp.take(tmp, y_lo, axis=-3)
     hi = jnp.take(tmp, y_hi, axis=-3)
     wy = y_whi[:, None, None]
+    acc = lo * (one - wy) + hi * wy
+    out = (acc + (1 << (2 * golden.RESIZE_SHIFT - 1))) >> (2 * golden.RESIZE_SHIFT)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("dst_w", "dst_h"))
+def resize_bilinear_plane(plane: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
+    """Resize single-channel planes (..., H, W) int → (..., dst_h, dst_w) u8.
+
+    Same frozen fixed-point spec as :func:`resize_bilinear` (resize is
+    per-channel independent, so the plane form is bit-identical to the HWC
+    form) with full 128-lane utilization: W sits on the lane dim instead of
+    a trailing channel dim of 3."""
+    src_h, src_w = plane.shape[-2], plane.shape[-1]
+    x_lo, x_hi, x_whi = _tables(src_w, dst_w)
+    y_lo, y_hi, y_whi = _tables(src_h, dst_h)
+    one = golden.RESIZE_ONE
+
+    a = plane.astype(jnp.int32)
+    lo = jnp.take(a, x_lo, axis=-1)
+    hi = jnp.take(a, x_hi, axis=-1)
+    tmp = lo * (one - x_whi) + hi * x_whi
+    lo = jnp.take(tmp, y_lo, axis=-2)
+    hi = jnp.take(tmp, y_hi, axis=-2)
+    wy = y_whi[:, None]
+    acc = lo * (one - wy) + hi * wy
+    out = (acc + (1 << (2 * golden.RESIZE_SHIFT - 1))) >> (2 * golden.RESIZE_SHIFT)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def _hstride(lo: np.ndarray, whi: np.ndarray, src: int, dst: int):
+    """Detect an affine integer-stride horizontal pattern: lo[x] = k·x + o
+    with constant weight w, group-local taps (src == k·dst, hi tap inside
+    the k-pixel group). Half-pixel-center downscaling by an integer factor
+    always has this shape (e.g. 1920→640: k=3, o=1, w=0 — pure subsample).
+    Returns (k, o, w) or None."""
+    if dst < 2 or src % dst != 0:
+        return None
+    k = int(lo[1] - lo[0])
+    o = int(lo[0])
+    if k < 1 or src != k * dst or not np.all(np.diff(lo) == k):
+        return None
+    if not np.all(whi == whi[0]):
+        return None
+    w = int(whi[0])
+    if w > 0 and o + 1 >= k:
+        return None  # hi tap would cross the group boundary
+    return k, o, w
+
+
+@partial(jax.jit, static_argnames=("src_w", "src_h", "dst_w", "dst_h"))
+def resize_bilinear_packed(
+    src: jax.Array, src_w: int, src_h: int, dst_w: int, dst_h: int
+) -> jax.Array:
+    """Packed BGR rows (…, H, W*3) u8 → (…, dst_h, dst_w*3) u8 —
+    bit-identical bytes to ``resize_bilinear`` on the HWC view.
+
+    Horizontal pass: when the coefficient table is an integer-stride
+    affine pattern (any integer-factor downscale), the taps come from a
+    free reshape + static slice instead of a lane gather — measured 9.9 vs
+    10.4 ms/tick composed at 8×1080p→640×480 (old interleaved path: 10.3;
+    a plane-deinterleave form measured 11.6 — the word tricks cost more
+    than they save here). Falls back to a per-lane gather otherwise.
+    Vertical pass is a sublane gather (cheap). Requires dst_w % 4 == 0
+    only for downstream word-trick consumers, not for this op itself."""
+    one = golden.RESIZE_ONE
+    x_lo, x_hi, x_whi = _tables(src_w, dst_w)
+    y_lo, y_hi, y_whi = _tables(src_h, dst_h)
+    batch = src.shape[:-2]
+    a = src.reshape(*batch, src_h, src_w * 3).astype(jnp.int32)
+
+    st = _hstride(x_lo, x_whi, src_w, dst_w)
+    if st is not None:
+        k, o, w = st
+        g = a.reshape(*batch, src_h, dst_w, 3 * k)
+        lo = g[..., 3 * o : 3 * o + 3]
+        if w == 0:
+            tmp = lo * one  # keep the unshifted-sum form (single rounding)
+        else:
+            hi = g[..., 3 * o + 3 : 3 * o + 6]
+            tmp = lo * (one - w) + hi * w
+        tmp = tmp.reshape(*batch, src_h, dst_w * 3)
+    else:
+        ix = (np.repeat(x_lo * 3, 3) + np.tile(np.arange(3), dst_w)).astype(np.int32)
+        ixh = (np.repeat(x_hi * 3, 3) + np.tile(np.arange(3), dst_w)).astype(np.int32)
+        wx = np.repeat(x_whi, 3).astype(np.int32)
+        lo = jnp.take(a, ix, axis=-1)
+        hi = jnp.take(a, ixh, axis=-1)
+        tmp = lo * (one - wx) + hi * wx
+
+    lo = jnp.take(tmp, y_lo, axis=-2)
+    hi = jnp.take(tmp, y_hi, axis=-2)
+    wy = y_whi[:, None]
     acc = lo * (one - wy) + hi * wy
     out = (acc + (1 << (2 * golden.RESIZE_SHIFT - 1))) >> (2 * golden.RESIZE_SHIFT)
     return jnp.clip(out, 0, 255).astype(jnp.uint8)

@@ -88,10 +88,17 @@ def _build(spec: PipelineSpec):
             + (PixelFormat.BGRA32, PixelFormat.RGB24, PixelFormat.BGR24)
             or spec.staged_format().is_bayer
         )
-        and spec.resize_to is None
         and not spec.mjpeg_hybrid
         and (spec.staged_format() in _PAIRWISE or spec.width % 4 == 0)
+        # Resize stays packed too (plane-form resize + word-trick
+        # (de)interleave, bit-exact) when both widths are 4-aligned.
+        and (
+            spec.resize_to is None
+            or (spec.width % 4 == 0 and spec.resize_to[0] % 4 == 0)
+        )
     )
+    # Post-resize geometry (the dims every downstream stage sees).
+    cur_w, cur_h = (w, h) if spec.resize_to is None else spec.resize_to
 
     def reconstruct_mjpeg(x):
         """Batched coefficient-level reconstruction (x = coeff/qt arrays)."""
@@ -157,6 +164,10 @@ def _build(spec: PipelineSpec):
                 )
             else:
                 bgr = _color.rgb_to_bgr_packed(raw, w, h)
+            if spec.resize_to is not None:
+                bgr = _resize.resize_bilinear_packed(
+                    bgr, w, h, spec.resize_to[0], spec.resize_to[1]
+                )
         else:
             bgr = _decode.convert_on_device(raw, spec.staged_format(), w, h)
             if spec.resize_to is not None:
@@ -179,20 +190,20 @@ def _build(spec: PipelineSpec):
                 if spec.staged_format() == PixelFormat.BGR24 and spec.width % 4 == 0:
                     return _color.bgr_to_gray_packed_rows(raw, w, h)
             if packed:
-                if spec.staged_format().is_bayer:
-                    # Luma straight off the packed demosaic rows (word-wise).
-                    return _color.bgr_to_gray_packed_rows(bgr, w, h)
-                # bgr is packed rows here; recover HWC view for the generic
-                # luma (only reachable for BGRA32 — other packed formats take
-                # the direct branches above).
-                return _color.bgr_to_gray(bgr.reshape(*bgr.shape[:-1], w, 3))
+                if cur_w % 4 == 0:
+                    # Luma straight off the packed rows, word-wise (covers
+                    # bayer, BGRA32, and every resized packed pipeline —
+                    # post-resize, matching the interleaved path's order).
+                    return _color.bgr_to_gray_packed_rows(bgr, cur_w, cur_h)
+                # Recover the HWC view for the generic luma.
+                return _color.bgr_to_gray(bgr.reshape(*bgr.shape[:-1], cur_w, 3))
             return _color.bgr_to_gray(bgr)
 
         out = {}
         if spec.filter == "gaussian":
             # Packed rows would blur ACROSS channels horizontally — blur in
             # HWC view (the stencil needs spatial adjacency per channel).
-            img = bgr.reshape(*bgr.shape[:-1], w, 3) if packed else bgr
+            img = bgr.reshape(*bgr.shape[:-1], cur_w, 3) if packed else bgr
             filtered = _filters.gaussian5_u8(img)
         elif spec.filter == "sobel_mag":
             gray = gray_plane()

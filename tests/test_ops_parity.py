@@ -178,6 +178,44 @@ class TestResizeParity:
         got = np.asarray(resize.resize_bilinear(jax_cpu.numpy.asarray(img), 16, 16))
         np.testing.assert_array_equal(got, img)
 
+    @pytest.mark.parametrize(
+        "src,dst",
+        [((48, 64), (24, 32)), ((48, 64), (96, 128)), ((40, 100), (20, 48)),
+         ((1080, 1920), (480, 640))],
+    )
+    def test_packed_rows_bit_exact(self, rng, jax_cpu, src, dst):
+        """Plane-form packed-rows resize ≡ golden on the HWC view, incl.
+        batched; both widths 4-aligned (the packed gate's condition)."""
+        img = _rand_u8(rng, src[0], src[1], 3)
+        want = golden.resize_bilinear(img, dst[1], dst[0])
+        packed = np.ascontiguousarray(img.reshape(src[0], src[1] * 3))
+        got = np.asarray(
+            resize.resize_bilinear_packed(
+                jax_cpu.numpy.asarray(packed), src[1], src[0], dst[1], dst[0]
+            )
+        )
+        np.testing.assert_array_equal(got.reshape(dst[0], dst[1], 3), want)
+
+    def test_packed_batched(self, rng, jax_cpu):
+        imgs = _rand_u8(rng, 3, 48, 64, 3)
+        packed = np.ascontiguousarray(imgs.reshape(3, 48, 64 * 3))
+        got = np.asarray(resize.resize_bilinear_packed(packed, 64, 48, 32, 24))
+        for i in range(3):
+            np.testing.assert_array_equal(
+                got[i].reshape(24, 32, 3), golden.resize_bilinear(imgs[i], 32, 24)
+            )
+
+    def test_unpack_interleave_roundtrip(self, rng, jax_cpu):
+        from rustcv_tpu.ops import color as col
+
+        img = _rand_u8(rng, 12, 16, 3)
+        packed = np.ascontiguousarray(img.reshape(12, 48))
+        b, g, r = col.unpack_bgr_planes(jax_cpu.numpy.asarray(packed), 16, 12)
+        np.testing.assert_array_equal(np.asarray(b), img[..., 0].astype(np.int32))
+        np.testing.assert_array_equal(np.asarray(r), img[..., 2].astype(np.int32))
+        back = np.asarray(col.interleave_bgr_planes(b, g, r, 16, 12))
+        np.testing.assert_array_equal(back, packed)
+
 
 # ---------------------------------------------------------------------------
 # Drawing parity

@@ -64,7 +64,33 @@ class TestPipeline:
                 tuple(rects[i]), tuple(colors[i]), 2,
             )
             np.testing.assert_array_equal(np.asarray(out["filtered"][i]), mag)
-            np.testing.assert_array_equal(np.asarray(out["bgr"][i]), ov.reshape(24, 32, 3))
+            # resize pipelines are packed-rows end-to-end now (r2): same
+            # bytes, device-native (N, H, W*3) layout.
+            np.testing.assert_array_equal(
+                np.asarray(out["bgr"][i]).reshape(24, 32, 3), ov.reshape(24, 32, 3)
+            )
+
+
+    def test_resize_unaligned_dst_falls_back_interleaved(self, jax_cpu):
+        """dst width not 4-aligned → interleaved path, identical pixels."""
+        from rustcv_tpu.runtime import make_dummy_overlay
+
+        spec = PipelineSpec(
+            PixelFormat.YUYV, 64, 48, resize_to=(30, 20), filter="sobel_mag",
+        )
+        fn = get_pipeline(spec)
+        raw = np.stack([synth_raw(64, 48, PixelFormat.YUYV, s) for s in range(2)])
+        out = fn(jax_cpu.device_put(raw), *make_dummy_overlay(2))
+        assert out["bgr"].shape == (2, 20, 30, 3)  # interleaved HWC
+        for i in range(2):
+            bgr = golden.yuyv_to_bgr(raw[i], 64, 48)
+            small = golden.resize_bilinear(bgr, 30, 20)
+            np.testing.assert_array_equal(np.asarray(out["bgr"][i]), small)
+            gray = golden.bgr_to_gray(small)
+            gx, gy = golden.sobel3_gray(gray)
+            np.testing.assert_array_equal(
+                np.asarray(out["filtered"][i]), golden.gradient_magnitude_u8(gx, gy)
+            )
 
 
 class TestEngine:
