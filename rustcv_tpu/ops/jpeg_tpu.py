@@ -187,15 +187,25 @@ def unpack_block_coeffs(
 
 
 @jax.jit
-def ycbcr_to_bgr(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
+def ycbcr_to_bgr_planes(y: jax.Array, cb: jax.Array, cr: jax.Array):
+    """YCbCr planes → (b, g, r) u8 planes — same frozen color spec as
+    :func:`ycbcr_to_bgr` without the trailing-3 interleave (callers keep
+    plane/packed-rows layouts; byte-identical values)."""
     yf = y.astype(jnp.float32)
     d = cb.astype(jnp.float32) - 128.0
     e = cr.astype(jnp.float32) - 128.0
     r = yf + 1.402 * e
     g = yf - 0.344136 * d - 0.714136 * e
     b = yf + 1.772 * d
-    out = jnp.stack([b, g, r], axis=-1)
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return tuple(
+        jnp.clip(jnp.round(p), 0, 255).astype(jnp.uint8) for p in (b, g, r)
+    )
+
+
+@jax.jit
+def ycbcr_to_bgr(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
+    b, g, r = ycbcr_to_bgr_planes(y, cb, cr)
+    return jnp.stack([b, g, r], axis=-1)
 
 
 def decode_jpeg_tpu(data) -> jax.Array:

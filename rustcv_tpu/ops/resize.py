@@ -69,9 +69,17 @@ def resize_bilinear_plane(plane: jax.Array, dst_w: int, dst_h: int) -> jax.Array
     one = golden.RESIZE_ONE
 
     a = plane.astype(jnp.int32)
-    lo = jnp.take(a, x_lo, axis=-1)
-    hi = jnp.take(a, x_hi, axis=-1)
-    tmp = lo * (one - x_whi) + hi * x_whi
+    st = _hstride(x_lo, x_whi, src_w, dst_w)
+    if st is not None:
+        # Integer-factor downscale: taps from a free reshape + static slice
+        # instead of a lane gather (see resize_bilinear_packed).
+        k, o, w = st
+        g = a.reshape(*a.shape[:-1], dst_w, k)
+        tmp = g[..., o] * one if w == 0 else g[..., o] * (one - w) + g[..., o + 1] * w
+    else:
+        lo = jnp.take(a, x_lo, axis=-1)
+        hi = jnp.take(a, x_hi, axis=-1)
+        tmp = lo * (one - x_whi) + hi * x_whi
     lo = jnp.take(tmp, y_lo, axis=-2)
     hi = jnp.take(tmp, y_hi, axis=-2)
     wy = y_whi[:, None]

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.pixel_format import PixelFormat
+from ..ops import color as _ops_color
 from ..ops import decode as _decode
 from ..ops import draw as _draw
 from ..ops import filters as _filters
@@ -96,6 +97,13 @@ def _build(spec: PipelineSpec):
             spec.resize_to is None
             or (spec.width % 4 == 0 and spec.resize_to[0] % 4 == 0)
         )
+    ) or (
+        # Hybrid MJPEG reconstruction is plane-form until the very end, so
+        # packed rows come from one interleave at the OUTPUT geometry (with
+        # resize_to, the planes are resized first — 2.25× less interleave
+        # work at 1080p→480p and no trailing-3 layout anywhere).
+        spec.mjpeg_hybrid
+        and (spec.resize_to[0] if spec.resize_to else spec.width) % 4 == 0
     )
     # Post-resize geometry (the dims every downstream stage sees).
     cur_w, cur_h = (w, h) if spec.resize_to is None else spec.resize_to
@@ -133,16 +141,24 @@ def _build(spec: PipelineSpec):
         # the bitcast form. Reverted; measure composed, not stages.
         cb = jpeg_tpu.upsample(planes[1], fx, fy)[..., :h, :w]
         cr = jpeg_tpu.upsample(planes[2], fx, fy)[..., :h, :w]
-        return jpeg_tpu.ycbcr_to_bgr(planes[0][..., :h, :w], cb, cr)
+        b, g, r = jpeg_tpu.ycbcr_to_bgr_planes(planes[0][..., :h, :w], cb, cr)
+        if spec.resize_to is not None:
+            dw, dh = spec.resize_to
+            stacked = jnp.stack([b, g, r], axis=-3)  # (N, 3, H, W)
+            small = _resize.resize_bilinear_plane(stacked, dw, dh)
+            b, g, r = small[..., 0, :, :], small[..., 1, :, :], small[..., 2, :, :]
+        if packed:
+            return _ops_color.interleave_bgr_planes(b, g, r, cur_w, cur_h)
+        return jnp.stack([b, g, r], axis=-1)
 
     def run(raw, rects, rect_colors, thickness):
         # raw: u8 [N, raw_bytes] (or the coeff tuple in hybrid-MJPEG mode)
         from ..ops import color as _color
 
         if spec.mjpeg_hybrid:
+            # Resize (plane-form) + packed interleave happen inside —
+            # reconstruction is plane-form until the very end.
             bgr = reconstruct_mjpeg(raw)
-            if spec.resize_to is not None:
-                bgr = _resize.resize_bilinear(bgr, spec.resize_to[0], spec.resize_to[1])
         elif packed:
             if spec.staged_format() == PixelFormat.YUYV:
                 bgr = _color.yuyv_to_bgr_packed(raw, w, h)
