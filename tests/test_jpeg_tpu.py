@@ -25,6 +25,14 @@ def _encode(bgr: np.ndarray, quality: int = 90, subsampling=None) -> bytes:
     return buf.getvalue()
 
 
+def _encode_pil(bgr: np.ndarray, **kw) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(bgr[..., ::-1]).save(buf, "JPEG", **kw)
+    return buf.getvalue()
+
+
 def _pil_decode_bgr(data: bytes) -> np.ndarray:
     from PIL import Image
 
@@ -43,6 +51,55 @@ class TestEntropyDecoder:
     def test_rejects_garbage(self):
         with pytest.raises(ValueError):
             native.jpeg_entropy_decode(b"\xff\xd8\x00\x01garbage")
+
+    @pytest.mark.parametrize("subsampling", [0, 2])
+    @pytest.mark.parametrize("rst", [1, 4, 16])
+    def test_restart_markers(self, subsampling, rst):
+        """DRI/RSTn streams: the accumulator reader must byte-align and
+        reset DC predictors at every marker (refill() stops AT markers so
+        align() only ever discards pad bits)."""
+        from rustcv_tpu.ops.jpeg_tpu import decode_jpeg_numpy
+
+        bgr = sim.synth_bgr(130, 54, 5)
+        data = _encode_pil(bgr, quality=90, subsampling=subsampling,
+                           restart_marker_blocks=rst)
+        assert any(
+            data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+            for i in range(2, len(data) - 1)
+        )
+        ours = decode_jpeg_numpy(data).astype(np.int32)
+        pil = _pil_decode_bgr(data).astype(np.int32)
+        assert np.abs(ours - pil).max() <= 4  # usual IDCT tolerance
+
+    def test_oversubscribed_dht_no_crash(self):
+        """counts[1]=255 over-subscribes the 1-bit code space: the LUT
+        build must not index past 255 (ASan-verified); decode either
+        errors or returns bounded garbage, never crashes."""
+        def u16(v):
+            return bytes([v >> 8, v & 255])
+
+        dqt = b"\xff\xdb" + u16(67) + b"\x00" + bytes([1] * 64)
+        sof = b"\xff\xc0" + u16(11) + b"\x08" + u16(8) + u16(8) + b"\x01" + b"\x01\x11\x00"
+        counts = bytes([255] + [0] * 15)
+        vals = bytes(range(255))
+        dht0 = b"\xff\xc4" + u16(2 + 1 + 16 + 255) + b"\x00" + counts + vals
+        dht1 = b"\xff\xc4" + u16(2 + 1 + 16 + 255) + b"\x10" + counts + vals
+        sos = b"\xff\xda" + u16(8) + b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"
+        data = b"\xff\xd8" + dqt + sof + dht0 + dht1 + sos + b"\x12\x34\x56\x78\xff\xd9"
+        try:
+            native.jpeg_entropy_decode(data)
+        except ValueError:
+            pass  # rejecting is equally fine
+
+    def test_truncated_entropy_raises(self):
+        """Mid-entropy truncation must fail loudly (no silent zero-pad):
+        the fast reader's tail falls back to per-bit legacy semantics."""
+        bgr = sim.synth_bgr(64, 48, 3)
+        data = _encode(bgr, quality=90)
+        for frac in (0.5, 0.9):
+            cut = data[: int(len(data) * frac)]
+            with pytest.raises(ValueError):
+                native.jpeg_entropy_decode(cut)
 
 
 class TestHybridReconstruction:
