@@ -1,6 +1,7 @@
 """Capture layer: FrameSource protocol, simulation driver, Camera and
 VideoCapture facades, and negotiation."""
 
+from .avi import AviMjpegReader, FileDriver, FileSource, VideoWriter
 from .camera import Camera, default_driver
 from .negotiate import negotiate, negotiate_simple, resolve, score_mode, score_mode_msmf
 from .simulation import (
@@ -31,7 +32,8 @@ from .source import (
 from .videocapture import VideoCapture, resolve_device_id
 
 __all__ = [
-    "Camera", "DeviceControls", "DeviceInfo", "Driver", "FrameSource",
+    "AviMjpegReader", "Camera", "DeviceControls", "DeviceInfo", "Driver",
+    "FileDriver", "FileSource", "FrameSource", "VideoWriter",
     "LensControl", "ModeDescriptor", "SensorControl", "SimulationDriver",
     "SimulationSource", "SystemControl", "TriggerConfig", "TriggerMode",
     "TriggerPolarity", "VideoCapture", "default_driver", "default_modes",

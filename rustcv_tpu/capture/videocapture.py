@@ -31,6 +31,7 @@ import numpy as np
 
 from ..core.config import CameraConfig, Priority
 from ..core.errors import CameraError
+from ..core.errors import EndOfStream as EndOfStreamError
 from ..core.mat import Mat
 from ..core.pixel_format import PixelFormat
 from ..ops import decode as _decode
@@ -106,6 +107,13 @@ class VideoCapture:
         decode_on_device: bool = False,
         mjpeg_hybrid: bool = False,
     ):
+        if driver is None:
+            from .avi import FileDriver, is_video_file
+
+            if is_video_file(index):
+                # OpenCV semantics: VideoCapture("clip.avi") opens the file
+                # as an MJPEG source (read() returns False at end of video).
+                driver = FileDriver()
         self._driver = driver if driver is not None else default_driver()
         self._device_id = resolve_device_id(index, self._driver)
         self._decode_on_device = decode_on_device
@@ -162,6 +170,8 @@ class VideoCapture:
                             frame.pixel_format, frame.sequence,
                         )
                     )
+                except EndOfStreamError:
+                    self._res.put(_EndOfStream())  # finite source drained
                 except Exception as e:  # noqa: BLE001 — protocol invariant:
                     self._res.put(_Error(e))  # every command gets a response
             elif isinstance(cmd, _SetResolution):

@@ -91,3 +91,9 @@ class SimulationError(CameraError):
 
 class BackendError(CameraError):
     """Opaque backend failure (reference: BackendError)."""
+
+
+class EndOfStream(CameraError):
+    """A finite source (video file) ran out of frames — the exception form
+    of the facade protocol's EndOfStream response (videoio/mod.rs:33);
+    ``VideoCapture.read`` maps it to ``False`` without recording an error."""

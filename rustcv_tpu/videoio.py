@@ -9,8 +9,10 @@ from __future__ import annotations
 
 from .capture import (
     Camera,
+    FileDriver,
     SimulationDriver,
     VideoCapture,
+    VideoWriter,
     default_driver,
     resolve_device_id,
 )
@@ -34,8 +36,10 @@ def create_driver(backend: str = "simulation", **kwargs) -> Driver:
         from .capture.v4l2 import V4L2Driver
 
         return V4L2Driver(**kwargs)
+    if backend == "file":
+        return FileDriver(**kwargs)
     raise ValueError(
-        f"unknown backend {backend!r} (available: simulation, native, v4l2)"
+        f"unknown backend {backend!r} (available: simulation, native, v4l2, file)"
     )
 
 
@@ -53,6 +57,7 @@ def default_backend() -> str:
 
 
 __all__ = [
-    "Camera", "Driver", "SimulationDriver", "VideoCapture", "create_driver",
-    "default_backend", "default_driver", "resolve_device_id",
+    "Camera", "Driver", "FileDriver", "SimulationDriver", "VideoCapture",
+    "VideoWriter", "create_driver", "default_backend", "default_driver",
+    "resolve_device_id",
 ]

@@ -122,6 +122,18 @@ class TestExamples:
         assert "batched mode" in out and "independent mode" in out
 
 
+def test_video_file_io_example(jax_cpu, capsys):
+    import os
+
+    from examples.video_file_io import main
+
+    path = main(n_frames=5, width=64, height=48)
+    out = capsys.readouterr().out
+    assert "wrote 5 frames" in out and "read 5 frames" in out
+    assert "engine tick from file" in out
+    os.remove(path)
+
+
 def test_spatial_parallel_example(jax_cpu):
     from examples.spatial_parallel import main
 
