@@ -50,17 +50,23 @@ def capture_loop(engine: MultiStreamEngine, channels, stop: threading.Event,
         try:
             res = engine.tick(block=True)
             if encoder == "tpu":
-                # Feed the device-resident packed-rows batch straight into
-                # the hybrid encoder: color convert + subsample + FDCT +
-                # quantize stay on-chip; only quantized coefficients come
-                # back; the host does Huffman coding per stream.
-                from rustcv_tpu.ops.jpeg_encode import encode_jpeg_batch_tpu
+                # TPU encode: color convert + subsample + FDCT + quantize
+                # stay on-chip; only quantized coefficients come back and
+                # the host does Huffman coding per stream. Prefer the FUSED
+                # form (the tick program already emitted the coefficients —
+                # zero extra dispatch); engines built without
+                # encode_jpeg_quality take the second-dispatch batch path.
+                if engine.spec.encode_jpeg:
+                    payloads = engine.encode_payloads(res)
+                else:
+                    from rustcv_tpu.ops.jpeg_encode import encode_jpeg_batch_tpu
 
-                dev = res.outputs["bgr"]
-                if dev.ndim == 3:  # packed rows (N, H, W*3)
-                    n, h, w3 = dev.shape
-                    dev = dev.reshape(n, h, w3 // 3, 3)
-                for ch, payload in zip(channels, encode_jpeg_batch_tpu(dev, quality)):
+                    dev = res.outputs["bgr"]
+                    if dev.ndim == 3:  # packed rows (N, H, W*3)
+                        n, h, w3 = dev.shape
+                        dev = dev.reshape(n, h, w3 // 3, 3)
+                    payloads = encode_jpeg_batch_tpu(dev, quality)
+                for ch, payload in zip(channels, payloads):
                     ch.publish(payload)
                 continue
             bgr = res.numpy("bgr")  # (N, H, W, 3)
@@ -121,6 +127,8 @@ def main(port: int = 8080, n_streams: int = 2, width: int = 640, height: int = 4
         SimulationDriver(device_count=n_streams, paced=True), n_streams,
         SimpleConfig(width=width, height=height, fps=30, pixel_format=PixelFormat.YUYV),
         overlay=False, device_sim=True,
+        # Fuse the JPEG encoder's numeric half into the tick program.
+        encode_jpeg_quality=quality if encoder == "tpu" else 0,
     )
     channels = [Broadcast() for _ in range(n_streams)]
     stop = threading.Event()

@@ -110,55 +110,64 @@ def fdct_kmat() -> np.ndarray:
 
 
 def _blocks(plane: jnp.ndarray) -> jnp.ndarray:
-    """(H, W) → [nblocks, 64] block rows (natural order within blocks)."""
-    h, w = plane.shape
+    """(…, H, W) → (…, nblocks, 64) block rows (natural order in-block)."""
+    h, w = plane.shape[-2], plane.shape[-1]
+    batch = plane.shape[:-2]
     bh, bw = h // 8, w // 8
+    nd = len(batch)
+    perm = tuple(range(nd)) + (nd, nd + 2, nd + 1, nd + 3)
     return (
-        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(bh * bw, 64)
+        plane.reshape(*batch, bh, 8, bw, 8)
+        .transpose(perm)
+        .reshape(*batch, bh * bw, 64)
     )
 
 
 def _fdct_quant(plane: jnp.ndarray, qt: jnp.ndarray) -> jnp.ndarray:
-    """Integer plane → quantized coefficient rows [nblocks, 64] (int16)."""
+    """Integer plane → quantized coefficient rows (…, nblocks, 64) int16."""
     x = _blocks(plane).astype(jnp.float32) - 128.0
     k = jnp.asarray(fdct_kmat())
-    f = jax.lax.dot(x, k, precision=jax.lax.Precision.HIGHEST)
+    f = jnp.matmul(x, k, precision=jax.lax.Precision.HIGHEST)
     q = jnp.round(f / qt.reshape(64).astype(jnp.float32))
     return jnp.clip(q, -1023, 1023).astype(jnp.int16)
 
 
 def _subsample_h2v2(p: jnp.ndarray) -> jnp.ndarray:
-    h, w = p.shape
-    q = p.reshape(h // 2, 2, w // 2, 2).astype(jnp.int32)
-    return (q.sum(axis=(1, 3)) + 2) >> 2
+    h, w = p.shape[-2], p.shape[-1]
+    q = p.reshape(*p.shape[:-2], h // 2, 2, w // 2, 2).astype(jnp.int32)
+    return (q.sum(axis=(-3, -1)) + 2) >> 2
 
 
 def _subsample_h2v1(p: jnp.ndarray) -> jnp.ndarray:
-    h, w = p.shape
-    q = p.reshape(h, w // 2, 2).astype(jnp.int32)
+    w = p.shape[-1]
+    q = p.reshape(*p.shape[:-1], w // 2, 2).astype(jnp.int32)
     return (q.sum(axis=-1) + 1) >> 1
 
 
-@partial(jax.jit, static_argnames=("quality", "subsampling"))
-def encode_coeffs_tpu(
-    bgr: jax.Array, quality: int = 90, subsampling: str = "4:2:0"
+def encode_coeffs_from_planes(
+    b: jax.Array,
+    g: jax.Array,
+    r: jax.Array,
+    quality: int = 90,
+    subsampling: str = "4:2:0",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(H, W, 3) u8 BGR → quantized coefficient rows per component.
+    """B/G/R u8 planes (…, H, W) → quantized coefficient rows per component
+    (…, [nb, 64] int16, natural order over the padded MCU grid).
 
-    Everything numeric on-device in one fused program; feed the results to
-    :func:`rustcv_tpu.native.jpeg_entropy_encode` (see
-    :func:`encode_jpeg_tpu`). Returns ([nby, 64], [nbc, 64], [nbc, 64])
-    int16 in natural order over the padded MCU grid.
-    """
-    h, w = bgr.shape[0], bgr.shape[1]
-    g = _geometry(w, h, subsampling)
+    The traceable core of the encoder — fuse it into larger device programs
+    (e.g. an engine tick that transcodes: decode → filter → overlay →
+    encode). Plane inputs compose with the packed-rows pipelines via
+    ``color.unpack_bgr_planes`` (no trailing-3 layout anywhere)."""
+    h, w = b.shape[-2], b.shape[-1]
+    geo = _geometry(w, h, subsampling)
     qy, qc = quant_tables(quality)
-    pad = ((0, g["pad_h"] - h), (0, g["pad_w"] - w), (0, 0))
-    img = jnp.pad(bgr, pad, mode="edge").astype(jnp.float32)
-    b, gg, r = img[..., 0], img[..., 1], img[..., 2]
-    y = 0.299 * r + 0.587 * gg + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * gg + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * gg - 0.081312 * b + 128.0
+    pad = [(0, 0)] * (b.ndim - 2) + [(0, geo["pad_h"] - h), (0, geo["pad_w"] - w)]
+    bf, gf, rf = (
+        jnp.pad(p, pad, mode="edge").astype(jnp.float32) for p in (b, g, r)
+    )
+    y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+    cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+    cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
     y, cb, cr = (
         jnp.clip(jnp.round(p), 0, 255).astype(jnp.int32) for p in (y, cb, cr)
     )
@@ -173,6 +182,22 @@ def encode_coeffs_tpu(
         _fdct_quant(y, qyj),
         _fdct_quant(cb, qcj),
         _fdct_quant(cr, qcj),
+    )
+
+
+@partial(jax.jit, static_argnames=("quality", "subsampling"))
+def encode_coeffs_tpu(
+    bgr: jax.Array, quality: int = 90, subsampling: str = "4:2:0"
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(H, W, 3) u8 BGR → quantized coefficient rows per component.
+
+    Everything numeric on-device in one fused program; feed the results to
+    :func:`rustcv_tpu.native.jpeg_entropy_encode` (see
+    :func:`encode_jpeg_tpu`). Returns ([nby, 64], [nbc, 64], [nbc, 64])
+    int16 in natural order over the padded MCU grid.
+    """
+    return encode_coeffs_from_planes(
+        bgr[..., 0], bgr[..., 1], bgr[..., 2], quality, subsampling
     )
 
 

@@ -93,6 +93,8 @@ class MultiStreamEngine:
         device_sim: bool = False,
         stencil_impl: Optional[str] = None,
         mjpeg_backend: str = "host",
+        encode_jpeg_quality: int = 0,
+        encode_subsampling: str = "4:2:0",
     ):
         """``device_sim=True`` synthesizes frames directly in HBM (see
         ops/synth.py) — the zero-H2D capture path for simulated streams. The
@@ -145,6 +147,8 @@ class MultiStreamEngine:
             stencil_impl=stencil_impl,
             mjpeg_hybrid=self._mjpeg_hybrid,
             mjpeg_staged_bgr=self._mjpeg_native,
+            encode_jpeg=int(encode_jpeg_quality),
+            encode_subsampling=encode_subsampling,
         )
         self._fn = get_pipeline(self.spec)
         self._coeff_staging = None  # hybrid MJPEG: built lazily at first tick
@@ -793,6 +797,42 @@ class MultiStreamEngine:
     # equal path violates the bench discipline. The device-resident stream
     # clock (_next_seqs feedback) already gives zero-upload steady state.
 
+    def encode_payloads(self, res: TickResult) -> List[bytes]:
+        """Finish the fused JPEG transcode: one JFIF byte string per stream.
+
+        Requires ``encode_jpeg_quality > 0`` — the tick program already
+        produced quantized coefficient rows (enc_y/enc_cb/enc_cr) on the
+        device; this fetches them (int16, mostly zeros) and runs the host
+        Huffman coder per stream (native.jpeg_entropy_encode)."""
+        if not self.spec.encode_jpeg:
+            raise CameraError(
+                "engine was built without encode_jpeg_quality; no transcode outputs"
+            )
+        from .. import native
+        from ..ops import jpeg_encode as _jenc
+
+        if self.spec.resize_to is not None:
+            dw, dh = self.spec.resize_to
+        else:
+            dw, dh = self.spec.width, self.spec.height
+        g = _jenc._geometry(dw, dh, self.spec.encode_subsampling)
+        qy, qc = _jenc.quant_tables(self.spec.encode_jpeg)
+        cy = np.asarray(res.outputs["enc_y"])
+        cb = np.asarray(res.outputs["enc_cb"])
+        cr = np.asarray(res.outputs["enc_cr"])
+        out = []
+        for i in range(self.n):
+            comps = [
+                arr[i].reshape(*g["blocks"][c], 64)
+                for c, arr in enumerate((cy, cb, cr))
+            ]
+            out.append(
+                native.jpeg_entropy_encode(
+                    comps, [qy, qc, qc], dw, dh, g["h_samp"], g["v_samp"]
+                )
+            )
+        return out
+
     def warm_buckets(self, buckets=None) -> int:
         """Ahead-of-time compile this engine's pipeline for every shape
         bucket (default: runtime.buckets.SHAPE_BUCKETS), so a later
@@ -829,6 +869,8 @@ class MultiStreamEngine:
             stencil_impl=self.spec.stencil_impl,
             mjpeg_hybrid=self.spec.mjpeg_hybrid,
             mjpeg_staged_bgr=self.spec.mjpeg_staged_bgr,
+            encode_jpeg=self.spec.encode_jpeg,
+            encode_subsampling=self.spec.encode_subsampling,
         )
         self._fn = get_pipeline(self.spec)
         # Hybrid coefficient staging is geometry-dependent: rebuild lazily

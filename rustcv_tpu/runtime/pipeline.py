@@ -58,6 +58,12 @@ class PipelineSpec:
     # scanlines straight into pitched staging (decode.rs:92-123 semantics),
     # so the staged bytes are already BGR and the device does no swap.
     mjpeg_staged_bgr: bool = False
+    # JPEG transcode output: quality > 0 fuses the encoder's numeric half
+    # (BGR→YCbCr, subsample, FDCT-as-matmul, quantize) into THIS program
+    # after the overlay; outputs gain enc_y/enc_cb/enc_cr coefficient rows
+    # (int16) for the host Huffman coder (native.jpeg_entropy_encode).
+    encode_jpeg: int = 0
+    encode_subsampling: str = "4:2:0"
 
     def raw_bytes(self) -> int:
         if self.pixel_format == PixelFormat.MJPEG:
@@ -274,6 +280,18 @@ def _build(spec: PipelineSpec):
                 bgr = _draw.rectangle_packed(bgr, rects, rect_colors, thickness)
             else:
                 bgr = _draw.rectangle(bgr, rects, rect_colors, thickness)
+        if spec.encode_jpeg:
+            from ..ops import jpeg_encode as _jenc
+
+            if packed and cur_w % 4 == 0:
+                eb, eg, er = _ops_color.unpack_bgr_planes(bgr, cur_w, cur_h)
+            else:
+                hwc = bgr.reshape(*bgr.shape[:-1], cur_w, 3) if packed else bgr
+                eb, eg, er = hwc[..., 0], hwc[..., 1], hwc[..., 2]
+            cy, ccb, ccr = _jenc.encode_coeffs_from_planes(
+                eb, eg, er, spec.encode_jpeg, spec.encode_subsampling
+            )
+            out["enc_y"], out["enc_cb"], out["enc_cr"] = cy, ccb, ccr
         if spec.emit_bgr:
             out["bgr"] = bgr
         if spec.emit_filtered and filtered is not None:

@@ -171,6 +171,86 @@ class TestEndToEnd:
         assert sizes[0] < sizes[1] < sizes[2]
 
 
+class TestFusedTranscode:
+    """encode_jpeg fused into the tick program (the MJPEG transcode shape:
+    decode → process → overlay → encode coefficients, one device program)."""
+
+    def test_pipeline_outputs_match_standalone(self, jax_cpu):
+        from PIL import Image
+
+        from rustcv_tpu.capture import synth_raw
+        from rustcv_tpu.core import PixelFormat
+        from rustcv_tpu.ops import golden
+        from rustcv_tpu.ops.jpeg_encode import encode_coeffs_numpy
+        from rustcv_tpu.runtime.pipeline import (
+            PipelineSpec,
+            get_pipeline,
+            make_dummy_overlay,
+        )
+
+        spec = PipelineSpec(
+            PixelFormat.YUYV, 64, 48, overlay=False, encode_jpeg=90,
+        )
+        fn = get_pipeline(spec)
+        raw = np.stack([synth_raw(64, 48, PixelFormat.YUYV, s) for s in range(2)])
+        out = fn(raw, *make_dummy_overlay(2))
+        assert {"enc_y", "enc_cb", "enc_cr"} <= set(out)
+        # fused coefficients ≈ float64 oracle on the decoded BGR (≤1 off on
+        # quantization boundaries, same tolerance as the standalone path)
+        for i in range(2):
+            bgr = golden.yuyv_to_bgr(raw[i], 64, 48)
+            want, _, _ = encode_coeffs_numpy(bgr, 90, "4:2:0")
+            for key, c in (("enc_y", 0), ("enc_cb", 1), ("enc_cr", 2)):
+                got = np.asarray(out[key][i]).astype(np.int32)
+                w = want[c].reshape(-1, 64).astype(np.int32)
+                diff = np.abs(got - w)
+                assert diff.max() <= 1 and (diff > 0).mean() < 5e-3
+
+    def test_engine_transcode_end_to_end(self, jax_cpu):
+        from PIL import Image
+
+        from rustcv_tpu.capture import SimulationDriver
+        from rustcv_tpu.core import PixelFormat, SimpleConfig
+        from rustcv_tpu.runtime import MultiStreamEngine
+
+        eng = MultiStreamEngine(
+            SimulationDriver(device_count=2, paced=False), 2,
+            SimpleConfig(width=128, height=96, fps=30, pixel_format=PixelFormat.YUYV),
+            overlay=True, device_sim=True, encode_jpeg_quality=90,
+        )
+        try:
+            rects = np.array([[8, 8, 40, 30]] * 2, np.int32)
+            cols = np.array([[0, 255, 0]] * 2, np.uint8)
+            res = eng.tick(block=True, rects=rects, rect_colors=cols)
+            payloads = eng.encode_payloads(res)
+            bgr = res.numpy("bgr")
+            assert len(payloads) == 2
+            for i, p in enumerate(payloads):
+                img = np.asarray(Image.open(io.BytesIO(p)).convert("RGB"))[..., ::-1]
+                assert img.shape == bgr[i].shape
+                assert _psnr(img, bgr[i]) > 23.0  # 4:2:0 on the synth pattern
+        finally:
+            eng.close()
+
+    def test_engine_without_encode_raises(self, jax_cpu):
+        from rustcv_tpu.capture import SimulationDriver
+        from rustcv_tpu.core import PixelFormat, SimpleConfig
+        from rustcv_tpu.core.errors import CameraError
+        from rustcv_tpu.runtime import MultiStreamEngine
+
+        eng = MultiStreamEngine(
+            SimulationDriver(device_count=1, paced=False), 1,
+            SimpleConfig(width=64, height=48, fps=30, pixel_format=PixelFormat.YUYV),
+            device_sim=True,
+        )
+        try:
+            res = eng.tick(block=True)
+            with pytest.raises(CameraError):
+                eng.encode_payloads(res)
+        finally:
+            eng.close()
+
+
 class TestImencode:
     def test_imencode_imdecode_roundtrip(self, jax_cpu, tmp_path):
         from rustcv_tpu.core.mat import Mat
