@@ -113,14 +113,27 @@ def _apply(mat: Mat, device_fn, host_fn) -> Mat:
     return Mat.from_array(host_fn(mat.to_numpy()))
 
 
-def resize(mat: Mat, width: int, height: int) -> Mat:
-    """Bilinear resize (frozen fixed-point spec, golden.resize_bilinear)."""
+def resize(mat: Mat, width: int, height: int, interpolation: str = "bilinear") -> Mat:
+    """Resize with a frozen spec per mode (OpenCV's INTER_* trio):
+    "bilinear" (11-bit fixed-point, golden.resize_bilinear), "nearest"
+    (half-pixel-center taps), "area" (exact box mean for integer
+    downscales, bilinear otherwise)."""
     from ..ops import resize as _resize
 
+    fns = {
+        "bilinear": (_resize.resize_bilinear, golden.resize_bilinear),
+        "nearest": (_resize.resize_nearest, golden.resize_nearest),
+        "area": (_resize.resize_area, golden.resize_area),
+    }
+    if interpolation not in fns:
+        raise ValueError(
+            f"unknown interpolation {interpolation!r} (bilinear, nearest, area)"
+        )
+    dev, host = fns[interpolation]
     return _apply(
         mat,
-        lambda d: _resize.resize_bilinear(d, width, height),
-        lambda h: golden.resize_bilinear(h, width, height),
+        lambda d: dev(d, width, height),
+        lambda h: host(h, width, height),
     )
 
 
@@ -129,6 +142,14 @@ def gaussian_blur(mat: Mat) -> Mat:
     from ..ops import filters as _filters
 
     return _apply(mat, _filters.gaussian5_u8, golden.gaussian5_u8)
+
+
+def pyr_down(mat: Mat) -> Mat:
+    """Image-pyramid downsample: 5×5 Gaussian + even-index decimation
+    (OpenCV pyrDown shape semantics; golden.pyr_down)."""
+    from ..ops import filters as _filters
+
+    return _apply(mat, _filters.pyr_down, golden.pyr_down)
 
 
 def box_blur(mat: Mat, ksize: int = 3) -> Mat:
@@ -259,6 +280,6 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 
 __all__ = [
     "Point", "Rect", "Scalar", "box_blur", "canny", "cvt_gray", "dilate",
-    "erode", "flip", "gaussian_blur", "harris_corners", "median_blur",
+    "erode", "flip", "gaussian_blur", "harris_corners", "median_blur", "pyr_down",
     "put_text", "rectangle", "resize", "sobel_magnitude", "threshold",
 ]

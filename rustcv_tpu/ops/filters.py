@@ -57,6 +57,19 @@ def gaussian5_u8(img: jax.Array, has_channels: bool = None) -> jax.Array:  # typ
     return ((acc + 128) >> 8).astype(jnp.uint8)
 
 
+@partial(jax.jit, static_argnames=("has_channels",))
+def pyr_down(img: jax.Array, has_channels: bool = None) -> jax.Array:  # type: ignore[assignment]
+    """Pyramid downsample: 5×5 Gaussian + even-index decimation — exact vs
+    golden.pyr_down. Output ceil(H/2) × ceil(W/2)."""
+    if has_channels is None:
+        has_channels = img.ndim >= 3 and img.shape[-1] in (1, 3, 4)
+    blurred = gaussian5_u8(img, has_channels=has_channels)
+    ax_h, ax_w = _spatial_axes(img, has_channels)
+    idx_h = jnp.arange(0, img.shape[ax_h], 2)
+    idx_w = jnp.arange(0, img.shape[ax_w], 2)
+    return jnp.take(jnp.take(blurred, idx_h, axis=ax_h), idx_w, axis=ax_w)
+
+
 @jax.jit
 def sobel3_gray(gray: jax.Array):
     """Sobel gx/gy on u8 gray (..., H, W) → int32 pair, exact vs golden."""

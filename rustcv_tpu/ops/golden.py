@@ -390,6 +390,41 @@ def resize_bilinear(img: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def resize_nearest_coeffs(src_size: int, dst_size: int) -> np.ndarray:
+    """Frozen nearest-neighbor tap table: half-pixel centers,
+    src = min(floor((d + 0.5) · src/dst), src − 1) in float64."""
+    d = np.arange(dst_size, dtype=np.float64)
+    ix = np.floor((d + 0.5) * (src_size / dst_size)).astype(np.int64)
+    return np.minimum(ix, src_size - 1).astype(np.int32)
+
+
+def resize_nearest(img: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, frozen spec (exact pixel copies)."""
+    sx = resize_nearest_coeffs(img.shape[1], dst_w)
+    sy = resize_nearest_coeffs(img.shape[0], dst_h)
+    return img[sy][:, sx]
+
+
+def resize_area(img: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
+    """Area (box-mean) resize, frozen spec.
+
+    Integer downscale factors: exact k×k box mean with round-half-up
+    ``(Σ + n/2) // n``. Any other ratio falls back to the bilinear spec
+    (OpenCV makes the same integer-factor distinction for INTER_AREA).
+    """
+    src_h, src_w = img.shape[:2]
+    if (
+        dst_w <= src_w and dst_h <= src_h
+        and src_w % dst_w == 0 and src_h % dst_h == 0
+    ):
+        ky, kx = src_h // dst_h, src_w // dst_w
+        s = img.astype(np.int64).reshape(dst_h, ky, dst_w, kx, -1).sum(axis=(1, 3))
+        n = kx * ky
+        out = (s + n // 2) // n
+        return np.clip(out, 0, 255).astype(np.uint8).reshape(dst_h, dst_w, *img.shape[2:])
+    return resize_bilinear(img, dst_w, dst_h)
+
+
 # ---------------------------------------------------------------------------
 # Filters (frozen integer specs)
 # ---------------------------------------------------------------------------
@@ -413,6 +448,13 @@ def gaussian5_u8(img: np.ndarray) -> np.ndarray:
     # Vertical taps + single rounding (≤ 256*255)
     acc = sum(int(GAUSS5[k]) * tmp[k : k + h] for k in range(5))
     return ((acc + 128) >> 8).astype(np.uint8)
+
+
+def pyr_down(img: np.ndarray) -> np.ndarray:
+    """Image-pyramid downsample, frozen spec: the 5×5 Gaussian
+    (:func:`gaussian5_u8`, replicate border) followed by even-index
+    decimation — output is ceil(H/2) × ceil(W/2) (OpenCV pyrDown shape)."""
+    return gaussian5_u8(img)[::2, ::2]
 
 
 def sobel3_gray(gray: np.ndarray):

@@ -88,6 +88,35 @@ def resize_bilinear_plane(plane: jax.Array, dst_w: int, dst_h: int) -> jax.Array
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
+@partial(jax.jit, static_argnames=("dst_w", "dst_h"))
+def resize_nearest(img: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
+    """Nearest-neighbor resize (..., H, W, C) u8 — bit-exact vs
+    golden.resize_nearest (tap tables are host float64 constants)."""
+    sx = golden.resize_nearest_coeffs(img.shape[-2], dst_w)
+    sy = golden.resize_nearest_coeffs(img.shape[-3], dst_h)
+    return jnp.take(jnp.take(img, sy, axis=-3), sx, axis=-2)
+
+
+@partial(jax.jit, static_argnames=("dst_w", "dst_h"))
+def resize_area(img: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
+    """Area (box-mean) resize (..., H, W, C) u8 — integer factors only
+    (exact k×k mean, round-half-up); other ratios take the bilinear spec
+    (same distinction as golden.resize_area / OpenCV INTER_AREA)."""
+    src_h, src_w = img.shape[-3], img.shape[-2]
+    if not (
+        dst_w <= src_w and dst_h <= src_h
+        and src_w % dst_w == 0 and src_h % dst_h == 0
+    ):
+        return resize_bilinear(img, dst_w, dst_h)
+    ky, kx = src_h // dst_h, src_w // dst_w
+    batch = img.shape[:-3]
+    c = img.shape[-1]
+    a = img.astype(jnp.int32).reshape(*batch, dst_h, ky, dst_w, kx, c)
+    s = a.sum(axis=(-4, -2))
+    n = kx * ky
+    return ((s + n // 2) // n).astype(jnp.uint8)
+
+
 def _hstride(lo: np.ndarray, whi: np.ndarray, src: int, dst: int):
     """Detect an affine integer-stride horizontal pattern: lo[x] = k·x + o
     with constant weight w, group-local taps (src == k·dst, hi tap inside

@@ -205,6 +205,67 @@ class TestResizeParity:
                 got[i].reshape(24, 32, 3), golden.resize_bilinear(imgs[i], 32, 24)
             )
 
+    @pytest.mark.parametrize("dst", [(24, 32), (12, 16), (20, 40), (60, 100)])
+    def test_nearest_bit_exact(self, rng, jax_cpu, dst):
+        img = _rand_u8(rng, 48, 64, 3)
+        want = golden.resize_nearest(img, dst[1], dst[0])
+        got = np.asarray(resize.resize_nearest(jax_cpu.numpy.asarray(img), dst[1], dst[0]))
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("dst", [(24, 32), (12, 16), (6, 8), (20, 40)])
+    def test_area_bit_exact(self, rng, jax_cpu, dst):
+        """Integer factors take the exact box mean; (20, 40) is a
+        non-integer height factor → bilinear fallback on both sides."""
+        img = _rand_u8(rng, 48, 64, 3)
+        want = golden.resize_area(img, dst[1], dst[0])
+        got = np.asarray(resize.resize_area(jax_cpu.numpy.asarray(img), dst[1], dst[0]))
+        np.testing.assert_array_equal(got, want)
+
+    def test_area_is_exact_box_mean(self, jax_cpu):
+        img = np.full((4, 4, 1), 10, np.uint8)
+        img[:2, :2] = 11  # mean of {11,11,11,11,10..} per 2x2
+        out = golden.resize_area(img, 2, 2)
+        assert out[0, 0, 0] == 11 and out[1, 1, 0] == 10
+
+    def test_imgproc_resize_modes(self, rng, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        img = _rand_u8(rng, 48, 64, 3)
+        for mode, fn in (
+            ("bilinear", golden.resize_bilinear),
+            ("nearest", golden.resize_nearest),
+            ("area", golden.resize_area),
+        ):
+            out = imgproc.resize(Mat.from_array(img), 16, 12, interpolation=mode)
+            np.testing.assert_array_equal(out.to_numpy(), fn(img, 16, 12))
+        with pytest.raises(ValueError):
+            imgproc.resize(Mat.from_array(img), 16, 12, interpolation="cubic")
+
+    @pytest.mark.parametrize("h,w", [(48, 64), (47, 63)])  # odd dims too
+    def test_pyr_down_bit_exact(self, rng, jax_cpu, h, w):
+        from rustcv_tpu.ops import filters
+
+        img = _rand_u8(rng, h, w, 3)
+        want = golden.pyr_down(img)
+        assert want.shape == (-(-h // 2), -(-w // 2), 3)
+        got = np.asarray(filters.pyr_down(jax_cpu.numpy.asarray(img)))
+        np.testing.assert_array_equal(got, want)
+        # gray + batched
+        gray = img[..., 0]
+        np.testing.assert_array_equal(
+            np.asarray(filters.pyr_down(jax_cpu.numpy.asarray(gray))),
+            golden.pyr_down(gray),
+        )
+
+    def test_imgproc_pyr_down(self, rng, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        img = _rand_u8(rng, 48, 64, 3)
+        out = imgproc.pyr_down(Mat.from_array(img))
+        np.testing.assert_array_equal(out.to_numpy(), golden.pyr_down(img))
+
     def test_unpack_interleave_roundtrip(self, rng, jax_cpu):
         from rustcv_tpu.ops import color as col
 

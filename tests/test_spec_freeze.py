@@ -32,6 +32,8 @@ GOLDEN_HASHES = {
     "gauss": "8dda84a5b028414b",
     "blur_sobel": "9e8117480976397e",
     "resize": "27414bd11dfa1ec4",
+    "resize_nearest": "b9e99ffc81081283",
+    "resize_area": "f2000f06b1182189",  # 4×4 box (2×2 ≡ bilinear exactly)
     "rect": "56b8ed603693fdf8",
     "demosaic": "bb79f11a3e96c6fa",
 }
@@ -60,6 +62,8 @@ def test_decode_and_ops_frozen():
     assert _h(golden.gaussian5_u8(dec)) == GOLDEN_HASHES["gauss"]
     assert _h(golden.blur_sobel_mag_u8(dec)) == GOLDEN_HASHES["blur_sobel"]
     assert _h(golden.resize_bilinear(dec, 32, 24)) == GOLDEN_HASHES["resize"]
+    assert _h(golden.resize_nearest(dec, 32, 24)) == GOLDEN_HASHES["resize_nearest"]
+    assert _h(golden.resize_area(dec, 16, 12)) == GOLDEN_HASHES["resize_area"]
     ov = dec.copy()
     golden.rectangle(ov.reshape(H, -1), H, W, W * 3, (5, 5, 30, 20), (9, 99, 199), 2)
     assert _h(ov) == GOLDEN_HASHES["rect"]
