@@ -134,6 +134,42 @@ def test_video_file_io_example(jax_cpu, capsys):
     os.remove(path)
 
 
+def test_transcode_example(jax_cpu, tmp_path):
+    """AVI→AVI transcode: frame ORDER must be preserved across the strided
+    batch (each output frame must match its own input frame, not a
+    neighbor — synth frames differ per sequence)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from examples.transcode import make_test_clip, transcode
+    from rustcv_tpu.capture.avi import AviMjpegReader
+
+    src = str(tmp_path / "in.avi")
+    dst = str(tmp_path / "out.avi")
+    make_test_clip(src, n_frames=7, width=128, height=96)  # odd vs batch=3
+    n = transcode(src, dst, batch=3, overlay=False)
+    assert n == 7
+    rin, rout = AviMjpegReader(src), AviMjpegReader(dst)
+    assert len(rout) == 7
+
+    def _dec(r, i):
+        return np.asarray(
+            Image.open(io.BytesIO(r.frame_bytes(i).tobytes())).convert("RGB")
+        ).astype(np.float64)
+
+    for i in range(7):
+        want = _dec(rin, i)
+        got = _dec(rout, i)
+        mse = np.mean((want - got) ** 2)
+        psnr = 10 * np.log10(255**2 / max(mse, 1e-12))
+        assert psnr > 22.0, f"frame {i} mismatched (psnr {psnr:.1f})"
+        # and explicitly NOT equal to a different frame
+        other = _dec(rin, (i + 3) % 7)
+        assert np.mean((other - got) ** 2) > 4 * mse
+
+
 def test_spatial_parallel_example(jax_cpu):
     from examples.spatial_parallel import main
 
