@@ -55,7 +55,7 @@ def transcode(
 
         def open(self, device_id, config):
             s = sources[self._next]
-            s._pos = self._next  # starting offset
+            s.seek(self._next)  # starting offset
             self._next += 1
             from rustcv_tpu.capture.source import DeviceControls
 
@@ -83,8 +83,8 @@ def transcode(
         ) as out:
             ticks = -(-n_frames // batch)
             for t in range(ticks):
-                for s in sources:  # stride: jump past the other streams' frames
-                    s._pos = t * batch + sources.index(s)
+                for i, s in enumerate(sources):  # stride past the other streams
+                    s.seek(t * batch + i)
                 res = eng.tick(block=True, rects=rects, rect_colors=colors)
                 payloads = eng.encode_payloads(res)
                 for i, p in enumerate(payloads):

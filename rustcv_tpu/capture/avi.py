@@ -322,6 +322,18 @@ class FileSource(FrameSource):
     def rewind(self) -> None:
         self._pos = 0
 
+    def seek(self, frame_index: int) -> None:
+        """Position the stream at ``frame_index`` (0-based; the next
+        ``next_frame`` returns it). Out-of-range indexes behave like EOF
+        (or wrap when looping)."""
+        if frame_index < 0:
+            raise ValueError(f"seek: negative frame index {frame_index}")
+        self._pos = int(frame_index)
+
+    @property
+    def position(self) -> int:
+        return self._pos
+
     @property
     def frame_count(self) -> int:
         return len(self._reader)

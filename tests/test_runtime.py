@@ -172,6 +172,31 @@ class TestEngine:
         )
         eng.close()
 
+    def test_mesh_sharded_engine_with_fused_encode(self, jax_cpu):
+        """Stream-DP mesh + fused JPEG encode: the coefficient outputs shard
+        over the batch axis and the payloads must equal the meshless run's
+        byte-for-byte."""
+        if len(jax_cpu.devices()) < 8:
+            pytest.skip("needs 8 devices (virtual CPU mesh)")
+        from rustcv_tpu import native
+        from rustcv_tpu.parallel import stream_mesh
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        kw = dict(
+            filter="none", overlay=False, encode_jpeg_quality=88,
+        )
+        cfg = SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV)
+        eng_mesh = MultiStreamEngine(_driver(), 8, cfg, mesh=stream_mesh(), **kw)
+        eng_ref = MultiStreamEngine(_driver(), 8, cfg, **kw)
+        try:
+            pm = eng_mesh.encode_payloads(eng_mesh.tick(block=True))
+            pr = eng_ref.encode_payloads(eng_ref.tick(block=True))
+            assert pm == pr  # identical JFIF bytes per stream
+        finally:
+            eng_mesh.close()
+            eng_ref.close()
+
     def test_mesh_psum_reduction(self, jax_cpu):
         if len(jax_cpu.devices()) < 8:
             import pytest
