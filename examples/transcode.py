@@ -45,8 +45,9 @@ def transcode(
     """
     info = AviMjpegReader(src)
     n_frames = len(info)
-    # Stream i reads frames i, i+batch, ... — a strided view of the clip.
-    sources = [FileSource(src) for _ in range(batch)]
+    # Stream i reads frames i, i+batch, ... — strided views of ONE shared
+    # reader (no duplicated file bytes).
+    sources = [FileSource(src, reader=info) for _ in range(batch)]
 
     class _StridedDriver(FileDriver):
         def __init__(self):

@@ -144,7 +144,8 @@ class VideoWriter:
             self._index.append((off, size))
 
     def write(self, frame) -> None:
-        """Encode + append one BGR frame (Mat or (H, W, 3) uint8 array)."""
+        """Encode + append one frame: Mat, (H, W, 3) BGR, or (H, W) gray
+        uint8 array (gray frames become grayscale JPEG chunks)."""
         bgr = frame.to_numpy() if isinstance(frame, Mat) else np.asarray(frame)
         if bgr.shape[:2] != (self._h, self._w):
             raise CameraError(
@@ -159,9 +160,11 @@ class VideoWriter:
             from PIL import Image
 
             buf = io.BytesIO()
-            Image.fromarray(bgr[..., ::-1]).save(
-                buf, "JPEG", quality=self._quality
-            )
+            if bgr.ndim == 2:  # grayscale: no channel axis to swap
+                img = Image.fromarray(bgr, "L")
+            else:
+                img = Image.fromarray(bgr[..., ::-1])
+            img.save(buf, "JPEG", quality=self._quality)
             data = buf.getvalue()
         self.write_encoded(data)
 
@@ -300,8 +303,17 @@ class FileSource(FrameSource):
     wraps around instead of ending the stream.
     """
 
-    def __init__(self, path: str, paced: bool = False, loop: bool = False):
-        self._reader = AviMjpegReader(path)
+    def __init__(
+        self,
+        path: str,
+        paced: bool = False,
+        loop: bool = False,
+        reader: Optional[AviMjpegReader] = None,
+    ):
+        # A shared reader avoids N copies of the file bytes when N sources
+        # read the same clip (the reader is immutable after parse; each
+        # source keeps only its own cursor).
+        self._reader = reader if reader is not None else AviMjpegReader(path)
         if not self._reader.frames:
             raise DecodeError(f"{path}: no video frames found")
         self._paced = paced
@@ -310,11 +322,15 @@ class FileSource(FrameSource):
         self._seq = 0
         self._started = False
         self._t0 = None
+        self._pace_base = 0
         self._last_frame: Optional[Frame] = None
 
     def start(self) -> None:
         self._started = True
         self._t0 = time.monotonic()
+        # Pacing restarts from the CURRENT position: without this, a
+        # stop()/start() cycle would stall ~_seq/fps seconds.
+        self._pace_base = self._seq
 
     def stop(self) -> None:
         self._started = False
@@ -352,7 +368,7 @@ class FileSource(FrameSource):
         if self._last_frame is not None:
             self._last_frame.invalidate()
         if self._paced:
-            due = self._t0 + self._seq / max(self._reader.fps, 1e-6)
+            due = self._t0 + (self._seq - self._pace_base) / max(self._reader.fps, 1e-6)
             delay = due - time.monotonic()
             if delay > 0:
                 time.sleep(delay)
@@ -395,6 +411,7 @@ class FileDriver(Driver):
         self._path = path
         self._paced = paced
         self._loop = loop
+        self._readers: dict = {}  # path → shared AviMjpegReader (one copy)
 
     def list_devices(self) -> List[DeviceInfo]:
         if self._path:
@@ -405,7 +422,11 @@ class FileDriver(Driver):
         path = device_id if os.path.isfile(device_id) else self._path
         if not path:
             raise DeviceNotFound(f"no such video file: {device_id}")
-        src = FileSource(path, paced=self._paced, loop=self._loop)
+        reader = self._readers.get(path)
+        if reader is None:
+            reader = AviMjpegReader(path)
+            self._readers[path] = reader
+        src = FileSource(path, paced=self._paced, loop=self._loop, reader=reader)
         return src, DeviceControls()
 
 

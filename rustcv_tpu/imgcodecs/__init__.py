@@ -47,11 +47,15 @@ def imencode(ext: str, mat: Mat, quality: int = 95, backend: str = "host") -> by
         raise CameraError("imencode: empty Mat")
     e = ext.lower().lstrip(".")
     bgr = mat.to_numpy()
-    if e in ("jpg", "jpeg") and backend == "tpu":
+    if backend == "tpu":
+        if e not in ("jpg", "jpeg"):
+            raise ValueError(
+                f"imencode: backend='tpu' supports JPEG only, not {ext!r}"
+            )
         from ..ops.jpeg_encode import encode_jpeg_tpu
 
         return encode_jpeg_tpu(bgr, quality=quality)
-    if backend not in ("host", "tpu"):
+    if backend != "host":
         raise ValueError(f"imencode: unknown backend {backend!r}")
     buf = io.BytesIO()
     fmt = {"jpg": "JPEG", "jpeg": "JPEG"}.get(e, e.upper())

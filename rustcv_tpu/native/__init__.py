@@ -503,8 +503,11 @@ def jpeg_entropy_encode(
         if ncomp == 3
         else q0
     )
-    # Worst case ≈ headers + stuffed max-rate entropy data; generous bound.
-    cap = 1024 + total_blocks * 64 * 4
+    # TRUE worst case per coefficient: 16-bit symbol code + 10 magnitude
+    # bits = 26 bits, doubled by 0xFF byte stuffing in the worst pattern
+    # → 6.5 B; use 8 B/coeff + headers (dense max-magnitude grids are
+    # in-contract and must not overflow — regression-tested).
+    cap = 4096 + total_blocks * 64 * 8
     out = np.empty(cap, np.uint8)
     i16 = ctypes.POINTER(ctypes.c_int16)
     u16 = ctypes.POINTER(ctypes.c_uint16)

@@ -19,6 +19,10 @@
 #include <cstdint>
 #include <cstring>
 
+#ifndef INT32_MIN
+#define INT32_MIN (-2147483647 - 1)
+#endif
+
 namespace {
 
 const uint8_t ZIGZAG[64] = {
@@ -134,12 +138,17 @@ inline int bit_size(int v) {
   return s;
 }
 
-// Encode one 8×8 block (natural order) given previous DC value; returns new DC.
+// Encode one 8×8 block (natural order) given previous DC value. Returns the
+// new DC predictor, or INT32_MIN when a coefficient's magnitude exceeds the
+// Huffman tables' categories (DC diff > 11 bits / AC > 10 with Annex-K
+// tables) — emitting the magnitude bits without a symbol code would
+// produce a silently undecodable stream, so the caller aborts instead.
 int encode_block(BitWriter* bw, const int16_t* blk, int prev_dc,
                  const EncTable* dc_t, const EncTable* ac_t) {
   int dc = blk[0];
   int diff = dc - prev_dc;
   int s = bit_size(diff);
+  if (s > 15 || dc_t->len[s] == 0) return INT32_MIN;
   bw->put(dc_t->code[s], dc_t->len[s]);
   if (s) bw->put((uint32_t)(diff >= 0 ? diff : diff + (1 << s) - 1), s);
 
@@ -156,6 +165,7 @@ int encode_block(BitWriter* bw, const int16_t* blk, int prev_dc,
     }
     int sz = bit_size(v);
     int sym = (run << 4) | sz;
+    if (sz > 15 || ac_t->len[sym] == 0) return INT32_MIN;
     bw->put(ac_t->code[sym], ac_t->len[sym]);
     bw->put((uint32_t)(v >= 0 ? v : v + (1 << sz) - 1), sz);
     run = 0;
@@ -196,7 +206,8 @@ extern "C" {
 // hs/vs: sampling factors (e.g. 4:2:0 = {2,1,1}/{2,1,1}). width/height: the
 // image geometry written to SOF0. qluma/qchroma: quant tables in NATURAL
 // order (chroma table ignored when ncomp == 1). Returns bytes written, or
-// -1 bad args / -2 output buffer too small.
+// -1 bad args / -2 output buffer too small / -3 a coefficient's magnitude
+// exceeds the baseline Huffman categories (callers clamp to ±1023).
 long rcv_jpeg_entropy_encode(const int16_t* c0, const int16_t* c1,
                              const int16_t* c2, int ncomp, const int* bws,
                              const int* bhs, const int* hs, const int* vs,
@@ -290,7 +301,9 @@ long rcv_jpeg_entropy_encode(const int16_t* c0, const int16_t* c1,
         for (int by = 0; by < vs[c]; ++by) {
           for (int bx = 0; bx < hs[c]; ++bx) {
             long bi = (long)(my * vs[c] + by) * bws[c] + (mx * hs[c] + bx);
-            prev_dc[c] = encode_block(&bw, comps[c] + bi * 64, prev_dc[c], dt, at);
+            int dc = encode_block(&bw, comps[c] + bi * 64, prev_dc[c], dt, at);
+            if (dc == INT32_MIN) return -3;  // out-of-category coefficient
+            prev_dc[c] = dc;
           }
         }
       }

@@ -820,18 +820,30 @@ class MultiStreamEngine:
         cy = np.asarray(res.outputs["enc_y"])
         cb = np.asarray(res.outputs["enc_cb"])
         cr = np.asarray(res.outputs["enc_cr"])
-        out = []
-        for i in range(self.n):
+
+        def _one(i: int) -> bytes:
             comps = [
                 arr[i].reshape(*g["blocks"][c], 64)
                 for c, arr in enumerate((cy, cb, cr))
             ]
-            out.append(
-                native.jpeg_entropy_encode(
-                    comps, [qy, qc, qc], dw, dh, g["h_samp"], g["v_samp"]
-                )
+            return native.jpeg_entropy_encode(
+                comps, [qy, qc, qc], dw, dh, g["h_samp"], g["v_samp"]
             )
-        return out
+
+        # The ctypes coder releases the GIL: parallelize across streams like
+        # the hybrid-decode half does (the serial loop would cost n×1.9 ms
+        # at VGA, dwarfing the device tick on multi-core hosts).
+        if self.n > 1:
+            pool = self._pool
+            if pool is None:
+                if getattr(self, "_encode_pool", None) is None:
+                    self._encode_pool = ThreadPoolExecutor(
+                        max_workers=min(8, self.n),
+                        thread_name_prefix="rustcv-encode",
+                    )
+                pool = self._encode_pool
+            return list(pool.map(_one, range(self.n)))
+        return [_one(0)]
 
     def warm_buckets(self, buckets=None) -> int:
         """Ahead-of-time compile this engine's pipeline for every shape
@@ -952,6 +964,9 @@ class MultiStreamEngine:
         if getattr(self, "_prefetch_pool", None) is not None:
             self._prefetch_pool.shutdown(wait=False)
             self._prefetch_pool = None
+        if getattr(self, "_encode_pool", None) is not None:
+            self._encode_pool.shutdown(wait=False)
+            self._encode_pool = None
 
     def __enter__(self) -> "MultiStreamEngine":
         return self

@@ -95,6 +95,22 @@ class TestWriterReader:
             w.write_encoded(b"\xff\xd8")  # after release
         w.release()  # idempotent
 
+    def test_gray_frames_not_mirrored(self, tmp_path):
+        """2-D grayscale frames must encode as-is (a naive bgr[..., ::-1]
+        would mirror the WIDTH axis)."""
+        from PIL import Image
+
+        path = str(tmp_path / "gray.avi")
+        gray = np.tile((np.arange(64, dtype=np.uint8) * 4), (48, 1))
+        with VideoWriter(path, frame_size=(64, 48), quality=95) as w:
+            w.write(gray)
+        r = AviMjpegReader(path)
+        out = np.asarray(
+            Image.open(io.BytesIO(r.frame_bytes(0).tobytes())).convert("L")
+        ).astype(np.int64)
+        assert np.mean(np.abs(out - gray)) < 3.0  # matches, not mirrored
+        assert np.mean(np.abs(out - gray[:, ::-1])) > 50.0
+
     def test_empty_clip(self, tmp_path):
         path = str(tmp_path / "empty.avi")
         VideoWriter(path, frame_size=(64, 48)).release()
@@ -148,6 +164,30 @@ class TestFileSource:
         src.next_frame()
         with pytest.raises(RuntimeError):
             _ = f0.data
+
+    def test_paced_restart_does_not_stall(self, clip):
+        """stop()/start() must restart pacing from the current position —
+        not sleep ~_seq/fps (regression)."""
+        import time
+
+        path, _ = clip
+        src = FileSource(path, paced=True, loop=True)
+        src.start()
+        for _ in range(5):
+            src.next_frame()
+        src.stop()
+        src.start()
+        t0 = time.monotonic()
+        src.next_frame()
+        assert time.monotonic() - t0 < 0.15  # 25 fps → ≤1 frame period
+
+    def test_shared_reader(self, clip):
+        """FileDriver shares ONE AviMjpegReader per path across sources."""
+        path, _ = clip
+        drv = FileDriver(path=path)
+        s1, _ = drv.open("sim:0", None)
+        s2, _ = drv.open("sim:1", None)
+        assert s1._reader is s2._reader
 
     def test_resolved_config(self, clip):
         path, _ = clip

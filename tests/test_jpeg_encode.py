@@ -66,6 +66,38 @@ class TestEntropyEncoder:
             got = co2[c].reshape(co2[c].shape[0], co2[c].shape[1], 64)
             assert np.array_equal(coeffs[c], got)
 
+    def test_dense_max_magnitude_fits_capacity(self):
+        """Worst-case in-contract grids (every coefficient ±1023) must not
+        overflow the output buffer (the old 4 B/coeff bound did)."""
+        from rustcv_tpu.ops import jpeg_encode as je
+
+        qy, qc = je.quant_tables(90)
+        coeffs = [
+            np.full((4, 6, 64), 1023, np.int16),
+            np.full((2, 3, 64), 1023, np.int16),
+            np.full((2, 3, 64), -1023, np.int16),
+        ]
+        data = native.jpeg_entropy_encode(
+            coeffs, [qy, qc, qc], 48, 32, [2, 1, 1], [2, 1, 1]
+        )
+        _, co2, _ = native.jpeg_entropy_decode(data)
+        for c in range(3):
+            got = co2[c].reshape(co2[c].shape[0], co2[c].shape[1], 64)
+            assert np.array_equal(coeffs[c], got)
+
+    def test_out_of_category_coefficient_errors(self):
+        """A coefficient beyond the Huffman categories must raise, not emit
+        a silently undecodable stream."""
+        from rustcv_tpu.ops import jpeg_encode as je
+
+        qy, qc = je.quant_tables(90)
+        bad = [np.zeros((2, 2, 64), np.int16) for _ in range(3)]
+        bad[0][0, 0, 5] = 2000  # AC magnitude needs 11 bits (max is 10)
+        with pytest.raises(ValueError):
+            native.jpeg_entropy_encode(
+                bad, [qy, qc, qc], 16, 16, [1, 1, 1], [1, 1, 1]
+            )
+
     def test_rejects_bad_geometry(self):
         from rustcv_tpu.ops import jpeg_encode as je
 
