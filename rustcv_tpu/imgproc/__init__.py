@@ -177,6 +177,38 @@ def cvt_gray(mat: Mat) -> Mat:
     return _apply(mat, _color.bgr_to_gray, golden.bgr_to_gray)
 
 
+def cvt_hsv(mat: Mat) -> Mat:
+    """BGR → HSV u8 (OpenCV 8-bit convention, H ∈ [0, 180)) — exact
+    all-integer spec (golden.bgr_to_hsv); device and host agree
+    bit-for-bit."""
+    from ..ops import color as _color
+
+    return _apply(mat, _color.bgr_to_hsv, golden.bgr_to_hsv)
+
+
+def in_range(mat: Mat, lower, upper) -> Mat:
+    """Per-channel inclusive range mask → u8 {0, 255} Mat (OpenCV
+    ``inRange``); compose with :func:`cvt_hsv` for color segmentation."""
+    from ..ops import color as _color
+
+    return _apply(
+        mat,
+        lambda d: _color.in_range(d, lower, upper),
+        lambda h: golden.in_range(h, lower, upper),
+    )
+
+
+def moments(mat: Mat) -> dict:
+    """Raw spatial moments m00/m10/m01 (+ centroid when nonempty) of a u8
+    mask/gray Mat (OpenCV ``moments``). Exact: device path reduces per-row
+    partials on-chip and finishes in host int64."""
+    from ..ops import color as _color
+
+    if mat.is_on_device:
+        return _color.moments(mat.device())
+    return golden.moments(mat.to_numpy())
+
+
 def sobel_magnitude(mat: Mat) -> Mat:
     """gray(BGR input ok) → Sobel → exact |∇| u8."""
     from ..ops import filters as _filters
@@ -279,7 +311,8 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 
 
 __all__ = [
-    "Point", "Rect", "Scalar", "box_blur", "canny", "cvt_gray", "dilate",
-    "erode", "flip", "gaussian_blur", "harris_corners", "median_blur", "pyr_down",
-    "put_text", "rectangle", "resize", "sobel_magnitude", "threshold",
+    "Point", "Rect", "Scalar", "box_blur", "canny", "cvt_gray", "cvt_hsv",
+    "dilate", "erode", "flip", "gaussian_blur", "harris_corners", "in_range",
+    "median_blur", "moments", "pyr_down", "put_text", "rectangle", "resize",
+    "sobel_magnitude", "threshold",
 ]

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -538,3 +540,81 @@ def bgr_to_gray(bgr: jax.Array) -> jax.Array:
     g = bgr[..., 1].astype(jnp.int32)
     r = bgr[..., 2].astype(jnp.int32)
     return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(jnp.uint8)
+
+
+def _div_floor_exact(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Exact floor(a / b) for int32 0 <= a < 2^24, 1 <= b (no integer-divide
+    VPU instruction on TPU — f32 reciprocal + one-step fix-up, same pattern
+    as filters.isqrt_exact)."""
+    q = jnp.floor(a.astype(jnp.float32) / b.astype(jnp.float32)).astype(jnp.int32)
+    r = a - q * b
+    q = jnp.where(r < 0, q - 1, q)
+    r = a - q * b
+    return jnp.where(r >= b, q + 1, q)
+
+
+@jax.jit
+def bgr_to_hsv(bgr: jax.Array) -> jax.Array:
+    """(…, 3) u8 BGR → HSV u8 (H ∈ [0, 180)) — bit-exact vs
+    golden.bgr_to_hsv (the spec is all-integer; see there)."""
+    b = bgr[..., 0].astype(jnp.int32)
+    g = bgr[..., 1].astype(jnp.int32)
+    r = bgr[..., 2].astype(jnp.int32)
+    v = jnp.maximum(jnp.maximum(b, g), r)
+    mn = jnp.minimum(jnp.minimum(b, g), r)
+    diff = v - mn
+    s = jnp.where(
+        v == 0, 0, _div_floor_exact(510 * diff + v, jnp.maximum(2 * v, 1))
+    )
+    r_is = r == v
+    g_is = (g == v) & ~r_is
+    num = jnp.where(r_is, g - b, jnp.where(g_is, b - r, r - g))
+    base = jnp.where(r_is, 0, jnp.where(g_is, 120, 240))
+    t = base * diff + 60 * num
+    t = jnp.where(t < 0, t + 360 * diff, t)
+    h = jnp.where(
+        diff == 0,
+        0,
+        _div_floor_exact(t + diff, jnp.maximum(2 * diff, 1)) % 180,
+    )
+    return jnp.stack([h, s, v], axis=-1).astype(jnp.uint8)
+
+
+@jax.jit
+def in_range(img: jax.Array, lower: jax.Array, upper: jax.Array) -> jax.Array:
+    """Per-channel inclusive range mask → u8 {0, 255} (OpenCV inRange);
+    bit-exact vs golden.in_range."""
+    a = img.astype(jnp.int32)
+    lo = jnp.asarray(lower, jnp.int32)
+    hi = jnp.asarray(upper, jnp.int32)
+    ok = jnp.all((a >= lo) & (a <= hi), axis=-1)
+    return jnp.where(ok, 255, 0).astype(jnp.uint8)
+
+
+@jax.jit
+def moments_rows(mask: jax.Array) -> jax.Array:
+    """Per-row moment partials [H, 2] int32: (Σ value, Σ value·x) per row.
+
+    Full moments overflow int32 at 4K (m10 ≈ 2^45) and TPU has no int64 /
+    float64 wide enough for exact device totals, so the device emits exact
+    per-row partials (row Σv ≤ 255·4096 and row Σv·x ≤ 2^31 for W ≤ 4096)
+    and the caller finishes in host int64 (a tiny [H, 2] D2H)."""
+    a = mask.astype(jnp.int32)
+    if a.ndim == 3:
+        a = a[..., 0]
+    w = a.shape[-1]
+    xs = jnp.arange(w, dtype=jnp.int32)
+    return jnp.stack([a.sum(axis=-1), (a * xs).sum(axis=-1)], axis=-1)
+
+
+def moments(mask: jax.Array) -> dict:
+    """Raw moments m00/m10/m01 (+ centroid) of a device u8 mask — exact
+    (device per-row partials + host int64 finish; matches golden.moments)."""
+    rows = np.asarray(moments_rows(mask)).astype(np.int64)
+    m00 = int(rows[:, 0].sum())
+    m10 = int(rows[:, 1].sum())
+    m01 = int((rows[:, 0] * np.arange(rows.shape[0], dtype=np.int64)).sum())
+    out = {"m00": m00, "m10": m10, "m01": m01}
+    if m00 > 0:
+        out["centroid"] = (m10 / m00, m01 / m00)
+    return out

@@ -131,6 +131,63 @@ def bgr_to_gray(bgr: np.ndarray) -> np.ndarray:
     return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
 
 
+def bgr_to_hsv(bgr: np.ndarray) -> np.ndarray:
+    """Frozen EXACT-integer HSV (OpenCV 8-bit convention: H ∈ [0, 180),
+    S/V ∈ [0, 255]), all arithmetic integer so device == oracle
+    bit-for-bit (no data-dependent float division in the spec):
+
+    - V = max(B, G, R); diff = V − min(B, G, R)
+    - S = 0 when V == 0 else round_half_up(255·diff / V)
+      = (510·diff + V) // (2·V)
+    - H: num = (G−B | B−R | R−G) by argmax channel (R wins ties, then G),
+      base = 0 | 120 | 240; T = base·diff + 60·num (+360·diff when
+      negative); H = round_half_up(T / (2·diff)) mod 180; H = 0 when
+      diff == 0.
+    """
+    b = bgr[..., 0].astype(np.int64)
+    g = bgr[..., 1].astype(np.int64)
+    r = bgr[..., 2].astype(np.int64)
+    v = np.maximum(np.maximum(b, g), r)
+    mn = np.minimum(np.minimum(b, g), r)
+    diff = v - mn
+    s = np.where(v == 0, 0, (510 * diff + v) // np.maximum(2 * v, 1))
+    num = np.where(
+        r == v, g - b, np.where(g == v, b - r, r - g)
+    )
+    base = np.where(r == v, 0, np.where(g == v, 120, 240))
+    t = base * diff + 60 * num
+    t = np.where(t < 0, t + 360 * diff, t)
+    h = np.where(diff == 0, 0, (t + diff) // np.maximum(2 * diff, 1) % 180)
+    return np.stack([h, s, v], axis=-1).astype(np.uint8)
+
+
+def in_range(img: np.ndarray, lower, upper) -> np.ndarray:
+    """Per-channel inclusive range mask → u8 {0, 255} (OpenCV inRange)."""
+    lo = np.asarray(lower, np.int32)
+    hi = np.asarray(upper, np.int32)
+    a = img.astype(np.int32)
+    ok = np.all((a >= lo) & (a <= hi), axis=-1)
+    return np.where(ok, 255, 0).astype(np.uint8)
+
+
+def moments(mask: np.ndarray) -> dict:
+    """Raw spatial moments of a u8 mask/image (OpenCV ``moments`` m00/m10/
+    m01 + centroid; values weighted, exact int64)."""
+    a = mask.astype(np.int64)
+    h, w = a.shape[:2]
+    if a.ndim == 3:
+        a = a[..., 0]
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    m00 = int(a.sum())
+    m10 = int((a * xs[None, :]).sum())
+    m01 = int((a * ys[:, None]).sum())
+    out = {"m00": m00, "m10": m10, "m01": m01}
+    if m00 > 0:
+        out["centroid"] = (m10 / m00, m01 / m00)
+    return out
+
+
 # Bayer CFA patterns: (row%2, col%2) → channel at that site. Keys match
 # PixelFormat.BAYER_*; the reference enumerates these FourCCs
 # (rustcv-core/src/pixel_format.rs:36-79) but never demosaics — spec frozen

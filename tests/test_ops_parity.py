@@ -266,6 +266,66 @@ class TestResizeParity:
         out = imgproc.pyr_down(Mat.from_array(img))
         np.testing.assert_array_equal(out.to_numpy(), golden.pyr_down(img))
 
+    def test_hsv_bit_exact(self, rng, jax_cpu):
+        from rustcv_tpu.ops import color as col
+
+        bgr = _rand_u8(rng, 97, 131, 3)
+        # adversarial rows: grays (diff=0), zeros, primaries, channel ties
+        bgr[0] = np.repeat(np.arange(131, dtype=np.uint8)[:, None], 3, axis=1)
+        bgr[1, :6] = [(0, 0, 255), (0, 255, 0), (255, 0, 0),
+                      (0, 255, 255), (255, 255, 0), (255, 0, 255)]
+        bgr[2, :3] = [(10, 200, 200), (200, 10, 200), (200, 200, 10)]  # ties
+        want = golden.bgr_to_hsv(bgr)
+        got = np.asarray(col.bgr_to_hsv(jax_cpu.numpy.asarray(bgr)))
+        np.testing.assert_array_equal(got, want)
+        # OpenCV primaries: red 0, green 60, blue 120, yellow 30, cyan 90,
+        # magenta 150
+        np.testing.assert_array_equal(want[1, :6, 0], [0, 60, 120, 30, 90, 150])
+        assert want[..., 2].max() <= 255 and want[..., 0].max() < 180
+
+    def test_in_range_and_moments(self, rng, jax_cpu):
+        from rustcv_tpu.ops import color as col
+
+        img = _rand_u8(rng, 64, 80, 3)
+        want = golden.in_range(img, (20, 40, 60), (200, 220, 240))
+        got = np.asarray(col.in_range(jax_cpu.numpy.asarray(img), (20, 40, 60), (200, 220, 240)))
+        np.testing.assert_array_equal(got, want)
+        gm = golden.moments(want)
+        dm = col.moments(jax_cpu.numpy.asarray(want))
+        assert gm == dm
+
+    def test_moments_no_overflow_at_4k(self, jax_cpu):
+        """Full-255 4K mask: m10 ≈ 2^45 — the per-row-partial design must
+        stay exact where a flat int32 reduction would overflow."""
+        from rustcv_tpu.ops import color as col
+
+        mask = np.full((2160, 3840), 255, np.uint8)
+        dm = col.moments(jax_cpu.numpy.asarray(mask))
+        gm = golden.moments(mask)
+        assert dm == gm
+        assert dm["m10"] == 255 * 2160 * (3840 * 3839 // 2)
+
+    def test_color_tracking_flow(self, jax_cpu):
+        """hsv → in_range → moments centroid finds a colored square."""
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        bgr = np.zeros((96, 128, 3), np.uint8)
+        bgr[30:50, 70:90] = (0, 0, 255)  # red square at (80, 40) center
+        mat = Mat.from_array(bgr)
+        hsv = imgproc.cvt_hsv(mat)
+        # red: H near 0 (or wrap ~179), strong S/V
+        mask = imgproc.in_range(hsv, (0, 100, 100), (10, 255, 255))
+        m = imgproc.moments(mask)
+        cx, cy = m["centroid"]
+        assert abs(cx - 79.5) < 1.0 and abs(cy - 39.5) < 1.0
+        # device path agrees
+        mat_d = Mat.from_device(jax_cpu.numpy.asarray(bgr))
+        hsv_d = imgproc.cvt_hsv(mat_d)
+        mask_d = imgproc.in_range(hsv_d, (0, 100, 100), (10, 255, 255))
+        assert imgproc.moments(mask_d) == m
+        np.testing.assert_array_equal(mask_d.to_numpy(), mask.to_numpy())
+
     def test_unpack_interleave_roundtrip(self, rng, jax_cpu):
         from rustcv_tpu.ops import color as col
 

@@ -34,6 +34,7 @@ GOLDEN_HASHES = {
     "resize": "27414bd11dfa1ec4",
     "resize_nearest": "b9e99ffc81081283",
     "resize_area": "f2000f06b1182189",  # 4×4 box (2×2 ≡ bilinear exactly)
+    "hsv": "ac8fd9552515f909",
     "rect": "56b8ed603693fdf8",
     "demosaic": "bb79f11a3e96c6fa",
 }
@@ -64,6 +65,7 @@ def test_decode_and_ops_frozen():
     assert _h(golden.resize_bilinear(dec, 32, 24)) == GOLDEN_HASHES["resize"]
     assert _h(golden.resize_nearest(dec, 32, 24)) == GOLDEN_HASHES["resize_nearest"]
     assert _h(golden.resize_area(dec, 16, 12)) == GOLDEN_HASHES["resize_area"]
+    assert _h(golden.bgr_to_hsv(dec)) == GOLDEN_HASHES["hsv"]
     ov = dec.copy()
     golden.rectangle(ov.reshape(H, -1), H, W, W * 3, (5, 5, 30, 20), (9, 99, 199), 2)
     assert _h(ov) == GOLDEN_HASHES["rect"]
