@@ -209,6 +209,46 @@ def moments(mat: Mat) -> dict:
     return golden.moments(mat.to_numpy())
 
 
+def match_template(mat: Mat, tmpl: Mat, method: str = "ccoeff_normed"):
+    """OpenCV ``matchTemplate``: grayscale correlation search (BGR inputs
+    are converted via the exact luma). Returns the float32 response map
+    (H−th+1, W−tw+1) as a NumPy array — feed to :func:`min_max_loc`. On a
+    device Mat the three window statistics run as MXU convolutions
+    (ops/template.py)."""
+    import numpy as np
+
+    from ..ops import template as _tmpl
+
+    def _gray_of(m: Mat):
+        if m.is_on_device:
+            from ..ops import color as _color
+
+            d = m.device()
+            return _color.bgr_to_gray(d) if d.ndim == 3 else d
+        h = m.to_numpy()
+        return golden.bgr_to_gray(h) if h.ndim == 3 else h
+
+    g = _gray_of(mat)
+    t = _gray_of(tmpl)
+    if mat.is_on_device or tmpl.is_on_device:
+        import jax.numpy as jnp
+
+        return np.asarray(
+            _tmpl.match_template(jnp.asarray(g), jnp.asarray(t), method)
+        )
+    return _tmpl.match_template_numpy(np.asarray(g), np.asarray(t), method).astype(
+        np.float32
+    )
+
+
+def min_max_loc(resp):
+    """(min_val, max_val, (min_x, min_y), (max_x, max_y)) — OpenCV
+    ``minMaxLoc`` over a response map."""
+    from ..ops.template import min_max_loc as _mml
+
+    return _mml(resp)
+
+
 def sobel_magnitude(mat: Mat) -> Mat:
     """gray(BGR input ok) → Sobel → exact |∇| u8."""
     from ..ops import filters as _filters
@@ -313,6 +353,6 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 __all__ = [
     "Point", "Rect", "Scalar", "box_blur", "canny", "cvt_gray", "cvt_hsv",
     "dilate", "erode", "flip", "gaussian_blur", "harris_corners", "in_range",
-    "median_blur", "moments", "pyr_down", "put_text", "rectangle", "resize",
-    "sobel_magnitude", "threshold",
+    "match_template", "median_blur", "min_max_loc", "moments", "pyr_down",
+    "put_text", "rectangle", "resize", "sobel_magnitude", "threshold",
 ]

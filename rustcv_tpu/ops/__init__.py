@@ -25,5 +25,6 @@ from . import (  # noqa: F401
     jpeg_tpu,
     resize,
     synth,
+    template,
     text,
 )

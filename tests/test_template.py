@@ -1,0 +1,77 @@
+"""Template matching: device conv formulation vs the float64 oracle, peak
+localization, and the imgproc facade."""
+
+import numpy as np
+import pytest
+
+from rustcv_tpu.capture import simulation as sim
+from rustcv_tpu.ops import golden
+from rustcv_tpu.ops import template as tm
+
+
+@pytest.fixture()
+def scene(rng):
+    """A textured scene with the template cut from a known location."""
+    img = golden.bgr_to_gray(sim.synth_bgr(160, 120, 7))
+    noise = rng.integers(0, 12, size=img.shape, dtype=np.uint8)
+    img = np.clip(img.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+    ty, tx = 41, 88
+    tmpl = img[ty : ty + 24, tx : tx + 32].copy()
+    return img, tmpl, (tx, ty)
+
+
+class TestMatchTemplate:
+    @pytest.mark.parametrize("method", tm.METHODS)
+    def test_device_matches_oracle(self, jax_cpu, scene, method):
+        img, tmpl, _ = scene
+        want = tm.match_template_numpy(img, tmpl, method)
+        got = np.asarray(tm.match_template(img, tmpl, method))
+        assert got.shape == want.shape == (120 - 24 + 1, 160 - 32 + 1)
+        scale = max(1.0, float(np.abs(want).max()))
+        assert np.max(np.abs(got - want)) / scale < 1e-4
+
+    @pytest.mark.parametrize("method", tm.METHODS)
+    def test_peak_at_source_location(self, jax_cpu, scene, method):
+        img, tmpl, (tx, ty) = scene
+        resp = np.asarray(tm.match_template(img, tmpl, method))
+        mn, mx, mnloc, mxloc = tm.min_max_loc(resp)
+        loc = mnloc if method == "sqdiff" else mxloc
+        assert loc == (tx, ty)
+        if method == "ccoeff_normed":
+            assert mx == pytest.approx(1.0, abs=1e-4)
+            assert mx <= 1.0 + 1e-4 and mn >= -1.0 - 1e-4
+        if method == "sqdiff":
+            assert mn == pytest.approx(0.0, abs=1e-2)
+
+    def test_flat_windows_are_zero_not_nan(self, jax_cpu):
+        """Zero-variance windows (and a zero-variance template) must yield
+        0, never NaN/Inf."""
+        img = np.full((40, 50), 128, np.uint8)
+        tmpl = np.full((8, 8), 77, np.uint8)
+        for method in ("ccoeff_normed", "ccorr_normed"):
+            resp = np.asarray(tm.match_template(img, tmpl, method))
+            assert np.all(np.isfinite(resp))
+        resp = np.asarray(tm.match_template(img, tmpl, "ccoeff_normed"))
+        assert np.all(resp == 0.0)
+
+    def test_rejects_unknown_method(self):
+        with pytest.raises(ValueError):
+            tm.match_template_numpy(np.zeros((8, 8), np.uint8), np.zeros((2, 2), np.uint8), "bogus")
+
+    def test_imgproc_facade(self, jax_cpu, scene):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        img, tmpl, (tx, ty) = scene
+        bgr = np.repeat(img[..., None], 3, axis=-1)  # gray-as-BGR
+        tbgr = np.repeat(tmpl[..., None], 3, axis=-1)
+        # host path
+        resp = imgproc.match_template(Mat.from_array(bgr), Mat.from_array(tbgr))
+        assert imgproc.min_max_loc(resp)[3] == (tx, ty)
+        # device path
+        import jax.numpy as jnp
+
+        resp_d = imgproc.match_template(
+            Mat.from_device(jnp.asarray(bgr)), Mat.from_device(jnp.asarray(tbgr))
+        )
+        assert imgproc.min_max_loc(resp_d)[3] == (tx, ty)
