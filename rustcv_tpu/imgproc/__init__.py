@@ -209,6 +209,47 @@ def moments(mat: Mat) -> dict:
     return golden.moments(mat.to_numpy())
 
 
+def calc_hist(mat: Mat):
+    """256-bin histogram (int32 counts) of a u8 gray Mat (BGR inputs are
+    converted via the exact luma) — OpenCV ``calcHist`` for the common
+    single-channel case. Device path: 256 fused masked reductions (scatter
+    measured ~10× slower on TPU)."""
+    import numpy as np
+
+    from ..ops import hist as _hist
+
+    if mat.is_on_device:
+        d = mat.device()
+        if d.ndim == 3 and d.shape[-1] == 3:
+            from ..ops import color as _color
+
+            d = _color.bgr_to_gray(d)
+        return np.asarray(_hist.calc_hist(d))
+    h = mat.to_numpy()
+    if h.ndim == 3 and h.shape[-1] == 3:
+        h = golden.bgr_to_gray(h)
+    return _hist.calc_hist_numpy(h)
+
+
+def equalize_hist(mat: Mat) -> Mat:
+    """Histogram equalization of a u8 gray Mat (OpenCV ``equalizeHist``,
+    exact-integer frozen spec — device and host agree bit-for-bit)."""
+    from ..ops import hist as _hist
+
+    def _gray(a):
+        if a.ndim == 3 and a.shape[-1] == 1:
+            return a[..., 0]
+        if a.ndim != 2:
+            raise ValueError("equalize_hist: gray (single-channel) input required")
+        return a
+
+    return _apply(
+        mat,
+        lambda d: _hist.equalize_hist(_gray(d)),
+        lambda h: _hist.equalize_hist_numpy(_gray(h)),
+    )
+
+
 def match_template(mat: Mat, tmpl: Mat, method: str = "ccoeff_normed"):
     """OpenCV ``matchTemplate``: grayscale correlation search (BGR inputs
     are converted via the exact luma). Returns the float32 response map
@@ -351,8 +392,9 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 
 
 __all__ = [
-    "Point", "Rect", "Scalar", "box_blur", "canny", "cvt_gray", "cvt_hsv",
-    "dilate", "erode", "flip", "gaussian_blur", "harris_corners", "in_range",
-    "match_template", "median_blur", "min_max_loc", "moments", "pyr_down",
-    "put_text", "rectangle", "resize", "sobel_magnitude", "threshold",
+    "Point", "Rect", "Scalar", "box_blur", "calc_hist", "canny", "cvt_gray",
+    "cvt_hsv", "dilate", "equalize_hist", "erode", "flip", "gaussian_blur",
+    "harris_corners", "in_range", "match_template", "median_blur",
+    "min_max_loc", "moments", "pyr_down", "put_text", "rectangle", "resize",
+    "sobel_magnitude", "threshold",
 ]

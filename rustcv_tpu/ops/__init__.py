@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     features,
     filters,
     golden,
+    hist,
     jpeg_encode,
     jpeg_tpu,
     resize,

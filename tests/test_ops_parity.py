@@ -326,6 +326,51 @@ class TestResizeParity:
         assert imgproc.moments(mask_d) == m
         np.testing.assert_array_equal(mask_d.to_numpy(), mask.to_numpy())
 
+    def test_hist_and_equalize_bit_exact(self, rng, jax_cpu):
+        from rustcv_tpu.ops import hist as _hist
+
+        gray = _rand_u8(rng, 123, 177, 3)[..., 0]
+        want_h = _hist.calc_hist_numpy(gray)
+        got_h = np.asarray(_hist.calc_hist(jax_cpu.numpy.asarray(gray)))
+        np.testing.assert_array_equal(got_h, want_h)
+        assert got_h.sum() == gray.size
+        want = _hist.equalize_hist_numpy(gray)
+        got = np.asarray(_hist.equalize_hist(jax_cpu.numpy.asarray(gray)))
+        np.testing.assert_array_equal(got, want)
+        # equalization spreads a narrow-range image to the full range
+        narrow = (gray // 4 + 96).astype(np.uint8)
+        eq = _hist.equalize_hist_numpy(narrow)
+        assert eq.min() == 0 and eq.max() == 255
+
+    def test_equalize_constant_image_identity(self, jax_cpu):
+        from rustcv_tpu.ops import hist as _hist
+
+        flat = np.full((32, 40), 77, np.uint8)
+        np.testing.assert_array_equal(_hist.equalize_hist_numpy(flat), flat)
+        np.testing.assert_array_equal(
+            np.asarray(_hist.equalize_hist(jax_cpu.numpy.asarray(flat))), flat
+        )
+
+    def test_imgproc_hist_facade(self, rng, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+        from rustcv_tpu.ops import hist as _hist
+
+        gray = _rand_u8(rng, 48, 64, 3)[..., 0]
+        m = Mat.from_array(gray)
+        np.testing.assert_array_equal(imgproc.calc_hist(m), _hist.calc_hist_numpy(gray))
+        np.testing.assert_array_equal(
+            imgproc.equalize_hist(m).to_numpy().squeeze(),
+            _hist.equalize_hist_numpy(gray),
+        )
+        md = Mat.from_device(jax_cpu.numpy.asarray(gray))
+        np.testing.assert_array_equal(
+            imgproc.equalize_hist(md).to_numpy().squeeze(),
+            _hist.equalize_hist_numpy(gray),
+        )
+        with pytest.raises(ValueError):
+            imgproc.equalize_hist(Mat.from_array(_rand_u8(rng, 8, 8, 3)))
+
     def test_unpack_interleave_roundtrip(self, rng, jax_cpu):
         from rustcv_tpu.ops import color as col
 
