@@ -209,6 +209,38 @@ def moments(mat: Mat) -> dict:
     return golden.moments(mat.to_numpy())
 
 
+def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0):
+    """OpenCV ``getRotationMatrix2D`` (2×3 float64)."""
+    from ..ops.warp import get_rotation_matrix_2d as _grm
+
+    return _grm(tuple(center), angle_deg, scale)
+
+
+def warp_affine(mat: Mat, m, dst_size, mode: str = "bilinear",
+                border: str = "constant") -> Mat:
+    """OpenCV ``warpAffine``: M (2×3) maps src→dst; ``dst_size`` = (w, h);
+    bilinear (11-bit fixed-point, resize-spec rounding) or nearest;
+    constant-0 or replicate border. M is folded into the compiled program
+    (static per transform — see ops/warp.py)."""
+    from ..ops import warp as _warp
+
+    return _apply(
+        mat,
+        lambda d: _warp.warp_affine(d, m, dst_size, mode, border),
+        lambda h: _warp.warp_affine_numpy(h, m, dst_size, mode, border),
+    )
+
+
+def rotate(mat: Mat, angle_deg: float, center=None, scale: float = 1.0) -> Mat:
+    """Rotate about ``center`` (default: image center) by ``angle_deg``
+    (counter-clockwise for y-down images), same canvas size."""
+    h, w = mat.rows, mat.cols
+    if center is None:
+        center = ((w - 1) / 2.0, (h - 1) / 2.0)
+    m = get_rotation_matrix_2d(center, angle_deg, scale)
+    return warp_affine(mat, m, (w, h))
+
+
 def calc_hist(mat: Mat):
     """256-bin histogram (int32 counts) of a u8 gray Mat (BGR inputs are
     converted via the exact luma) — OpenCV ``calcHist`` for the common
@@ -394,7 +426,8 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 __all__ = [
     "Point", "Rect", "Scalar", "box_blur", "calc_hist", "canny", "cvt_gray",
     "cvt_hsv", "dilate", "equalize_hist", "erode", "flip", "gaussian_blur",
-    "harris_corners", "in_range", "match_template", "median_blur",
-    "min_max_loc", "moments", "pyr_down", "put_text", "rectangle", "resize",
-    "sobel_magnitude", "threshold",
+    "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
+    "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",
+    "rectangle", "resize", "rotate", "sobel_magnitude", "threshold",
+    "warp_affine",
 ]

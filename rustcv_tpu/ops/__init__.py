@@ -28,4 +28,5 @@ from . import (  # noqa: F401
     synth,
     template,
     text,
+    warp,
 )

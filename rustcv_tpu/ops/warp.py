@@ -1,0 +1,198 @@
+"""Affine warps — warpAffine / getRotationMatrix2D (OpenCV parity).
+
+Frozen spec (device bit-exact vs the NumPy oracle):
+- the user matrix M (2×3) maps SRC → DST (OpenCV convention); it is
+  inverted on the host in float64 and per-destination-pixel source
+  coordinates are baked as program constants
+  (src_x = a11·x + a12·y + a13 at pixel centers, no half-pixel shift —
+  matching warpAffine);
+- bilinear: 11-bit fixed-point weights, single rounding
+  ``(Σ + 2^21) >> 22`` (the resize spec's arithmetic); nearest: round
+  half-up of the float64 coordinate;
+- border: "constant" (value 0 outside) or "replicate" (clamp).
+
+M is static per compiled program (it is folded into the coordinate
+tables) — the right trade for fixed transforms (rotate/flip/rectify);
+per-frame motion compensation would need a traced-M variant.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import golden
+
+BORDERS = ("constant", "replicate")
+MODES = ("bilinear", "nearest")
+
+
+def get_rotation_matrix_2d(
+    center: Tuple[float, float], angle_deg: float, scale: float = 1.0
+) -> np.ndarray:
+    """OpenCV ``getRotationMatrix2D``: rotation about ``center`` by
+    ``angle_deg`` (counter-clockwise for y-down images) with ``scale``."""
+    a = np.deg2rad(angle_deg)
+    alpha = scale * np.cos(a)
+    beta = scale * np.sin(a)
+    cx, cy = center
+    return np.array(
+        [
+            [alpha, beta, (1 - alpha) * cx - beta * cy],
+            [-beta, alpha, beta * cx + (1 - alpha) * cy],
+        ],
+        np.float64,
+    )
+
+
+def _invert_affine(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, np.float64).reshape(2, 3)
+    a = m[:, :2]
+    b = m[:, 2]
+    ai = np.linalg.inv(a)
+    return np.hstack([ai, (-ai @ b)[:, None]])
+
+
+@lru_cache(maxsize=64)
+def _coord_tables(
+    m_key: tuple, src_w: int, src_h: int, dst_w: int, dst_h: int, mode: str
+):
+    """Per-dst-pixel source taps (int32) + 11-bit weights, float64 host
+    math (the frozen spec's precision)."""
+    minv = np.array(m_key, np.float64).reshape(2, 3)
+    xs = np.arange(dst_w, dtype=np.float64)
+    ys = np.arange(dst_h, dtype=np.float64)
+    gx, gy = np.meshgrid(xs, ys)
+    sx = minv[0, 0] * gx + minv[0, 1] * gy + minv[0, 2]
+    sy = minv[1, 0] * gx + minv[1, 1] * gy + minv[1, 2]
+    # Quantize coordinates to the 1/2048 weight grid FIRST (part of the
+    # frozen spec): float64 trig residue (cos 90° ≈ 6e-17) otherwise pushes
+    # exact-boundary coordinates "outside" and flips taps.
+    one_f = float(golden.RESIZE_ONE)
+    sx = np.round(sx * one_f) / one_f
+    sy = np.round(sy * one_f) / one_f
+    if mode == "nearest":
+        nx = np.floor(sx + 0.5).astype(np.int64)
+        ny = np.floor(sy + 0.5).astype(np.int64)
+        inside = (nx >= 0) & (nx < src_w) & (ny >= 0) & (ny < src_h)
+        return (
+            np.clip(nx, 0, src_w - 1).astype(np.int32),
+            np.clip(ny, 0, src_h - 1).astype(np.int32),
+            inside,
+        )
+    one = golden.RESIZE_ONE
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    wx = np.round((sx - x0) * one).astype(np.int32)
+    wy = np.round((sy - y0) * one).astype(np.int32)
+    # "inside" means all four taps land in-bounds after the clamp-free
+    # test; the clamped taps below implement replicate, the mask constant.
+    inside = (sx >= 0) & (sx <= src_w - 1) & (sy >= 0) & (sy <= src_h - 1)
+    x0c = np.clip(x0, 0, src_w - 1).astype(np.int32)
+    x1c = np.clip(x0 + 1, 0, src_w - 1).astype(np.int32)
+    y0c = np.clip(y0, 0, src_h - 1).astype(np.int32)
+    y1c = np.clip(y0 + 1, 0, src_h - 1).astype(np.int32)
+    return x0c, x1c, y0c, y1c, wx, wy, inside
+
+
+def _as_key(m: np.ndarray) -> tuple:
+    return tuple(np.asarray(m, np.float64).reshape(6).tolist())
+
+
+@partial(
+    jax.jit, static_argnames=("m_key", "dst_w", "dst_h", "mode", "border")
+)
+def _warp_device(img, m_key, dst_w, dst_h, mode, border):
+    src_h, src_w = img.shape[0], img.shape[1]
+    flat = img.reshape(src_h * src_w, *img.shape[2:]).astype(jnp.int32)
+    if mode == "nearest":
+        nx, ny, inside = _coord_tables(m_key, src_w, src_h, dst_w, dst_h, mode)
+        out = jnp.take(flat, jnp.asarray(ny * src_w + nx).reshape(-1), axis=0)
+        out = out.reshape(dst_h, dst_w, *img.shape[2:])
+    else:
+        x0, x1, y0, y1, wx, wy, inside = _coord_tables(
+            m_key, src_w, src_h, dst_w, dst_h, mode
+        )
+        one = golden.RESIZE_ONE
+
+        def tap(yy, xx):
+            return jnp.take(
+                flat, jnp.asarray(yy.astype(np.int64) * src_w + xx).reshape(-1), axis=0
+            ).reshape(dst_h, dst_w, *img.shape[2:])
+
+        wxe = jnp.asarray(wx)[..., None] if img.ndim == 3 else jnp.asarray(wx)
+        wye = jnp.asarray(wy)[..., None] if img.ndim == 3 else jnp.asarray(wy)
+        top = tap(y0, x0) * (one - wxe) + tap(y0, x1) * wxe
+        bot = tap(y1, x0) * (one - wxe) + tap(y1, x1) * wxe
+        acc = top * (one - wye) + bot * wye
+        out = (acc + (1 << (2 * golden.RESIZE_SHIFT - 1))) >> (
+            2 * golden.RESIZE_SHIFT
+        )
+    out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+    if border == "constant":
+        mask = jnp.asarray(inside)
+        if img.ndim == 3:
+            mask = mask[..., None]
+        out = jnp.where(mask, out, 0)
+    return out
+
+
+def warp_affine(
+    img,
+    m,
+    dst_size: Tuple[int, int],
+    mode: str = "bilinear",
+    border: str = "constant",
+):
+    """Device affine warp: u8 (H, W[, C]) × M (2×3 src→dst) →
+    (dst_h, dst_w[, C]) u8. ``dst_size`` is (w, h)."""
+    if mode not in MODES:
+        raise ValueError(f"unknown mode {mode!r} (one of {MODES})")
+    if border not in BORDERS:
+        raise ValueError(f"unknown border {border!r} (one of {BORDERS})")
+    key = _as_key(_invert_affine(m))
+    return _warp_device(img, key, int(dst_size[0]), int(dst_size[1]), mode, border)
+
+
+def warp_affine_numpy(
+    img: np.ndarray,
+    m,
+    dst_size: Tuple[int, int],
+    mode: str = "bilinear",
+    border: str = "constant",
+) -> np.ndarray:
+    """Float64 oracle — same frozen spec, pure NumPy."""
+    if mode not in MODES:
+        raise ValueError(f"unknown mode {mode!r}")
+    if border not in BORDERS:
+        raise ValueError(f"unknown border {border!r}")
+    dst_w, dst_h = int(dst_size[0]), int(dst_size[1])
+    src_h, src_w = img.shape[:2]
+    key = _as_key(_invert_affine(m))
+    a = img.astype(np.int64)
+    if mode == "nearest":
+        nx, ny, inside = _coord_tables(key, src_w, src_h, dst_w, dst_h, mode)
+        out = a[ny, nx]
+    else:
+        x0, x1, y0, y1, wx, wy, inside = _coord_tables(
+            key, src_w, src_h, dst_w, dst_h, mode
+        )
+        one = golden.RESIZE_ONE
+        wxe = wx[..., None].astype(np.int64) if img.ndim == 3 else wx.astype(np.int64)
+        wye = wy[..., None].astype(np.int64) if img.ndim == 3 else wy.astype(np.int64)
+        top = a[y0, x0] * (one - wxe) + a[y0, x1] * wxe
+        bot = a[y1, x0] * (one - wxe) + a[y1, x1] * wxe
+        acc = top * (one - wye) + bot * wye
+        out = (acc + (1 << (2 * golden.RESIZE_SHIFT - 1))) >> (
+            2 * golden.RESIZE_SHIFT
+        )
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    if border == "constant":
+        maske = inside[..., None] if img.ndim == 3 else inside
+        out = np.where(maske, out, 0)
+    return out

@@ -1,0 +1,87 @@
+"""Affine warp: device vs float64 oracle (bit-exact — shared coordinate
+tables), identity/translation/rotation semantics, borders, facade."""
+
+import numpy as np
+import pytest
+
+from rustcv_tpu.ops import golden
+from rustcv_tpu.ops import warp as wp
+
+
+def _rand(rng, h, w, c=3):
+    return rng.integers(0, 256, size=(h, w, c) if c else (h, w), dtype=np.uint8)
+
+
+IDENTITY = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+
+class TestWarpAffine:
+    @pytest.mark.parametrize("mode", wp.MODES)
+    @pytest.mark.parametrize("border", wp.BORDERS)
+    def test_device_bit_exact_vs_oracle(self, rng, jax_cpu, mode, border):
+        img = _rand(rng, 37, 53)
+        m = wp.get_rotation_matrix_2d((20.0, 15.0), 33.0, 1.2)
+        want = wp.warp_affine_numpy(img, m, (41, 29), mode, border)
+        got = np.asarray(wp.warp_affine(img, m, (41, 29), mode, border))
+        np.testing.assert_array_equal(got, want)
+
+    def test_identity_is_exact_copy(self, rng, jax_cpu):
+        img = _rand(rng, 24, 32)
+        out = np.asarray(wp.warp_affine(img, IDENTITY, (32, 24)))
+        np.testing.assert_array_equal(out, img)
+
+    def test_integer_translation(self, rng, jax_cpu):
+        img = _rand(rng, 24, 32)
+        m = np.array([[1.0, 0.0, 5.0], [0.0, 1.0, 3.0]])  # shift +5x, +3y
+        out = np.asarray(wp.warp_affine(img, m, (32, 24)))
+        np.testing.assert_array_equal(out[3:, 5:], img[:-3, :-5])
+        assert np.all(out[:3] == 0) and np.all(out[:, :5] == 0)  # constant border
+
+    def test_rotate_90_exact(self, rng, jax_cpu):
+        """±90° about the center of a square image hits integer coords —
+        must equal np.rot90 exactly."""
+        img = _rand(rng, 33, 33)
+        c = ((33 - 1) / 2.0, (33 - 1) / 2.0)
+        m = wp.get_rotation_matrix_2d(c, 90.0)
+        out = np.asarray(wp.warp_affine(img, m, (33, 33)))
+        np.testing.assert_array_equal(out, np.rot90(img, 1, axes=(0, 1)))
+
+    def test_replicate_border(self, rng, jax_cpu):
+        img = _rand(rng, 16, 16)
+        m = np.array([[1.0, 0.0, 4.0], [0.0, 1.0, 0.0]])
+        out = np.asarray(wp.warp_affine(img, m, (16, 16), border="replicate"))
+        # columns left of the shift replicate column 0
+        for x in range(4):
+            np.testing.assert_array_equal(out[:, x], img[:, 0])
+
+    def test_gray_2d_input(self, rng, jax_cpu):
+        img = _rand(rng, 20, 28, c=0)
+        m = wp.get_rotation_matrix_2d((10.0, 10.0), 15.0)
+        want = wp.warp_affine_numpy(img, m, (28, 20))
+        got = np.asarray(wp.warp_affine(img, m, (28, 20)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_rejects_bad_args(self, rng):
+        img = _rand(rng, 8, 8)
+        with pytest.raises(ValueError):
+            wp.warp_affine(img, IDENTITY, (8, 8), mode="cubic")
+        with pytest.raises(ValueError):
+            wp.warp_affine(img, IDENTITY, (8, 8), border="reflect")
+
+    def test_imgproc_facade_rotate(self, rng, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        img = _rand(rng, 33, 33)
+        out = imgproc.rotate(Mat.from_array(img), 90.0)
+        np.testing.assert_array_equal(out.to_numpy(), np.rot90(img, 1, axes=(0, 1)))
+        import jax.numpy as jnp
+
+        out_d = imgproc.rotate(Mat.from_device(jnp.asarray(img)), 90.0)
+        np.testing.assert_array_equal(out_d.to_numpy(), out.to_numpy())
+
+    def test_rotation_matrix_matches_cv_convention(self):
+        m = wp.get_rotation_matrix_2d((0.0, 0.0), 90.0)
+        # (1, 0) rotates CCW (y-down) onto (0, -1)
+        v = m[:, :2] @ np.array([1.0, 0.0])
+        np.testing.assert_allclose(v, [0.0, -1.0], atol=1e-12)
