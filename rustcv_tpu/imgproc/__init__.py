@@ -209,6 +209,73 @@ def moments(mat: Mat) -> dict:
     return golden.moments(mat.to_numpy())
 
 
+def good_features_to_track(mat: Mat, max_corners: int = 256, **kw):
+    """Corner seeds for tracking (OpenCV ``goodFeaturesToTrack`` role,
+    Harris scoring): returns float32 [K, 2] (x, y) points, K ≤ max_corners
+    (jit path returns a fixed top-K + validity; invalid rows dropped)."""
+    import numpy as np
+
+    from ..ops import features as _features
+
+    if mat.is_on_device:
+        from ..ops import color as _color
+
+        d = mat.device()
+        gray = _color.bgr_to_gray(d) if d.ndim == 3 and d.shape[-1] == 3 else d
+        if gray.ndim == 3:
+            gray = gray[..., 0]
+        coords, valid = _features.harris_corner_list(
+            gray, max_corners=max_corners, **kw
+        )
+        coords = np.asarray(coords)[np.asarray(valid)]
+    else:
+        h = mat.to_numpy()
+        gray = golden.bgr_to_gray(h) if h.ndim == 3 and h.shape[-1] == 3 else h
+        if gray.ndim == 3:
+            gray = gray[..., 0]
+        mask = golden.harris_corners(gray, **kw)
+        resp = golden.harris_response(gray)
+        ys, xs = np.nonzero(mask)
+        order = np.argsort(-resp[ys, xs])[:max_corners]
+        coords = np.stack([ys[order], xs[order]], axis=-1)
+    # (y, x) → (x, y)
+    return coords[:, ::-1].astype(np.float32)
+
+
+def calc_optical_flow_pyr_lk(
+    prev: Mat, nxt: Mat, pts, win: int = 21, levels: int = 3, iters: int = 10
+):
+    """Pyramidal Lucas–Kanade sparse flow (OpenCV ``calcOpticalFlowPyrLK``):
+    track float32 (x, y) points from ``prev`` to ``nxt``. Returns
+    (next_pts [N, 2] float32, status [N] bool). Device path vectorizes all
+    points' gauss-newton iterations in one program (ops/optflow.py)."""
+    import numpy as np
+
+    from ..ops import optflow as _of
+
+    def _gray(m: Mat):
+        a = m.to_numpy() if not m.is_on_device else np.asarray(m.device())
+        if a.ndim == 3 and a.shape[-1] == 3:
+            a = golden.bgr_to_gray(a)
+        elif a.ndim == 3:
+            a = a[..., 0]
+        return a
+
+    pts = np.asarray(pts, np.float32).reshape(-1, 2)
+    if prev.is_on_device or nxt.is_on_device:
+        import jax.numpy as jnp
+
+        nxt_pts, st = _of.calc_optical_flow_pyr_lk(
+            jnp.asarray(_gray(prev)), jnp.asarray(_gray(nxt)), jnp.asarray(pts),
+            win=win, levels=levels, iters=iters,
+        )
+        return np.asarray(nxt_pts), np.asarray(st)
+    nxt_pts, st = _of.calc_optical_flow_pyr_lk_numpy(
+        _gray(prev), _gray(nxt), pts, win=win, levels=levels, iters=iters
+    )
+    return nxt_pts.astype(np.float32), st
+
+
 def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0):
     """OpenCV ``getRotationMatrix2D`` (2×3 float64)."""
     from ..ops.warp import get_rotation_matrix_2d as _grm
