@@ -170,6 +170,14 @@ def test_transcode_example(jax_cpu, tmp_path):
         assert np.mean((other - got) ** 2) > 4 * mse
 
 
+def test_track_points_example(jax_cpu, capsys):
+    from examples.track_points import main
+
+    main(n_frames=4)  # asserts median-flow accuracy internally
+    out = capsys.readouterr().out
+    assert "tracking locked on the true motion" in out
+
+
 def test_spatial_parallel_example(jax_cpu):
     from examples.spatial_parallel import main
 
