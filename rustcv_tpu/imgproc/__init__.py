@@ -276,6 +276,20 @@ def calc_optical_flow_pyr_lk(
     return nxt_pts.astype(np.float32), st
 
 
+def connected_components(mat: Mat, max_rounds: int = 256):
+    """4-connectivity labeling of a u8 mask Mat (OpenCV
+    ``connectedComponents``): (count, labels int32 (H, W)), background 0,
+    components numbered in raster order of their first pixel. Device
+    algorithm: segmented min-scans to a fixed point (ops/ccl.py) — no
+    union-find pointer chasing."""
+    from ..ops import ccl as _ccl
+
+    a = mat.device() if mat.is_on_device else mat.to_numpy()
+    if a.ndim == 3:
+        a = a[..., 0]
+    return _ccl.connected_components(a, max_rounds=max_rounds)
+
+
 def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0):
     """OpenCV ``getRotationMatrix2D`` (2×3 float64)."""
     from ..ops.warp import get_rotation_matrix_2d as _grm
@@ -491,8 +505,10 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 
 
 __all__ = [
-    "Point", "Rect", "Scalar", "box_blur", "calc_hist", "canny", "cvt_gray",
+    "Point", "Rect", "Scalar", "box_blur", "calc_hist", "canny",
+    "calc_optical_flow_pyr_lk", "connected_components", "cvt_gray",
     "cvt_hsv", "dilate", "equalize_hist", "erode", "flip", "gaussian_blur",
+    "good_features_to_track",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
     "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",
     "rectangle", "resize", "rotate", "sobel_magnitude", "threshold",

@@ -1,0 +1,127 @@
+"""Connected components (4-connectivity) — scan-based label propagation.
+
+``connectedComponents`` is the textbook "sequential" vision op (union-find
+over a raster scan). The TPU formulation replaces pointer chasing with
+SEGMENTED MIN-SCANS: initialize every foreground pixel with its flat index,
+then repeatedly sweep a run-limited cumulative-min forward and backward
+along rows and columns (``jax.lax.associative_scan`` with a reset-at-
+background combiner). Each 4-sweep round lets labels flow around one
+"corner" of a component, so the round count needed is the component
+geometry's spiral depth — a handful for blob-like masks — inside a
+``lax.while_loop`` with a fixed-point (no-change) exit.
+
+Output labels are compacted to 1..N on the host (tiny unique() pass);
+background = 0. Matches the trivially-correct BFS oracle exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.int32(2**30)
+
+
+def _seg_min_scan(vals: jax.Array, fg: jax.Array, axis: int, reverse: bool):
+    """Run-limited cumulative min along ``axis``: mins propagate through
+    contiguous foreground runs and reset at background pixels."""
+    # Elements: (m, b) — m = running min, b = 1 while the run is unbroken
+    # back to the segment start. Combine: (m1,b1)·(m2,b2) =
+    # (min(m2, m1 if b2 else ∞), b1&b2) — associative.
+    axis = axis % vals.ndim  # associative_scan's reverse needs axis >= 0
+    m0 = jnp.where(fg, vals, _INF)
+    b0 = fg.astype(jnp.int32)
+
+    def comb(a, b):
+        m1, b1 = a
+        m2, b2 = b
+        m = jnp.minimum(m2, jnp.where(b2 > 0, m1, _INF))
+        return m, b1 * b2
+
+    m, _ = jax.lax.associative_scan(comb, (m0, b0), axis=axis, reverse=reverse)
+    return jnp.where(fg, jnp.minimum(vals, m), _INF)
+
+
+def _round(labels: jax.Array, fg: jax.Array) -> jax.Array:
+    labels = _seg_min_scan(labels, fg, axis=-1, reverse=False)
+    labels = _seg_min_scan(labels, fg, axis=-1, reverse=True)
+    labels = _seg_min_scan(labels, fg, axis=-2, reverse=False)
+    labels = _seg_min_scan(labels, fg, axis=-2, reverse=True)
+    return labels
+
+
+@partial(jax.jit, static_argnames=("max_rounds",))
+def _label_device(mask: jax.Array, max_rounds: int = 256) -> jax.Array:
+    h, w = mask.shape[-2], mask.shape[-1]
+    fg = mask != 0
+    init = jnp.arange(h * w, dtype=jnp.int32).reshape(mask.shape)
+    init = jnp.where(fg, init, _INF)
+
+    def cond(state):
+        i, cur, changed = state
+        return (i < max_rounds) & changed
+
+    def body(state):
+        i, cur, _ = state
+        nxt = _round(cur, fg)
+        return i + 1, nxt, jnp.any(nxt != cur)
+
+    _, out, changed = jax.lax.while_loop(cond, body, (0, init, jnp.bool_(True)))
+    return jnp.where(fg, out, -1), jnp.logical_not(changed)
+
+
+def connected_components(mask, max_rounds: int = 256):
+    """u8/bool mask (H, W) → (count, labels int32 (H, W)); background 0,
+    components 1..count ordered by their minimum flat index (the raster-
+    first pixel — a deterministic, content-independent order). Raises if
+    the fixed point isn't reached within ``max_rounds`` sweep rounds (only
+    pathological serpentine masks need more than a few dozen)."""
+    raw, converged = _label_device(jnp.asarray(mask), max_rounds)
+    if not bool(converged):
+        raise ValueError(
+            f"connected_components: no fixed point in {max_rounds} rounds "
+            "(serpentine mask?) — raise max_rounds"
+        )
+    return _compact(np.asarray(raw))
+
+
+def _compact(raw: np.ndarray):
+    fgv = raw[raw >= 0]
+    uniq = np.unique(fgv)
+    out = np.zeros(raw.shape, np.int32)
+    if uniq.size:
+        remap = {int(v): i + 1 for i, v in enumerate(uniq.tolist())}
+        lut = np.vectorize(remap.get, otypes=[np.int32])
+        out[raw >= 0] = lut(fgv)
+    return int(uniq.size), out
+
+
+# ---------------------------------------------------------------------------
+# Oracle: plain BFS flood fill (4-connectivity)
+# ---------------------------------------------------------------------------
+
+
+def connected_components_numpy(mask: np.ndarray):
+    from collections import deque
+
+    h, w = mask.shape
+    fg = mask != 0
+    labels = np.zeros((h, w), np.int32)
+    count = 0
+    for y in range(h):
+        for x in range(w):
+            if fg[y, x] and labels[y, x] == 0:
+                count += 1
+                q = deque([(y, x)])
+                labels[y, x] = count
+                while q:
+                    cy, cx = q.popleft()
+                    for ny, nx in ((cy - 1, cx), (cy + 1, cx), (cy, cx - 1), (cy, cx + 1)):
+                        if 0 <= ny < h and 0 <= nx < w and fg[ny, nx] and labels[ny, nx] == 0:
+                            labels[ny, nx] = count
+                            q.append((ny, nx))
+    return count, labels

@@ -1,0 +1,73 @@
+"""Connected components: segmented-scan device labeling vs the BFS oracle
+on random, structured, and adversarial masks."""
+
+import numpy as np
+import pytest
+
+from rustcv_tpu.ops import ccl
+
+
+def _spiral(n: int) -> np.ndarray:
+    s = np.zeros((n, n), np.uint8)
+    x0 = y0 = 0
+    x1 = y1 = n - 1
+    while x0 <= x1:
+        s[y0, x0 : x1 + 1] = 1
+        s[y0 : y1 + 1, x1] = 1
+        s[y1, x0 : x1 + 1] = 1
+        s[y0 + 2 : y1 + 1, x0] = 1
+        x0 += 2
+        y0 += 2
+        x1 -= 2
+        y1 -= 2
+    return s
+
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize(
+        "name,mask",
+        [
+            ("empty", np.zeros((12, 15), np.uint8)),
+            ("full", np.ones((12, 15), np.uint8)),
+            ("diag", np.eye(12, dtype=np.uint8)),  # 4-conn: 12 separate
+            ("spiral", _spiral(31)),
+        ],
+    )
+    def test_matches_bfs_oracle(self, jax_cpu, name, mask):
+        n, lab = ccl.connected_components(mask)
+        n2, lab2 = ccl.connected_components_numpy(mask)
+        assert n == n2
+        np.testing.assert_array_equal(lab, lab2)
+
+    @pytest.mark.parametrize("density", [0.3, 0.5, 0.7])
+    def test_random_masks(self, rng, jax_cpu, density):
+        mask = (rng.random((48, 64)) < density).astype(np.uint8)
+        n, lab = ccl.connected_components(mask)
+        n2, lab2 = ccl.connected_components_numpy(mask)
+        assert n == n2
+        np.testing.assert_array_equal(lab, lab2)
+        # labels invariants
+        assert lab.max() == n
+        assert np.array_equal(np.unique(lab[mask != 0]), np.arange(1, n + 1))
+        assert np.all(lab[mask == 0] == 0)
+
+    def test_round_budget_raises(self, jax_cpu):
+        """A deep spiral can't converge in 1 round — must raise, never
+        return wrong labels silently."""
+        with pytest.raises(ValueError):
+            ccl.connected_components(_spiral(31), max_rounds=1)
+
+    def test_imgproc_facade_with_inrange(self, jax_cpu):
+        """Segmentation flow: mask → components → blob count/centroids."""
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        img = np.zeros((60, 80, 3), np.uint8)
+        img[10:20, 10:25] = (0, 0, 255)
+        img[35:50, 40:70] = (0, 0, 255)
+        hsv = imgproc.cvt_hsv(Mat.from_array(img))
+        mask = imgproc.in_range(hsv, (0, 100, 100), (10, 255, 255))
+        n, lab = imgproc.connected_components(mask)
+        assert n == 2
+        assert (lab == 1).sum() == 10 * 15
+        assert (lab == 2).sum() == 15 * 30
