@@ -290,6 +290,17 @@ def connected_components(mat: Mat, max_rounds: int = 256):
     return _ccl.connected_components(a, max_rounds=max_rounds)
 
 
+def connected_components_with_stats(mat: Mat, max_rounds: int = 256):
+    """OpenCV ``connectedComponentsWithStats``: (count, labels, stats,
+    centroids) — see :func:`connected_components` and ops/ccl.py."""
+    from ..ops import ccl as _ccl
+
+    a = mat.device() if mat.is_on_device else mat.to_numpy()
+    if a.ndim == 3:
+        a = a[..., 0]
+    return _ccl.connected_components_with_stats(a, max_rounds=max_rounds)
+
+
 def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0):
     """OpenCV ``getRotationMatrix2D`` (2×3 float64)."""
     from ..ops.warp import get_rotation_matrix_2d as _grm
@@ -506,7 +517,8 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 
 __all__ = [
     "Point", "Rect", "Scalar", "box_blur", "calc_hist", "canny",
-    "calc_optical_flow_pyr_lk", "connected_components", "cvt_gray",
+    "calc_optical_flow_pyr_lk", "connected_components",
+    "connected_components_with_stats", "cvt_gray",
     "cvt_hsv", "dilate", "equalize_hist", "erode", "flip", "gaussian_blur",
     "good_features_to_track",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",

@@ -100,6 +100,40 @@ def _compact(raw: np.ndarray):
     return int(uniq.size), out
 
 
+def connected_components_with_stats(mask, max_rounds: int = 256):
+    """OpenCV ``connectedComponentsWithStats``: (count, labels, stats,
+    centroids). ``stats`` int64 [count+1, 5] rows = (left, top, width,
+    height, area) — row 0 is background; ``centroids`` float64
+    [count+1, 2] (x, y). Device labeling + vectorized host reductions."""
+    n, labels = connected_components(mask, max_rounds=max_rounds)
+    h, w = labels.shape
+    stats = np.zeros((n + 1, 5), np.int64)
+    cents = np.full((n + 1, 2), np.nan)
+    flat = labels.reshape(-1)
+    area = np.bincount(flat, minlength=n + 1)
+    ys, xs = np.divmod(np.arange(h * w), w)
+    sx = np.bincount(flat, weights=xs, minlength=n + 1)
+    sy = np.bincount(flat, weights=ys, minlength=n + 1)
+    stats[:, 4] = area
+    left = np.full(n + 1, w, np.int64)
+    top = np.full(n + 1, h, np.int64)
+    right = np.full(n + 1, -1, np.int64)
+    bot = np.full(n + 1, -1, np.int64)
+    np.minimum.at(left, flat, xs)
+    np.minimum.at(top, flat, ys)
+    np.maximum.at(right, flat, xs)
+    np.maximum.at(bot, flat, ys)
+    pop = area > 0
+    stats[pop, 0] = left[pop]
+    stats[pop, 1] = top[pop]
+    stats[pop, 2] = right[pop] - left[pop] + 1
+    stats[pop, 3] = bot[pop] - top[pop] + 1
+    with np.errstate(invalid="ignore"):
+        cents[pop, 0] = sx[pop] / area[pop]
+        cents[pop, 1] = sy[pop] / area[pop]
+    return n, labels, stats, cents
+
+
 # ---------------------------------------------------------------------------
 # Oracle: plain BFS flood fill (4-connectivity)
 # ---------------------------------------------------------------------------

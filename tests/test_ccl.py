@@ -57,6 +57,18 @@ class TestConnectedComponents:
         with pytest.raises(ValueError):
             ccl.connected_components(_spiral(31), max_rounds=1)
 
+    def test_with_stats(self, jax_cpu):
+        mask = np.zeros((40, 60), np.uint8)
+        mask[5:15, 10:20] = 255   # 10x10 at (10,5)
+        mask[25:30, 40:55] = 255  # 15x5 at (40,25)
+        n, lab, stats, cents = ccl.connected_components_with_stats(mask)
+        assert n == 2
+        np.testing.assert_array_equal(stats[1], [10, 5, 10, 10, 100])
+        np.testing.assert_array_equal(stats[2], [40, 25, 15, 5, 75])
+        np.testing.assert_allclose(cents[1], [14.5, 9.5])
+        np.testing.assert_allclose(cents[2], [47.0, 27.0])
+        assert stats[0, 4] == 40 * 60 - 175  # background area
+
     def test_imgproc_facade_with_inrange(self, jax_cpu):
         """Segmentation flow: mask → components → blob count/centroids."""
         from rustcv_tpu import imgproc
