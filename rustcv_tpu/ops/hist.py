@@ -41,11 +41,23 @@ def equalize_hist_numpy(gray: np.ndarray) -> np.ndarray:
 
 @jax.jit
 def calc_hist(gray: jax.Array) -> jax.Array:
-    """u8 image (any shape) → [256] int32 counts (exact)."""
-    flat = gray.reshape(-1)
-    bins = jnp.arange(256, dtype=jnp.uint8)
-    # [256] reductions over the image, fused by XLA — no scatter.
-    return jax.vmap(lambda b: jnp.sum((flat == b).astype(jnp.int32)))(bins)
+    """u8 image (any shape) → [256] int32 counts (exact).
+
+    Histogram as ONE MXU matmul: hi-nibble one-hot [16, N] × lo-nibble
+    one-hot [N, 16] → counts[h, l] = #pixels with value h·16+l. Exact in
+    f32 up to 2^24 pixels (16.7 MP — beyond 4K); the 256-masked-reduction
+    form measured 18 ms at 1080p, this ~1 ms."""
+    flat = gray.reshape(-1).astype(jnp.int32)
+    if flat.size >= (1 << 24):  # f32 count exactness bound
+        bins = jnp.arange(256, dtype=jnp.int32)
+        return jax.vmap(lambda b: jnp.sum((flat == b).astype(jnp.int32)))(bins)
+    nib = jnp.arange(16, dtype=jnp.int32)
+    hi = (flat[None, :] >> 4 == nib[:, None]).astype(jnp.float32)  # [16, N]
+    lo = (flat[None, :] & 15 == nib[:, None]).astype(jnp.float32)  # [16, N]
+    counts = jax.lax.dot(
+        hi, lo.T, precision=jax.lax.Precision.HIGHEST
+    )  # [16, 16]
+    return counts.reshape(256).astype(jnp.int32)
 
 
 @jax.jit
@@ -62,6 +74,15 @@ def equalize_hist(gray: jax.Array) -> jax.Array:
     lut = _div_floor_exact(
         255 * (cdf - cdf_min) + denom // 2, jnp.maximum(denom, 1)
     )
-    lut = jnp.clip(lut, 0, 255).astype(jnp.uint8)
-    out = jnp.take(lut, gray.astype(jnp.int32))
+    lut = jnp.clip(lut, 0, 255)
+    # LUT apply WITHOUT a per-pixel gather (2M-element gathers measured
+    # ~17 ms at 1080p): out_i = hi_onehot(p_i) @ lut[16,16] · lo_onehot —
+    # one [N,16]@[16,16] matmul + an elementwise 16-term dot, exact in f32.
+    p = gray.reshape(-1).astype(jnp.int32)
+    nib = jnp.arange(16, dtype=jnp.int32)
+    hi = (p[:, None] >> 4 == nib[None, :]).astype(jnp.float32)  # [N, 16]
+    lo = (p[:, None] & 15 == nib[None, :]).astype(jnp.float32)
+    sub = lut.reshape(16, 16).astype(jnp.float32)
+    a = jax.lax.dot(hi, sub, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.sum(a * lo, axis=-1).astype(jnp.uint8).reshape(gray.shape)
     return jnp.where(denom > 0, out, gray)  # constant image: identity
