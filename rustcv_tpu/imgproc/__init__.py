@@ -374,6 +374,21 @@ def equalize_hist(mat: Mat) -> Mat:
     )
 
 
+def lut(mat: Mat, table) -> Mat:
+    """Apply a 256-entry u8 lookup table per byte (OpenCV ``LUT`` — gamma
+    and tone curves). Device path is gather-free (ops/hist.apply_lut)."""
+    import numpy as np
+
+    from ..ops import hist as _hist
+
+    t = np.asarray(table, np.uint8).reshape(256)
+    return _apply(
+        mat,
+        lambda d: _hist.apply_lut(d, t),
+        lambda h: t[h],
+    )
+
+
 def match_template(mat: Mat, tmpl: Mat, method: str = "ccoeff_normed"):
     """OpenCV ``matchTemplate``: grayscale correlation search (BGR inputs
     are converted via the exact luma). Returns the float32 response map
@@ -520,7 +535,7 @@ __all__ = [
     "calc_optical_flow_pyr_lk", "connected_components",
     "connected_components_with_stats", "cvt_gray",
     "cvt_hsv", "dilate", "equalize_hist", "erode", "flip", "gaussian_blur",
-    "good_features_to_track",
+    "good_features_to_track", "lut",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
     "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",
     "rectangle", "resize", "rotate", "sobel_magnitude", "threshold",

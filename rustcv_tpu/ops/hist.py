@@ -61,6 +61,23 @@ def calc_hist(gray: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def apply_lut(img: jax.Array, lut: jax.Array) -> jax.Array:
+    """u8 image (any shape) × 256-entry u8 LUT → u8 image (OpenCV ``LUT``).
+
+    Gather-free: out_i = hi_onehot(p_i) @ lut[16, 16] · lo_onehot(p_i) —
+    one [N, 16] matmul + a 16-term elementwise dot (a 2M-element per-pixel
+    gather measured ~17 ms at 1080p; this form ~3 ms). Exact: all values
+    ≤ 255 in f32."""
+    p = img.reshape(-1).astype(jnp.int32)
+    nib = jnp.arange(16, dtype=jnp.int32)
+    hi = (p[:, None] >> 4 == nib[None, :]).astype(jnp.float32)
+    lo = (p[:, None] & 15 == nib[None, :]).astype(jnp.float32)
+    sub = lut.reshape(16, 16).astype(jnp.float32)
+    a = jax.lax.dot(hi, sub, precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(a * lo, axis=-1).astype(jnp.uint8).reshape(img.shape)
+
+
+@jax.jit
 def equalize_hist(gray: jax.Array) -> jax.Array:
     """Exact-integer histogram equalization — bit-exact vs the oracle."""
     from .color import _div_floor_exact
@@ -74,15 +91,6 @@ def equalize_hist(gray: jax.Array) -> jax.Array:
     lut = _div_floor_exact(
         255 * (cdf - cdf_min) + denom // 2, jnp.maximum(denom, 1)
     )
-    lut = jnp.clip(lut, 0, 255)
-    # LUT apply WITHOUT a per-pixel gather (2M-element gathers measured
-    # ~17 ms at 1080p): out_i = hi_onehot(p_i) @ lut[16,16] · lo_onehot —
-    # one [N,16]@[16,16] matmul + an elementwise 16-term dot, exact in f32.
-    p = gray.reshape(-1).astype(jnp.int32)
-    nib = jnp.arange(16, dtype=jnp.int32)
-    hi = (p[:, None] >> 4 == nib[None, :]).astype(jnp.float32)  # [N, 16]
-    lo = (p[:, None] & 15 == nib[None, :]).astype(jnp.float32)
-    sub = lut.reshape(16, 16).astype(jnp.float32)
-    a = jax.lax.dot(hi, sub, precision=jax.lax.Precision.HIGHEST)
-    out = jnp.sum(a * lo, axis=-1).astype(jnp.uint8).reshape(gray.shape)
+    lut = jnp.clip(lut, 0, 255).astype(jnp.uint8)
+    out = apply_lut(gray, lut)  # gather-free LUT apply (see apply_lut)
     return jnp.where(denom > 0, out, gray)  # constant image: identity

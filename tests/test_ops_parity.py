@@ -351,6 +351,20 @@ class TestResizeParity:
             np.asarray(_hist.equalize_hist(jax_cpu.numpy.asarray(flat))), flat
         )
 
+    def test_apply_lut_exact(self, rng, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+        from rustcv_tpu.ops import hist as _hist
+
+        img = _rand_u8(rng, 33, 47, 3)
+        table = rng.permutation(256).astype(np.uint8)
+        want = table[img]
+        got = np.asarray(_hist.apply_lut(jax_cpu.numpy.asarray(img), table))
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(
+            imgproc.lut(Mat.from_array(img), table).to_numpy(), want
+        )
+
     def test_imgproc_hist_facade(self, rng, jax_cpu):
         from rustcv_tpu import imgproc
         from rustcv_tpu.core.mat import Mat
