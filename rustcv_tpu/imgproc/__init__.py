@@ -234,7 +234,9 @@ def good_features_to_track(mat: Mat, max_corners: int = 256, **kw):
         if gray.ndim == 3:
             gray = gray[..., 0]
         mask = golden.harris_corners(gray, **kw)
-        resp = golden.harris_response(gray)
+        # Rank with the SAME k the mask used (a default-k response here
+        # would pick a different top-K set than the device path).
+        resp = golden.harris_response(gray, k=kw.get("k", 0.04))
         ys, xs = np.nonzero(mask)
         order = np.argsort(-resp[ys, xs])[:max_corners]
         coords = np.stack([ys[order], xs[order]], axis=-1)
@@ -254,12 +256,19 @@ def calc_optical_flow_pyr_lk(
     from ..ops import optflow as _of
 
     def _gray(m: Mat):
-        a = m.to_numpy() if not m.is_on_device else np.asarray(m.device())
+        # Device Mats STAY on device (a D2H+H2D round trip per call would
+        # dwarf the 12 ms kernel on high-RTT transports).
+        if m.is_on_device:
+            from ..ops import color as _color
+
+            d = m.device()
+            if d.ndim == 3 and d.shape[-1] == 3:
+                return _color.bgr_to_gray(d)
+            return d[..., 0] if d.ndim == 3 else d
+        a = m.to_numpy()
         if a.ndim == 3 and a.shape[-1] == 3:
-            a = golden.bgr_to_gray(a)
-        elif a.ndim == 3:
-            a = a[..., 0]
-        return a
+            return golden.bgr_to_gray(a)
+        return a[..., 0] if a.ndim == 3 else a
 
     pts = np.asarray(pts, np.float32).reshape(-1, 2)
     if prev.is_on_device or nxt.is_on_device:
@@ -404,9 +413,13 @@ def match_template(mat: Mat, tmpl: Mat, method: str = "ccoeff_normed"):
             from ..ops import color as _color
 
             d = m.device()
-            return _color.bgr_to_gray(d) if d.ndim == 3 else d
+            if d.ndim == 3 and d.shape[-1] == 3:
+                return _color.bgr_to_gray(d)
+            return d[..., 0] if d.ndim == 3 else d
         h = m.to_numpy()
-        return golden.bgr_to_gray(h) if h.ndim == 3 else h
+        if h.ndim == 3 and h.shape[-1] == 3:
+            return golden.bgr_to_gray(h)
+        return h[..., 0] if h.ndim == 3 else h
 
     g = _gray_of(mat)
     t = _gray_of(tmpl)

@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     hist,
     jpeg_encode,
     jpeg_tpu,
+    optflow,
     resize,
     synth,
     template,

@@ -90,13 +90,14 @@ def connected_components(mask, max_rounds: int = 256):
 
 
 def _compact(raw: np.ndarray):
-    fgv = raw[raw >= 0]
+    fg = raw >= 0
+    fgv = raw[fg]
     uniq = np.unique(fgv)
     out = np.zeros(raw.shape, np.int32)
     if uniq.size:
-        remap = {int(v): i + 1 for i, v in enumerate(uniq.tolist())}
-        lut = np.vectorize(remap.get, otypes=[np.int32])
-        out[raw >= 0] = lut(fgv)
+        # uniq is sorted: searchsorted IS the rank remap (vectorized; a
+        # per-pixel Python dict.get cost seconds on dense 1080p masks).
+        out[fg] = np.searchsorted(uniq, fgv).astype(np.int32) + 1
     return int(uniq.size), out
 
 

@@ -609,7 +609,13 @@ def moments_rows(mask: jax.Array) -> jax.Array:
 
 def moments(mask: jax.Array) -> dict:
     """Raw moments m00/m10/m01 (+ centroid) of a device u8 mask — exact
-    (device per-row partials + host int64 finish; matches golden.moments)."""
+    (device per-row partials + host int64 finish; matches golden.moments).
+    Widths beyond 4096 would overflow the int32 row partial (255·Σx >
+    2^31), so those fall back to an exact host computation."""
+    if mask.shape[-1] > 4096:
+        from . import golden
+
+        return golden.moments(np.asarray(mask))
     rows = np.asarray(moments_rows(mask)).astype(np.int64)
     m00 = int(rows[:, 0].sum())
     m10 = int(rows[:, 1].sum())

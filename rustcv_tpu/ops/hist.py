@@ -77,9 +77,34 @@ def apply_lut(img: jax.Array, lut: jax.Array) -> jax.Array:
     return jnp.sum(a * lo, axis=-1).astype(jnp.uint8).reshape(img.shape)
 
 
-@jax.jit
 def equalize_hist(gray: jax.Array) -> jax.Array:
-    """Exact-integer histogram equalization — bit-exact vs the oracle."""
+    """Exact-integer histogram equalization — bit-exact vs the oracle at
+    ANY size: above ~8.4M pixels (where 255·cdf would overflow int32 on
+    device) the 256-entry LUT is built on the host in int64 from the
+    device histogram (a 1 KB D2H) and applied with the gather-free
+    :func:`apply_lut`."""
+    import numpy as np_
+
+    n_pix = 1
+    for d in gray.shape:
+        n_pix *= int(d)
+    if 255 * n_pix + n_pix // 2 < 2**31:
+        return _equalize_hist_small(gray)
+    hist = np_.asarray(calc_hist(gray)).astype(np_.int64)
+    cdf = np_.cumsum(hist)
+    populated = np_.nonzero(hist)[0]
+    cdf_min = int(cdf[populated[0]]) if populated.size else 0
+    denom = int(cdf[-1]) - cdf_min
+    if denom <= 0:
+        return gray
+    lut = np_.clip(
+        (255 * (cdf - cdf_min) + denom // 2) // denom, 0, 255
+    ).astype(np_.uint8)
+    return apply_lut(gray, jnp.asarray(lut))
+
+
+@jax.jit
+def _equalize_hist_small(gray: jax.Array) -> jax.Array:
     from .color import _div_floor_exact
 
     hist = calc_hist(gray)

@@ -136,6 +136,11 @@ def calc_optical_flow_pyr_lk(
     # Clamp the pyramid depth so the coarsest level still fits one
     # window + gradient halo (dynamic_slice needs the size in-bounds).
     h0, w0 = prev_gray.shape[-2], prev_gray.shape[-1]
+    if min(h0, w0) < win + 3:
+        raise ValueError(
+            f"calc_optical_flow_pyr_lk: image {w0}x{h0} smaller than "
+            f"win+3 = {win + 3}; use a smaller win"
+        )
     while levels > 0 and min(h0 >> levels, w0 >> levels) < win + 3:
         levels -= 1
     pp = _build_pyramid(prev_gray, levels)
@@ -198,6 +203,11 @@ def calc_optical_flow_pyr_lk_numpy(
 ):
     half = win // 2
     h0, w0 = prev_gray.shape
+    if min(h0, w0) < win + 3:
+        raise ValueError(
+            f"calc_optical_flow_pyr_lk: image {w0}x{h0} smaller than "
+            f"win+3 = {win + 3}; use a smaller win"
+        )
     while levels > 0 and min(h0 >> levels, w0 >> levels) < win + 3:
         levels -= 1
     pp = [prev_gray.astype(np.float64)]

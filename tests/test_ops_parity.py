@@ -351,6 +351,28 @@ class TestResizeParity:
             np.asarray(_hist.equalize_hist(jax_cpu.numpy.asarray(flat))), flat
         )
 
+    def test_moments_wide_mask_exact(self, jax_cpu):
+        """W > 4096 falls back to the exact host path (the int32 row
+        partial would overflow — review finding)."""
+        from rustcv_tpu.ops import color as col
+
+        mask = np.full((8, 5120), 255, np.uint8)
+        dm = col.moments(jax_cpu.numpy.asarray(mask))
+        gm = golden.moments(mask)
+        assert dm == gm
+        assert dm["m10"] == 255 * 8 * (5120 * 5119 // 2)
+
+    def test_equalize_large_image_exact(self, jax_cpu):
+        """Above the int32 LUT bound the host-LUT fallback must stay
+        bit-exact (device 510·cdf would overflow — review finding)."""
+        from rustcv_tpu.ops import hist as _hist
+
+        rng = np.random.default_rng(5)
+        gray = rng.integers(0, 256, size=(3000, 3000), dtype=np.uint8)  # 9M px
+        want = _hist.equalize_hist_numpy(gray)
+        got = np.asarray(_hist.equalize_hist(jax_cpu.numpy.asarray(gray)))
+        np.testing.assert_array_equal(got, want)
+
     def test_apply_lut_exact(self, rng, jax_cpu):
         from rustcv_tpu import imgproc
         from rustcv_tpu.core.mat import Mat

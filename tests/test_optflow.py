@@ -71,6 +71,13 @@ class TestLK:
         assert np.all(np.abs(flow[:, 0] - 14.0) < 0.3)
         assert np.all(np.abs(flow[:, 1]) < 0.3)
 
+    def test_tiny_image_raises(self, jax_cpu):
+        tiny = np.zeros((20, 20), np.uint8)
+        with pytest.raises(ValueError):
+            of.calc_optical_flow_pyr_lk(tiny, tiny, np.zeros((1, 2), np.float32), win=21)
+        with pytest.raises(ValueError):
+            of.calc_optical_flow_pyr_lk_numpy(tiny, tiny, np.zeros((1, 2), np.float32), win=21)
+
     def test_facade_with_corner_seeds(self, jax_cpu, pair):
         from rustcv_tpu import imgproc
         from rustcv_tpu.core.mat import Mat

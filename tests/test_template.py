@@ -58,6 +58,22 @@ class TestMatchTemplate:
         with pytest.raises(ValueError):
             tm.match_template_numpy(np.zeros((8, 8), np.uint8), np.zeros((2, 2), np.uint8), "bogus")
 
+    def test_facade_gray_mats(self, jax_cpu, scene):
+        """Single-channel Mats — the primary matchTemplate input — must
+        work on both paths (review finding: (H,W,1) crashed bgr_to_gray)."""
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        img, tmpl, (tx, ty) = scene
+        resp = imgproc.match_template(Mat.from_array(img), Mat.from_array(tmpl))
+        assert imgproc.min_max_loc(resp)[3] == (tx, ty)
+        import jax.numpy as jnp
+
+        resp_d = imgproc.match_template(
+            Mat.from_device(jnp.asarray(img)), Mat.from_device(jnp.asarray(tmpl))
+        )
+        assert imgproc.min_max_loc(resp_d)[3] == (tx, ty)
+
     def test_imgproc_facade(self, jax_cpu, scene):
         from rustcv_tpu import imgproc
         from rustcv_tpu.core.mat import Mat
