@@ -310,6 +310,19 @@ def connected_components_with_stats(mat: Mat, max_rounds: int = 256):
     return _ccl.connected_components_with_stats(a, max_rounds=max_rounds)
 
 
+def find_contours(mat: Mat, max_rounds: int = 256):
+    """External contours of a u8 mask Mat (OpenCV ``findContours``
+    RETR_EXTERNAL role): list of int32 [K, 2] (x, y) boundary polylines,
+    one per 4-connected component (device labeling + host Moore tracing,
+    work proportional to boundary length — ops/ccl.py)."""
+    from ..ops import ccl as _ccl
+
+    a = mat.device() if mat.is_on_device else mat.to_numpy()
+    if a.ndim == 3:
+        a = a[..., 0]
+    return _ccl.find_contours(a, max_rounds=max_rounds)
+
+
 def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0):
     """OpenCV ``getRotationMatrix2D`` (2×3 float64)."""
     from ..ops.warp import get_rotation_matrix_2d as _grm
@@ -547,7 +560,8 @@ __all__ = [
     "Point", "Rect", "Scalar", "box_blur", "calc_hist", "canny",
     "calc_optical_flow_pyr_lk", "connected_components",
     "connected_components_with_stats", "cvt_gray",
-    "cvt_hsv", "dilate", "equalize_hist", "erode", "flip", "gaussian_blur",
+    "cvt_hsv", "dilate", "equalize_hist", "erode", "find_contours", "flip",
+    "gaussian_blur",
     "good_features_to_track", "lut",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
     "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",

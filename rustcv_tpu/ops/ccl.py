@@ -135,6 +135,60 @@ def connected_components_with_stats(mask, max_rounds: int = 256):
     return n, labels, stats, cents
 
 
+_MOORE = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
+
+
+def find_contours(mask, max_rounds: int = 256):
+    """External contours of each 4-connected component (OpenCV
+    ``findContours`` RETR_EXTERNAL + CHAIN_APPROX_NONE role).
+
+    Device labeling (:func:`connected_components`) partitions the mask;
+    the host then Moore-traces each component's outer boundary clockwise
+    from its raster-first pixel. Returns a list of int32 [K, 2] (x, y)
+    arrays, one per component, in component order; single-pixel components
+    yield a 1-point contour. Total traced length is O(Σ perimeters) —
+    host work proportional to boundary, not area."""
+    n, labels = connected_components(mask, max_rounds=max_rounds)
+    h, w = labels.shape
+    contours = []
+    for comp in range(1, n + 1):
+        ys, xs = np.nonzero(labels == comp)
+        sy, sx = int(ys.min()), int(xs[ys == ys.min()].min())
+
+        def fg(y, x):
+            return 0 <= y < h and 0 <= x < w and labels[y, x] == comp
+
+        # Moore-neighbor tracing; the walk is deterministic in the state
+        # (cur, backtrack), so the FIRST repeated state closes the cycle
+        # exactly once (plain return-to-start double-traces shapes whose
+        # boundary passes the start twice; the initial state itself may
+        # sit just off the cycle for 1-px-thin shapes).
+        cur, prev = (sy, sx), (sy, sx - 1)
+        seen = set()
+        contour = []
+        while (cur, prev) not in seen:
+            seen.add((cur, prev))
+            contour.append((cur[1], cur[0]))
+            pi = _MOORE.index((prev[0] - cur[0], prev[1] - cur[1]))
+            nxt = None
+            for k in range(1, 9):
+                dy, dx = _MOORE[(pi + k) % 8]
+                cand = (cur[0] + dy, cur[1] + dx)
+                if fg(*cand):
+                    nxt = cand
+                    # the neighbor just BEFORE the hit becomes the backtrack
+                    pdy, pdx = _MOORE[(pi + k - 1) % 8]
+                    prev = (cur[0] + pdy, cur[1] + pdx)
+                    break
+            if nxt is None:
+                break  # isolated pixel
+            cur = nxt
+        if len(contour) > 1 and contour[-1] == contour[0]:
+            contour.pop()  # off-cycle initial state duplicated the start
+        contours.append(np.asarray(contour, np.int32))
+    return contours
+
+
 # ---------------------------------------------------------------------------
 # Oracle: plain BFS flood fill (4-connectivity)
 # ---------------------------------------------------------------------------

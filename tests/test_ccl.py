@@ -69,6 +69,38 @@ class TestConnectedComponents:
         np.testing.assert_allclose(cents[2], [47.0, 27.0])
         assert stats[0, 4] == 40 * 60 - 175  # background area
 
+    def test_find_contours_shapes(self, jax_cpu):
+        # 3×3 square → its 8 boundary pixels, clockwise from the top-left
+        m = np.zeros((8, 8), np.uint8)
+        m[1:4, 2:5] = 1
+        (c,) = ccl.find_contours(m)
+        assert c.tolist() == [
+            [2, 1], [3, 1], [4, 1], [4, 2], [4, 3], [3, 3], [2, 3], [2, 2]
+        ]
+        # single pixel → 1-point contour
+        m2 = np.zeros((4, 4), np.uint8)
+        m2[2, 2] = 1
+        assert ccl.find_contours(m2)[0].tolist() == [[2, 2]]
+        # 1-px line → out-and-back trace, no duplicated seam point
+        m3 = np.zeros((4, 8), np.uint8)
+        m3[1, 1:6] = 1
+        line = ccl.find_contours(m3)[0]
+        assert line[0].tolist() == [1, 1] and len(line) == 8
+
+    def test_find_contours_random_properties(self, rng, jax_cpu):
+        """Every contour point lies on its own component; each component's
+        extreme pixels appear on its contour."""
+        mask = (rng.random((40, 50)) > 0.65).astype(np.uint8)
+        n, lab = ccl.connected_components(mask)
+        cs = ccl.find_contours(mask)
+        assert len(cs) == n
+        for comp, c in enumerate(cs, 1):
+            assert all(lab[y, x] == comp for x, y in c)
+            ys, xs = np.nonzero(lab == comp)
+            pts = set(map(tuple, c.tolist()))
+            assert (int(xs.min()), int(ys[xs == xs.min()].min())) in pts
+            assert (int(xs.max()), int(ys[xs == xs.max()].min())) in pts
+
     def test_imgproc_facade_with_inrange(self, jax_cpu):
         """Segmentation flow: mask → components → blob count/centroids."""
         from rustcv_tpu import imgproc
