@@ -209,6 +209,43 @@ def moments(mat: Mat) -> dict:
     return golden.moments(mat.to_numpy())
 
 
+def fast_corners(
+    mat: Mat, threshold: int = 20, n: int = 9, max_corners: int = 256,
+    nms: bool = True,
+):
+    """FAST-n corner detection (features2d ``FastFeatureDetector`` role):
+    float32 [K, 2] (x, y) points, strongest first. Pure elementwise on
+    device — 16 static ring shifts + the rotate-AND contiguity trick
+    (ops/fast.py); host path runs the identical frozen spec."""
+    import numpy as np
+
+    from ..ops import fast as _fast
+
+    if mat.is_on_device:
+        from ..ops import color as _color
+
+        d = mat.device()
+        g = _color.bgr_to_gray(d) if d.ndim == 3 and d.shape[-1] == 3 else (
+            d[..., 0] if d.ndim == 3 else d
+        )
+        coords, valid = _fast.fast_corner_list(
+            g, threshold=threshold, n=n, max_corners=max_corners, nms=nms
+        )
+        coords = np.asarray(coords)[np.asarray(valid)]
+    else:
+        h = mat.to_numpy()
+        g = golden.bgr_to_gray(h) if h.ndim == 3 and h.shape[-1] == 3 else (
+            h[..., 0] if h.ndim == 3 else h
+        )
+        mask, score = _fast.fast_corners_numpy(
+            g, threshold=threshold, n=n, nms=nms
+        )
+        ys, xs = np.nonzero(mask)
+        order = np.argsort(-score[ys, xs], kind="stable")[:max_corners]
+        coords = np.stack([ys[order], xs[order]], axis=-1)
+    return coords[:, ::-1].astype(np.float32)
+
+
 def good_features_to_track(mat: Mat, max_corners: int = 256, **kw):
     """Corner seeds for tracking (OpenCV ``goodFeaturesToTrack`` role,
     Harris scoring): returns float32 [K, 2] (x, y) points, K ≤ max_corners
@@ -560,8 +597,8 @@ __all__ = [
     "Point", "Rect", "Scalar", "box_blur", "calc_hist", "canny",
     "calc_optical_flow_pyr_lk", "connected_components",
     "connected_components_with_stats", "cvt_gray",
-    "cvt_hsv", "dilate", "equalize_hist", "erode", "find_contours", "flip",
-    "gaussian_blur",
+    "cvt_hsv", "dilate", "equalize_hist", "erode", "fast_corners",
+    "find_contours", "flip", "gaussian_blur",
     "good_features_to_track", "lut",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
     "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",

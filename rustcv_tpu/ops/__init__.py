@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     color,
     decode,
     draw,
+    fast,
     features,
     filters,
     golden,
