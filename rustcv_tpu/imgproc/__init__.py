@@ -448,6 +448,28 @@ def lut(mat: Mat, table) -> Mat:
     )
 
 
+def clahe(mat: Mat, clip_limit: int = 40, grid=(8, 8)) -> Mat:
+    """Contrast-limited adaptive histogram equalization (OpenCV
+    ``createCLAHE`` role) on a u8 gray Mat — exact-integer frozen spec,
+    host == device bit-for-bit (ops/hist.clahe)."""
+    from ..ops import hist as _hist
+
+    g = tuple(grid)
+
+    def _gray(a):
+        if a.ndim == 3 and a.shape[-1] == 1:
+            return a[..., 0]
+        if a.ndim != 2:
+            raise ValueError("clahe: gray (single-channel) input required")
+        return a
+
+    return _apply(
+        mat,
+        lambda d: _hist.clahe(_gray(d), clip_limit, g),
+        lambda h: _hist.clahe_numpy(_gray(h), clip_limit, g),
+    )
+
+
 def match_template(mat: Mat, tmpl: Mat, method: str = "ccoeff_normed"):
     """OpenCV ``matchTemplate``: grayscale correlation search (BGR inputs
     are converted via the exact luma). Returns the float32 response map
@@ -595,7 +617,7 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 
 __all__ = [
     "Point", "Rect", "Scalar", "box_blur", "calc_hist", "canny",
-    "calc_optical_flow_pyr_lk", "connected_components",
+    "calc_optical_flow_pyr_lk", "clahe", "connected_components",
     "connected_components_with_stats", "cvt_gray",
     "cvt_hsv", "dilate", "equalize_hist", "erode", "fast_corners",
     "find_contours", "flip", "gaussian_blur",

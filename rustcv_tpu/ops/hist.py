@@ -16,6 +16,8 @@ Frozen spec (exact integer, device == oracle bit-for-bit):
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -119,3 +121,156 @@ def _equalize_hist_small(gray: jax.Array) -> jax.Array:
     lut = jnp.clip(lut, 0, 255).astype(jnp.uint8)
     out = apply_lut(gray, lut)  # gather-free LUT apply (see apply_lut)
     return jnp.where(denom > 0, out, gray)  # constant image: identity
+
+
+# ---------------------------------------------------------------------------
+# CLAHE
+# ---------------------------------------------------------------------------
+#
+# Frozen spec (exact integer, device == oracle bit-for-bit):
+# - edge-pad so both dims are grid multiples (tiles th×tw); per-tile
+#   256-bin histograms;
+# - clip limit L = max(1, clip_limit·th·tw // 256); excess = Σ max(h−L, 0)
+#   redistributes as +excess//256 per bin and +1 to the first excess%256;
+# - per-tile LUT: lut[i] = (255·cdf[i] + n//2) // n (n = th·tw);
+# - bilinear LUT interpolation on the half-tile-shifted cell lattice,
+#   weights (2r+1)/(2·th), edge cells clamped to the nearest tile; value =
+#   (Σ w·lut_v + D//2) // D with D = 4·th·tw (all int32);
+# - crop back to the original size.
+
+
+def clahe_numpy(
+    gray: np.ndarray, clip_limit: int = 40, grid: tuple = (8, 8)
+) -> np.ndarray:
+    """Float-free CLAHE oracle (see the frozen spec above)."""
+    gy, gx = grid
+    h, w = gray.shape
+    th = -(-h // gy)
+    tw = -(-w // gx)
+    img = np.pad(gray, ((0, gy * th - h), (0, gx * tw - w)), mode="edge")
+    n = th * tw
+    limit = max(1, clip_limit * n // 256)
+    tiles = img.reshape(gy, th, gx, tw).transpose(0, 2, 1, 3)
+    luts = np.zeros((gy, gx, 256), np.int64)
+    for i in range(gy):
+        for j in range(gx):
+            hst = np.bincount(tiles[i, j].reshape(-1), minlength=256).astype(np.int64)
+            excess = int(np.maximum(hst - limit, 0).sum())
+            hst = np.minimum(hst, limit) + excess // 256
+            hst[: excess % 256] += 1
+            cdf = np.cumsum(hst)
+            luts[i, j] = np.clip((255 * cdf + n // 2) // n, 0, 255)
+    pimg = np.pad(
+        img, ((th // 2, th - th // 2), (tw // 2, tw - tw // 2)), mode="edge"
+    )
+    cy, cx = gy + 1, gx + 1
+    cells = pimg.reshape(cy, th, cx, tw).transpose(0, 2, 1, 3).astype(np.int64)
+    wy = (2 * np.arange(th) + 1).reshape(th, 1)
+    wx = (2 * np.arange(tw) + 1).reshape(1, tw)
+    d = 4 * th * tw
+    out = np.zeros_like(cells)
+    for i in range(cy):
+        for j in range(cx):
+            p = cells[i, j]
+            v = []
+            for di in (0, 1):
+                for dj in (0, 1):
+                    ti = min(max(i - 1 + di, 0), gy - 1)
+                    tj = min(max(j - 1 + dj, 0), gx - 1)
+                    v.append(luts[ti, tj][p])
+            acc = (
+                (2 * th - wy) * (2 * tw - wx) * v[0]
+                + (2 * th - wy) * wx * v[1]
+                + wy * (2 * tw - wx) * v[2]
+                + wy * wx * v[3]
+            )
+            out[i, j] = (acc + d // 2) // d
+    res = out.transpose(0, 2, 1, 3).reshape(cy * th, cx * tw)
+    res = res[th // 2 : th // 2 + gy * th, tw // 2 : tw // 2 + gx * tw]
+    return np.clip(res, 0, 255).astype(np.uint8)[:h, :w]
+
+
+@partial(jax.jit, static_argnames=("clip_limit", "grid"))
+def clahe(
+    gray: jax.Array, clip_limit: int = 40, grid: tuple = (8, 8)
+) -> jax.Array:
+    """Contrast-limited adaptive histogram equalization (OpenCV
+    ``createCLAHE`` role) — bit-exact vs :func:`clahe_numpy`.
+
+    Everything batches over tiles/cells: per-tile histograms are nibble
+    one-hot matmuls and each interpolation cell's four corner LUTs apply
+    via batched [n, 16] @ [16, 16] matmuls — no per-pixel gathers."""
+    from .color import _div_floor_exact
+
+    gy, gx = grid
+    h, w = gray.shape
+    th = -(-h // gy)
+    tw = -(-w // gx)
+    img = jnp.pad(gray, ((0, gy * th - h), (0, gx * tw - w)), mode="edge")
+    n = th * tw
+    limit = max(1, clip_limit * n // 256)
+    tiles = img.reshape(gy, th, gx, tw).transpose(0, 2, 1, 3)
+    flat = tiles.reshape(gy * gx, n).astype(jnp.int32)
+    nib = jnp.arange(16, dtype=jnp.int32)
+    hi = (flat[..., None] >> 4 == nib).astype(jnp.float32)  # [T, n, 16]
+    lo = (flat[..., None] & 15 == nib).astype(jnp.float32)
+    hist = (
+        jnp.einsum("tnh,tnl->thl", hi, lo, precision=jax.lax.Precision.HIGHEST)
+        .reshape(gy * gx, 256)
+        .astype(jnp.int32)
+    )  # counts[t, hi*16+lo] — matches the value layout
+    excess = jnp.maximum(hist - limit, 0).sum(axis=-1, keepdims=True)
+    hist = jnp.minimum(hist, limit) + excess // 256
+    hist = hist + (jnp.arange(256) < (excess % 256)).astype(jnp.int32)
+    cdf = jnp.cumsum(hist, axis=-1)
+    luts = jnp.clip(
+        _div_floor_exact(255 * cdf + n // 2, jnp.full_like(cdf, n)), 0, 255
+    ).reshape(gy, gx, 256)
+
+    # Static corner-LUT tables per half-tile-shifted interpolation cell.
+    cy, cx = gy + 1, gx + 1
+    iy = np.arange(cy)
+    jx = np.arange(cx)
+    corner_tabs = [
+        luts[np.clip(iy - 1 + di, 0, gy - 1)][:, np.clip(jx - 1 + dj, 0, gx - 1)]
+        for di in (0, 1)
+        for dj in (0, 1)
+    ]  # each [cy, cx, 256]
+
+    pimg = jnp.pad(
+        img, ((th // 2, th - th // 2), (tw // 2, tw - tw // 2)), mode="edge"
+    )
+    cells = pimg.reshape(cy, th, cx, tw).transpose(0, 2, 1, 3)
+    p = cells.reshape(cy, cx, n).astype(jnp.int32)
+    phi = (p[..., None] >> 4 == nib).astype(jnp.float32)
+    plo = (p[..., None] & 15 == nib).astype(jnp.float32)
+
+    def lut_apply(tab):
+        sub = tab.reshape(cy, cx, 16, 16).astype(jnp.float32)
+        a = jnp.einsum(
+            "cxnh,cxhl->cxnl", phi, sub, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.sum(a * plo, axis=-1).astype(jnp.int32)
+
+    v00, v01, v10, v11 = (lut_apply(t) for t in corner_tabs)
+    wy = jnp.broadcast_to(
+        (2 * jnp.arange(th, dtype=jnp.int32) + 1).reshape(th, 1), (th, tw)
+    ).reshape(n)
+    wx = jnp.broadcast_to(
+        (2 * jnp.arange(tw, dtype=jnp.int32) + 1).reshape(1, tw), (th, tw)
+    ).reshape(n)
+    d = 4 * th * tw
+    acc = (
+        (2 * th - wy) * (2 * tw - wx) * v00
+        + (2 * th - wy) * wx * v01
+        + wy * (2 * tw - wx) * v10
+        + wy * wx * v11
+    )
+    out = (acc + d // 2) // d  # constant divisor → multiply-shift lowering
+    out = (
+        out.reshape(cy, cx, th, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(cy * th, cx * tw)
+    )
+    out = out[th // 2 : th // 2 + gy * th, tw // 2 : tw // 2 + gx * tw]
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)[:h, :w]

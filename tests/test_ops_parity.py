@@ -373,6 +373,46 @@ class TestResizeParity:
         got = np.asarray(_hist.equalize_hist(jax_cpu.numpy.asarray(gray)))
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("w,h,grid", [(160, 120, (8, 8)), (130, 54, (4, 4))])
+    def test_clahe_bit_exact(self, jax_cpu, w, h, grid):
+        from rustcv_tpu.capture import simulation as sim
+        from rustcv_tpu.ops import hist as _hist
+
+        gray = golden.bgr_to_gray(sim.synth_bgr(w, h, 3))
+        want = _hist.clahe_numpy(gray, 40, grid)
+        got = np.asarray(_hist.clahe(gray, 40, grid))
+        np.testing.assert_array_equal(got, want)
+
+    def test_clahe_clip_limits_contrast(self, rng, jax_cpu):
+        """Low clip → bounded amplification; huge clip ≈ per-tile equalize."""
+        from rustcv_tpu.ops import hist as _hist
+
+        flatish = np.clip(rng.normal(128, 3, (120, 160)), 0, 255).astype(np.uint8)
+        tight = _hist.clahe_numpy(flatish, clip_limit=2)
+        loose = _hist.clahe_numpy(flatish, clip_limit=1000)
+        assert (tight.max() - tight.min()) < 80
+        assert (loose.max() - loose.min()) > 200
+
+    def test_imgproc_clahe_facade(self, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.capture import simulation as sim
+        from rustcv_tpu.core.mat import Mat
+        from rustcv_tpu.ops import hist as _hist
+
+        gray = golden.bgr_to_gray(sim.synth_bgr(96, 64, 7))
+        want = _hist.clahe_numpy(gray)
+        np.testing.assert_array_equal(
+            imgproc.clahe(Mat.from_array(gray)).to_numpy().squeeze(), want
+        )
+        import jax.numpy as jnp
+
+        np.testing.assert_array_equal(
+            imgproc.clahe(Mat.from_device(jnp.asarray(gray))).to_numpy().squeeze(),
+            want,
+        )
+        with pytest.raises(ValueError):
+            imgproc.clahe(Mat.from_array(sim.synth_bgr(16, 16, 0)))
+
     def test_apply_lut_exact(self, rng, jax_cpu):
         from rustcv_tpu import imgproc
         from rustcv_tpu.core.mat import Mat
