@@ -382,6 +382,24 @@ def warp_affine(mat: Mat, m, dst_size, mode: str = "bilinear",
     )
 
 
+def remap(mat: Mat, map_x, map_y, border: str = "constant") -> Mat:
+    """OpenCV ``remap``: sample at float32 per-pixel source coordinates
+    (the undistort/rectify primitive). Maps are traced arguments — new
+    distortion fields never recompile; same fixed-point bilinear spec as
+    warp_affine (ops/warp.remap)."""
+    import numpy as np
+
+    from ..ops import warp as _warp
+
+    mx = np.asarray(map_x, np.float32)
+    my = np.asarray(map_y, np.float32)
+    return _apply(
+        mat,
+        lambda d: _warp.remap(d, mx, my, border),
+        lambda h: _warp.remap_numpy(h, mx, my, border),
+    )
+
+
 def rotate(mat: Mat, angle_deg: float, center=None, scale: float = 1.0) -> Mat:
     """Rotate about ``center`` (default: image center) by ``angle_deg``
     (counter-clockwise for y-down images), same canvas size."""
@@ -624,6 +642,6 @@ __all__ = [
     "good_features_to_track", "lut",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
     "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",
-    "rectangle", "resize", "rotate", "sobel_magnitude", "threshold",
+    "rectangle", "remap", "resize", "rotate", "sobel_magnitude", "threshold",
     "warp_affine",
 ]

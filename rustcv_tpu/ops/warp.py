@@ -198,6 +198,101 @@ def warp_affine(
     return _warp_device(img, key, int(dst_size[0]), int(dst_size[1]), mode, border)
 
 
+@partial(jax.jit, static_argnames=("border",))
+def remap(img: jax.Array, map_x: jax.Array, map_y: jax.Array,
+          border: str = "constant") -> jax.Array:
+    """OpenCV ``remap``: sample u8 ``img`` (H, W[, C]) at float32 per-pixel
+    source coordinates (``map_x``/``map_y``, any output shape) — the
+    undistort/rectify primitive.
+
+    Same fixed-point bilinear spec as warpAffine (11-bit weights
+    quantized from the maps, single rounding) but the maps are TRACED
+    arguments — per-frame distortion fields never recompile. Taps ride the
+    packed-quad single gather (see :func:`_pack_quad`)."""
+    if border not in BORDERS:
+        raise ValueError(f"unknown border {border!r} (one of {BORDERS})")
+    src_h, src_w = img.shape[0], img.shape[1]
+    one = golden.RESIZE_ONE
+    # Quantize coordinates to the weight grid first (the affine spec's
+    # rule, applied to traced maps).
+    sx = jnp.round(map_x.astype(jnp.float32) * one) / one
+    sy = jnp.round(map_y.astype(jnp.float32) * one) / one
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = jnp.round((sx - x0) * one).astype(jnp.int32)
+    wy = jnp.round((sy - y0) * one).astype(jnp.int32)
+    wx = jnp.where(x0 < 0, 0, wx)
+    wy = jnp.where(y0 < 0, 0, wy)
+    inside = (sx >= 0) & (sx <= src_w - 1) & (sy >= 0) & (sy <= src_h - 1)
+    x0c = jnp.clip(x0, 0, src_w - 1).astype(jnp.int32)
+    y0c = jnp.clip(y0, 0, src_h - 1).astype(jnp.int32)
+    idx = (y0c * src_w + x0c).reshape(-1)
+
+    def lerp_quads(quads):
+        i00 = quads & 255
+        i01 = (quads >> 8) & 255
+        i10 = (quads >> 16) & 255
+        i11 = (quads >> 24) & 255
+        top = i00 * (one - wx) + i01 * wx
+        bot = i10 * (one - wx) + i11 * wx
+        return top * (one - wy) + bot * wy
+
+    out_shape = map_x.shape
+    if img.ndim == 3:
+        packed = jnp.stack(
+            [_pack_quad(img[..., c]).reshape(-1) for c in range(img.shape[2])]
+        )
+        quads = jnp.take(packed, idx, axis=1).reshape(img.shape[2], *out_shape)
+        acc = jnp.moveaxis(lerp_quads(quads), 0, -1)
+    else:
+        quads = jnp.take(_pack_quad(img).reshape(-1), idx).reshape(out_shape)
+        acc = lerp_quads(quads)
+    out = (acc + (1 << (2 * golden.RESIZE_SHIFT - 1))) >> (
+        2 * golden.RESIZE_SHIFT
+    )
+    out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+    if border == "constant":
+        mask = inside if img.ndim == 2 else inside[..., None]
+        out = jnp.where(mask, out, 0)
+    return out
+
+
+def remap_numpy(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
+                border: str = "constant") -> np.ndarray:
+    """Oracle for :func:`remap` — same spec, NumPy (maps quantized through
+    float32 exactly as the device sees them)."""
+    if border not in BORDERS:
+        raise ValueError(f"unknown border {border!r}")
+    src_h, src_w = img.shape[:2]
+    one = golden.RESIZE_ONE
+    sx = np.round(map_x.astype(np.float32).astype(np.float64) * one) / one
+    sy = np.round(map_y.astype(np.float32).astype(np.float64) * one) / one
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    wx = np.round((sx - x0) * one).astype(np.int64)
+    wy = np.round((sy - y0) * one).astype(np.int64)
+    wx = np.where(x0 < 0, 0, wx)
+    wy = np.where(y0 < 0, 0, wy)
+    inside = (sx >= 0) & (sx <= src_w - 1) & (sy >= 0) & (sy <= src_h - 1)
+    x0c = np.clip(x0, 0, src_w - 1)
+    x1c = np.clip(x0c + 1, 0, src_w - 1)
+    y0c = np.clip(y0, 0, src_h - 1)
+    y1c = np.clip(y0c + 1, 0, src_h - 1)
+    a = img.astype(np.int64)
+    if img.ndim == 3:
+        wx = wx[..., None]
+        wy = wy[..., None]
+        inside = inside[..., None]
+    top = a[y0c, x0c] * (one - wx) + a[y0c, x1c] * wx
+    bot = a[y1c, x0c] * (one - wx) + a[y1c, x1c] * wx
+    acc = top * (one - wy) + bot * wy
+    out = (acc + (1 << (2 * golden.RESIZE_SHIFT - 1))) >> (2 * golden.RESIZE_SHIFT)
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    if border == "constant":
+        out = np.where(inside, out, 0)
+    return out
+
+
 def warp_affine_numpy(
     img: np.ndarray,
     m,

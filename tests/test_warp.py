@@ -80,6 +80,51 @@ class TestWarpAffine:
         out_d = imgproc.rotate(Mat.from_device(jnp.asarray(img)), 90.0)
         np.testing.assert_array_equal(out_d.to_numpy(), out.to_numpy())
 
+    @pytest.mark.parametrize("border", wp.BORDERS)
+    def test_remap_bit_exact(self, rng, jax_cpu, border):
+        img = _rand(rng, 37, 53)
+        gy, gx = np.meshgrid(
+            np.arange(29, dtype=np.float32), np.arange(41, dtype=np.float32),
+            indexing="ij",
+        )
+        mx = gx + 3.0 * np.sin(gy / 7.0)
+        my = gy + 2.0 * np.cos(gx / 9.0)
+        want = wp.remap_numpy(img, mx, my, border)
+        got = np.asarray(wp.remap(img, mx, my, border))
+        np.testing.assert_array_equal(got, want)
+
+    def test_remap_identity_and_warp_equivalence(self, rng, jax_cpu):
+        """Identity maps copy exactly; remap with affine-generated maps
+        matches warp_affine (same spec, traced vs baked coordinates)."""
+        img = _rand(rng, 24, 32)
+        iy, ix = np.meshgrid(
+            np.arange(24, dtype=np.float32), np.arange(32, dtype=np.float32),
+            indexing="ij",
+        )
+        np.testing.assert_array_equal(np.asarray(wp.remap(img, ix, iy)), img)
+        m = wp.get_rotation_matrix_2d((15.0, 11.0), 20.0)
+        minv = wp._invert_affine(m)
+        mx = (minv[0, 0] * ix + minv[0, 1] * iy + minv[0, 2]).astype(np.float32)
+        my = (minv[1, 0] * ix + minv[1, 1] * iy + minv[1, 2]).astype(np.float32)
+        via_remap = np.asarray(wp.remap(img, mx, my))
+        via_warp = np.asarray(wp.warp_affine(img, m, (32, 24)))
+        # identical spec; tiny f32-vs-f64 coordinate rounding may flip the
+        # 1/2048 weight on a handful of boundary pixels
+        diff = np.abs(via_remap.astype(int) - via_warp.astype(int))
+        assert (diff > 1).mean() < 0.01 and diff.max() <= 60
+
+    def test_imgproc_remap_facade(self, rng, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        img = _rand(rng, 20, 28)
+        iy, ix = np.meshgrid(
+            np.arange(20, dtype=np.float32), np.arange(28, dtype=np.float32),
+            indexing="ij",
+        )
+        out = imgproc.remap(Mat.from_array(img), ix, iy)
+        np.testing.assert_array_equal(out.to_numpy(), img)
+
     def test_rotation_matrix_matches_cv_convention(self):
         m = wp.get_rotation_matrix_2d((0.0, 0.0), 90.0)
         # (1, 0) rotates CCW (y-down) onto (0, -1)
