@@ -246,6 +246,42 @@ def fast_corners(
     return coords[:, ::-1].astype(np.float32)
 
 
+def compute_brief(mat: Mat, pts):
+    """BRIEF-256 descriptors at float32 (x, y) keypoints → (u32 [K, 8],
+    valid bool [K]); upright (no orientation), frozen pair pattern —
+    ops/brief.py. Pair with :func:`fast_corners` /
+    :func:`good_features_to_track` and :func:`match_descriptors`."""
+    import numpy as np
+
+    from ..ops import brief as _brief
+
+    pts = np.asarray(pts, np.float32).reshape(-1, 2)
+
+    def _g(a):
+        if a.ndim == 3 and a.shape[-1] == 3:
+            return None
+        return a[..., 0] if a.ndim == 3 else a
+
+    if mat.is_on_device:
+        from ..ops import color as _color
+
+        d = mat.device()
+        g = _color.bgr_to_gray(d) if d.ndim == 3 and d.shape[-1] == 3 else _g(d)
+        desc, valid = _brief.brief_descriptors(g, pts)
+        return np.asarray(desc), np.asarray(valid)
+    h = mat.to_numpy()
+    g = golden.bgr_to_gray(h) if h.ndim == 3 and h.shape[-1] == 3 else _g(h)
+    return _brief.brief_descriptors_numpy(g, pts)
+
+
+def match_descriptors(d1, d2, valid1=None, valid2=None, ratio: float = 0.8):
+    """Hamming matching (±1 MXU matmul + Lowe ratio + cross-check) →
+    int32 [M, 2] (index-into-d1, index-into-d2). See ops/brief.py."""
+    from ..ops.brief import match_descriptors as _m
+
+    return _m(d1, d2, valid1, valid2, ratio)
+
+
 def good_features_to_track(mat: Mat, max_corners: int = 256, **kw):
     """Corner seeds for tracking (OpenCV ``goodFeaturesToTrack`` role,
     Harris scoring): returns float32 [K, 2] (x, y) points, K ≤ max_corners
@@ -635,11 +671,11 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 
 __all__ = [
     "Point", "Rect", "Scalar", "box_blur", "calc_hist", "canny",
-    "calc_optical_flow_pyr_lk", "clahe", "connected_components",
-    "connected_components_with_stats", "cvt_gray",
+    "calc_optical_flow_pyr_lk", "clahe", "compute_brief",
+    "connected_components", "connected_components_with_stats", "cvt_gray",
     "cvt_hsv", "dilate", "equalize_hist", "erode", "fast_corners",
     "find_contours", "flip", "gaussian_blur",
-    "good_features_to_track", "lut",
+    "good_features_to_track", "lut", "match_descriptors",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
     "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",
     "rectangle", "remap", "resize", "rotate", "sobel_magnitude", "threshold",

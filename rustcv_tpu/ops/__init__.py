@@ -15,6 +15,7 @@ Submodules:
 """
 
 from . import (  # noqa: F401
+    brief,
     ccl,
     color,
     decode,
