@@ -396,6 +396,21 @@ def find_contours(mat: Mat, max_rounds: int = 256):
     return _ccl.find_contours(a, max_rounds=max_rounds)
 
 
+def estimate_affine_partial_2d(src_pts, dst_pts, **kw):
+    """RANSAC similarity estimation (OpenCV ``estimateAffinePartial2D``):
+    (M 2×3 or None, inlier mask). See ops/geometry.py."""
+    from ..ops.geometry import estimate_affine_partial_2d as _e
+
+    return _e(src_pts, dst_pts, **kw)
+
+
+def estimate_affine_2d(src_pts, dst_pts, **kw):
+    """RANSAC full-affine estimation (OpenCV ``estimateAffine2D``)."""
+    from ..ops.geometry import estimate_affine_2d as _e
+
+    return _e(src_pts, dst_pts, **kw)
+
+
 def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0):
     """OpenCV ``getRotationMatrix2D`` (2×3 float64)."""
     from ..ops.warp import get_rotation_matrix_2d as _grm
@@ -673,7 +688,8 @@ __all__ = [
     "Point", "Rect", "Scalar", "box_blur", "calc_hist", "canny",
     "calc_optical_flow_pyr_lk", "clahe", "compute_brief",
     "connected_components", "connected_components_with_stats", "cvt_gray",
-    "cvt_hsv", "dilate", "equalize_hist", "erode", "fast_corners",
+    "cvt_hsv", "dilate", "equalize_hist", "erode",
+    "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
     "find_contours", "flip", "gaussian_blur",
     "good_features_to_track", "lut", "match_descriptors",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",

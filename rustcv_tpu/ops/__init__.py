@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     decode,
     draw,
     fast,
+    geometry,
     features,
     filters,
     golden,
