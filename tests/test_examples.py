@@ -178,6 +178,13 @@ def test_track_points_example(jax_cpu, capsys):
     assert "tracking locked on the true motion" in out
 
 
+def test_stabilize_example(jax_cpu, capsys):
+    from examples.stabilize import main
+
+    main(n_frames=6)  # asserts motion accuracy + residual reduction
+    assert "stabilization locked" in capsys.readouterr().out
+
+
 def test_spatial_parallel_example(jax_cpu):
     from examples.spatial_parallel import main
 
