@@ -502,6 +502,27 @@ def equalize_hist(mat: Mat) -> Mat:
     )
 
 
+def hough_lines(mat: Mat, threshold: int = 50, max_lines: int = 32,
+                n_thetas: int = 180, rho_bins: int = 2048):
+    """Standard Hough line transform on a binary edge Mat (OpenCV
+    ``HoughLines``): float32 [K, 2] (rho, theta) pairs, strongest first.
+    The accumulator is one-hot MXU matmuls over compacted edge points —
+    no scatter (ops/hough.py). Pair with :func:`canny`."""
+    import numpy as np
+
+    from ..ops import hough as _hough
+
+    a = mat.device() if mat.is_on_device else mat.to_numpy()
+    if a.ndim == 3:
+        a = a[..., 0]
+    lines, valid, _ = _hough.hough_lines(
+        np.asarray(a) if not mat.is_on_device else a,
+        n_thetas=n_thetas, rho_bins=rho_bins,
+        max_lines=max_lines, threshold=threshold,
+    )
+    return np.asarray(lines)[np.asarray(valid)]
+
+
 def lut(mat: Mat, table) -> Mat:
     """Apply a 256-entry u8 lookup table per byte (OpenCV ``LUT`` — gamma
     and tone curves). Device path is gather-free (ops/hist.apply_lut)."""
@@ -691,7 +712,7 @@ __all__ = [
     "cvt_hsv", "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
     "find_contours", "flip", "gaussian_blur",
-    "good_features_to_track", "lut", "match_descriptors",
+    "good_features_to_track", "hough_lines", "lut", "match_descriptors",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
     "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",
     "rectangle", "remap", "resize", "rotate", "sobel_magnitude", "threshold",

@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     filters,
     golden,
     hist,
+    hough,
     jpeg_encode,
     jpeg_tpu,
     optflow,
