@@ -144,6 +144,37 @@ def gaussian_blur(mat: Mat) -> Mat:
     return _apply(mat, _filters.gaussian5_u8, golden.gaussian5_u8)
 
 
+def adaptive_threshold(mat: Mat, maxval: int = 255, method: str = "mean",
+                       block: int = 11, c: int = 2, inv: bool = False) -> Mat:
+    """OpenCV ``adaptiveThreshold``: T = neighborhood mean (k×k box; or
+    the 5×5 Gaussian spec) − c; gray input (frozen spec, host==device)."""
+    from ..ops import filters as _filters
+
+    def _g(a):
+        return a[..., 0] if a.ndim == 3 and a.shape[-1] == 1 else a
+
+    return _apply(
+        mat,
+        lambda d: _filters.adaptive_threshold_u8(_g(d), maxval, method, block, c, inv),
+        lambda h: golden.adaptive_threshold(_g(h), maxval, method, block, c, inv),
+    )
+
+
+def bilateral_filter(mat: Mat, sigma: int = 25) -> Mat:
+    """Edge-preserving 5×5 bilateral filter (OpenCV ``bilateralFilter``
+    role; integer quadratic-ramp range kernel — see ops/golden.py)."""
+    from ..ops import filters as _filters
+
+    def _g(a):
+        return a[..., 0] if a.ndim == 3 and a.shape[-1] == 1 else a
+
+    return _apply(
+        mat,
+        lambda d: _filters.bilateral5_u8(_g(d), sigma),
+        lambda h: golden.bilateral5_u8(_g(h), sigma),
+    )
+
+
 def pyr_down(mat: Mat) -> Mat:
     """Image-pyramid downsample: 5×5 Gaussian + even-index decimation
     (OpenCV pyrDown shape semantics; golden.pyr_down)."""
@@ -706,7 +737,8 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 
 
 __all__ = [
-    "Point", "Rect", "Scalar", "box_blur", "calc_hist", "canny",
+    "Point", "Rect", "Scalar", "adaptive_threshold", "bilateral_filter",
+    "box_blur", "calc_hist", "canny",
     "calc_optical_flow_pyr_lk", "clahe", "compute_brief",
     "connected_components", "connected_components_with_stats", "cvt_gray",
     "cvt_hsv", "dilate", "equalize_hist", "erode",

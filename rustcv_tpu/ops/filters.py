@@ -262,3 +262,59 @@ def box_blur_u8(img: jax.Array, ksize: int = 3) -> jax.Array:
     acc = _taps(tmp, ax_h, ones, r)
     n = ksize * ksize
     return ((acc + n // 2) // n).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("maxval", "method", "block", "c", "inv"))
+def adaptive_threshold_u8(
+    gray: jax.Array,
+    maxval: int = 255,
+    method: str = "mean",
+    block: int = 11,
+    c: int = 2,
+    inv: bool = False,
+) -> jax.Array:
+    """Adaptive threshold — exact vs golden.adaptive_threshold."""
+    a = gray.astype(jnp.int32)
+    if method == "mean":
+        r = block // 2
+        ones = (1,) * block
+        acc = _taps(_taps(a, -1, ones, r), -2, ones, r)
+        n = block * block
+        t = (acc + n // 2) // n
+    elif method == "gaussian":
+        t = gaussian5_u8(gray, has_channels=False).astype(jnp.int32)
+    else:
+        raise ValueError(f"unknown method {method!r} (mean, gaussian)")
+    above = a > t - c
+    if inv:
+        above = ~above
+    return jnp.where(above, maxval, 0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("sigma",))
+def bilateral5_u8(gray: jax.Array, sigma: int = 25) -> jax.Array:
+    """5×5 bilateral filter — exact vs golden.bilateral5_u8.
+
+    The frozen range kernel is an integer quadratic ramp (max(0, 64 −
+    d²//S)), so the whole filter is 25 shifted views + elementwise
+    arithmetic — no lookup gathers; the normalizing division is the
+    f32-reciprocal exact floor divide (numerator ≤ 14.7M < 2^24)."""
+    from .color import _div_floor_exact
+
+    a = gray.astype(jnp.int32)
+    h, w = a.shape[-2], a.shape[-1]
+    p = jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(2, 2), (2, 2)], mode="edge")
+    s_range = max(1, (2 * sigma * sigma) // 64)
+    spatial = [[1, 4, 6, 4, 1][i] * [1, 4, 6, 4, 1][j] for i in range(5) for j in range(5)]
+    num = jnp.zeros_like(a)
+    den = jnp.zeros_like(a)
+    for k, (dy, dx) in enumerate((i, j) for i in range(5) for j in range(5)):
+        v = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(p, dy, dy + h, axis=-2), dx, dx + w, axis=-1
+        )
+        d = jnp.abs(v - a)
+        wt = spatial[k] * jnp.maximum(0, 64 - (d * d) // s_range)
+        num = num + wt * v
+        den = den + wt
+    out = _div_floor_exact(num + den // 2, den)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)

@@ -507,6 +507,69 @@ def gaussian5_u8(img: np.ndarray) -> np.ndarray:
     return ((acc + 128) >> 8).astype(np.uint8)
 
 
+def adaptive_threshold(
+    gray: np.ndarray,
+    maxval: int = 255,
+    method: str = "mean",
+    block: int = 11,
+    c: int = 2,
+    inv: bool = False,
+) -> np.ndarray:
+    """Frozen adaptive threshold (OpenCV ``adaptiveThreshold`` role):
+    T = neighborhood mean (rounded k×k box, replicate border; ``method=
+    "gaussian"`` uses the 5×5 Gaussian spec regardless of ``block``) − c;
+    out = maxval where gray > T (or ≤ T when ``inv``)."""
+    if method == "mean":
+        r = block // 2
+        p = _replicate_pad(gray.astype(np.int64), r, r)
+        h, w = gray.shape[:2]
+        acc = np.zeros(gray.shape, np.int64)
+        for dy in range(block):
+            for dx in range(block):
+                acc += p[dy : dy + h, dx : dx + w]
+        n = block * block
+        t = (acc + n // 2) // n
+    elif method == "gaussian":
+        t = gaussian5_u8(gray).astype(np.int64)
+    else:
+        raise ValueError(f"unknown method {method!r} (mean, gaussian)")
+    above = gray.astype(np.int64) > t - c
+    if inv:
+        above = ~above
+    return np.where(above, maxval, 0).astype(np.uint8)
+
+
+BILATERAL_SPATIAL5 = np.outer(GAUSS5, GAUSS5).astype(np.int64)  # max 36
+
+
+def bilateral_range_weight(d: np.ndarray, sigma: int = 25) -> np.ndarray:
+    """Frozen range kernel: integer quadratic ramp approximating a
+    Gaussian — r(d) = max(0, 64 − d²//S), S = max(1, (2σ²)//64). All
+    integer (no exp, no lookup), so device == oracle bit-for-bit."""
+    s = max(1, (2 * sigma * sigma) // 64)
+    return np.maximum(0, 64 - (d.astype(np.int64) ** 2) // s)
+
+
+def bilateral5_u8(gray: np.ndarray, sigma: int = 25) -> np.ndarray:
+    """Frozen 5×5 bilateral filter: w = spatial(1,4,6,4,1)⊗ ·
+    range(|v−center|); out = (Σ w·v + W/2) // W (exact integer;
+    Σ w·v ≤ 14.7M so everything fits int32 on device)."""
+    a = gray.astype(np.int64)
+    p = _replicate_pad(a, 2, 2)
+    h, w = gray.shape[:2]
+    num = np.zeros(gray.shape, np.int64)
+    den = np.zeros(gray.shape, np.int64)
+    for dy in range(5):
+        for dx in range(5):
+            v = p[dy : dy + h, dx : dx + w]
+            wt = BILATERAL_SPATIAL5[dy, dx] * bilateral_range_weight(
+                np.abs(v - a), sigma
+            )
+            num += wt * v
+            den += wt
+    return np.clip((num + den // 2) // den, 0, 255).astype(np.uint8)
+
+
 def pyr_down(img: np.ndarray) -> np.ndarray:
     """Image-pyramid downsample, frozen spec: the 5×5 Gaussian
     (:func:`gaussian5_u8`, replicate border) followed by even-index

@@ -413,6 +413,53 @@ class TestResizeParity:
         with pytest.raises(ValueError):
             imgproc.clahe(Mat.from_array(sim.synth_bgr(16, 16, 0)))
 
+    @pytest.mark.parametrize("method,block", [("mean", 11), ("mean", 5), ("gaussian", 5)])
+    @pytest.mark.parametrize("inv", [False, True])
+    def test_adaptive_threshold_exact(self, rng, jax_cpu, method, block, inv):
+        from rustcv_tpu.ops import filters
+
+        gray = _rand_u8(rng, 57, 83, 3)[..., 0]
+        want = golden.adaptive_threshold(gray, 255, method, block, 2, inv)
+        got = np.asarray(
+            filters.adaptive_threshold_u8(gray, 255, method, block, 2, inv)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("sigma", [10, 25, 60])
+    def test_bilateral_exact_and_edge_preserving(self, rng, jax_cpu, sigma):
+        from rustcv_tpu.ops import filters
+
+        gray = _rand_u8(rng, 48, 64, 3)[..., 0]
+        want = golden.bilateral5_u8(gray, sigma)
+        got = np.asarray(filters.bilateral5_u8(gray, sigma))
+        np.testing.assert_array_equal(got, want)
+        # step edge survives better than under the Gaussian
+        step = np.zeros((40, 60), np.uint8)
+        step[:, 30:] = 200
+        noisy = np.clip(
+            step.astype(np.int32) + rng.integers(-12, 13, step.shape), 0, 255
+        ).astype(np.uint8)
+        bi = golden.bilateral5_u8(noisy, 20)
+        ga = golden.gaussian5_u8(noisy)
+        e_bi = np.abs(bi[:, 31].astype(int) - bi[:, 28].astype(int)).mean()
+        e_ga = np.abs(ga[:, 31].astype(int) - ga[:, 28].astype(int)).mean()
+        assert e_bi > e_ga
+
+    def test_imgproc_adaptive_bilateral_facades(self, rng, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        gray = _rand_u8(rng, 32, 48, 3)[..., 0]
+        m = Mat.from_array(gray)
+        np.testing.assert_array_equal(
+            imgproc.adaptive_threshold(m).to_numpy().squeeze(),
+            golden.adaptive_threshold(gray),
+        )
+        np.testing.assert_array_equal(
+            imgproc.bilateral_filter(m).to_numpy().squeeze(),
+            golden.bilateral5_u8(gray),
+        )
+
     def test_apply_lut_exact(self, rng, jax_cpu):
         from rustcv_tpu import imgproc
         from rustcv_tpu.core.mat import Mat
