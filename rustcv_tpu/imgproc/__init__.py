@@ -464,6 +464,27 @@ def warp_affine(mat: Mat, m, dst_size, mode: str = "bilinear",
     )
 
 
+def get_perspective_transform(src_pts, dst_pts):
+    """OpenCV ``getPerspectiveTransform`` (exact 4-point 3×3 homography)."""
+    from ..ops.warp import get_perspective_transform as _g
+
+    return _g(src_pts, dst_pts)
+
+
+def warp_perspective(mat: Mat, h_mat, dst_size, mode: str = "bilinear",
+                     border: str = "constant") -> Mat:
+    """OpenCV ``warpPerspective``: 3×3 homography (src→dst), same
+    fixed-point sampling spec and packed-quad gather as
+    :func:`warp_affine` (ops/warp.py)."""
+    from ..ops import warp as _warp
+
+    return _apply(
+        mat,
+        lambda d: _warp.warp_perspective(d, h_mat, dst_size, mode, border),
+        lambda h: _warp.warp_perspective_numpy(h, h_mat, dst_size, mode, border),
+    )
+
+
 def remap(mat: Mat, map_x, map_y, border: str = "constant") -> Mat:
     """OpenCV ``remap``: sample at float32 per-pixel source coordinates
     (the undistort/rectify primitive). Maps are traced arguments — new
@@ -743,7 +764,8 @@ __all__ = [
     "connected_components", "connected_components_with_stats", "cvt_gray",
     "cvt_hsv", "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
-    "find_contours", "flip", "gaussian_blur",
+    "find_contours", "flip", "gaussian_blur", "get_perspective_transform",
+    "warp_perspective",
     "good_features_to_track", "hough_lines", "lut", "match_descriptors",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
     "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",

@@ -330,3 +330,172 @@ def warp_affine_numpy(
         maske = inside[..., None] if img.ndim == 3 else inside
         out = np.where(maske, out, 0)
     return out
+
+
+def get_perspective_transform(src_pts, dst_pts) -> np.ndarray:
+    """OpenCV ``getPerspectiveTransform``: exact 3×3 homography mapping 4
+    source points to 4 destination points (float64 linear solve)."""
+    src = np.asarray(src_pts, np.float64).reshape(4, 2)
+    dst = np.asarray(dst_pts, np.float64).reshape(4, 2)
+    a = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i, ((x, y), (u, v)) in enumerate(zip(src, dst)):
+        a[2 * i] = [x, y, 1, 0, 0, 0, -u * x, -u * y]
+        a[2 * i + 1] = [0, 0, 0, x, y, 1, -v * x, -v * y]
+        b[2 * i] = u
+        b[2 * i + 1] = v
+    h = np.linalg.solve(a, b)
+    return np.append(h, 1.0).reshape(3, 3)
+
+
+@lru_cache(maxsize=64)
+def _persp_tables(
+    h_key: tuple, src_w: int, src_h: int, dst_w: int, dst_h: int, mode: str
+):
+    """Perspective coordinate tables: H maps SRC→DST (OpenCV convention);
+    dst pixels pull from src via H⁻¹ with the projective divide done here
+    in float64 — the device still sees pure integer taps/weights."""
+    hinv = np.linalg.inv(np.array(h_key, np.float64).reshape(3, 3))
+    xs = np.arange(dst_w, dtype=np.float64)
+    ys = np.arange(dst_h, dtype=np.float64)
+    gx, gy = np.meshgrid(xs, ys)
+    den = hinv[2, 0] * gx + hinv[2, 1] * gy + hinv[2, 2]
+    den = np.where(np.abs(den) < 1e-12, 1e-12, den)
+    sx = (hinv[0, 0] * gx + hinv[0, 1] * gy + hinv[0, 2]) / den
+    sy = (hinv[1, 0] * gx + hinv[1, 1] * gy + hinv[1, 2]) / den
+    one_f = float(golden.RESIZE_ONE)
+    sx = np.round(sx * one_f) / one_f
+    sy = np.round(sy * one_f) / one_f
+    if mode == "nearest":
+        nx = np.floor(sx + 0.5).astype(np.int64)
+        ny = np.floor(sy + 0.5).astype(np.int64)
+        inside = (nx >= 0) & (nx < src_w) & (ny >= 0) & (ny < src_h)
+        return (
+            np.clip(nx, 0, src_w - 1).astype(np.int32),
+            np.clip(ny, 0, src_h - 1).astype(np.int32),
+            inside,
+        )
+    one = golden.RESIZE_ONE
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    wx = np.round((sx - x0) * one).astype(np.int32)
+    wy = np.round((sy - y0) * one).astype(np.int32)
+    wx = np.where(x0 < 0, 0, wx)
+    wy = np.where(y0 < 0, 0, wy)
+    inside = (sx >= 0) & (sx <= src_w - 1) & (sy >= 0) & (sy <= src_h - 1)
+    x0c = np.clip(x0, 0, src_w - 1).astype(np.int32)
+    x1c = np.clip(x0 + 1, 0, src_w - 1).astype(np.int32)
+    y0c = np.clip(y0, 0, src_h - 1).astype(np.int32)
+    y1c = np.clip(y0 + 1, 0, src_h - 1).astype(np.int32)
+    return x0c, x1c, y0c, y1c, wx, wy, inside
+
+
+def warp_perspective(
+    img,
+    h_mat,
+    dst_size: Tuple[int, int],
+    mode: str = "bilinear",
+    border: str = "constant",
+):
+    """OpenCV ``warpPerspective``: u8 (H, W[, C]) × 3×3 homography
+    (src→dst) → (dst_h, dst_w[, C]) u8 — same fixed-point sampling spec
+    and packed-quad gather as :func:`warp_affine`; the projective divide
+    lives in the host table build (H static per compiled program)."""
+    if mode not in MODES:
+        raise ValueError(f"unknown mode {mode!r} (one of {MODES})")
+    if border not in BORDERS:
+        raise ValueError(f"unknown border {border!r} (one of {BORDERS})")
+    key = tuple(np.asarray(h_mat, np.float64).reshape(9).tolist())
+    return _persp_device(img, key, int(dst_size[0]), int(dst_size[1]), mode, border)
+
+
+@partial(
+    jax.jit, static_argnames=("h_key", "dst_w", "dst_h", "mode", "border")
+)
+def _persp_device(img, h_key, dst_w, dst_h, mode, border):
+    src_h, src_w = img.shape[0], img.shape[1]
+    if mode == "nearest":
+        flat = img.reshape(src_h * src_w, *img.shape[2:]).astype(jnp.int32)
+        nx, ny, inside = _persp_tables(h_key, src_w, src_h, dst_w, dst_h, mode)
+        out = jnp.take(flat, jnp.asarray(ny * src_w + nx).reshape(-1), axis=0)
+        out = out.reshape(dst_h, dst_w, *img.shape[2:])
+    else:
+        x0, x1, y0, y1, wx, wy, inside = _persp_tables(
+            h_key, src_w, src_h, dst_w, dst_h, mode
+        )
+        one = golden.RESIZE_ONE
+        idx = jnp.asarray(y0.astype(np.int64) * src_w + x0).reshape(-1)
+        wxe = jnp.asarray(wx)
+        wye = jnp.asarray(wy)
+
+        def lerp_quads(quads):
+            i00 = quads & 255
+            i01 = (quads >> 8) & 255
+            i10 = (quads >> 16) & 255
+            i11 = (quads >> 24) & 255
+            top = i00 * (one - wxe) + i01 * wxe
+            bot = i10 * (one - wxe) + i11 * wxe
+            return top * (one - wye) + bot * wye
+
+        if img.ndim == 3:
+            packed = jnp.stack(
+                [_pack_quad(img[..., c]).reshape(-1) for c in range(img.shape[2])]
+            )
+            quads = jnp.take(packed, idx, axis=1).reshape(
+                img.shape[2], dst_h, dst_w
+            )
+            acc = jnp.moveaxis(lerp_quads(quads), 0, -1)
+        else:
+            quads = jnp.take(_pack_quad(img).reshape(-1), idx).reshape(
+                dst_h, dst_w
+            )
+            acc = lerp_quads(quads)
+        out = (acc + (1 << (2 * golden.RESIZE_SHIFT - 1))) >> (
+            2 * golden.RESIZE_SHIFT
+        )
+    out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+    if border == "constant":
+        mask = jnp.asarray(inside)
+        if img.ndim == 3:
+            mask = mask[..., None]
+        out = jnp.where(mask, out, 0)
+    return out
+
+
+def warp_perspective_numpy(
+    img: np.ndarray,
+    h_mat,
+    dst_size: Tuple[int, int],
+    mode: str = "bilinear",
+    border: str = "constant",
+) -> np.ndarray:
+    """Oracle for :func:`warp_perspective` (same tables, NumPy lerp)."""
+    if mode not in MODES:
+        raise ValueError(f"unknown mode {mode!r}")
+    if border not in BORDERS:
+        raise ValueError(f"unknown border {border!r}")
+    dst_w, dst_h = int(dst_size[0]), int(dst_size[1])
+    src_h, src_w = img.shape[:2]
+    key = tuple(np.asarray(h_mat, np.float64).reshape(9).tolist())
+    a = img.astype(np.int64)
+    if mode == "nearest":
+        nx, ny, inside = _persp_tables(key, src_w, src_h, dst_w, dst_h, mode)
+        out = a[ny, nx]
+    else:
+        x0, x1, y0, y1, wx, wy, inside = _persp_tables(
+            key, src_w, src_h, dst_w, dst_h, mode
+        )
+        one = golden.RESIZE_ONE
+        wxe = wx[..., None].astype(np.int64) if img.ndim == 3 else wx.astype(np.int64)
+        wye = wy[..., None].astype(np.int64) if img.ndim == 3 else wy.astype(np.int64)
+        top = a[y0, x0] * (one - wxe) + a[y0, x1] * wxe
+        bot = a[y1, x0] * (one - wxe) + a[y1, x1] * wxe
+        acc = top * (one - wye) + bot * wye
+        out = (acc + (1 << (2 * golden.RESIZE_SHIFT - 1))) >> (
+            2 * golden.RESIZE_SHIFT
+        )
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    if border == "constant":
+        maske = inside[..., None] if img.ndim == 3 else inside
+        out = np.where(maske, out, 0)
+    return out

@@ -125,6 +125,45 @@ class TestWarpAffine:
         out = imgproc.remap(Mat.from_array(img), ix, iy)
         np.testing.assert_array_equal(out.to_numpy(), img)
 
+    @pytest.mark.parametrize("mode", wp.MODES)
+    @pytest.mark.parametrize("border", wp.BORDERS)
+    def test_perspective_bit_exact(self, rng, jax_cpu, mode, border):
+        img = _rand(rng, 40, 56)
+        H = wp.get_perspective_transform(
+            [(0, 0), (55, 0), (55, 39), (0, 39)],
+            [(5, 3), (50, 0), (55, 39), (0, 36)],
+        )
+        want = wp.warp_perspective_numpy(img, H, (56, 40), mode, border)
+        got = np.asarray(wp.warp_perspective(img, H, (56, 40), mode, border))
+        np.testing.assert_array_equal(got, want)
+
+    def test_perspective_transform_maps_corners_exactly(self):
+        src4 = [(0, 0), (55, 0), (55, 39), (0, 39)]
+        dst4 = [(5, 3), (50, 0), (55, 39), (0, 36)]
+        H = wp.get_perspective_transform(src4, dst4)
+        for (x, y), (u, v) in zip(src4, dst4):
+            p = H @ np.array([x, y, 1.0])
+            p /= p[2]
+            np.testing.assert_allclose(p[:2], [u, v], atol=1e-9)
+
+    def test_perspective_affine_equivalence(self, rng, jax_cpu):
+        """An affine homography must produce EXACTLY warp_affine's bytes."""
+        img = _rand(rng, 40, 56)
+        m = wp.get_rotation_matrix_2d((28.0, 20.0), 15.0)
+        h3 = np.vstack([m, [0, 0, 1]])
+        np.testing.assert_array_equal(
+            np.asarray(wp.warp_perspective(img, h3, (56, 40))),
+            np.asarray(wp.warp_affine(img, m, (56, 40))),
+        )
+
+    def test_imgproc_perspective_facade(self, rng, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        img = _rand(rng, 30, 40)
+        out = imgproc.warp_perspective(Mat.from_array(img), np.eye(3), (40, 30))
+        np.testing.assert_array_equal(out.to_numpy(), img)
+
     def test_rotation_matrix_matches_cv_convention(self):
         m = wp.get_rotation_matrix_2d((0.0, 0.0), 90.0)
         # (1, 0) rotates CCW (y-down) onto (0, -1)
