@@ -442,6 +442,21 @@ def estimate_affine_2d(src_pts, dst_pts, **kw):
     return _e(src_pts, dst_pts, **kw)
 
 
+def flood_fill(mat: Mat, seed, new_val: int, lo_diff: int = 0, up_diff: int = 0):
+    """OpenCV ``floodFill`` (fixed-range): returns (filled Mat, count,
+    mask). See ops/ccl.flood_fill."""
+    from ..ops import ccl as _ccl
+
+    a = mat.device() if mat.is_on_device else mat.to_numpy()
+    import numpy as np
+
+    a = np.asarray(a)
+    if a.ndim == 3:
+        a = a[..., 0]
+    out, count, mask = _ccl.flood_fill(a, seed, new_val, lo_diff, up_diff)
+    return Mat.from_array(out), count, mask
+
+
 def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0):
     """OpenCV ``getRotationMatrix2D`` (2×3 float64)."""
     from ..ops.warp import get_rotation_matrix_2d as _grm
@@ -764,7 +779,8 @@ __all__ = [
     "connected_components", "connected_components_with_stats", "cvt_gray",
     "cvt_hsv", "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
-    "find_contours", "flip", "gaussian_blur", "get_perspective_transform",
+    "find_contours", "flip", "flood_fill", "gaussian_blur",
+    "get_perspective_transform",
     "warp_perspective",
     "good_features_to_track", "hough_lines", "lut", "match_descriptors",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",

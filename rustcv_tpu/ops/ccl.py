@@ -135,6 +135,34 @@ def connected_components_with_stats(mask, max_rounds: int = 256):
     return n, labels, stats, cents
 
 
+def flood_fill(
+    img,
+    seed: tuple,
+    new_val: int,
+    lo_diff: int = 0,
+    up_diff: int = 0,
+    max_rounds: int = 256,
+):
+    """OpenCV ``floodFill`` (fixed-range variant): fill the 4-connected
+    region around ``seed`` = (x, y) whose values lie within
+    [seed−lo_diff, seed+up_diff], with ``new_val``. Returns (filled image,
+    pixel count, mask u8). Reuses the device component labeler over the
+    tolerance mask."""
+    a = np.asarray(img)
+    if a.ndim != 2:
+        raise ValueError("flood_fill: gray (2-D) input required")
+    x, y = int(seed[0]), int(seed[1])
+    if not (0 <= x < a.shape[1] and 0 <= y < a.shape[0]):
+        raise ValueError(f"flood_fill: seed {seed} outside image")
+    sv = int(a[y, x])
+    tol = (a.astype(np.int32) >= sv - lo_diff) & (a.astype(np.int32) <= sv + up_diff)
+    _, labels = connected_components(tol.astype(np.uint8), max_rounds=max_rounds)
+    region = labels == labels[y, x]
+    out = a.copy()
+    out[region] = new_val
+    return out, int(region.sum()), (region * np.uint8(255))
+
+
 _MOORE = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
 
 

@@ -69,6 +69,22 @@ class TestConnectedComponents:
         np.testing.assert_allclose(cents[2], [47.0, 27.0])
         assert stats[0, 4] == 40 * 60 - 175  # background area
 
+    def test_flood_fill(self, jax_cpu):
+        img = np.full((20, 30), 100, np.uint8)
+        img[5:15, 5:20] = 50      # a darker region
+        img[8:12, 25:28] = 50     # disconnected same-value region
+        out, count, mask = ccl.flood_fill(img, (10, 10), 200)
+        assert count == 10 * 15
+        assert np.all(out[5:15, 5:20] == 200)
+        assert np.all(out[8:12, 25:28] == 50)  # disconnected: untouched
+        assert mask.sum() == count * 255
+        # tolerance: fill the 100-background from a corner with ±0 range
+        out2, count2, _ = ccl.flood_fill(img, (0, 0), 7)
+        assert out2[0, 0] == 7 and out2[10, 10] == 50
+        assert count2 == 20 * 30 - 10 * 15 - 4 * 3
+        with pytest.raises(ValueError):
+            ccl.flood_fill(img, (99, 99), 1)
+
     def test_find_contours_shapes(self, jax_cpu):
         # 3×3 square → its 8 boundary pixels, clockwise from the top-left
         m = np.zeros((8, 8), np.uint8)
