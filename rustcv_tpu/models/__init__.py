@@ -15,11 +15,12 @@ from .zoo import (
     config3_blur_sobel_4k,
     config4_harris_1080p,
     config5_end_to_end_4k,
+    config6_transcode,
     get_model,
 )
 
 __all__ = [
     "MODELS", "PipelineModel", "config1_convert_overlay",
     "config2_mjpeg_resize", "config3_blur_sobel_4k", "config4_harris_1080p",
-    "config5_end_to_end_4k", "get_model",
+    "config5_end_to_end_4k", "config6_transcode", "get_model",
 ]

@@ -32,6 +32,7 @@ class PipelineModel:
     resize_to: Optional[Tuple[int, int]] = None
     overlay: bool = False
     fps: int = 60
+    encode_jpeg_quality: int = 0  # > 0: fused MJPEG-out transcode
 
     def engine(self, driver=None, *, device_sim: Optional[bool] = None, mesh=None, **overrides):
         """Build a MultiStreamEngine for this model.
@@ -52,6 +53,7 @@ class PipelineModel:
             overlay=self.overlay,
             device_sim=device_sim,
             mesh=mesh,
+            encode_jpeg_quality=self.encode_jpeg_quality,
         )
         kwargs.update(overrides)
         return MultiStreamEngine(
@@ -100,11 +102,22 @@ config5_end_to_end_4k = PipelineModel(
     pixel_format=PixelFormat.YUYV, filter="blur_sobel", overlay=True, fps=60,
 )
 
+config6_transcode = PipelineModel(
+    name="config6_transcode",
+    description=(
+        "8x1080p decode -> blur/Sobel -> overlay -> fused VGA MJPEG encode "
+        "(beyond-BASELINE serving shape; engine.encode_payloads finishes)"
+    ),
+    n_streams=8, width=1920, height=1080,
+    pixel_format=PixelFormat.YUYV, filter="blur_sobel",
+    resize_to=(640, 480), overlay=True, fps=60, encode_jpeg_quality=85,
+)
+
 MODELS: Dict[str, PipelineModel] = {
     m.name: m
     for m in (
         config1_convert_overlay, config2_mjpeg_resize, config3_blur_sobel_4k,
-        config4_harris_1080p, config5_end_to_end_4k,
+        config4_harris_1080p, config5_end_to_end_4k, config6_transcode,
     )
 }
 

@@ -137,8 +137,9 @@ class TestModels:
     def test_zoo_listing(self):
         from rustcv_tpu.models import MODELS, get_model
 
-        assert len(MODELS) == 5
+        assert len(MODELS) == 6  # 5 BASELINE configs + the transcode shape
         assert get_model("config1_convert_overlay").overlay
+        assert get_model("config6_transcode").encode_jpeg_quality == 85
         with pytest.raises(KeyError):
             get_model("nope")
 
