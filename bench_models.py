@@ -38,6 +38,7 @@ def run_model(name: str, ticks: int, scale: int):
         SimpleConfig(width=w, height=h, fps=m.fps, pixel_format=m.pixel_format),
         filter=m.filter, resize_to=resize_to, overlay=m.overlay,
         device_sim=(m.pixel_format != PixelFormat.MJPEG),
+        encode_jpeg_quality=m.encode_jpeg_quality,
     )
     rects = np.tile(np.array([[w // 8, h // 8, w // 3, h // 3]], np.int32), (n, 1))
     colors = np.tile(np.array([[0, 255, 0]], np.uint8), (n, 1))
