@@ -313,6 +313,30 @@ def match_descriptors(d1, d2, valid1=None, valid2=None, ratio: float = 0.8):
     return _m(d1, d2, valid1, valid2, ratio)
 
 
+def corner_sub_pix(mat: Mat, pts, win: int = 11, iters: int = 10):
+    """Sub-pixel corner refinement (OpenCV ``cornerSubPix``): float32
+    [K, 2] (x, y) in → refined out. All points refine in one vmapped
+    device program (ops/features.corner_sub_pix)."""
+    import numpy as np
+
+    from ..ops import features as _features
+
+    pts = np.asarray(pts, np.float32).reshape(-1, 2)
+    if mat.is_on_device:
+        from ..ops import color as _color
+
+        d = mat.device()
+        g = _color.bgr_to_gray(d) if d.ndim == 3 and d.shape[-1] == 3 else (
+            d[..., 0] if d.ndim == 3 else d
+        )
+    else:
+        h = mat.to_numpy()
+        g = golden.bgr_to_gray(h) if h.ndim == 3 and h.shape[-1] == 3 else (
+            h[..., 0] if h.ndim == 3 else h
+        )
+    return np.asarray(_features.corner_sub_pix(g, pts, win=win, iters=iters))
+
+
 def good_features_to_track(mat: Mat, max_corners: int = 256, **kw):
     """Corner seeds for tracking (OpenCV ``goodFeaturesToTrack`` role,
     Harris scoring): returns float32 [K, 2] (x, y) points, K ≤ max_corners
@@ -776,7 +800,8 @@ __all__ = [
     "Point", "Rect", "Scalar", "adaptive_threshold", "bilateral_filter",
     "box_blur", "calc_hist", "canny",
     "calc_optical_flow_pyr_lk", "clahe", "compute_brief",
-    "connected_components", "connected_components_with_stats", "cvt_gray",
+    "connected_components", "connected_components_with_stats",
+    "corner_sub_pix", "cvt_gray",
     "cvt_hsv", "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
     "find_contours", "flip", "flood_fill", "gaussian_blur",

@@ -95,3 +95,66 @@ def harris_corner_list(
     xs = idx % w
     valid = top > -jnp.inf
     return jnp.stack([ys, xs], axis=-1), valid
+
+
+@partial(jax.jit, static_argnames=("win", "iters"))
+def corner_sub_pix(
+    gray_u8: jax.Array, pts: jax.Array, win: int = 11, iters: int = 10
+):
+    """Sub-pixel corner refinement (OpenCV ``cornerSubPix``): for each
+    corner q, solve Σ wᵢ ∇Iᵢ∇Iᵢᵀ (q − pᵢ) = 0 over a win×win window and
+    iterate. Patch extraction is one dynamic_slice per point per
+    iteration (the LK trick); all points refine in one vmapped program.
+
+    ``pts``: [K, 2] float32 (x, y) → refined [K, 2] float32 (points whose
+    window leaves the image are returned unrefined)."""
+    import numpy as np  # noqa: PLC0415 — local alias to build constants
+
+    h, w = gray_u8.shape
+    half = win // 2
+    a = gray_u8.astype(jnp.float32)
+    off = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    oy, ox = jnp.meshgrid(off, off, indexing="ij")
+    # Gaussian-ish window weights (exp(-2 r²/half²), OpenCV's choice)
+    wgt = jnp.exp(-2.0 * (ox * ox + oy * oy) / float(max(half, 1) ** 2))
+
+    def patch(ty, tx, size):
+        y0 = jnp.floor(ty)
+        x0 = jnp.floor(tx)
+        fy = ty - y0
+        fx = tx - x0
+        p = jax.lax.dynamic_slice(
+            a,
+            (y0.astype(jnp.int32), x0.astype(jnp.int32)),
+            (size + 1, size + 1),
+        )
+        top = p[:size, :size] * (1 - fx) + p[:size, 1:] * fx
+        bot = p[1:, :size] * (1 - fx) + p[1:, 1:] * fx
+        return top * (1 - fy) + bot * fy
+
+    def one(pt):
+        def body(_, q):
+            big = patch(q[1] - half - 1.0, q[0] - half - 1.0, win + 2)
+            gx = (big[1:-1, 2:] - big[1:-1, :-2]) * 0.5
+            gy = (big[2:, 1:-1] - big[:-2, 1:-1]) * 0.5
+            axx = jnp.sum(wgt * gx * gx)
+            axy = jnp.sum(wgt * gx * gy)
+            ayy = jnp.sum(wgt * gy * gy)
+            bx = jnp.sum(wgt * gx * (gx * ox + gy * oy))
+            by = jnp.sum(wgt * gy * (gx * ox + gy * oy))
+            det = axx * ayy - axy * axy
+            inv = jnp.where(jnp.abs(det) > 1e-6, 1.0 / det, 0.0)
+            dx = (ayy * bx - axy * by) * inv
+            dy = (-axy * bx + axx * by) * inv
+            return q + jnp.array([dx, dy], jnp.float32)
+
+        ok = (
+            (pt[0] - half - 1 >= 0) & (pt[0] + half + 1 <= w - 1)
+            & (pt[1] - half - 1 >= 0) & (pt[1] + half + 1 <= h - 1)
+        )
+        refined = jax.lax.fori_loop(0, iters, body, pt)
+        # reject divergence (> win shift) and out-of-window points
+        moved = jnp.abs(refined - pt).max()
+        return jnp.where(ok & (moved <= win), refined, pt)
+
+    return jax.vmap(one)(pts)

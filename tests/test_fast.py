@@ -56,3 +56,53 @@ class TestFast:
         assert set(map(tuple, host.tolist())) == set(map(tuple, dev.tolist()))
         # corners seed LK exactly like harris points
         assert host.shape[1] == 2
+
+
+class TestCornerSubPix:
+    def test_relative_subpixel_accuracy(self, jax_cpu):
+        """Refinement is guess-independent and tracks sub-pixel corner
+        motion to <0.1 px (the absolute apex has a small model-inherent
+        offset on blurred L-corners — the DELTA is the contract)."""
+        from rustcv_tpu.ops import features, warp
+
+        base = np.zeros((64, 64), np.uint8)
+        base[16:48, 16:48] = 200
+
+        def refined(off, guess):
+            m = np.array([[1.0, 0.0, off[0]], [0.0, 1.0, off[1]]])
+            img = golden.gaussian5_u8(
+                warp.warp_affine_numpy(base, m, (64, 64), border="replicate")
+            )
+            return np.asarray(
+                features.corner_sub_pix(
+                    img, np.array([guess], np.float32), win=9
+                )
+            )[0]
+
+        anchor = refined((0.0, 0.0), (16, 16))
+        # guess independence
+        for g in [(15, 17), (17, 15)]:
+            assert np.abs(refined((0.0, 0.0), g) - anchor).max() < 1e-3
+        # sub-pixel deltas recovered
+        for off in [(0.3, -0.4), (-0.25, 0.1)]:
+            delta = refined(off, (16, 16)) - anchor
+            assert np.abs(delta - np.array(off)).max() < 0.1
+
+    def test_out_of_window_points_unchanged(self, jax_cpu):
+        from rustcv_tpu.ops import features
+
+        img = np.zeros((32, 32), np.uint8)
+        pts = np.array([[2.0, 2.0]], np.float32)  # window leaves the image
+        out = np.asarray(features.corner_sub_pix(img, pts, win=11))
+        np.testing.assert_array_equal(out, pts)
+
+    def test_facade(self, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        gray = golden.bgr_to_gray(sim.synth_bgr(96, 64, 5))
+        pts = imgproc.fast_corners(Mat.from_array(gray), threshold=15, max_corners=16)
+        if len(pts):
+            ref = imgproc.corner_sub_pix(Mat.from_array(gray), pts, win=7)
+            assert ref.shape == pts.shape
+            assert np.abs(ref - pts).max() <= 7.0
