@@ -45,7 +45,7 @@ class TestBenchModels:
 
         bench_models.main(ticks=2, scale=16)
         out = capsys.readouterr().out.strip().splitlines()
-        assert len(out) == 5
+        assert len(out) == 6  # 5 BASELINE configs + transcode
         for line in out:
             row = json.loads(line)
             assert "error" not in row, row
