@@ -60,6 +60,70 @@ class Scalar:
         return (self.v0, self.v1, self.v2)
 
 
+def _draw_packed_inplace(mat: Mat, device_fn, host_mask_fn, color) -> None:
+    """Shared in-place drawing: device path draws on packed rows; host path
+    paints the golden mask (identical bytes)."""
+    import numpy as np
+
+    if mat.is_empty():
+        return
+    bgr = np.asarray(color.bgr if isinstance(color, Scalar) else color, np.uint8)
+    if mat.is_on_device:
+        d = mat.device()
+        packed = d.reshape(*d.shape[:-2], d.shape[-2] * d.shape[-1])
+        out = device_fn(packed)
+        mat.set_device(out.reshape(d.shape))
+        return
+    h, w = mat.rows, mat.cols
+    mask = host_mask_fn(h, w)
+    mat.array[mask > 0] = bgr  # writable host view, in place
+
+
+def line(mat: Mat, p1: Point, p2: Point, color: Scalar, thickness: int = 1) -> None:
+    """Draw a line segment in place (OpenCV ``line``; exact integer
+    distance-field spec, golden.line_mask — device and host identical)."""
+    from ..ops import draw as _draw
+
+    _draw_packed_inplace(
+        mat,
+        lambda packed: _draw.line_packed(
+            packed, (p1.x, p1.y), (p2.x, p2.y), color.bgr, thickness
+        ),
+        lambda h, w: golden.line_mask(h, w, (p1.x, p1.y), (p2.x, p2.y), thickness),
+        color,
+    )
+
+
+def circle(mat: Mat, center: Point, radius: int, color: Scalar,
+           thickness: int = 1) -> None:
+    """Draw a circle in place (OpenCV ``circle``; thickness < 0 fills)."""
+    from ..ops import draw as _draw
+
+    _draw_packed_inplace(
+        mat,
+        lambda packed: _draw.circle_packed(
+            packed, (center.x, center.y), radius, color.bgr, thickness
+        ),
+        lambda h, w: golden.circle_mask(h, w, (center.x, center.y), radius, thickness),
+        color,
+    )
+
+
+def polylines(mat: Mat, pts, color: Scalar, thickness: int = 1,
+              closed: bool = False) -> None:
+    """Draw connected segments through ``pts`` [K, 2] (x, y) (OpenCV
+    ``polylines`` role; per-segment golden.line_mask spec)."""
+    import numpy as np
+
+    p = np.asarray(pts, np.int64).reshape(-1, 2)
+    for i in range(len(p) - 1):
+        line(mat, Point(int(p[i][0]), int(p[i][1])),
+             Point(int(p[i + 1][0]), int(p[i + 1][1])), color, thickness)
+    if closed and len(p) > 2:
+        line(mat, Point(int(p[-1][0]), int(p[-1][1])),
+             Point(int(p[0][0]), int(p[0][1])), color, thickness)
+
+
 def rectangle(mat: Mat, rect: Rect, color: Scalar, thickness: int = 1) -> None:
     """Draw a rectangle outline in place (drawing.rs:67-106 semantics)."""
     if mat.is_empty():
@@ -799,7 +863,7 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 __all__ = [
     "Point", "Rect", "Scalar", "adaptive_threshold", "bilateral_filter",
     "box_blur", "calc_hist", "canny",
-    "calc_optical_flow_pyr_lk", "clahe", "compute_brief",
+    "calc_optical_flow_pyr_lk", "circle", "clahe", "compute_brief",
     "connected_components", "connected_components_with_stats",
     "corner_sub_pix", "cvt_gray",
     "cvt_hsv", "dilate", "equalize_hist", "erode",
@@ -807,7 +871,8 @@ __all__ = [
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "get_perspective_transform",
     "warp_perspective",
-    "good_features_to_track", "hough_lines", "lut", "match_descriptors",
+    "good_features_to_track", "hough_lines", "line", "lut",
+    "match_descriptors", "polylines",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
     "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",
     "rectangle", "remap", "resize", "rotate", "sobel_magnitude", "threshold",

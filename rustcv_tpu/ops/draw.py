@@ -184,3 +184,106 @@ def blend_mask_at(img: jax.Array, mask: jax.Array, x0: jax.Array, y0: jax.Array,
     blended = ((color * a + region * (255 - a)) // 255).astype(jnp.uint8)
     big = jax.lax.dynamic_update_slice(big, blended, (py, px, 0))
     return big[mh : mh + h, mw : mw + w, :]
+
+
+def _lane_color(color: jax.Array, chan: jax.Array, shape) -> jax.Array:
+    """Per-lane BGR byte for packed rows: color [3] (shared) or [..., 3]
+    (per-image) → u8 broadcast to ``shape``."""
+    if color.ndim == 1:
+        return jnp.take(color, chan)
+    arr = color[..., None, None, :]  # [..., 1, 1, 3]
+    arr = jnp.broadcast_to(arr, (*shape, 3))
+    idx = jnp.broadcast_to(chan, shape)[..., None]
+    return jnp.take_along_axis(arr, idx, axis=-1)[..., 0].astype(jnp.uint8)
+
+
+@jax.jit
+def line_packed(
+    img: jax.Array, p1: jax.Array, p2: jax.Array, color_bgr: jax.Array,
+    thickness: jax.Array,
+) -> jax.Array:
+    """Line stroke on packed-rows BGR u8 (..., H, W*3) — exact integer
+    distance-field spec (golden.line_mask): one fused elementwise kernel,
+    endpoints/thickness traced (moving lines never recompile). Leading
+    batch dims on the params draw per-image."""
+    h, w3 = img.shape[-2], img.shape[-1]
+    w = w3 // 3
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w3), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (h, w3), 1)
+    xs = lane // 3
+    chan = lane % 3
+
+    p1 = jnp.asarray(p1, jnp.int32)
+    p2 = jnp.asarray(p2, jnp.int32)
+    thickness = jnp.asarray(thickness, jnp.int32)
+
+    def ex(v):
+        return v[..., None, None]
+
+    ax, ay = ex(p1[..., 0]), ex(p1[..., 1])
+    bx, by = ex(p2[..., 0]), ex(p2[..., 1])
+    abx = bx - ax
+    aby = by - ay
+    apx = xs - ax
+    apy = ys - ay
+    bpx = xs - bx
+    bpy = ys - by
+    # Exact INT32-safe spec (golden.line_mask): the floored perpendicular
+    # distance (2|cross|)//isqrt(|AB|²) replaces the cross² comparison,
+    # whose product overflows int32 at large coordinates.
+    from .filters import isqrt_exact
+
+    ab2 = abx * abx + aby * aby
+    t2 = thickness * thickness
+    t2e = ex(t2) if t2.ndim else t2
+    te = ex(thickness) if thickness.ndim else thickness
+    dot = apx * abx + apy * aby
+    cross = jnp.abs(apx * aby - apy * abx)
+    s = jnp.maximum(isqrt_exact(ab2), 1)
+    from .color import _div_floor_exact
+
+    perp = _div_floor_exact(2 * cross, jnp.broadcast_to(s, cross.shape))
+    body = (dot >= 0) & (dot <= ab2) & (perp <= te)
+    caps = (4 * (apx * apx + apy * apy) <= t2e) | (
+        4 * (bpx * bpx + bpy * bpy) <= t2e
+    )
+    degenerate = ab2 == 0
+    mask = jnp.where(degenerate, caps, body | caps)
+
+    lane_color = _lane_color(jnp.asarray(color_bgr, jnp.uint8), chan, mask.shape)
+    return jnp.where(mask, lane_color, img).astype(jnp.uint8)
+
+
+@jax.jit
+def circle_packed(
+    img: jax.Array, center: jax.Array, radius: jax.Array,
+    color_bgr: jax.Array, thickness: jax.Array,
+) -> jax.Array:
+    """Circle (ring; thickness < 0 = filled) on packed-rows BGR u8 —
+    exact integer spec (golden.circle_mask), fully traced params."""
+    h, w3 = img.shape[-2], img.shape[-1]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w3), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (h, w3), 1)
+    xs = lane // 3
+    chan = lane % 3
+
+    center = jnp.asarray(center, jnp.int32)
+    radius = jnp.asarray(radius, jnp.int32)
+    thickness = jnp.asarray(thickness, jnp.int32)
+
+    def ex(v):
+        return v[..., None, None]
+
+    cx, cy = ex(center[..., 0]), ex(center[..., 1])
+    r = ex(radius) if radius.ndim else radius
+    t = ex(thickness) if thickness.ndim else thickness
+    # all magnitudes fit int32 up to 8K coordinates (d² ≤ 1.3e8, hi² ≤ 7e7)
+    d2 = (xs - cx) * (xs - cx) + (ys - cy) * (ys - cy)
+    filled = d2 <= r * r
+    lo = jnp.maximum(0, 2 * r - t)
+    hi = 2 * r + t
+    ring = (4 * d2 >= lo * lo) & (4 * d2 <= hi * hi)
+    mask = jnp.where(t < 0, filled, ring)
+
+    lane_color = _lane_color(jnp.asarray(color_bgr, jnp.uint8), chan, mask.shape)
+    return jnp.where(mask, lane_color, img).astype(jnp.uint8)

@@ -507,6 +507,57 @@ def gaussian5_u8(img: np.ndarray) -> np.ndarray:
     return ((acc + 128) >> 8).astype(np.uint8)
 
 
+def line_mask(
+    h: int, w: int, p1: tuple, p2: tuple, thickness: int = 1
+) -> np.ndarray:
+    """Frozen line-stroke mask (exact INT32-SAFE spec — products stay
+    below 2^31 for coordinates up to 8K, so the device needs no int64):
+
+    - body: 0 ≤ dot(AP, AB) ≤ |AB|² and (2·|cross(AP, AB)|) // isqrt(|AB|²)
+      ≤ thickness (the floored perpendicular-distance test);
+    - caps: 4·|P−A|² ≤ t² or 4·|P−B|² ≤ t² (round endpoints);
+    - degenerate (A == B): caps only.
+    """
+    ax, ay = int(p1[0]), int(p1[1])
+    bx, by = int(p2[0]), int(p2[1])
+    ys, xs = np.mgrid[0:h, 0:w]
+    px = xs.astype(np.int64)
+    py = ys.astype(np.int64)
+    abx, aby = bx - ax, by - ay
+    apx, apy = px - ax, py - ay
+    ab2 = abx * abx + aby * aby
+    t = int(thickness)
+    t2 = t * t
+    bpx, bpy = px - bx, py - by
+    caps = (4 * (apx * apx + apy * apy) <= t2) | (
+        4 * (bpx * bpx + bpy * bpy) <= t2
+    )
+    if ab2 == 0:
+        return caps.astype(np.uint8) * 255
+    s = int(np.floor(np.sqrt(ab2)))  # isqrt(|AB|²)
+    dot = apx * abx + apy * aby
+    cross = np.abs(apx * aby - apy * abx)
+    body = (dot >= 0) & (dot <= ab2) & ((2 * cross) // s <= t)
+    return ((body | caps).astype(np.uint8)) * 255
+
+
+def circle_mask(
+    h: int, w: int, center: tuple, radius: int, thickness: int = 1
+) -> np.ndarray:
+    """Frozen circle mask: filled when thickness < 0 (|P−C|² ≤ R²), else a
+    ring (2|P−C| within [2R−t, 2R+t], exact via squared comparisons)."""
+    cx, cy = int(center[0]), int(center[1])
+    r = int(radius)
+    ys, xs = np.mgrid[0:h, 0:w]
+    d2 = (xs.astype(np.int64) - cx) ** 2 + (ys.astype(np.int64) - cy) ** 2
+    if thickness < 0:
+        return (d2 <= r * r).astype(np.uint8) * 255
+    t = int(thickness)
+    lo = max(0, 2 * r - t)
+    hi = 2 * r + t
+    return ((4 * d2 >= lo * lo) & (4 * d2 <= hi * hi)).astype(np.uint8) * 255
+
+
 def adaptive_threshold(
     gray: np.ndarray,
     maxval: int = 255,

@@ -608,3 +608,65 @@ class TestHarrisParity:
         assert n_valid > 0
         hits = sum(bool(mask[y, x]) for (y, x) in coords[valid][: int(n_valid)])
         assert hits >= 0.95 * n_valid
+
+
+class TestDrawLineCircle:
+    def test_line_packed_bit_exact(self, rng, jax_cpu):
+        from rustcv_tpu.ops import draw
+
+        packed = np.zeros((40, 180), np.uint8)
+        for p1, p2, t in [((5, 5), (50, 30), 3), ((10, 10), (10, 10), 4),
+                          ((58, 2), (3, 38), 7), ((-4000, -2000), (4000, 2100), 5)]:
+            out = np.asarray(
+                draw.line_packed(packed, p1, p2, (255, 10, 20), t)
+            ).reshape(40, 60, 3)
+            mask = golden.line_mask(40, 60, p1, p2, t)
+            want = np.zeros((40, 60, 3), np.uint8)
+            want[mask > 0] = (255, 10, 20)
+            np.testing.assert_array_equal(out, want)
+
+    def test_circle_packed_bit_exact(self, jax_cpu):
+        from rustcv_tpu.ops import draw
+
+        packed = np.zeros((40, 180), np.uint8)
+        for r, t in [(12, 2), (12, -1), (5, 1)]:
+            out = np.asarray(
+                draw.circle_packed(packed, (30, 20), r, (0, 255, 0), t)
+            ).reshape(40, 60, 3)
+            mask = golden.circle_mask(40, 60, (30, 20), r, t)
+            want = np.zeros((40, 60, 3), np.uint8)
+            want[mask > 0] = (0, 255, 0)
+            np.testing.assert_array_equal(out, want)
+
+    def test_batched_lines(self, jax_cpu):
+        from rustcv_tpu.ops import draw
+
+        b = np.zeros((2, 40, 180), np.uint8)
+        p1 = np.array([[5, 5], [0, 0]], np.int32)
+        p2 = np.array([[50, 30], [59, 39]], np.int32)
+        cols = np.array([[255, 0, 0], [0, 0, 255]], np.uint8)
+        ob = np.asarray(draw.line_packed(b, p1, p2, cols, np.int32(2)))
+        for i in range(2):
+            mask = golden.line_mask(40, 60, tuple(p1[i]), tuple(p2[i]), 2)
+            want = np.zeros((40, 60, 3), np.uint8)
+            want[mask > 0] = cols[i]
+            np.testing.assert_array_equal(ob[i].reshape(40, 60, 3), want)
+
+    def test_imgproc_line_circle_polylines(self, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+        from rustcv_tpu.imgproc import Point, Scalar
+
+        import jax.numpy as jnp
+
+        base = np.zeros((40, 60, 3), np.uint8)
+        mh = Mat.from_array(base.copy())
+        md = Mat.from_device(jnp.asarray(base))
+        for m in (mh, md):
+            imgproc.line(m, Point(5, 5), Point(50, 30), Scalar(255, 10, 20), 3)
+            imgproc.circle(m, Point(30, 20), 10, Scalar(0, 255, 0), 2)
+            imgproc.polylines(
+                m, [(2, 2), (20, 2), (20, 15)], Scalar(0, 0, 255), 1, closed=True
+            )
+        np.testing.assert_array_equal(mh.to_numpy(), md.to_numpy())
+        assert (mh.to_numpy() != 0).any()
