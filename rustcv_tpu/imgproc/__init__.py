@@ -545,6 +545,24 @@ def flood_fill(mat: Mat, seed, new_val: int, lo_diff: int = 0, up_diff: int = 0)
     return Mat.from_array(out), count, mask
 
 
+def hu_moments(mat: Mat):
+    """The seven Hu invariants of a u8 mask Mat (OpenCV ``HuMoments``)."""
+    import numpy as np
+
+    a = np.asarray(mat.device()) if mat.is_on_device else mat.to_numpy()
+    return golden.hu_moments(a)
+
+
+def match_shapes(mat_a: Mat, mat_b: Mat) -> float:
+    """Shape-similarity distance from Hu moments (OpenCV ``matchShapes``
+    I1 method; 0 = identical up to translation/scale/rotation)."""
+    import numpy as np
+
+    a = np.asarray(mat_a.device()) if mat_a.is_on_device else mat_a.to_numpy()
+    b = np.asarray(mat_b.device()) if mat_b.is_on_device else mat_b.to_numpy()
+    return golden.match_shapes(a, b)
+
+
 def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0):
     """OpenCV ``getRotationMatrix2D`` (2×3 float64)."""
     from ..ops.warp import get_rotation_matrix_2d as _grm
@@ -871,8 +889,8 @@ __all__ = [
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "get_perspective_transform",
     "warp_perspective",
-    "good_features_to_track", "hough_lines", "line", "lut",
-    "match_descriptors", "polylines",
+    "good_features_to_track", "hough_lines", "hu_moments", "line", "lut",
+    "match_descriptors", "match_shapes", "polylines",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
     "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",
     "rectangle", "remap", "resize", "rotate", "sobel_magnitude", "threshold",

@@ -170,6 +170,71 @@ def in_range(img: np.ndarray, lower, upper) -> np.ndarray:
     return np.where(ok, 255, 0).astype(np.uint8)
 
 
+def hu_moments(mask: np.ndarray) -> np.ndarray:
+    """The seven Hu invariant moments of a u8 mask/gray image (OpenCV
+    ``HuMoments``): translation/scale/rotation invariants from normalized
+    central moments (float64; raw sums exact int64)."""
+    a = mask.astype(np.int64)
+    if a.ndim == 3:
+        a = a[..., 0]
+    h, w = a.shape
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    m00 = a.sum()
+    if m00 == 0:
+        return np.zeros(7)
+    xb = (a * xs).sum() / m00
+    yb = (a * ys).sum() / m00
+    xc = xs - xb
+    yc = ys - yb
+
+    def mu(p, q):
+        return float((a * xc**p * yc**q).sum())
+
+    n = float(m00)
+
+    def eta(p, q):
+        return mu(p, q) / n ** (1 + (p + q) / 2.0)
+
+    n20, n02, n11 = eta(2, 0), eta(0, 2), eta(1, 1)
+    n30, n03 = eta(3, 0), eta(0, 3)
+    n21, n12 = eta(2, 1), eta(1, 2)
+    h1 = n20 + n02
+    h2 = (n20 - n02) ** 2 + 4 * n11**2
+    h3 = (n30 - 3 * n12) ** 2 + (3 * n21 - n03) ** 2
+    h4 = (n30 + n12) ** 2 + (n21 + n03) ** 2
+    h5 = (n30 - 3 * n12) * (n30 + n12) * (
+        (n30 + n12) ** 2 - 3 * (n21 + n03) ** 2
+    ) + (3 * n21 - n03) * (n21 + n03) * (
+        3 * (n30 + n12) ** 2 - (n21 + n03) ** 2
+    )
+    h6 = (n20 - n02) * ((n30 + n12) ** 2 - (n21 + n03) ** 2) + 4 * n11 * (
+        n30 + n12
+    ) * (n21 + n03)
+    h7 = (3 * n21 - n03) * (n30 + n12) * (
+        (n30 + n12) ** 2 - 3 * (n21 + n03) ** 2
+    ) - (n30 - 3 * n12) * (n21 + n03) * (
+        3 * (n30 + n12) ** 2 - (n21 + n03) ** 2
+    )
+    return np.array([h1, h2, h3, h4, h5, h6, h7])
+
+
+def match_shapes(mask_a: np.ndarray, mask_b: np.ndarray) -> float:
+    """OpenCV ``matchShapes`` (I1 method): Σ |1/sgn·log|hA| − 1/sgn·log|hB||
+    over the Hu moments — 0 for identical shapes, small for similar."""
+    ha = hu_moments(mask_a)
+    hb = hu_moments(mask_b)
+    eps = 1e-30
+    sa = np.sign(ha)
+    sb = np.sign(hb)
+    ma = sa * np.log10(np.abs(ha) + eps)
+    mb = sb * np.log10(np.abs(hb) + eps)
+    use = (np.abs(ha) > 1e-12) & (np.abs(hb) > 1e-12)
+    if not use.any():
+        return 0.0
+    return float(np.abs(1.0 / ma[use] - 1.0 / mb[use]).sum())
+
+
 def moments(mask: np.ndarray) -> dict:
     """Raw spatial moments of a u8 mask/image (OpenCV ``moments`` m00/m10/
     m01 + centroid; values weighted, exact int64)."""

@@ -131,3 +131,41 @@ class TestConnectedComponents:
         assert n == 2
         assert (lab == 1).sum() == 10 * 15
         assert (lab == 2).sum() == 15 * 30
+
+
+class TestHuMoments:
+    def test_invariance(self, jax_cpu):
+        """Hu moments are (approximately) invariant to translation,
+        scale, and rotation of a shape; matchShapes ≈ 0 for the same
+        shape, larger for a different one."""
+        from rustcv_tpu.ops import golden, warp
+
+        base = np.zeros((120, 120), np.uint8)
+        base[40:80, 30:90] = 255  # a 2:3 rectangle
+        h0 = golden.hu_moments(base)
+        # translated
+        t = np.zeros_like(base)
+        t[50:90, 20:80] = 255
+        assert np.abs(golden.hu_moments(t) - h0).max() < 1e-12
+        # scaled ×1.5
+        s = np.zeros_like(base)
+        s[30:90, 15:105] = 255
+        assert np.abs(golden.hu_moments(s)[:4] - h0[:4]).max() < 1e-3
+        # rotated 30°
+        m = warp.get_rotation_matrix_2d((60.0, 60.0), 30.0)
+        r = warp.warp_affine_numpy(base, m, (120, 120), mode="nearest")
+        assert np.abs(golden.hu_moments(r)[:2] - h0[:2]).max() < 2e-3
+        # matchShapes: same-family shapes close, disc far
+        assert golden.match_shapes(base, r) < 0.5
+        disc = golden.circle_mask(120, 120, (60, 60), 35, -1)
+        assert golden.match_shapes(base, disc) > golden.match_shapes(base, r)
+
+    def test_facade(self, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        m = np.zeros((60, 60), np.uint8)
+        m[20:40, 15:45] = 255
+        hm = imgproc.hu_moments(Mat.from_array(m))
+        assert hm.shape == (7,)
+        assert imgproc.match_shapes(Mat.from_array(m), Mat.from_array(m)) == 0.0
