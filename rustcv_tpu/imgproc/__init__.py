@@ -62,11 +62,16 @@ class Scalar:
 
 def _draw_packed_inplace(mat: Mat, device_fn, host_mask_fn, color) -> None:
     """Shared in-place drawing: device path draws on packed rows; host path
-    paints the golden mask (identical bytes)."""
+    paints the golden mask (identical bytes). BGR (3-channel) Mats only —
+    packed-rows math would silently misinterpret gray layouts."""
     import numpy as np
 
     if mat.is_empty():
         return
+    if mat.channels != 3:
+        raise ValueError(
+            f"drawing requires a 3-channel BGR Mat (got {mat.channels} channels)"
+        )
     bgr = np.asarray(color.bgr if isinstance(color, Scalar) else color, np.uint8)
     if mat.is_on_device:
         d = mat.device()
@@ -177,6 +182,26 @@ def _apply(mat: Mat, device_fn, host_fn) -> Mat:
     return Mat.from_array(host_fn(mat.to_numpy()))
 
 
+def _gray_of_mat(mat: Mat, allow_bgr: bool = True):
+    """Single-channel array of a Mat — device-resident arrays stay on
+    device. BGR inputs convert via the exact luma when ``allow_bgr``,
+    otherwise raise (ops whose spec is gray-only)."""
+    a = mat.device() if mat.is_on_device else mat.to_numpy()
+    if a.ndim == 3 and a.shape[-1] == 1:
+        return a[..., 0]
+    if a.ndim == 3 and a.shape[-1] == 3:
+        if not allow_bgr:
+            raise ValueError("gray (single-channel) input required")
+        if mat.is_on_device:
+            from ..ops import color as _color
+
+            return _color.bgr_to_gray(a)
+        return golden.bgr_to_gray(a)
+    if a.ndim != 2:
+        raise ValueError(f"unsupported Mat shape {a.shape}")
+    return a
+
+
 def resize(mat: Mat, width: int, height: int, interpolation: str = "bilinear") -> Mat:
     """Resize with a frozen spec per mode (OpenCV's INTER_* trio):
     "bilinear" (11-bit fixed-point, golden.resize_bilinear), "nearest"
@@ -211,32 +236,28 @@ def gaussian_blur(mat: Mat) -> Mat:
 def adaptive_threshold(mat: Mat, maxval: int = 255, method: str = "mean",
                        block: int = 11, c: int = 2, inv: bool = False) -> Mat:
     """OpenCV ``adaptiveThreshold``: T = neighborhood mean (k×k box; or
-    the 5×5 Gaussian spec) − c; gray input (frozen spec, host==device)."""
+    the 5×5 Gaussian spec) − c; GRAY input only (frozen spec,
+    host==device; a BGR Mat raises — the spec is single-channel)."""
     from ..ops import filters as _filters
 
-    def _g(a):
-        return a[..., 0] if a.ndim == 3 and a.shape[-1] == 1 else a
-
-    return _apply(
-        mat,
-        lambda d: _filters.adaptive_threshold_u8(_g(d), maxval, method, block, c, inv),
-        lambda h: golden.adaptive_threshold(_g(h), maxval, method, block, c, inv),
-    )
+    g = _gray_of_mat(mat, allow_bgr=False)
+    if mat.is_on_device:
+        return Mat.from_device(
+            _filters.adaptive_threshold_u8(g, maxval, method, block, c, inv)
+        )
+    return Mat.from_array(golden.adaptive_threshold(g, maxval, method, block, c, inv))
 
 
 def bilateral_filter(mat: Mat, sigma: int = 25) -> Mat:
     """Edge-preserving 5×5 bilateral filter (OpenCV ``bilateralFilter``
-    role; integer quadratic-ramp range kernel — see ops/golden.py)."""
+    role; integer quadratic-ramp range kernel — see ops/golden.py). GRAY
+    input only."""
     from ..ops import filters as _filters
 
-    def _g(a):
-        return a[..., 0] if a.ndim == 3 and a.shape[-1] == 1 else a
-
-    return _apply(
-        mat,
-        lambda d: _filters.bilateral5_u8(_g(d), sigma),
-        lambda h: golden.bilateral5_u8(_g(h), sigma),
-    )
+    g = _gray_of_mat(mat, allow_bgr=False)
+    if mat.is_on_device:
+        return Mat.from_device(_filters.bilateral5_u8(g, sigma))
+    return Mat.from_array(golden.bilateral5_u8(g, sigma))
 
 
 def pyr_down(mat: Mat) -> Mat:
@@ -316,22 +337,13 @@ def fast_corners(
 
     from ..ops import fast as _fast
 
+    g = _gray_of_mat(mat)
     if mat.is_on_device:
-        from ..ops import color as _color
-
-        d = mat.device()
-        g = _color.bgr_to_gray(d) if d.ndim == 3 and d.shape[-1] == 3 else (
-            d[..., 0] if d.ndim == 3 else d
-        )
         coords, valid = _fast.fast_corner_list(
             g, threshold=threshold, n=n, max_corners=max_corners, nms=nms
         )
         coords = np.asarray(coords)[np.asarray(valid)]
     else:
-        h = mat.to_numpy()
-        g = golden.bgr_to_gray(h) if h.ndim == 3 and h.shape[-1] == 3 else (
-            h[..., 0] if h.ndim == 3 else h
-        )
         mask, score = _fast.fast_corners_numpy(
             g, threshold=threshold, n=n, nms=nms
         )
@@ -351,21 +363,10 @@ def compute_brief(mat: Mat, pts):
     from ..ops import brief as _brief
 
     pts = np.asarray(pts, np.float32).reshape(-1, 2)
-
-    def _g(a):
-        if a.ndim == 3 and a.shape[-1] == 3:
-            return None
-        return a[..., 0] if a.ndim == 3 else a
-
+    g = _gray_of_mat(mat)
     if mat.is_on_device:
-        from ..ops import color as _color
-
-        d = mat.device()
-        g = _color.bgr_to_gray(d) if d.ndim == 3 and d.shape[-1] == 3 else _g(d)
         desc, valid = _brief.brief_descriptors(g, pts)
         return np.asarray(desc), np.asarray(valid)
-    h = mat.to_numpy()
-    g = golden.bgr_to_gray(h) if h.ndim == 3 and h.shape[-1] == 3 else _g(h)
     return _brief.brief_descriptors_numpy(g, pts)
 
 
@@ -386,18 +387,7 @@ def corner_sub_pix(mat: Mat, pts, win: int = 11, iters: int = 10):
     from ..ops import features as _features
 
     pts = np.asarray(pts, np.float32).reshape(-1, 2)
-    if mat.is_on_device:
-        from ..ops import color as _color
-
-        d = mat.device()
-        g = _color.bgr_to_gray(d) if d.ndim == 3 and d.shape[-1] == 3 else (
-            d[..., 0] if d.ndim == 3 else d
-        )
-    else:
-        h = mat.to_numpy()
-        g = golden.bgr_to_gray(h) if h.ndim == 3 and h.shape[-1] == 3 else (
-            h[..., 0] if h.ndim == 3 else h
-        )
+    g = _gray_of_mat(mat)
     return np.asarray(_features.corner_sub_pix(g, pts, win=win, iters=iters))
 
 
@@ -409,22 +399,13 @@ def good_features_to_track(mat: Mat, max_corners: int = 256, **kw):
 
     from ..ops import features as _features
 
+    gray = _gray_of_mat(mat)
     if mat.is_on_device:
-        from ..ops import color as _color
-
-        d = mat.device()
-        gray = _color.bgr_to_gray(d) if d.ndim == 3 and d.shape[-1] == 3 else d
-        if gray.ndim == 3:
-            gray = gray[..., 0]
         coords, valid = _features.harris_corner_list(
             gray, max_corners=max_corners, **kw
         )
         coords = np.asarray(coords)[np.asarray(valid)]
     else:
-        h = mat.to_numpy()
-        gray = golden.bgr_to_gray(h) if h.ndim == 3 and h.shape[-1] == 3 else h
-        if gray.ndim == 3:
-            gray = gray[..., 0]
         mask = golden.harris_corners(gray, **kw)
         # Rank with the SAME k the mask used (a default-k response here
         # would pick a different top-K set than the device path).
@@ -676,11 +657,17 @@ def equalize_hist(mat: Mat) -> Mat:
 
 
 def hough_lines(mat: Mat, threshold: int = 50, max_lines: int = 32,
-                n_thetas: int = 180, rho_bins: int = 2048):
+                n_thetas: int = 180, rho_bins: int = 2048,
+                max_points: int = None):
     """Standard Hough line transform on a binary edge Mat (OpenCV
     ``HoughLines``): float32 [K, 2] (rho, theta) pairs, strongest first.
     The accumulator is one-hot MXU matmuls over compacted edge points —
-    no scatter (ops/hough.py). Pair with :func:`canny`."""
+    no scatter (ops/hough.py). Pair with :func:`canny`.
+
+    ``max_points`` caps the compacted edge list (a static program shape).
+    By default it is sized from the ACTUAL edge count (next power of two,
+    ≥ 65536) so no votes are dropped — pass a value to pin the compiled
+    bucket instead."""
     import numpy as np
 
     from ..ops import hough as _hough
@@ -688,9 +675,14 @@ def hough_lines(mat: Mat, threshold: int = 50, max_lines: int = 32,
     a = mat.device() if mat.is_on_device else mat.to_numpy()
     if a.ndim == 3:
         a = a[..., 0]
+    if max_points is None:
+        n_edges = int(np.count_nonzero(np.asarray(a)))
+        max_points = 65536
+        while max_points < n_edges:
+            max_points *= 2
     lines, valid, _ = _hough.hough_lines(
         np.asarray(a) if not mat.is_on_device else a,
-        n_thetas=n_thetas, rho_bins=rho_bins,
+        n_thetas=n_thetas, rho_bins=rho_bins, max_points=max_points,
         max_lines=max_lines, threshold=threshold,
     )
     return np.asarray(lines)[np.asarray(valid)]
@@ -718,19 +710,10 @@ def clahe(mat: Mat, clip_limit: int = 40, grid=(8, 8)) -> Mat:
     from ..ops import hist as _hist
 
     g = tuple(grid)
-
-    def _gray(a):
-        if a.ndim == 3 and a.shape[-1] == 1:
-            return a[..., 0]
-        if a.ndim != 2:
-            raise ValueError("clahe: gray (single-channel) input required")
-        return a
-
-    return _apply(
-        mat,
-        lambda d: _hist.clahe(_gray(d), clip_limit, g),
-        lambda h: _hist.clahe_numpy(_gray(h), clip_limit, g),
-    )
+    gray = _gray_of_mat(mat, allow_bgr=False)
+    if mat.is_on_device:
+        return Mat.from_device(_hist.clahe(gray, clip_limit, g))
+    return Mat.from_array(_hist.clahe_numpy(gray, clip_limit, g))
 
 
 def match_template(mat: Mat, tmpl: Mat, method: str = "ccoeff_normed"):

@@ -174,14 +174,22 @@ def find_contours(mask, max_rounds: int = 256):
     the host then Moore-traces each component's outer boundary clockwise
     from its raster-first pixel. Returns a list of int32 [K, 2] (x, y)
     arrays, one per component, in component order; single-pixel components
-    yield a 1-point contour. Total traced length is O(Σ perimeters) —
-    host work proportional to boundary, not area."""
+    yield a 1-point contour. Host work = one O(area log area) argsort to
+    locate every component's start pixel + O(Σ perimeters) tracing."""
     n, labels = connected_components(mask, max_rounds=max_rounds)
     h, w = labels.shape
     contours = []
+    # Component start pixels in ONE pass (per-component full-image scans
+    # would make this O(n_components · H · W) on speckled masks): labels
+    # are numbered in raster order of their first pixel, so the first
+    # occurrence index of each label IS its trace start.
+    flat = labels.reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    sorted_labels = flat[order]
+    first_idx = np.searchsorted(sorted_labels, np.arange(1, n + 1))
+    starts = order[first_idx]
     for comp in range(1, n + 1):
-        ys, xs = np.nonzero(labels == comp)
-        sy, sx = int(ys.min()), int(xs[ys == ys.min()].min())
+        sy, sx = divmod(int(starts[comp - 1]), w)
 
         def fg(y, x):
             return 0 <= y < h and 0 <= x < w and labels[y, x] == comp

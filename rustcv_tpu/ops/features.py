@@ -107,9 +107,8 @@ def corner_sub_pix(
     iteration (the LK trick); all points refine in one vmapped program.
 
     ``pts``: [K, 2] float32 (x, y) → refined [K, 2] float32 (points whose
-    window leaves the image are returned unrefined)."""
-    import numpy as np  # noqa: PLC0415 — local alias to build constants
-
+    window leaves the image are returned unrefined). Oracle:
+    :func:`corner_sub_pix_numpy` (float64; device agrees to ~1e-3)."""
     h, w = gray_u8.shape
     half = win // 2
     a = gray_u8.astype(jnp.float32)
@@ -158,3 +157,59 @@ def corner_sub_pix(
         return jnp.where(ok & (moved <= win), refined, pt)
 
     return jax.vmap(one)(pts)
+
+
+def corner_sub_pix_numpy(
+    gray: "np.ndarray", pts: "np.ndarray", win: int = 11, iters: int = 10
+):
+    """Float64 oracle for :func:`corner_sub_pix` (same algorithm: origin-
+    clamped patches, gaussian window, gauss-newton updates)."""
+    import numpy as np
+
+    h, w = gray.shape
+    half = win // 2
+    a = gray.astype(np.float64)
+    off = np.arange(-half, half + 1, dtype=np.float64)
+    oy, ox = np.meshgrid(off, off, indexing="ij")
+    wgt = np.exp(-2.0 * (ox * ox + oy * oy) / float(max(half, 1) ** 2))
+
+    def patch(ty, tx, size):
+        y0 = int(np.floor(ty))
+        x0 = int(np.floor(tx))
+        fy = ty - y0
+        fx = tx - x0
+        y0 = min(max(y0, 0), h - (size + 1))
+        x0 = min(max(x0, 0), w - (size + 1))
+        p = a[y0 : y0 + size + 1, x0 : x0 + size + 1]
+        top = p[:size, :size] * (1 - fx) + p[:size, 1:] * fx
+        bot = p[1:, :size] * (1 - fx) + p[1:, 1:] * fx
+        return top * (1 - fy) + bot * fy
+
+    out = np.array(pts, np.float64).reshape(-1, 2).copy()
+    for k in range(len(out)):
+        px, py = out[k]
+        ok = (
+            px - half - 1 >= 0 and px + half + 1 <= w - 1
+            and py - half - 1 >= 0 and py + half + 1 <= h - 1
+        )
+        if not ok:
+            continue
+        q = out[k].copy()
+        for _ in range(iters):
+            big = patch(q[1] - half - 1.0, q[0] - half - 1.0, win + 2)
+            gx = (big[1:-1, 2:] - big[1:-1, :-2]) * 0.5
+            gy = (big[2:, 1:-1] - big[:-2, 1:-1]) * 0.5
+            axx = (wgt * gx * gx).sum()
+            axy = (wgt * gx * gy).sum()
+            ayy = (wgt * gy * gy).sum()
+            bx = (wgt * gx * (gx * ox + gy * oy)).sum()
+            by = (wgt * gy * (gx * ox + gy * oy)).sum()
+            det = axx * ayy - axy * axy
+            if abs(det) <= 1e-6:
+                break
+            q = q + np.array(
+                [(ayy * bx - axy * by) / det, (-axy * bx + axx * by) / det]
+            )
+        if np.abs(q - out[k]).max() <= win:
+            out[k] = q
+    return out.astype(np.float32)

@@ -273,7 +273,11 @@ def adaptive_threshold_u8(
     c: int = 2,
     inv: bool = False,
 ) -> jax.Array:
-    """Adaptive threshold — exact vs golden.adaptive_threshold."""
+    """Adaptive threshold — exact vs golden.adaptive_threshold. GRAY
+    (…, H, W) input only: a trailing channel axis would silently box-mean
+    across channels (the -1 axis)."""
+    if gray.ndim >= 3 and gray.shape[-1] in (1, 3, 4):
+        raise ValueError("adaptive_threshold_u8: gray (H, W) input required")
     a = gray.astype(jnp.int32)
     if method == "mean":
         r = block // 2
@@ -301,6 +305,8 @@ def bilateral5_u8(gray: jax.Array, sigma: int = 25) -> jax.Array:
     f32-reciprocal exact floor divide (numerator ≤ 14.7M < 2^24)."""
     from .color import _div_floor_exact
 
+    if gray.ndim >= 3 and gray.shape[-1] in (1, 3, 4):
+        raise ValueError("bilateral5_u8: gray (H, W) input required")
     a = gray.astype(jnp.int32)
     h, w = a.shape[-2], a.shape[-1]
     p = jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(2, 2), (2, 2)], mode="edge")

@@ -106,3 +106,18 @@ class TestCornerSubPix:
             ref = imgproc.corner_sub_pix(Mat.from_array(gray), pts, win=7)
             assert ref.shape == pts.shape
             assert np.abs(ref - pts).max() <= 7.0
+
+    def test_device_matches_oracle(self, jax_cpu, rng):
+        from rustcv_tpu.ops import features
+
+        gray = golden.bgr_to_gray(sim.synth_bgr(120, 90, 5))
+        gray = np.clip(
+            gray.astype(np.int32) + rng.integers(0, 25, gray.shape), 0, 255
+        ).astype(np.uint8)
+        pts = np.array(
+            [[30.0, 30.0], [60.0, 45.0], [90.0, 60.0], [3.0, 3.0]], np.float32
+        )
+        dev = np.asarray(features.corner_sub_pix(gray, pts, win=9))
+        ora = features.corner_sub_pix_numpy(gray, pts, win=9)
+        assert np.abs(dev - ora).max() < 5e-2  # f32 vs f64 iteration drift
+        np.testing.assert_array_equal(dev[3], pts[3])  # out-of-window
