@@ -35,6 +35,12 @@ GOLDEN_HASHES = {
     "resize_nearest": "b9e99ffc81081283",
     "resize_area": "f2000f06b1182189",  # 4×4 box (2×2 ≡ bilinear exactly)
     "hsv": "ac8fd9552515f909",
+    "clahe": "90c50b9788c56603",
+    "bilateral": "f399e308439818ce",
+    "adaptive": "a4f3f364fa9ad4b2",
+    "line_mask": "340072616ca353d3",
+    "circle_mask": "0e55d581dae9145a",
+    "pyr_down": "547dddceb3c29b48",
     "rect": "56b8ed603693fdf8",
     "demosaic": "bb79f11a3e96c6fa",
 }
@@ -66,6 +72,15 @@ def test_decode_and_ops_frozen():
     assert _h(golden.resize_nearest(dec, 32, 24)) == GOLDEN_HASHES["resize_nearest"]
     assert _h(golden.resize_area(dec, 16, 12)) == GOLDEN_HASHES["resize_area"]
     assert _h(golden.bgr_to_hsv(dec)) == GOLDEN_HASHES["hsv"]
+    from rustcv_tpu.ops import hist as _hist
+
+    gray = golden.bgr_to_gray(dec)
+    assert _h(_hist.clahe_numpy(gray, 40, (4, 4))) == GOLDEN_HASHES["clahe"]
+    assert _h(golden.bilateral5_u8(gray, 25)) == GOLDEN_HASHES["bilateral"]
+    assert _h(golden.adaptive_threshold(gray)) == GOLDEN_HASHES["adaptive"]
+    assert _h(golden.line_mask(H, W, (5, 5), (58, 40), 3)) == GOLDEN_HASHES["line_mask"]
+    assert _h(golden.circle_mask(H, W, (32, 24), 15, 2)) == GOLDEN_HASHES["circle_mask"]
+    assert _h(golden.pyr_down(dec)) == GOLDEN_HASHES["pyr_down"]
     ov = dec.copy()
     golden.rectangle(ov.reshape(H, -1), H, W, W * 3, (5, 5, 30, 20), (9, 99, 199), 2)
     assert _h(ov) == GOLDEN_HASHES["rect"]
