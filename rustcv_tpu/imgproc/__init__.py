@@ -511,6 +511,17 @@ def estimate_affine_2d(src_pts, dst_pts, **kw):
     return _e(src_pts, dst_pts, **kw)
 
 
+def distance_transform(mat: Mat) -> "np.ndarray":
+    """Exact L1 (city-block) distance of each nonzero pixel to the nearest
+    zero (OpenCV ``distanceTransform`` DIST_L1): int32 (H, W). Four
+    tropical min-plus scans on device — no fixed-point iteration
+    (ops/ccl.distance_transform_l1)."""
+    from ..ops import ccl as _ccl
+
+    g = _gray_of_mat(mat, allow_bgr=False)
+    return _ccl.distance_transform_l1(g)
+
+
 def flood_fill(mat: Mat, seed, new_val: int, lo_diff: int = 0, up_diff: int = 0):
     """OpenCV ``floodFill`` (fixed-range): returns (filled Mat, count,
     mask). See ops/ccl.flood_fill."""
@@ -866,7 +877,7 @@ __all__ = [
     "box_blur", "calc_hist", "canny",
     "calc_optical_flow_pyr_lk", "circle", "clahe", "compute_brief",
     "connected_components", "connected_components_with_stats",
-    "corner_sub_pix", "cvt_gray",
+    "corner_sub_pix", "cvt_gray", "distance_transform",
     "cvt_hsv", "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
     "find_contours", "flip", "flood_fill", "gaussian_blur",

@@ -169,3 +169,28 @@ class TestHuMoments:
         hm = imgproc.hu_moments(Mat.from_array(m))
         assert hm.shape == (7,)
         assert imgproc.match_shapes(Mat.from_array(m), Mat.from_array(m)) == 0.0
+
+
+class TestDistanceTransform:
+    @pytest.mark.parametrize("density", [0.3, 0.7, 0.95])
+    def test_matches_bfs_oracle(self, rng, jax_cpu, density):
+        mask = (rng.random((40, 56)) < density).astype(np.uint8)
+        got = ccl.distance_transform_l1(mask)
+        want = ccl.distance_transform_l1_numpy(mask)
+        np.testing.assert_array_equal(got, want)
+
+    def test_single_source_is_manhattan(self, jax_cpu):
+        m = np.ones((20, 30), np.uint8)
+        m[7, 13] = 0
+        d = ccl.distance_transform_l1(m)
+        ys, xs = np.mgrid[0:20, 0:30]
+        np.testing.assert_array_equal(d, np.abs(ys - 7) + np.abs(xs - 13))
+
+    def test_facade(self, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        m = np.ones((16, 16), np.uint8)
+        m[8, 8] = 0
+        d = imgproc.distance_transform(Mat.from_array(m))
+        assert d[8, 8] == 0 and d[0, 0] == 16
