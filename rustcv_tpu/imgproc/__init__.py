@@ -714,6 +714,27 @@ def lut(mat: Mat, table) -> Mat:
     )
 
 
+def calc_hue_hist(mat_hsv: Mat, mask=None):
+    """Normalized 180-bin hue histogram of an HSV Mat (the model for
+    :func:`back_project`)."""
+    import numpy as np
+
+    from ..ops import hist as _hist
+
+    a = np.asarray(mat_hsv.device()) if mat_hsv.is_on_device else mat_hsv.to_numpy()
+    return _hist.calc_hue_hist(a, mask)
+
+
+def back_project(mat_hsv: Mat, hue_hist) -> Mat:
+    """Histogram backprojection (OpenCV ``calcBackProject``, hue channel):
+    per-pixel likelihood u8 — the CamShift/mean-shift weight image; pair
+    with :func:`moments` for the tracking window update."""
+    from ..ops import hist as _hist
+
+    a = mat_hsv.device() if mat_hsv.is_on_device else mat_hsv.to_numpy()
+    return Mat.from_array(_hist.back_project_hue(a, hue_hist))
+
+
 def clahe(mat: Mat, clip_limit: int = 40, grid=(8, 8)) -> Mat:
     """Contrast-limited adaptive histogram equalization (OpenCV
     ``createCLAHE`` role) on a u8 gray Mat — exact-integer frozen spec,
@@ -873,8 +894,8 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 
 
 __all__ = [
-    "Point", "Rect", "Scalar", "adaptive_threshold", "bilateral_filter",
-    "box_blur", "calc_hist", "canny",
+    "Point", "Rect", "Scalar", "adaptive_threshold", "back_project",
+    "bilateral_filter", "box_blur", "calc_hist", "calc_hue_hist", "canny",
     "calc_optical_flow_pyr_lk", "circle", "clahe", "compute_brief",
     "connected_components", "connected_components_with_stats",
     "corner_sub_pix", "cvt_gray", "distance_transform",

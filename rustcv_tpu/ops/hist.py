@@ -274,3 +274,34 @@ def clahe(
     )
     out = out[th // 2 : th // 2 + gy * th, tw // 2 : tw // 2 + gx * tw]
     return jnp.clip(out, 0, 255).astype(jnp.uint8)[:h, :w]
+
+
+def calc_hue_hist(hsv: np.ndarray, mask: np.ndarray = None) -> np.ndarray:
+    """Normalized 180-bin hue histogram of an HSV image (host; optionally
+    restricted to ``mask`` != 0) — the model half of
+    :func:`back_project_hue`."""
+    hue = np.asarray(hsv)[..., 0].reshape(-1)
+    if mask is not None:
+        hue = hue[np.asarray(mask).reshape(-1) != 0]
+    h = np.bincount(hue, minlength=256)[:180].astype(np.float64)
+    s = h.sum()
+    return h / s if s > 0 else h
+
+
+@jax.jit
+def _backproject_device(hue: jax.Array, lut: jax.Array) -> jax.Array:
+    return apply_lut(hue, lut)
+
+
+def back_project_hue(hsv, hue_hist: np.ndarray) -> np.ndarray:
+    """Histogram backprojection (OpenCV ``calcBackProject`` for the hue
+    channel): per-pixel likelihood u8 = 255·hist[hue]/max(hist) — the
+    CamShift/mean-shift tracking weight image. The 256-entry LUT applies
+    with the gather-free nibble matmul."""
+    h = np.asarray(hue_hist, np.float64).reshape(-1)[:180]
+    peak = h.max()
+    lut = np.zeros(256, np.uint8)
+    if peak > 0:
+        lut[:180] = np.clip(np.round(255.0 * h / peak), 0, 255).astype(np.uint8)
+    hue = jnp.asarray(hsv)[..., 0] if hasattr(hsv, "ndim") and np.asarray(hsv).ndim == 3 else jnp.asarray(hsv)
+    return np.asarray(_backproject_device(hue, jnp.asarray(lut)))

@@ -670,3 +670,34 @@ class TestDrawLineCircle:
             )
         np.testing.assert_array_equal(mh.to_numpy(), md.to_numpy())
         assert (mh.to_numpy() != 0).any()
+
+
+class TestBackProjection:
+    def test_separates_object_from_background(self, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+        from rustcv_tpu.ops import hist as _hist
+
+        img = np.zeros((60, 80, 3), np.uint8)
+        img[:, :] = (0, 200, 0)          # green background
+        img[20:40, 30:60] = (0, 0, 220)  # red object
+        hsv = imgproc.cvt_hsv(Mat.from_array(img))
+        model = imgproc.calc_hue_hist(
+            Mat.from_array(hsv.to_numpy()[20:40, 30:60])
+        )
+        bp = imgproc.back_project(hsv, model).to_numpy().squeeze()
+        assert bp[20:40, 30:60].mean() > 250
+        assert bp[:15].mean() < 5
+        # mean-shift style: the weight image's centroid is the object
+        from rustcv_tpu.ops import golden
+
+        mm = golden.moments(bp)
+        cx, cy = mm["centroid"]
+        assert abs(cx - 44.5) < 1.0 and abs(cy - 29.5) < 1.0
+
+    def test_empty_model(self, jax_cpu):
+        from rustcv_tpu.ops import hist as _hist
+
+        hsv = np.zeros((10, 10, 3), np.uint8)
+        bp = _hist.back_project_hue(hsv, np.zeros(180))
+        assert (bp == 0).all()
