@@ -735,6 +735,28 @@ def back_project(mat_hsv: Mat, hue_hist) -> Mat:
     return Mat.from_array(_hist.back_project_hue(a, hue_hist))
 
 
+def mean_shift(prob_mat: Mat, window, max_iter: int = 20):
+    """OpenCV ``meanShift`` over a weight image (e.g. :func:`back_project`
+    output): (iterations, (x, y, w, h))."""
+    from ..ops import hist as _hist
+
+    g = _gray_of_mat(prob_mat, allow_bgr=False)
+    import numpy as np
+
+    return _hist.mean_shift(np.asarray(g), tuple(window), max_iter=max_iter)
+
+
+def cam_shift(prob_mat: Mat, window, max_iter: int = 20):
+    """OpenCV ``CamShift`` (simplified, axis-aligned): ((cx, cy, w, h),
+    next window) — meanShift + moment-driven window resize."""
+    from ..ops import hist as _hist
+
+    g = _gray_of_mat(prob_mat, allow_bgr=False)
+    import numpy as np
+
+    return _hist.cam_shift(np.asarray(g), tuple(window), max_iter=max_iter)
+
+
 def clahe(mat: Mat, clip_limit: int = 40, grid=(8, 8)) -> Mat:
     """Contrast-limited adaptive histogram equalization (OpenCV
     ``createCLAHE`` role) on a u8 gray Mat — exact-integer frozen spec,
@@ -904,8 +926,9 @@ __all__ = [
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "get_perspective_transform",
     "warp_perspective",
-    "good_features_to_track", "hough_lines", "hu_moments", "line", "lut",
-    "match_descriptors", "match_shapes", "polylines",
+    "cam_shift", "good_features_to_track", "hough_lines", "hu_moments",
+    "line", "lut", "match_descriptors", "match_shapes", "mean_shift",
+    "polylines",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
     "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",
     "rectangle", "remap", "resize", "rotate", "sobel_magnitude", "threshold",

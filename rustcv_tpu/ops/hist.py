@@ -305,3 +305,63 @@ def back_project_hue(hsv, hue_hist: np.ndarray) -> np.ndarray:
         lut[:180] = np.clip(np.round(255.0 * h / peak), 0, 255).astype(np.uint8)
     hue = jnp.asarray(hsv)[..., 0] if hasattr(hsv, "ndim") and np.asarray(hsv).ndim == 3 else jnp.asarray(hsv)
     return np.asarray(_backproject_device(hue, jnp.asarray(lut)))
+
+
+def mean_shift(prob: np.ndarray, window: tuple, max_iter: int = 20,
+               eps: float = 0.0):
+    """OpenCV ``meanShift``: iterate the search window to the centroid of
+    the weight image (e.g. :func:`back_project_hue` output) until the
+    shift is below ``eps`` or ``max_iter``. ``window`` = (x, y, w, h);
+    returns (iterations_used, final_window)."""
+    p = np.asarray(prob, np.float64)
+    hh, ww = p.shape[:2]
+    x, y, w, h = (int(v) for v in window)
+    w = max(1, min(w, ww))
+    h = max(1, min(h, hh))
+    it = 0
+    for it in range(1, max_iter + 1):
+        x = min(max(x, 0), ww - w)
+        y = min(max(y, 0), hh - h)
+        roi = p[y : y + h, x : x + w]
+        m00 = roi.sum()
+        if m00 <= 0:
+            break
+        xs = np.arange(w)
+        ys = np.arange(h)
+        cx = (roi.sum(axis=0) * xs).sum() / m00
+        cy = (roi.sum(axis=1) * ys).sum() / m00
+        # window center INDEX is x + (w-1)/2; move it onto the centroid
+        nx = int(round(x + cx - (w - 1) / 2.0))
+        ny = int(round(y + cy - (h - 1) / 2.0))
+        nx = min(max(nx, 0), ww - w)
+        ny = min(max(ny, 0), hh - h)
+        if abs(nx - x) <= eps and abs(ny - y) <= eps:
+            x, y = nx, ny
+            break
+        x, y = nx, ny
+    return it, (x, y, w, h)
+
+
+def cam_shift(prob: np.ndarray, window: tuple, max_iter: int = 10):
+    """OpenCV ``CamShift`` (simplified): meanShift convergence, then the
+    window resizes from the zeroth moment (s = 2·√(m00/255), CamShift's
+    classic rule) and recenters. Returns ((cx, cy, w, h), window)."""
+    it, (x, y, w, h) = mean_shift(prob, window, max_iter=max_iter)
+    p = np.asarray(prob, np.float64)
+    roi = p[y : y + h, x : x + w]
+    m00 = roi.sum()
+    if m00 > 0:
+        s = int(round(2.0 * np.sqrt(m00 / 255.0)))
+        nw = max(4, s)
+        nh = max(4, int(round(s * h / max(w, 1))))
+        cx = x + w / 2.0
+        cy = y + h / 2.0
+        x = int(round(cx - nw / 2.0))
+        y = int(round(cy - nh / 2.0))
+        w, h = nw, nh
+        hh, ww = p.shape[:2]
+        w = min(w, ww)
+        h = min(h, hh)
+        x = min(max(x, 0), ww - w)
+        y = min(max(y, 0), hh - h)
+    return (x + w / 2.0, y + h / 2.0, w, h), (x, y, w, h)

@@ -701,3 +701,40 @@ class TestBackProjection:
         hsv = np.zeros((10, 10, 3), np.uint8)
         bp = _hist.back_project_hue(hsv, np.zeros(180))
         assert (bp == 0).all()
+
+
+class TestMeanShift:
+    def test_converges_to_blob(self, jax_cpu):
+        from rustcv_tpu.ops import hist as _hist
+
+        prob = np.zeros((60, 80), np.uint8)
+        prob[20:40, 30:60] = 255
+        it, (x, y, w, h) = _hist.mean_shift(prob, (5, 5, 28, 18))
+        cx, cy = x + (w - 1) / 2, y + (h - 1) / 2
+        assert abs(cx - 44.5) < 1.5 and abs(cy - 29.5) < 1.5
+        # empty weight image: window unchanged
+        it2, win2 = _hist.mean_shift(np.zeros((30, 30), np.uint8), (3, 4, 8, 8))
+        assert win2 == (3, 4, 8, 8)
+
+    def test_cam_shift_resizes(self, jax_cpu):
+        from rustcv_tpu.ops import hist as _hist
+
+        prob = np.zeros((60, 80), np.uint8)
+        prob[20:40, 30:60] = 255
+        (cx, cy, w, h), _ = _hist.cam_shift(prob, (5, 5, 28, 18))
+        assert abs(cx - 45) < 3 and abs(cy - 30) < 3
+        assert w > 28  # grew toward the blob's mass
+
+    def test_full_color_tracking_flow(self, jax_cpu):
+        """hsv → backproject → camshift finds and sizes a colored blob."""
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        img = np.zeros((60, 80, 3), np.uint8)
+        img[:, :] = (0, 200, 0)
+        img[20:40, 30:60] = (0, 0, 220)
+        hsv = imgproc.cvt_hsv(Mat.from_array(img))
+        model = imgproc.calc_hue_hist(Mat.from_array(hsv.to_numpy()[20:40, 30:60]))
+        bp = imgproc.back_project(hsv, model)
+        (cx, cy, w, h), _ = imgproc.cam_shift(bp, (2, 2, 20, 14))
+        assert abs(cx - 44.5) < 4 and abs(cy - 29.5) < 4
