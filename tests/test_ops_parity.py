@@ -736,5 +736,7 @@ class TestMeanShift:
         hsv = imgproc.cvt_hsv(Mat.from_array(img))
         model = imgproc.calc_hue_hist(Mat.from_array(hsv.to_numpy()[20:40, 30:60]))
         bp = imgproc.back_project(hsv, model)
-        (cx, cy, w, h), _ = imgproc.cam_shift(bp, (2, 2, 20, 14))
+        # the start window must OVERLAP the target (meanShift semantics,
+        # as in OpenCV) — (5, 5, 28, 18) clips the blob's corner
+        (cx, cy, w, h), _ = imgproc.cam_shift(bp, (5, 5, 28, 18))
         assert abs(cx - 44.5) < 4 and abs(cy - 29.5) < 4
