@@ -324,3 +324,25 @@ def bilateral5_u8(gray: jax.Array, sigma: int = 25) -> jax.Array:
         den = den + wt
     out = _div_floor_exact(num + den // 2, den)
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
+def laplacian3(gray: jax.Array) -> jax.Array:
+    """3×3 Laplacian → int32, exact vs golden.laplacian3."""
+    a = gray.astype(jnp.int32)
+    up = _taps(a, -2, (1, 0, 0), 1)
+    dn = _taps(a, -2, (0, 0, 1), 1)
+    lf = _taps(a, -1, (1, 0, 0), 1)
+    rt = _taps(a, -1, (0, 0, 1), 1)
+    return up + dn + lf + rt - 4 * a
+
+
+@jax.jit
+def scharr3_gray(gray: jax.Array):
+    """Scharr gx/gy on u8 gray (..., H, W) → int32 pair, exact vs golden."""
+    a = gray.astype(jnp.int32)
+    smooth_v = _taps(a, -2, (3, 10, 3), 1)
+    gx = _taps(smooth_v, -1, (-1, 0, 1), 1)
+    smooth_h = _taps(a, -1, (3, 10, 3), 1)
+    gy = _taps(smooth_h, -2, (-1, 0, 1), 1)
+    return gx, gy

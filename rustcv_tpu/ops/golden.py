@@ -837,3 +837,31 @@ def harris_corners(
                 continue
             local_max &= resp >= p[dy : dy + h, dx : dx + w]
     return (resp > thresh) & local_max
+
+
+def laplacian3(gray: np.ndarray) -> np.ndarray:
+    """3×3 Laplacian ([[0,1,0],[1,−4,1],[0,1,0]]), replicate border →
+    int32 (frozen spec; OpenCV CV_16S-style signed output)."""
+    a = gray.astype(np.int64)
+    p = _replicate_pad(a, 1, 1)
+    h, w = gray.shape[:2]
+    return (
+        p[0:h, 1 : w + 1] + p[2 : h + 2, 1 : w + 1]
+        + p[1 : h + 1, 0:w] + p[1 : h + 1, 2 : w + 2]
+        - 4 * a
+    ).astype(np.int32)
+
+
+def scharr3_gray(gray: np.ndarray):
+    """Scharr 3×3 gx/gy (separable [3,10,3]⊗[−1,0,1]), replicate border →
+    int32 pair (range ±4080)."""
+    a = gray.astype(np.int64)
+    p = _replicate_pad(a, 1, 1)
+    h, w = gray.shape[:2]
+    sm_v = 3 * p[0:h, 1 : w + 1] + 10 * a + 3 * p[2 : h + 2, 1 : w + 1]
+    pv = _replicate_pad(sm_v, 0, 1)
+    gx = (pv[:, 2 : w + 2] - pv[:, 0:w]).astype(np.int32)
+    sm_h = 3 * p[1 : h + 1, 0:w] + 10 * a + 3 * p[1 : h + 1, 2 : w + 2]
+    ph = _replicate_pad(sm_h, 1, 0)
+    gy = (ph[2 : h + 2, :] - ph[0:h, :]).astype(np.int32)
+    return gx, gy

@@ -740,3 +740,24 @@ class TestMeanShift:
         # as in OpenCV) — (5, 5, 28, 18) clips the blob's corner
         (cx, cy, w, h), _ = imgproc.cam_shift(bp, (5, 5, 28, 18))
         assert abs(cx - 44.5) < 4 and abs(cy - 29.5) < 4
+
+
+class TestLaplacianScharr:
+    def test_laplacian_exact(self, rng, jax_cpu):
+        g = _rand_u8(rng, 37, 53, 3)[..., 0]
+        np.testing.assert_array_equal(
+            np.asarray(filters.laplacian3(g)), golden.laplacian3(g)
+        )
+
+    def test_scharr_exact(self, rng, jax_cpu):
+        g = _rand_u8(rng, 40, 56, 3)[..., 0]
+        wx, wy = golden.scharr3_gray(g)
+        dx, dy = filters.scharr3_gray(g)
+        np.testing.assert_array_equal(np.asarray(dx), wx)
+        np.testing.assert_array_equal(np.asarray(dy), wy)
+        # a vertical step edge: gx strong, gy zero (interior rows)
+        step = np.zeros((20, 20), np.uint8)
+        step[:, 10:] = 200
+        gx, gy = golden.scharr3_gray(step)
+        assert np.abs(gx[5:15, 9:11]).max() == 3200  # 16*200
+        assert np.abs(gy[5:15]).max() == 0
