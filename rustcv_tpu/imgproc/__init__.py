@@ -735,6 +735,19 @@ def back_project(mat_hsv: Mat, hue_hist) -> Mat:
     return Mat.from_array(_hist.back_project_hue(a, hue_hist))
 
 
+def kmeans_quantize(mat: Mat, k: int = 8, iters: int = 10):
+    """Color quantization via k-means (OpenCV ``kmeans`` role): (quantized
+    Mat with ≤ k colors, palette [k, 3] u8). Assignment and update are
+    both MXU matmuls (ops/kmeans.py)."""
+    import numpy as np
+
+    from ..ops import kmeans as _km
+
+    a = np.asarray(mat.device()) if mat.is_on_device else mat.to_numpy()
+    out, pal = _km.kmeans_quantize(a, k=k, iters=iters)
+    return Mat.from_array(out), pal
+
+
 def mean_shift(prob_mat: Mat, window, max_iter: int = 20):
     """OpenCV ``meanShift`` over a weight image (e.g. :func:`back_project`
     output): (iterations, (x, y, w, h))."""
@@ -927,6 +940,7 @@ __all__ = [
     "get_perspective_transform",
     "warp_perspective",
     "cam_shift", "good_features_to_track", "hough_lines", "hu_moments",
+    "kmeans_quantize",
     "line", "lut", "match_descriptors", "match_shapes", "mean_shift",
     "polylines",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",

@@ -29,6 +29,7 @@ from . import (  # noqa: F401
     hough,
     jpeg_encode,
     jpeg_tpu,
+    kmeans,
     optflow,
     resize,
     synth,
