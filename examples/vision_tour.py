@@ -1,0 +1,115 @@
+"""Vision tour — every imgproc op, once, on one synthetic scene.
+
+A living inventory of the OpenCV-style surface: filtering, color,
+histograms, geometry, segmentation, features, tracking, codecs. Prints a
+one-line confirmation per stage; any regression in any facade fails here
+first.
+"""
+
+import numpy as np
+
+from rustcv_tpu import imgproc
+from rustcv_tpu.capture import simulation as sim
+from rustcv_tpu.core.mat import Mat
+from rustcv_tpu.imgproc import Point, Rect, Scalar
+from rustcv_tpu.ops import golden
+
+
+def main(width: int = 160, height: int = 120) -> int:
+    rng = np.random.default_rng(3)
+    bgr = sim.synth_bgr(width, height, 5)
+    bgr = np.clip(
+        bgr.astype(np.int32) + rng.integers(0, 18, bgr.shape), 0, 255
+    ).astype(np.uint8)
+    mat = Mat.from_array(bgr)
+    gray = Mat.from_array(golden.bgr_to_gray(bgr))
+    steps = 0
+
+    def ok(name, value=""):
+        nonlocal steps
+        steps += 1
+        print(f"  [{steps:02d}] {name} {value}")
+
+    # --- filtering -------------------------------------------------------
+    imgproc.gaussian_blur(mat); ok("gaussian_blur")
+    imgproc.box_blur(mat); ok("box_blur")
+    imgproc.median_blur(gray); ok("median_blur")
+    imgproc.bilateral_filter(gray); ok("bilateral_filter")
+    imgproc.sobel_magnitude(mat); ok("sobel_magnitude")
+    edges = imgproc.canny(mat); ok("canny")
+    imgproc.threshold(gray, 128, 255); ok("threshold")
+    imgproc.adaptive_threshold(gray); ok("adaptive_threshold")
+    imgproc.erode(gray); imgproc.dilate(gray); ok("erode/dilate")
+    imgproc.equalize_hist(gray); ok("equalize_hist")
+    imgproc.clahe(gray); ok("clahe")
+    imgproc.lut(gray, np.arange(255, -1, -1, dtype=np.uint8)); ok("lut")
+
+    # --- color / histograms ---------------------------------------------
+    hsv = imgproc.cvt_hsv(mat); ok("cvt_hsv")
+    mask = imgproc.in_range(hsv, (0, 40, 40), (90, 255, 255)); ok("in_range")
+    h = imgproc.calc_hist(gray); ok("calc_hist", f"({int(h.sum())} px)")
+    model = imgproc.calc_hue_hist(hsv)
+    bp = imgproc.back_project(hsv, model); ok("back_project")
+
+    # --- geometry --------------------------------------------------------
+    imgproc.resize(mat, width // 2, height // 2, interpolation="area"); ok("resize(area)")
+    imgproc.pyr_down(mat); ok("pyr_down")
+    imgproc.rotate(mat, 30.0); ok("rotate/warp_affine")
+    H = imgproc.get_perspective_transform(
+        [(0, 0), (width - 1, 0), (width - 1, height - 1), (0, height - 1)],
+        [(5, 3), (width - 6, 0), (width - 1, height - 1), (0, height - 4)],
+    )
+    imgproc.warp_perspective(mat, H, (width, height)); ok("warp_perspective")
+    iy, ix = np.meshgrid(
+        np.arange(height, dtype=np.float32), np.arange(width, dtype=np.float32),
+        indexing="ij",
+    )
+    imgproc.remap(mat, ix + 2 * np.sin(iy / 9), iy); ok("remap")
+
+    # --- segmentation ----------------------------------------------------
+    n, labels = imgproc.connected_components(mask); ok("connected_components", f"({n})")
+    imgproc.connected_components_with_stats(mask); ok("with_stats")
+    contours = imgproc.find_contours(mask); ok("find_contours", f"({len(contours)})")
+    imgproc.distance_transform(mask); ok("distance_transform")
+    imgproc.flood_fill(gray, (5, 5), 99); ok("flood_fill")
+    m = imgproc.moments(mask); ok("moments", f"(m00={m['m00']})")
+    imgproc.hu_moments(mask); ok("hu_moments")
+    lines = imgproc.hough_lines(edges, threshold=30); ok("hough_lines", f"({len(lines)})")
+
+    # --- features / matching / tracking ---------------------------------
+    pts = imgproc.good_features_to_track(mat, max_corners=32); ok("good_features", f"({len(pts)})")
+    fpts = imgproc.fast_corners(mat, threshold=12); ok("fast_corners", f"({len(fpts)})")
+    if len(pts) >= 2:
+        imgproc.corner_sub_pix(gray, pts[:8]); ok("corner_sub_pix")
+        d, v = imgproc.compute_brief(mat, pts); ok("compute_brief")
+        matches = imgproc.match_descriptors(d, d, v, v); ok("match_descriptors", f"({len(matches)})")
+        nxt = Mat.from_array(np.roll(bgr, 3, axis=1))
+        tracked, st = imgproc.calc_optical_flow_pyr_lk(mat, nxt, pts[:16], win=15, levels=1)
+        ok("calc_optical_flow_pyr_lk", f"({int(st.sum())} tracked)")
+        if len(matches) >= 2:
+            mm, inl = imgproc.estimate_affine_partial_2d(
+                pts[matches[:, 0]], pts[matches[:, 1]]
+            )
+            ok("estimate_affine_partial_2d")
+    resp = imgproc.match_template(gray, Mat.from_array(golden.bgr_to_gray(bgr)[20:44, 30:62]))
+    ok("match_template", f"peak {imgproc.min_max_loc(resp)[3]}")
+    it, win = imgproc.mean_shift(bp, (10, 10, 40, 30)); ok("mean_shift")
+    imgproc.cam_shift(bp, (10, 10, 40, 30)); ok("cam_shift")
+    imgproc.kmeans_quantize(mat, k=4); ok("kmeans_quantize")
+    imgproc.match_shapes(mask, mask); ok("match_shapes")
+
+    # --- drawing ---------------------------------------------------------
+    canvas = Mat.from_array(bgr.copy())
+    imgproc.rectangle(canvas, Rect(10, 10, 60, 40), Scalar(0, 255, 0), 2)
+    imgproc.line(canvas, Point(0, 0), Point(width - 1, height - 1), Scalar(255, 0, 0), 2)
+    imgproc.circle(canvas, Point(width // 2, height // 2), 20, Scalar(0, 0, 255), 2)
+    imgproc.polylines(canvas, [(5, 5), (30, 5), (30, 25)], Scalar(0, 255, 255), 1, closed=True)
+    imgproc.put_text(canvas, "tour", Point(8, height - 8), 1.0, Scalar(255, 255, 0))
+    ok("rectangle/line/circle/polylines/put_text")
+
+    print(f"vision tour: {steps} stages OK")
+    return steps
+
+
+if __name__ == "__main__":
+    main()

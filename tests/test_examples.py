@@ -178,6 +178,14 @@ def test_track_points_example(jax_cpu, capsys):
     assert "tracking locked on the true motion" in out
 
 
+def test_vision_tour_example(jax_cpu, capsys):
+    from examples.vision_tour import main
+
+    steps = main()
+    out = capsys.readouterr().out
+    assert steps >= 40 and f"vision tour: {steps} stages OK" in out
+
+
 def test_stabilize_example(jax_cpu, capsys):
     from examples.stabilize import main
 
