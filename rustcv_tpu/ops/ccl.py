@@ -271,8 +271,11 @@ def _minplus_scan(d: jax.Array, axis: int, reverse: bool) -> jax.Array:
 
 @jax.jit
 def _distance_l1_device(mask: jax.Array) -> jax.Array:
+    """Sources (distance 0) are the ZERO pixels of ``mask`` — the OpenCV
+    convention folded into the program (device inputs never round-trip
+    to the host)."""
     big = jnp.int32(1 << 20)
-    d = jnp.where(mask != 0, 0, big)
+    d = jnp.where(mask == 0, 0, big)
     d = jnp.minimum(_minplus_scan(d, -1, False), _minplus_scan(d, -1, True))
     d = jnp.minimum(_minplus_scan(d, -2, False), _minplus_scan(d, -2, True))
     return d
@@ -287,10 +290,7 @@ def distance_transform_l1(mask) -> np.ndarray:
     per-row 1-D L1 distance, then the vertical min-plus with the |Δy|
     kernel — exact because the kernel is 1-Lipschitz, so the up/down
     relaxations reach the true minimum. No iteration to a fixed point."""
-    # OpenCV convention: distance of NONZERO pixels to the nearest zero
-    # pixel — so the SOURCES (distance 0) are the mask's zeros.
-    sources = (np.asarray(mask) == 0).astype(np.uint8)
-    return np.asarray(_distance_l1_device(jnp.asarray(sources)))
+    return np.asarray(_distance_l1_device(jnp.asarray(mask)))
 
 
 def distance_transform_l1_numpy(mask: np.ndarray) -> np.ndarray:

@@ -295,16 +295,24 @@ def _backproject_device(hue: jax.Array, lut: jax.Array) -> jax.Array:
 
 def back_project_hue(hsv, hue_hist: np.ndarray) -> np.ndarray:
     """Histogram backprojection (OpenCV ``calcBackProject`` for the hue
-    channel): per-pixel likelihood u8 = 255·hist[hue]/max(hist) — the
-    CamShift/mean-shift tracking weight image. The 256-entry LUT applies
-    with the gather-free nibble matmul."""
-    h = np.asarray(hue_hist, np.float64).reshape(-1)[:180]
-    peak = h.max()
+    channel): per-pixel likelihood u8 = 255·hist[bin(hue)]/max(hist) — the
+    CamShift/mean-shift tracking weight image. Models with fewer than 180
+    bins map via bin = hue·nbins // 180 (the common 16-bin usage). The
+    256-entry LUT applies with the gather-free nibble matmul; device
+    inputs stay on device (no ndim-probe fetch)."""
+    h = np.asarray(hue_hist, np.float64).reshape(-1)
+    nbins = min(len(h), 180)
+    h = h[:nbins]
+    peak = h.max() if nbins else 0.0
     lut = np.zeros(256, np.uint8)
     if peak > 0:
-        lut[:180] = np.clip(np.round(255.0 * h / peak), 0, 255).astype(np.uint8)
-    hue = jnp.asarray(hsv)[..., 0] if hasattr(hsv, "ndim") and np.asarray(hsv).ndim == 3 else jnp.asarray(hsv)
-    return np.asarray(_backproject_device(hue, jnp.asarray(lut)))
+        bins = (np.arange(180) * nbins) // 180
+        lut[:180] = np.clip(np.round(255.0 * h[bins] / peak), 0, 255).astype(
+            np.uint8
+        )
+    a = hsv if hasattr(hsv, "ndim") else np.asarray(hsv)
+    hue = a[..., 0] if a.ndim == 3 else a  # slice BEFORE any upload
+    return np.asarray(_backproject_device(jnp.asarray(hue), jnp.asarray(lut)))
 
 
 def mean_shift(prob: np.ndarray, window: tuple, max_iter: int = 20,
@@ -318,6 +326,8 @@ def mean_shift(prob: np.ndarray, window: tuple, max_iter: int = 20,
     x, y, w, h = (int(v) for v in window)
     w = max(1, min(w, ww))
     h = max(1, min(h, hh))
+    x = min(max(x, 0), ww - w)  # clamp BEFORE the loop too (max_iter=0
+    y = min(max(y, 0), hh - h)  # must still return an in-bounds window)
     it = 0
     for it in range(1, max_iter + 1):
         x = min(max(x, 0), ww - w)

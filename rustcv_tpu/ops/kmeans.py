@@ -44,7 +44,8 @@ def kmeans_pp_init(data: np.ndarray, k: int, seed: int = 7,
 
 def kmeans(data, k: int, iters: int = 10, init_centers=None):
     """[N, D] float32 → (centers [k, D] f32, labels [N] int32, inertia
-    f32). Default init: seeded k-means++ (host)."""
+    f32). Default init: seeded k-means++ (host — pass host data or
+    ``init_centers`` to avoid a D2H fetch of device arrays)."""
     if init_centers is None:
         init_centers = kmeans_pp_init(np.asarray(data), k)
     return _kmeans_device(
@@ -86,8 +87,9 @@ def kmeans_quantize(bgr, k: int = 8, iters: int = 10) -> Tuple[np.ndarray, np.nd
     colors, palette [k, 3] u8)."""
     a = np.asarray(bgr)
     h, w = a.shape[:2]
-    flat = jnp.asarray(a.reshape(-1, 3), jnp.float32)
-    centers, labels, _ = kmeans(flat, k, iters)
+    host_flat = a.reshape(-1, 3).astype(np.float32)
+    init = kmeans_pp_init(host_flat, k)  # init from HOST bytes (no D2H)
+    centers, labels, _ = kmeans(jnp.asarray(host_flat), k, iters, init_centers=init)
     pal = np.clip(np.round(np.asarray(centers)), 0, 255).astype(np.uint8)
     out = pal[np.asarray(labels)].reshape(h, w, 3)
     return out, pal

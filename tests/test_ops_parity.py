@@ -761,3 +761,25 @@ class TestLaplacianScharr:
         gx, gy = golden.scharr3_gray(step)
         assert np.abs(gx[5:15, 9:11]).max() == 3200  # 16*200
         assert np.abs(gy[5:15]).max() == 0
+
+
+class TestReviewRegressions2:
+    def test_backproject_16bin_model(self, jax_cpu):
+        """16-bin hue models (the common OpenCV usage) map via
+        bin = hue*nbins//180 — must not crash (review finding)."""
+        from rustcv_tpu.ops import hist as _hist
+
+        hsv = np.zeros((10, 12, 3), np.uint8)
+        hsv[..., 0] = 5  # hue 5 → bin 0 of 16
+        model = np.zeros(16)
+        model[0] = 1.0
+        bp = _hist.back_project_hue(hsv, model)
+        assert (bp == 255).all()
+
+    def test_mean_shift_zero_iters_clamps(self, jax_cpu):
+        from rustcv_tpu.ops import hist as _hist
+
+        _, (x, y, w, h) = _hist.mean_shift(
+            np.ones((20, 20), np.uint8), (-5, 50, 8, 8), max_iter=0
+        )
+        assert 0 <= x <= 20 - w and 0 <= y <= 20 - h
