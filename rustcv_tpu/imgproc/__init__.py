@@ -945,6 +945,27 @@ __all__ = [
     "polylines",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
     "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",
-    "rectangle", "remap", "resize", "rotate", "sobel_magnitude", "threshold",
+    "rectangle", "remap", "resize", "rotate", "sobel_magnitude", "stereo_bm", "threshold",
     "warp_affine",
 ]
+
+
+def stereo_bm(left: Mat, right: Mat, num_disparities: int = 64,
+              block_size: int = 15, texture: int = 10, uniqueness: int = 10):
+    """Stereo block matching (OpenCV ``StereoBM`` role) over a rectified
+    gray pair: (disparity float32 (H, W), valid bool). The cost volume is
+    D shifted SADs box-filtered on device; sub-pixel parabola refinement
+    (ops/stereo.py)."""
+    import numpy as np
+
+    from ..ops import stereo as _stereo
+
+    gl = _gray_of_mat(left)
+    gr = _gray_of_mat(right)
+    disp, valid = _stereo.stereo_bm(
+        gl if left.is_on_device else np.asarray(gl),
+        gr if right.is_on_device else np.asarray(gr),
+        num_disparities=num_disparities, block_size=block_size,
+        texture=texture, uniqueness=uniqueness,
+    )
+    return np.asarray(disp), np.asarray(valid)

@@ -32,6 +32,7 @@ from . import (  # noqa: F401
     kmeans,
     optflow,
     resize,
+    stereo,
     synth,
     template,
     text,
