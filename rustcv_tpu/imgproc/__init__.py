@@ -931,6 +931,7 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 __all__ = [
     "Point", "Rect", "Scalar", "adaptive_threshold", "back_project",
     "bilateral_filter", "box_blur", "calc_hist", "calc_hue_hist", "canny",
+    "calc_optical_flow_farneback",
     "calc_optical_flow_pyr_lk", "circle", "clahe", "compute_brief",
     "connected_components", "connected_components_with_stats",
     "corner_sub_pix", "cvt_gray", "distance_transform",
@@ -969,3 +970,32 @@ def stereo_bm(left: Mat, right: Mat, num_disparities: int = 64,
         texture=texture, uniqueness=uniqueness,
     )
     return np.asarray(disp), np.asarray(valid)
+
+
+def calc_optical_flow_farneback(
+    prev: Mat, nxt: Mat, levels: int = 3, winsize: int = 13,
+    iterations: int = 3, poly_n: int = 5, poly_sigma: float = 1.1,
+):
+    """Dense optical flow via polynomial expansion (OpenCV
+    ``calcOpticalFlowFarneback`` role): float32 (H, W, 2) [fx, fy] with
+    prev(p) ~ next(p + flow(p)). All-device: six separable Gaussian-basis
+    correlations + per-pixel 2x2 solves; one shared gather samples the
+    displaced coefficient planes (ops/farneback.py)."""
+    import numpy as np
+
+    from ..ops import farneback as _fb
+
+    gp = _gray_of_mat(prev)
+    gn = _gray_of_mat(nxt)
+    if prev.is_on_device or nxt.is_on_device:
+        import jax.numpy as jnp
+
+        fl = _fb.farneback_flow(
+            jnp.asarray(gp), jnp.asarray(gn), levels=levels, winsize=winsize,
+            iterations=iterations, poly_n=poly_n, poly_sigma=poly_sigma,
+        )
+        return np.asarray(fl)
+    return _fb.farneback_flow_numpy(
+        np.asarray(gp), np.asarray(gn), levels=levels, winsize=winsize,
+        iterations=iterations, poly_n=poly_n, poly_sigma=poly_sigma,
+    )
