@@ -97,6 +97,19 @@ def main(width: int = 160, height: int = 120) -> int:
     imgproc.cam_shift(bp, (10, 10, 40, 30)); ok("cam_shift")
     imgproc.kmeans_quantize(mat, k=4); ok("kmeans_quantize")
     imgproc.match_shapes(mask, mask); ok("match_shapes")
+    flow = imgproc.calc_optical_flow_farneback(
+        mat, Mat.from_array(np.roll(bgr, 2, axis=1)), levels=2)
+    ok("calc_optical_flow_farneback", f"median fx {np.median(flow[..., 0]):.2f}")
+    disp, dvalid = imgproc.stereo_bm(
+        gray, Mat.from_array(np.roll(golden.bgr_to_gray(bgr), -4, axis=1)),
+        num_disparities=16, block_size=9)
+    ok("stereo_bm", f"({int(dvalid.sum())} valid)")
+    imgproc.morphology_ex(mask, "gradient", 3); ok("morphology_ex")
+    imgproc.filter2d(mat, np.array([[0, -1, 0], [-1, 5, -1], [0, -1, 0]], float))
+    ok("filter2d")
+    sat = imgproc.integral(gray); ok("integral", f"total {int(sat[-1, -1])}")
+    opts, oang, odesc, ovalid = imgproc.orb_features(gray, max_keypoints=64)
+    ok("orb_features", f"({int(ovalid.sum())} oriented keypoints)")
 
     # --- drawing ---------------------------------------------------------
     canvas = Mat.from_array(bgr.copy())

@@ -938,14 +938,15 @@ __all__ = [
     "cvt_hsv", "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
-    "get_perspective_transform",
+    "filter2d", "get_perspective_transform", "integral",
+    "morphology_ex",
     "warp_perspective",
     "cam_shift", "good_features_to_track", "hough_lines", "hu_moments",
     "kmeans_quantize",
     "line", "lut", "match_descriptors", "match_shapes", "mean_shift",
     "polylines",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
-    "median_blur", "min_max_loc", "moments", "pyr_down", "put_text",
+    "median_blur", "min_max_loc", "orb_features", "moments", "pyr_down", "put_text",
     "rectangle", "remap", "resize", "rotate", "sobel_magnitude", "stereo_bm", "threshold",
     "warp_affine",
 ]
@@ -999,3 +1000,75 @@ def calc_optical_flow_farneback(
         np.asarray(gp), np.asarray(gn), levels=levels, winsize=winsize,
         iterations=iterations, poly_n=poly_n, poly_sigma=poly_sigma,
     )
+
+
+def morphology_ex(mat: Mat, op: str, ksize: int = 3) -> Mat:
+    """Compound morphology (OpenCV ``morphologyEx``): op in
+    ("open", "close", "gradient", "tophat", "blackhat")."""
+    from ..ops import filters as _filters
+
+    return _apply(
+        mat,
+        lambda d: _filters.morphology_ex_u8(d, op, ksize),
+        lambda h: golden.morphology_ex(h, op, ksize),
+    )
+
+
+def filter2d(mat: Mat, kernel) -> Mat:
+    """Arbitrary-kernel correlation (OpenCV ``filter2D``): u8 saturate,
+    replicate border; ``kernel`` is a host (odd, odd) array baked into
+    the device program (rank-1 kernels run separably)."""
+    from ..ops import filters as _filters
+
+    return _apply(
+        mat,
+        lambda d: _filters.filter2d_u8(d, kernel),
+        lambda h: golden.filter2d(h, kernel),
+    )
+
+
+def integral(mat: Mat):
+    """Summed-area table (OpenCV ``integral``): (H+1, W+1) with zero top
+    row/left column. Device path is int32 (valid through 4K); larger
+    images use the host int64 oracle."""
+    import numpy as np
+
+    from ..ops import filters as _filters
+
+    g = _gray_of_mat(mat)
+    h, w = g.shape[-2], g.shape[-1]
+    if mat.is_on_device and h * w * 255 < 2**31:
+        return np.asarray(_filters.integral_u8(g)).astype(np.int64)
+    return golden.integral(np.asarray(g))
+
+
+def orb_features(mat: Mat, max_keypoints: int = 512, threshold: int = 20):
+    """ORB-style features (OpenCV ``ORB`` role): FAST corners → intensity-
+    centroid orientation → steered BRIEF-256. Returns (pts float32 [K, 2]
+    (x, y), angles float32 [K] radians, desc u32 [K, 8], valid bool [K]).
+    Match with :func:`match_descriptors` (rotation-aware, unlike upright
+    :func:`compute_brief`)."""
+    import numpy as np
+
+    from ..ops import brief as _brief
+    from ..ops import fast as _fast
+
+    g = _gray_of_mat(mat)
+    if mat.is_on_device:
+        import jax.numpy as jnp
+
+        yx, vk = _fast.fast_corner_list(g, threshold=threshold,
+                                        max_corners=max_keypoints)
+        pts = jnp.stack([yx[:, 1], yx[:, 0]], axis=-1).astype(jnp.float32)
+        ang = _brief.orb_orientations(g, pts)
+        desc, vd = _brief.orb_descriptors(g, pts, ang)
+        return (np.asarray(pts), np.asarray(ang, np.float32),
+                np.asarray(desc), np.asarray(vk & vd))
+    g = np.asarray(g)
+    mask, score = _fast.fast_corners_numpy(g, threshold=threshold)
+    ys, xs = np.nonzero(mask)
+    order = np.argsort(-score[ys, xs], kind="stable")[:max_keypoints]
+    pts = np.stack([xs[order], ys[order]], axis=-1).astype(np.float32)
+    ang = _brief.orb_orientations_numpy(g, pts)
+    desc, vd = _brief.orb_descriptors_numpy(g, pts, ang)
+    return pts, ang.astype(np.float32), desc, vd

@@ -142,3 +142,150 @@ def brief_descriptors_numpy(
             if patch[y1 + half, x1 + half] > patch[y2 + half, x2 + half]:
                 descs[k, b // 32] |= np.uint32(1) << np.uint32(b % 32)
     return descs, valid
+
+
+# ---------------------------------------------------------------------------
+# ORB: intensity-centroid orientation + steered (rotated) BRIEF
+# ---------------------------------------------------------------------------
+
+ORB_RADIUS = 15  # orientation patch half-side (31x31, circular mask)
+ORB_NBINS = 30  # angle discretization for the steered pattern (12 deg)
+
+
+@lru_cache(maxsize=1)
+def _centroid_masks() -> Tuple[np.ndarray, np.ndarray]:
+    """x- and y-coordinate planes over the 31x31 circular patch."""
+    r = ORB_RADIUS
+    t = np.arange(-r, r + 1, dtype=np.float32)
+    xx, yy = np.meshgrid(t, t)
+    circ = (xx * xx + yy * yy <= r * r).astype(np.float32)
+    return (xx * circ), (yy * circ)
+
+
+@lru_cache(maxsize=1)
+def _steered_offsets() -> Tuple[np.ndarray, np.ndarray]:
+    """Flat patch indices of both pattern points for every angle bin:
+    ([NBINS, 256] o1, [NBINS, 256] o2) int32. Rotated offsets are rounded
+    then clipped to the 33x33 patch (same clip rule as the base pattern)."""
+    half = PATCH // 2
+    pat = brief_pattern().astype(np.float64)  # [256, 4] (y1, x1, y2, x2)
+    o1 = np.zeros((ORB_NBINS, NBITS), np.int32)
+    o2 = np.zeros((ORB_NBINS, NBITS), np.int32)
+    for b in range(ORB_NBINS):
+        th = 2.0 * np.pi * b / ORB_NBINS
+        c, s = np.cos(th), np.sin(th)
+
+        def rot(y, x):
+            rx = np.clip(np.round(x * c - y * s), -half, half).astype(np.int32)
+            ry = np.clip(np.round(x * s + y * c), -half, half).astype(np.int32)
+            return (ry + half) * PATCH + (rx + half)
+
+        o1[b] = rot(pat[:, 0], pat[:, 1])
+        o2[b] = rot(pat[:, 2], pat[:, 3])
+    return o1, o2
+
+
+@jax.jit
+def orb_orientations(gray: jax.Array, pts: jax.Array) -> jax.Array:
+    """Intensity-centroid angle (radians, [0, 2pi)) per keypoint: m10/m01
+    moments over the circular 31x31 patch (ORB's orientation). Patches are
+    ONE dynamic_slice each (origin clamped at borders — the angle near an
+    edge uses the shifted patch, matching the oracle)."""
+    h, w = gray.shape
+    r = ORB_RADIUS
+    side = 2 * r + 1
+    g = gray.astype(jnp.float32)
+    mx, my = _centroid_masks()
+    mxj, myj = jnp.asarray(mx), jnp.asarray(my)
+
+    def one(pt):
+        x = jnp.round(pt[0]).astype(jnp.int32)
+        y = jnp.round(pt[1]).astype(jnp.int32)
+        patch = jax.lax.dynamic_slice(
+            g,
+            (jnp.clip(y - r, 0, h - side), jnp.clip(x - r, 0, w - side)),
+            (side, side),
+        )
+        m10 = jnp.sum(patch * mxj)
+        m01 = jnp.sum(patch * myj)
+        th = jnp.arctan2(m01, m10)
+        return jnp.where(th < 0, th + 2 * jnp.pi, th)
+
+    return jax.vmap(one)(pts)
+
+
+@jax.jit
+def orb_descriptors(gray: jax.Array, pts: jax.Array, angles: jax.Array):
+    """Steered BRIEF-256: like brief_descriptors but the pair pattern is
+    rotated by each keypoint's angle, discretized to ORB_NBINS bins (the
+    OpenCV ORB scheme, orb.cpp role). Returns (desc u32 [K, 8], valid)."""
+    h, w = gray.shape
+    half = PATCH // 2
+    blurred = gaussian5_u8(gray, has_channels=False).astype(jnp.int32)
+    o1t, o2t = _steered_offsets()
+    o1t, o2t = jnp.asarray(o1t), jnp.asarray(o2t)
+    word = jnp.arange(NBITS, dtype=jnp.int32) // 32
+    bit = jnp.arange(NBITS, dtype=jnp.int32) % 32
+    two_pi = 2.0 * np.pi
+
+    def one(pt, th):
+        x = jnp.round(pt[0]).astype(jnp.int32)
+        y = jnp.round(pt[1]).astype(jnp.int32)
+        ok = (x >= half) & (x <= w - 1 - half) & (y >= half) & (y <= h - 1 - half)
+        b = jnp.floor(jnp.mod(th, two_pi) / two_pi * ORB_NBINS).astype(jnp.int32)
+        b = jnp.clip(b, 0, ORB_NBINS - 1)
+        patch = jax.lax.dynamic_slice(
+            blurred,
+            (jnp.clip(y - half, 0, h - PATCH), jnp.clip(x - half, 0, w - PATCH)),
+            (PATCH, PATCH),
+        ).reshape(-1)
+        bits = (jnp.take(patch, o1t[b]) > jnp.take(patch, o2t[b])).astype(jnp.uint32)
+        desc = jnp.zeros(8, jnp.uint32)
+        desc = desc.at[word].add(bits << bit.astype(jnp.uint32))
+        return jnp.where(ok, desc, 0), ok
+
+    return jax.vmap(one)(pts, angles)
+
+
+def orb_orientations_numpy(gray: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    h, w = gray.shape
+    r = ORB_RADIUS
+    side = 2 * r + 1
+    mx, my = _centroid_masks()
+    out = np.zeros(len(pts), np.float64)
+    g = gray.astype(np.float64)
+    for k, (px, py) in enumerate(np.asarray(pts, np.float64)):
+        x = int(np.round(px))
+        y = int(np.round(py))
+        y0 = min(max(y - r, 0), h - side)
+        x0 = min(max(x - r, 0), w - side)
+        patch = g[y0 : y0 + side, x0 : x0 + side]
+        th = np.arctan2(np.sum(patch * my), np.sum(patch * mx))
+        out[k] = th + 2 * np.pi if th < 0 else th
+    return out
+
+
+def orb_descriptors_numpy(
+    gray: np.ndarray, pts: np.ndarray, angles: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    from . import golden
+
+    h, w = gray.shape
+    half = PATCH // 2
+    blurred = golden.gaussian5_u8(gray).astype(np.int64)
+    o1t, o2t = _steered_offsets()
+    descs = np.zeros((len(pts), 8), np.uint32)
+    valid = np.zeros(len(pts), bool)
+    for k, (px, py) in enumerate(np.asarray(pts, np.float64)):
+        x = int(np.round(px))
+        y = int(np.round(py))
+        if not (half <= x <= w - 1 - half and half <= y <= h - 1 - half):
+            continue
+        valid[k] = True
+        b = int(np.floor(np.mod(angles[k], 2 * np.pi) / (2 * np.pi) * ORB_NBINS))
+        b = min(max(b, 0), ORB_NBINS - 1)
+        patch = blurred[y - half : y + half + 1, x - half : x + half + 1].reshape(-1)
+        for i in range(NBITS):
+            if patch[o1t[b, i]] > patch[o2t[b, i]]:
+                descs[k, i // 32] |= np.uint32(1) << np.uint32(i % 32)
+    return descs, valid

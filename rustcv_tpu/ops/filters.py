@@ -13,7 +13,7 @@ Specs frozen in golden.py (the reference has no filters; BASELINE configs
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -346,3 +346,93 @@ def scharr3_gray(gray: jax.Array):
     smooth_h = _taps(a, -1, (3, 10, 3), 1)
     gy = _taps(smooth_h, -2, (-1, 0, 1), 1)
     return gx, gy
+
+
+MORPH_OPS = ("open", "close", "gradient", "tophat", "blackhat")
+
+
+@partial(jax.jit, static_argnames=("op", "ksize"))
+def morphology_ex_u8(img: jax.Array, op: str, ksize: int = 3) -> jax.Array:
+    """Compound morphology (OpenCV ``morphologyEx`` role) — exact vs
+    golden.morphology_ex; every difference is non-negative so u8 is safe."""
+    if op == "open":
+        return dilate_u8(erode_u8(img, ksize), ksize)
+    if op == "close":
+        return erode_u8(dilate_u8(img, ksize), ksize)
+    if op == "gradient":
+        out = dilate_u8(img, ksize).astype(jnp.int32) - erode_u8(img, ksize)
+    elif op == "tophat":
+        out = img.astype(jnp.int32) - morphology_ex_u8(img, "open", ksize)
+    elif op == "blackhat":
+        out = morphology_ex_u8(img, "close", ksize).astype(jnp.int32) - img
+    else:
+        raise ValueError(f"unknown morphology op {op!r} (one of {MORPH_OPS})")
+    return out.astype(jnp.uint8)
+
+
+def filter2d_u8(img: jax.Array, kernel) -> jax.Array:
+    """Arbitrary-kernel correlation (OpenCV ``filter2D`` role), float32
+    shifted-view accumulation + round-half-even saturate. Exact vs
+    golden.filter2d for dyadic-rational kernels (integer/2^k taps keep f32
+    accumulation exact); ±1 LSB for general float kernels. The kernel is
+    a host (odd, odd) numpy array — its values are baked into the program
+    and rank-1 kernels take a separable fast path (pass distinct kernels
+    sparingly; each value set compiles its own program)."""
+    import numpy as np  # kernel is host-static
+
+    k = np.ascontiguousarray(kernel, np.float64)
+    if k.ndim != 2 or k.shape[0] % 2 == 0 or k.shape[1] % 2 == 0:
+        raise ValueError("kernel must be 2-D with odd sides")
+    return _filter2d_for(k.tobytes(), k.shape)(img)
+
+
+@lru_cache(maxsize=64)
+def _filter2d_for(kbytes: bytes, kshape):
+    import numpy as np
+
+    k = np.frombuffer(kbytes, np.float64).reshape(kshape)
+    kh, kw = kshape
+    # separable fast path when the kernel is rank-1 (within f64 eps)
+    u, s, vt = np.linalg.svd(k)
+    rank1 = s[1:].max(initial=0.0) < 1e-12 * max(s[0], 1e-30)
+
+    @jax.jit
+    def fn(img):
+        has_channels = img.ndim >= 3 and img.shape[-1] in (1, 3, 4)
+        ax_h, ax_w = _spatial_axes(img, has_channels)
+        f = img.astype(jnp.float32)
+        if rank1:
+            ky = tuple(float(x) for x in u[:, 0] * np.sqrt(s[0]))
+            kx = tuple(float(x) for x in vt[0] * np.sqrt(s[0]))
+            acc = _taps(_taps(f, ax_w, kx, kw // 2), ax_h, ky, kh // 2)
+        else:
+            ry, rx = kh // 2, kw // 2
+            p = _replicate_pad(_replicate_pad(f, ax_h, ry), ax_w, rx)
+            h, w = img.shape[ax_h], img.shape[ax_w]
+            acc = None
+            for dy in range(kh):
+                for dx in range(kw):
+                    wgt = float(k[dy, dx])
+                    if wgt == 0.0:
+                        continue
+                    sl = jax.lax.slice_in_dim(
+                        jax.lax.slice_in_dim(p, dy, dy + h, axis=ax_h),
+                        dx, dx + w, axis=ax_w)
+                    acc = wgt * sl if acc is None else acc + wgt * sl
+            if acc is None:
+                acc = jnp.zeros_like(f)
+        r = jnp.round(acc)  # round half to even, matching np.rint
+        return jnp.clip(r, 0, 255).astype(jnp.uint8)
+
+    return fn
+
+
+@jax.jit
+def integral_u8(img: jax.Array) -> jax.Array:
+    """Summed-area table (H+1, W+1) int32 with zero top row/left column —
+    matches golden.integral for images where H*W*255 < 2^31 (up to 4K);
+    the facade falls back to the host oracle beyond that."""
+    if img.ndim != 2:
+        raise ValueError("integral expects a single-channel (H, W) image")
+    s = jnp.cumsum(jnp.cumsum(img.astype(jnp.int32), axis=0), axis=1)
+    return jnp.pad(s, ((1, 0), (1, 0)))

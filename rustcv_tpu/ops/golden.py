@@ -420,6 +420,55 @@ def dilate(img: np.ndarray, ksize: int = 3) -> np.ndarray:
     return _window_reduce(img, ksize, np.maximum)
 
 
+MORPH_OPS = ("open", "close", "gradient", "tophat", "blackhat")
+
+
+def morphology_ex(img: np.ndarray, op: str, ksize: int = 3) -> np.ndarray:
+    """Compound morphology (OpenCV ``morphologyEx`` role). Frozen spec:
+    open = dilate(erode), close = erode(dilate), gradient = dilate − erode,
+    tophat = img − open, blackhat = close − img — every difference is
+    non-negative by construction, so u8 arithmetic is exact."""
+    if op == "open":
+        return dilate(erode(img, ksize), ksize)
+    if op == "close":
+        return erode(dilate(img, ksize), ksize)
+    a = img.astype(np.int32)
+    if op == "gradient":
+        out = dilate(img, ksize).astype(np.int32) - erode(img, ksize)
+    elif op == "tophat":
+        out = a - morphology_ex(img, "open", ksize)
+    elif op == "blackhat":
+        out = morphology_ex(img, "close", ksize).astype(np.int32) - a
+    else:
+        raise ValueError(f"unknown morphology op {op!r} (one of {MORPH_OPS})")
+    return out.astype(np.uint8)
+
+
+def filter2d(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Arbitrary-kernel correlation (OpenCV ``filter2D`` role). Frozen
+    spec: float64 correlate with replicate border, round half to even,
+    clamp to u8. Kernel is odd-sided, anchored at its center."""
+    kh, kw = kernel.shape
+    if kh % 2 == 0 or kw % 2 == 0:
+        raise ValueError("kernel sides must be odd")
+    ry, rx = kh // 2, kw // 2
+    h, w = img.shape[:2]
+    pad = ((ry, ry), (rx, rx)) + ((0, 0),) * (img.ndim - 2)
+    p = np.pad(img.astype(np.float64), pad, mode="edge")
+    acc = np.zeros(img.shape, np.float64)
+    for dy in range(kh):
+        for dx in range(kw):
+            acc += kernel[dy, dx] * p[dy : dy + h, dx : dx + w]
+    return np.clip(np.rint(acc), 0, 255).astype(np.uint8)
+
+
+def integral(img: np.ndarray) -> np.ndarray:
+    """Summed-area table (OpenCV ``integral`` role): (H+1, W+1) int64 with
+    a zero top row / left column; S[y, x] = Σ img[:y, :x]."""
+    s = np.cumsum(np.cumsum(img.astype(np.int64), axis=0), axis=1)
+    return np.pad(s, ((1, 0), (1, 0)))
+
+
 def median3(img: np.ndarray) -> np.ndarray:
     """3×3 median filter, replicate border (exact integer median of 9)."""
     r = 1
