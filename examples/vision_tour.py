@@ -110,6 +110,21 @@ def main(width: int = 160, height: int = 120) -> int:
     sat = imgproc.integral(gray); ok("integral", f"total {int(sat[-1, -1])}")
     opts, oang, odesc, ovalid = imgproc.orb_features(gray, max_keypoints=64)
     ok("orb_features", f"({int(ovalid.sum())} oriented keypoints)")
+    if contours:
+        cnt = max(contours, key=len)
+        hull = imgproc.convex_hull(cnt)
+        area = imgproc.contour_area(hull)
+        imgproc.arc_length(cnt); imgproc.bounding_rect(cnt)
+        imgproc.min_area_rect(cnt); imgproc.min_enclosing_circle(cnt)
+        poly = imgproc.approx_poly_dp(cnt, 2.0)
+        ok("convex_hull/area/rects/approx_poly_dp",
+           f"(hull {len(hull)} pts, area {area:.0f}, poly {len(poly)})")
+    bgsub = imgproc.create_background_subtractor_mog2(alpha=0.1)
+    for _ in range(5):
+        bgsub.apply(golden.bgr_to_gray(bgr))
+    moved = np.roll(golden.bgr_to_gray(bgr), 8, axis=1)
+    fgmask = bgsub.apply(moved)
+    ok("background_subtractor_mog2", f"({int(fgmask.sum())} fg px)")
 
     # --- drawing ---------------------------------------------------------
     canvas = Mat.from_array(bgr.copy())

@@ -934,6 +934,9 @@ __all__ = [
     "calc_optical_flow_farneback",
     "calc_optical_flow_pyr_lk", "circle", "clahe", "compute_brief",
     "connected_components", "connected_components_with_stats",
+    "approx_poly_dp", "arc_length", "bounding_rect", "contour_area",
+    "convex_hull", "create_background_subtractor_mog2",
+    "min_area_rect", "min_enclosing_circle",
     "corner_sub_pix", "cvt_gray", "distance_transform",
     "cvt_hsv", "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
@@ -1072,3 +1075,25 @@ def orb_features(mat: Mat, max_keypoints: int = 512, threshold: int = 20):
     ang = _brief.orb_orientations_numpy(g, pts)
     desc, vd = _brief.orb_descriptors_numpy(g, pts, ang)
     return pts, ang.astype(np.float32), desc, vd
+
+
+# --- contour geometry (host-side point-list utilities, ops/shape.py) -----
+from ..ops.shape import (  # noqa: E402  (re-exports)
+    approx_poly_dp,
+    arc_length,
+    bounding_rect,
+    contour_area,
+    convex_hull,
+    min_area_rect,
+    min_enclosing_circle,
+)
+
+
+def create_background_subtractor_mog2(k: int = 4, **kw):
+    """Per-pixel Gaussian-mixture background model (OpenCV
+    ``createBackgroundSubtractorMOG2`` role) — all-elementwise device
+    update, model stays on device between frames (ops/bgsub.py).
+    ``kw`` forwards to MOG2Params (alpha, var_threshold, ratio, ...)."""
+    from ..ops.bgsub import BackgroundSubtractorMOG2
+
+    return BackgroundSubtractorMOG2(k=k, **kw)

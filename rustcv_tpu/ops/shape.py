@@ -1,0 +1,241 @@
+"""Contour/shape geometry utilities (OpenCV ``convexHull`` /
+``contourArea`` / ``arcLength`` / ``boundingRect`` / ``minAreaRect`` /
+``approxPolyDP`` / ``minEnclosingCircle`` roles).
+
+Host NumPy by design: these operate on O(perimeter) point lists produced
+by find_contours — a few hundred points, far below any device-dispatch
+break-even (the reference keeps its analog post-processing host-side
+too). Every function is a frozen deterministic spec with brute-force
+property tests.
+
+Points are float64/int arrays [N, 2] in (x, y) order, matching
+find_contours output.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def contour_area(pts: np.ndarray, oriented: bool = False) -> float:
+    """Shoelace polygon area (OpenCV ``contourArea``): positive for
+    counter-clockwise (in y-down image coords), absolute unless
+    ``oriented``."""
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    if len(p) < 3:
+        return 0.0
+    x, y = p[:, 0], p[:, 1]
+    a = 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    return float(a if oriented else abs(a))
+
+
+def arc_length(pts: np.ndarray, closed: bool = True) -> float:
+    """Perimeter of the polyline (OpenCV ``arcLength``)."""
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    if len(p) < 2:
+        return 0.0
+    d = np.diff(p, axis=0, append=p[:1]) if closed else np.diff(p, axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+def bounding_rect(pts: np.ndarray) -> Tuple[int, int, int, int]:
+    """Upright integer bounding box (x, y, w, h) — OpenCV
+    ``boundingRect`` convention: w/h include both extreme pixels."""
+    p = np.asarray(pts)
+    if p.size == 0:
+        return (0, 0, 0, 0)
+    p = p.reshape(-1, 2)
+    x0 = int(np.floor(p[:, 0].min()))
+    y0 = int(np.floor(p[:, 1].min()))
+    x1 = int(np.ceil(p[:, 0].max()))
+    y1 = int(np.ceil(p[:, 1].max()))
+    return (x0, y0, x1 - x0 + 1, y1 - y0 + 1)
+
+
+def convex_hull(pts: np.ndarray, clockwise: bool = False) -> np.ndarray:
+    """Convex hull (Andrew monotone chain), [H, 2] float64. Default
+    counter-clockwise in y-down image coordinates (OpenCV's default
+    returns clockwise=False ordering); collinear points dropped."""
+    p = np.unique(np.asarray(pts, np.float64).reshape(-1, 2), axis=0)
+    if len(p) <= 2:
+        return p
+    p = p[np.lexsort((p[:, 1], p[:, 0]))]
+
+    def half(points):
+        out = []
+        for q in points:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (q[1] - o[1]) - (a[1] - o[1]) * (q[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(q)
+        return out
+
+    lower = half(p)
+    upper = half(p[::-1])
+    hull = np.asarray(lower[:-1] + upper[:-1])
+    return hull[::-1] if clockwise else hull
+
+
+def min_area_rect(pts: np.ndarray):
+    """Minimum-area rotated rectangle via rotating calipers over hull
+    edges (OpenCV ``minAreaRect`` role): ((cx, cy), (w, h), angle_deg)
+    with angle in [0, 90) measured from +x to the 'w' edge."""
+    hull = convex_hull(pts)
+    if len(hull) == 0:
+        return ((0.0, 0.0), (0.0, 0.0), 0.0)
+    if len(hull) == 1:
+        return ((float(hull[0, 0]), float(hull[0, 1])), (0.0, 0.0), 0.0)
+    best = None
+    n = len(hull)
+    for i in range(n):
+        e = hull[(i + 1) % n] - hull[i]
+        ln = np.hypot(*e)
+        if ln < 1e-12:
+            continue
+        ux, uy = e / ln  # edge direction
+        r = hull @ np.array([[ux, -uy], [uy, ux]])  # rotate by -theta
+        w = r[:, 0].max() - r[:, 0].min()
+        h = r[:, 1].max() - r[:, 1].min()
+        area = w * h
+        if best is None or area < best[0] - 1e-12:
+            cx = (r[:, 0].max() + r[:, 0].min()) / 2
+            cy = (r[:, 1].max() + r[:, 1].min()) / 2
+            c = np.array([cx, cy]) @ np.array([[ux, uy], [-uy, ux]])
+            best = (area, (float(c[0]), float(c[1])), (float(w), float(h)),
+                    float(np.degrees(np.arctan2(uy, ux))))
+    if best is None:  # all points coincident-ish
+        c = hull.mean(axis=0)
+        return ((float(c[0]), float(c[1])), (0.0, 0.0), 0.0)
+    _, center, (w, h), ang = best
+    ang = ang % 180.0
+    if ang >= 90.0:
+        ang -= 90.0
+        w, h = h, w
+    return (center, (w, h), ang)
+
+
+def approx_poly_dp(pts: np.ndarray, epsilon: float, closed: bool = True) -> np.ndarray:
+    """Douglas–Peucker simplification (OpenCV ``approxPolyDP``): keeps
+    vertices whose deviation exceeds ``epsilon``."""
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    if len(p) < 3:
+        return p.copy()
+
+    def dp(lo: int, hi: int, keep):
+        a, b = p[lo], p[hi]
+        ab = b - a
+        ln2 = float(ab @ ab)
+        if hi - lo < 2:
+            return
+        seg = p[lo + 1 : hi]
+        if ln2 < 1e-24:
+            d = np.sqrt(((seg - a) ** 2).sum(axis=1))
+        else:
+            d = np.abs(ab[0] * (seg[:, 1] - a[1])
+                       - ab[1] * (seg[:, 0] - a[0])) / np.sqrt(ln2)
+        k = int(np.argmax(d))
+        if d[k] > epsilon:
+            mid = lo + 1 + k
+            keep[mid] = True
+            dp(lo, mid, keep)
+            dp(mid, hi, keep)
+
+    if closed:
+        # split at the two farthest-apart extremes to seed the recursion
+        far = int(np.argmax(((p - p[0]) ** 2).sum(axis=1)))
+        if far == 0:
+            return p[:1].copy()
+        keep = np.zeros(len(p), bool)
+        keep[0] = keep[far] = True
+        dp(0, far, keep)
+        # wrap-around half: rotate so [far..0] is contiguous
+        q = np.concatenate([p[far:], p[: 1]])
+        keep2 = np.zeros(len(q), bool)
+        keep2[0] = keep2[-1] = True
+
+        def dp2(lo, hi):
+            a, b = q[lo], q[hi]
+            ab = b - a
+            ln2 = float(ab @ ab)
+            if hi - lo < 2:
+                return
+            seg = q[lo + 1 : hi]
+            if ln2 < 1e-24:
+                d = np.sqrt(((seg - a) ** 2).sum(axis=1))
+            else:
+                d = np.abs(ab[0] * (seg[:, 1] - a[1])
+                       - ab[1] * (seg[:, 0] - a[0])) / np.sqrt(ln2)
+            k = int(np.argmax(d))
+            if d[k] > epsilon:
+                mid = lo + 1 + k
+                keep2[mid] = True
+                dp2(lo, mid)
+                dp2(mid, hi)
+
+        dp2(0, len(q) - 1)
+        sel = keep.copy()
+        sel[far:] |= keep2[: len(p) - far]
+        sel[0] |= keep2[-1]
+        return p[sel]
+    keep = np.zeros(len(p), bool)
+    keep[0] = keep[-1] = True
+    dp(0, len(p) - 1, keep)
+    return p[keep]
+
+
+def min_enclosing_circle(pts: np.ndarray) -> Tuple[Tuple[float, float], float]:
+    """Smallest enclosing circle (Welzl, randomized with a frozen seed →
+    deterministic): ((cx, cy), radius)."""
+    p = np.unique(np.asarray(pts, np.float64).reshape(-1, 2), axis=0)
+    if len(p) == 0:
+        return ((0.0, 0.0), 0.0)
+    if len(p) == 1:
+        return ((float(p[0, 0]), float(p[0, 1])), 0.0)
+    rng = np.random.default_rng(7)
+    order = rng.permutation(len(p))
+    sp = p[order]
+
+    def circ2(a, b):
+        c = (a + b) / 2
+        return c, float(np.hypot(*(a - c)))
+
+    def circ3(a, b, c):
+        # circumcircle; degenerate (collinear) → largest 2-point circle
+        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+        if abs(d) < 1e-12:
+            cands = [circ2(a, b), circ2(a, c), circ2(b, c)]
+            best = None
+            for ctr, r in cands:
+                if all(np.hypot(*(q - ctr)) <= r + 1e-9 for q in (a, b, c)):
+                    if best is None or r < best[1]:
+                        best = (ctr, r)
+            return best if best is not None else cands[0]
+        ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1])
+              + (c @ c) * (a[1] - b[1])) / d
+        uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0])
+              + (c @ c) * (b[0] - a[0])) / d
+        ctr = np.array([ux, uy])
+        return ctr, float(np.hypot(*(a - ctr)))
+
+    def inside(ctr, r, q):
+        return np.hypot(*(q - ctr)) <= r + 1e-9
+
+    ctr, r = circ2(sp[0], sp[1])
+    for i in range(2, len(sp)):
+        if inside(ctr, r, sp[i]):
+            continue
+        ctr, r = circ2(sp[0], sp[i])
+        for j in range(1, i):
+            if inside(ctr, r, sp[j]):
+                continue
+            ctr, r = circ2(sp[j], sp[i])
+            for k in range(j):
+                if inside(ctr, r, sp[k]):
+                    continue
+                ctr, r = circ3(sp[k], sp[j], sp[i])
+    return ((float(ctr[0]), float(ctr[1])), float(r))
