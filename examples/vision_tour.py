@@ -119,6 +119,12 @@ def main(width: int = 160, height: int = 120) -> int:
         poly = imgproc.approx_poly_dp(cnt, 2.0)
         ok("convex_hull/area/rects/approx_poly_dp",
            f"(hull {len(hull)} pts, area {area:.0f}, poly {len(poly)})")
+    circles = imgproc.hough_circles(gray, dp=2, min_radius=8, max_radius=40,
+                                    vote_threshold=15)
+    ok("hough_circles", f"({len(circles)} circles)")
+    shift, resp = imgproc.phase_correlate(
+        gray, Mat.from_array(np.roll(golden.bgr_to_gray(bgr), 4, axis=1)))
+    ok("phase_correlate", f"(dx {shift[0]:.2f}, resp {resp:.2f})")
     bgsub = imgproc.create_background_subtractor_mog2(alpha=0.1)
     for _ in range(5):
         bgsub.apply(golden.bgr_to_gray(bgr))

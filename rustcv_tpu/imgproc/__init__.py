@@ -944,12 +944,12 @@ __all__ = [
     "filter2d", "get_perspective_transform", "integral",
     "morphology_ex",
     "warp_perspective",
-    "cam_shift", "good_features_to_track", "hough_lines", "hu_moments",
+    "cam_shift", "good_features_to_track", "hough_circles", "hough_lines", "hu_moments",
     "kmeans_quantize",
     "line", "lut", "match_descriptors", "match_shapes", "mean_shift",
     "polylines",
     "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
-    "median_blur", "min_max_loc", "orb_features", "moments", "pyr_down", "put_text",
+    "median_blur", "min_max_loc", "orb_features", "phase_correlate", "moments", "pyr_down", "put_text",
     "rectangle", "remap", "resize", "rotate", "sobel_magnitude", "stereo_bm", "threshold",
     "warp_affine",
 ]
@@ -1097,3 +1097,59 @@ def create_background_subtractor_mog2(k: int = 4, **kw):
     from ..ops.bgsub import BackgroundSubtractorMOG2
 
     return BackgroundSubtractorMOG2(k=k, **kw)
+
+
+def hough_circles(mat: Mat, dp: int = 4, min_dist: float = 20.0,
+                  min_radius: int = 10, max_radius: int = 60,
+                  edge_threshold: int = 60, vote_threshold: int = 20,
+                  max_circles: int = 16):
+    """Gradient Hough circle transform (OpenCV ``HoughCircles``): u8 gray
+    → float32 [K, 3] (cx, cy, r), vote-sorted, greedily suppressing
+    centers within ``min_dist`` of a stronger circle. The 2-D center
+    accumulator runs as per-radius MXU outer-product matmuls
+    (ops/hough.py)."""
+    import numpy as np
+
+    from ..ops import hough as _hough
+
+    g = _gray_of_mat(mat)
+    if mat.is_on_device:
+        circ, valid, votes = _hough.hough_circles(
+            g, dp=dp, min_radius=min_radius, max_radius=max_radius,
+            edge_threshold=edge_threshold, vote_threshold=vote_threshold,
+            max_circles=max_circles)
+        circ = np.asarray(circ)[np.asarray(valid)]
+        votes = np.asarray(votes)[np.asarray(valid)]
+    else:
+        circ, votes = _hough.hough_circles_numpy(
+            np.asarray(g), dp=dp, min_radius=min_radius,
+            max_radius=max_radius, edge_threshold=edge_threshold,
+            vote_threshold=vote_threshold, max_circles=max_circles)
+    keep = []
+    for i in np.argsort(-votes, kind="stable"):
+        c = circ[i]
+        if all(np.hypot(c[0] - circ[j][0], c[1] - circ[j][1]) >= min_dist
+               for j in keep):
+            keep.append(i)
+    return circ[keep].reshape(-1, 3)
+
+
+def phase_correlate(prev: Mat, nxt: Mat, window: bool = True):
+    """Global translation via phase correlation (OpenCV
+    ``phaseCorrelate``): ((dx, dy) float32, peak response). Flow sign
+    convention: content moved by +d from prev to nxt (ops/registration.py)."""
+    import numpy as np
+
+    from ..ops import registration as _reg
+
+    gp = _gray_of_mat(prev)
+    gn = _gray_of_mat(nxt)
+    if prev.is_on_device or nxt.is_on_device:
+        import jax.numpy as jnp
+
+        d, resp = _reg.phase_correlate(jnp.asarray(gp), jnp.asarray(gn),
+                                       window=window)
+        return np.asarray(d), float(resp)
+    d, resp = _reg.phase_correlate_numpy(np.asarray(gp), np.asarray(gn),
+                                         window=window)
+    return d, resp
