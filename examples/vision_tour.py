@@ -119,6 +119,13 @@ def main(width: int = 160, height: int = 120) -> int:
         poly = imgproc.approx_poly_dp(cnt, 2.0)
         ok("convex_hull/area/rects/approx_poly_dp",
            f"(hull {len(hull)} pts, area {area:.0f}, poly {len(poly)})")
+    K = np.array([[250.0, 0, width / 2], [0, 250.0, height / 2], [0, 0, 1]])
+    und = imgproc.undistort(mat, K, (-0.2, 0.05, 0, 0, 0))
+    ok("undistort", f"({und.rows}x{und.cols})")
+    blended = imgproc.add_weighted(mat, 0.6, und, 0.4)
+    imgproc.absdiff(mat, blended); imgproc.bitwise_not(mask)
+    q = imgproc.psnr(mat, blended)
+    ok("add_weighted/absdiff/bitwise/psnr", f"(psnr {q:.1f} dB)")
     circles = imgproc.hough_circles(gray, dp=2, min_radius=8, max_radius=40,
                                     vote_threshold=15)
     ok("hough_circles", f"({len(circles)} circles)")

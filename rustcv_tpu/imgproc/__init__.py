@@ -929,7 +929,10 @@ def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_r
 
 
 __all__ = [
-    "Point", "Rect", "Scalar", "adaptive_threshold", "back_project",
+    "Point", "Rect", "Scalar", "absdiff", "adaptive_threshold", "add",
+    "add_weighted", "back_project", "bitwise_and", "bitwise_not",
+    "bitwise_or", "bitwise_xor", "convert_scale_abs", "count_non_zero",
+    "mean_std_dev", "norm", "psnr", "subtract",
     "bilateral_filter", "box_blur", "calc_hist", "calc_hue_hist", "canny",
     "calc_optical_flow_farneback",
     "calc_optical_flow_pyr_lk", "circle", "clahe", "compute_brief",
@@ -948,7 +951,10 @@ __all__ = [
     "kmeans_quantize",
     "line", "lut", "match_descriptors", "match_shapes", "mean_shift",
     "polylines",
-    "get_rotation_matrix_2d", "harris_corners", "in_range", "match_template",
+    "get_rotation_matrix_2d", "get_optimal_new_camera_matrix",
+    "init_undistort_rectify_map", "project_points", "rodrigues",
+    "undistort", "undistort_points",
+    "harris_corners", "in_range", "match_template",
     "median_blur", "min_max_loc", "orb_features", "phase_correlate", "moments", "pyr_down", "put_text",
     "rectangle", "remap", "resize", "rotate", "sobel_magnitude", "stereo_bm", "threshold",
     "warp_affine",
@@ -1153,3 +1159,164 @@ def phase_correlate(prev: Mat, nxt: Mat, window: bool = True):
     d, resp = _reg.phase_correlate_numpy(np.asarray(gp), np.asarray(gn),
                                          window=window)
     return d, resp
+
+
+def _pair(a: Mat, b: Mat):
+    """Aligned array pair (device if either is device-resident). Host
+    gray Mats are (H, W, 1) while device ones are (H, W) — trailing
+    1-channels squeeze so mixed-residency pairs broadcast."""
+    def _sq(x):
+        return x[..., 0] if x.ndim == 3 and x.shape[-1] == 1 else x
+
+    if a.is_on_device or b.is_on_device:
+        import jax.numpy as jnp
+
+        return (jnp.asarray(_sq(a.device() if a.is_on_device else a.to_numpy())),
+                jnp.asarray(_sq(b.device() if b.is_on_device else b.to_numpy())),
+                True)
+    return _sq(a.to_numpy()), _sq(b.to_numpy()), False
+
+
+def add(a: Mat, b: Mat) -> Mat:
+    """Saturating u8 add (ops/arith.py)."""
+    from ..ops import arith as _ar
+
+    x, y, dev = _pair(a, b)
+    out = _ar.add_u8(x, y)
+    return Mat.from_device(out) if dev else Mat.from_array(__import__("numpy").asarray(out))
+
+
+def subtract(a: Mat, b: Mat) -> Mat:
+    """Saturating u8 subtract."""
+    from ..ops import arith as _ar
+
+    x, y, dev = _pair(a, b)
+    out = _ar.subtract_u8(x, y)
+    return Mat.from_device(out) if dev else Mat.from_array(__import__("numpy").asarray(out))
+
+
+def absdiff(a: Mat, b: Mat) -> Mat:
+    """|a − b| per element."""
+    from ..ops import arith as _ar
+
+    x, y, dev = _pair(a, b)
+    out = _ar.absdiff_u8(x, y)
+    return Mat.from_device(out) if dev else Mat.from_array(__import__("numpy").asarray(out))
+
+
+def add_weighted(a: Mat, alpha: float, b: Mat, beta: float,
+                 gamma: float = 0.0) -> Mat:
+    """αa + βb + γ with u8 saturation (OpenCV ``addWeighted``)."""
+    from ..ops import arith as _ar
+
+    x, y, dev = _pair(a, b)
+    out = _ar.add_weighted_u8(x, float(alpha), y, float(beta), float(gamma))
+    return Mat.from_device(out) if dev else Mat.from_array(__import__("numpy").asarray(out))
+
+
+def convert_scale_abs(mat: Mat, alpha: float = 1.0, beta: float = 0.0) -> Mat:
+    """|αx + β| saturated to u8 (OpenCV ``convertScaleAbs``)."""
+    from ..ops import arith as _ar
+
+    return _apply(
+        mat,
+        lambda d: _ar.convert_scale_abs_u8(d, float(alpha), float(beta)),
+        lambda h: _ar.convert_scale_abs_numpy(h, alpha, beta),
+    )
+
+
+def bitwise_and(a: Mat, b: Mat) -> Mat:
+    from ..ops import arith as _ar
+
+    x, y, dev = _pair(a, b)
+    out = _ar.bitwise_and(x, y)
+    return Mat.from_device(out) if dev else Mat.from_array(__import__("numpy").asarray(out))
+
+
+def bitwise_or(a: Mat, b: Mat) -> Mat:
+    from ..ops import arith as _ar
+
+    x, y, dev = _pair(a, b)
+    out = _ar.bitwise_or(x, y)
+    return Mat.from_device(out) if dev else Mat.from_array(__import__("numpy").asarray(out))
+
+
+def bitwise_xor(a: Mat, b: Mat) -> Mat:
+    from ..ops import arith as _ar
+
+    x, y, dev = _pair(a, b)
+    out = _ar.bitwise_xor(x, y)
+    return Mat.from_device(out) if dev else Mat.from_array(__import__("numpy").asarray(out))
+
+
+def bitwise_not(mat: Mat) -> Mat:
+    from ..ops import arith as _ar
+
+    return _apply(mat, _ar.bitwise_not, lambda h: ~h)
+
+
+def count_non_zero(mat: Mat) -> int:
+    from ..ops import arith as _ar
+    import numpy as np
+
+    a = mat.device() if mat.is_on_device else mat.to_numpy()
+    if mat.is_on_device:
+        return int(_ar.count_non_zero(a))
+    return int(np.count_nonzero(a))
+
+
+def norm(mat: Mat, kind: str = "l2") -> float:
+    """L1 / L2 / inf norm (OpenCV ``norm`` NORM_L1/L2/INF)."""
+    from ..ops import arith as _ar
+
+    if mat.is_on_device:
+        return float(_ar.norm_u8(mat.device(), kind=kind))
+    return _ar.norm_numpy(mat.to_numpy(), kind=kind)
+
+
+def mean_std_dev(mat: Mat):
+    """(mean, population stddev) as floats (OpenCV ``meanStdDev``)."""
+    from ..ops import arith as _ar
+    import numpy as np
+
+    if mat.is_on_device:
+        m, s = _ar.mean_stddev_u8(mat.device())
+        return float(m), float(s)
+    f = mat.to_numpy().astype(np.float64)
+    return float(f.mean()), float(f.std())
+
+
+def psnr(a: Mat, b: Mat) -> float:
+    """PSNR in dB (OpenCV ``PSNR``)."""
+    from ..ops import arith as _ar
+
+    x, y, _ = _pair(a, b)
+    import jax.numpy as jnp
+    import numpy as np
+
+    return _ar.psnr_u8(jnp.asarray(np.asarray(x)), jnp.asarray(np.asarray(y)))
+
+
+# --- camera model (host tables + device remap, ops/calib.py) -------------
+from ..ops.calib import (  # noqa: E402  (re-exports)
+    get_optimal_new_camera_matrix,
+    init_undistort_rectify_map,
+    project_points,
+    rodrigues,
+    undistort_points,
+)
+
+
+def undistort(mat: Mat, K, dist, new_K=None) -> Mat:
+    """Undistort a u8 image (OpenCV ``undistort``): 5-coefficient
+    radial-tangential model; host map build + device packed-quad remap
+    (ops/calib.py)."""
+    import numpy as np
+
+    from ..ops import calib as _calib
+
+    a = mat.device() if mat.is_on_device else mat.to_numpy()
+    out = _calib.undistort(a, K, dist, new_K)
+    if mat.is_on_device:
+        return Mat.from_device(out)
+    return Mat.from_array(np.asarray(out))

@@ -1,0 +1,159 @@
+"""Camera model: projection, distortion, undistortion (OpenCV
+``projectPoints`` / ``Rodrigues`` / ``undistort`` /
+``initUndistortRectifyMap`` / ``undistortPoints`` /
+``getOptimalNewCameraMatrix`` roles).
+
+Model: pinhole K = [[fx, 0, cx], [0, fy, cy], [0, 0, 1]] with the
+standard 5-coefficient radial-tangential distortion (k1, k2, p1, p2,
+k3):
+
+    x' = x(1 + k1 r² + k2 r⁴ + k3 r⁶) + 2 p1 x y + p2 (r² + 2x²)
+    y' = y(1 + k1 r² + k2 r⁴ + k3 r⁶) + p1 (r² + 2y²) + 2 p2 x y
+
+TPU split: table builds and point math are host float64 (tiny,
+per-camera, done once); the per-pixel image resampling is the device
+``remap`` packed-quad gather (ops/warp.py) with TRACED maps — changing
+cameras never recompiles. This mirrors how warpPerspective builds its
+tables host-side.
+
+Frozen specs: float64 host math; undistort_points runs the fixed-count
+(10) compensate iteration; get_optimal_new_camera_matrix blends the
+inner (all-source-visible) and outer (bounding) rectangles of the
+undistorted border grid by alpha, OpenCV-style.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def rodrigues(r: np.ndarray) -> np.ndarray:
+    """Rotation vector (3,) → matrix (3, 3) (or back for (3, 3) input)."""
+    r = np.asarray(r, np.float64)
+    if r.shape == (3, 3):
+        # matrix → vector
+        a = (np.trace(r) - 1.0) / 2.0
+        theta = np.arccos(np.clip(a, -1.0, 1.0))
+        if theta < 1e-12:
+            return np.zeros(3)
+        v = np.array([r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]])
+        return theta / (2.0 * np.sin(theta)) * v
+    r = r.reshape(3)
+    theta = float(np.linalg.norm(r))
+    if theta < 1e-12:
+        return np.eye(3)
+    k = r / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def _distort(x: np.ndarray, y: np.ndarray, dist) -> Tuple[np.ndarray, np.ndarray]:
+    k1, k2, p1, p2, k3 = (list(np.asarray(dist, np.float64).reshape(-1)) + [0.0] * 5)[:5]
+    r2 = x * x + y * y
+    rad = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * rad + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * rad + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return xd, yd
+
+
+def project_points(obj_pts: np.ndarray, rvec, tvec, K: np.ndarray,
+                   dist=(0, 0, 0, 0, 0)) -> np.ndarray:
+    """3-D points [N, 3] → pixel coordinates [N, 2] float64 (OpenCV
+    ``projectPoints``)."""
+    K = np.asarray(K, np.float64)
+    R = rodrigues(np.asarray(rvec, np.float64))
+    t = np.asarray(tvec, np.float64).reshape(3)
+    p = np.asarray(obj_pts, np.float64).reshape(-1, 3) @ R.T + t
+    x = p[:, 0] / p[:, 2]
+    y = p[:, 1] / p[:, 2]
+    xd, yd = _distort(x, y, dist)
+    return np.stack([K[0, 0] * xd + K[0, 2], K[1, 1] * yd + K[1, 2]], axis=-1)
+
+
+def undistort_points(pts: np.ndarray, K: np.ndarray, dist,
+                     new_K: Optional[np.ndarray] = None) -> np.ndarray:
+    """Distorted pixels [N, 2] → undistorted pixels [N, 2] under new_K
+    (default K). Fixed 10-iteration compensation (frozen spec)."""
+    K = np.asarray(K, np.float64)
+    nk = K if new_K is None else np.asarray(new_K, np.float64)
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    x = (p[:, 0] - K[0, 2]) / K[0, 0]
+    y = (p[:, 1] - K[1, 2]) / K[1, 1]
+    x0, y0 = x.copy(), y.copy()
+    for _ in range(10):
+        xd, yd = _distort(x, y, dist)
+        x = x + (x0 - xd)
+        y = y + (y0 - yd)
+    return np.stack([nk[0, 0] * x + nk[0, 2], nk[1, 1] * y + nk[1, 2]], axis=-1)
+
+
+def init_undistort_rectify_map(K: np.ndarray, dist, new_K: Optional[np.ndarray],
+                               size: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
+    """(w, h) → (map_x, map_y) float32 [h, w] for :func:`ops.warp.remap`
+    (OpenCV ``initUndistortRectifyMap``): for every undistorted output
+    pixel, the distorted source position."""
+    w, h = size
+    K = np.asarray(K, np.float64)
+    nk = K if new_K is None else np.asarray(new_K, np.float64)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    x = (xs - nk[0, 2]) / nk[0, 0]
+    y = (ys - nk[1, 2]) / nk[1, 1]
+    xd, yd = _distort(x, y, dist)
+    return ((K[0, 0] * xd + K[0, 2]).astype(np.float32),
+            (K[1, 1] * yd + K[1, 2]).astype(np.float32))
+
+
+def get_optimal_new_camera_matrix(K: np.ndarray, dist, size: Tuple[int, int],
+                                  alpha: float = 0.0) -> np.ndarray:
+    """alpha=0: zoom so ONLY valid source pixels are visible; alpha=1:
+    keep every source pixel (black borders). Blend in between (OpenCV
+    ``getOptimalNewCameraMatrix`` role, border-grid variant)."""
+    w, h = size
+    K = np.asarray(K, np.float64)
+    n = 9
+    edge = []
+    for i in range(n):
+        t = i / (n - 1)
+        edge += [(t * (w - 1), 0.0), (t * (w - 1), h - 1.0),
+                 (0.0, t * (h - 1)), (w - 1.0, t * (h - 1))]
+    up = undistort_points(np.asarray(edge), K, dist)
+    # outer rect: bounding box of all undistorted border points
+    ox0, oy0 = up[:, 0].min(), up[:, 1].min()
+    ox1, oy1 = up[:, 0].max(), up[:, 1].max()
+    # inner rect: the largest axis-aligned box inside the undistorted
+    # border: right edge of left-border points, etc.
+    e = np.asarray(edge)
+    left = up[e[:, 0] == 0.0]
+    right = up[e[:, 0] == w - 1.0]
+    top = up[e[:, 1] == 0.0]
+    bot = up[e[:, 1] == h - 1.0]
+    ix0, ix1 = left[:, 0].max(), right[:, 0].min()
+    iy0, iy1 = top[:, 1].max(), bot[:, 1].min()
+    a = float(np.clip(alpha, 0.0, 1.0))
+    x0 = ix0 * (1 - a) + ox0 * a
+    x1 = ix1 * (1 - a) + ox1 * a
+    y0 = iy0 * (1 - a) + oy0 * a
+    y1 = iy1 * (1 - a) + oy1 * a
+    # u_new = sx (u_K − x0), u_K = fx·xn + cx  ⇒  fx' = sx·fx,
+    # cx' = sx (cx − x0); likewise for y.
+    sx = (w - 1) / max(x1 - x0, 1e-9)
+    sy = (h - 1) / max(y1 - y0, 1e-9)
+    return np.array([
+        [K[0, 0] * sx, 0.0, sx * (K[0, 2] - x0)],
+        [0.0, K[1, 1] * sy, sy * (K[1, 2] - y0)],
+        [0.0, 0.0, 1.0],
+    ])
+
+
+def undistort(img, K: np.ndarray, dist, new_K: Optional[np.ndarray] = None):
+    """Undistort a u8 image on device via the packed-quad remap
+    (OpenCV ``undistort``). ``img`` may be (H, W) or (H, W, C)."""
+    import jax.numpy as jnp
+
+    from .warp import remap
+
+    h, w = img.shape[0], img.shape[1]
+    mx, my = init_undistort_rectify_map(K, dist, new_K, (w, h))
+    return remap(img, jnp.asarray(mx), jnp.asarray(my), border="constant")
