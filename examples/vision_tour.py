@@ -119,6 +119,14 @@ def main(width: int = 160, height: int = 120) -> int:
         poly = imgproc.approx_poly_dp(cnt, 2.0)
         ok("convex_hull/area/rects/approx_poly_dp",
            f"(hull {len(hull)} pts, area {area:.0f}, poly {len(poly)})")
+    seeds = np.zeros((height, width), np.int32)
+    seeds[height // 4, width // 4] = 1
+    seeds[3 * height // 4, 3 * width // 4] = 2
+    wsout = imgproc.watershed(gray, seeds)
+    ok("watershed", f"({(wsout == -1).sum()} ridge px, "
+       f"{len(np.unique(wsout[wsout > 0]))} regions)")
+    up = imgproc.pyr_up(imgproc.pyr_down(mat))
+    ok("pyr_up", f"({up.rows}x{up.cols})")
     K = np.array([[250.0, 0, width / 2], [0, 250.0, height / 2], [0, 0, 1]])
     und = imgproc.undistort(mat, K, (-0.2, 0.05, 0, 0, 0))
     ok("undistort", f"({und.rows}x{und.cols})")

@@ -268,6 +268,14 @@ def pyr_down(mat: Mat) -> Mat:
     return _apply(mat, _filters.pyr_down, golden.pyr_down)
 
 
+def pyr_up(mat: Mat) -> Mat:
+    """Image-pyramid upsample to (2H, 2W): zero-stuff + 5×5 binomial
+    with ×4 gain (OpenCV pyrUp role; golden.pyr_up)."""
+    from ..ops import filters as _filters
+
+    return _apply(mat, _filters.pyr_up, golden.pyr_up)
+
+
 def box_blur(mat: Mat, ksize: int = 3) -> Mat:
     from ..ops import filters as _filters
 
@@ -955,9 +963,10 @@ __all__ = [
     "init_undistort_rectify_map", "project_points", "rodrigues",
     "undistort", "undistort_points",
     "harris_corners", "in_range", "match_template",
-    "median_blur", "min_max_loc", "orb_features", "phase_correlate", "moments", "pyr_down", "put_text",
+    "median_blur", "min_max_loc", "orb_features", "phase_correlate",
+    "pyr_up", "moments", "pyr_down", "put_text",
     "rectangle", "remap", "resize", "rotate", "sobel_magnitude", "stereo_bm", "threshold",
-    "warp_affine",
+    "warp_affine", "watershed",
 ]
 
 
@@ -1320,3 +1329,12 @@ def undistort(mat: Mat, K, dist, new_K=None) -> Mat:
     if mat.is_on_device:
         return Mat.from_device(out)
     return Mat.from_array(np.asarray(out))
+
+
+def watershed(mat: Mat, markers) -> "np.ndarray":
+    """Marker-based watershed (OpenCV ``watershed``): int32 markers
+    (0 unknown, >0 seeds) → int32 labels with −1 watershed lines.
+    Minimax-semiring scan flood, no priority queue (ops/watershed.py)."""
+    from ..ops import watershed as _ws
+
+    return _ws.watershed(_gray_of_mat(mat), markers)

@@ -130,6 +130,10 @@ class BackgroundSubtractorMOG2:
         f = jnp.asarray(frame)
         if self._state is None:
             self._state = mog2_init(f.shape, self._k)
+        elif f.shape != self._state[1].shape[1:]:
+            raise ValueError(
+                f"frame shape {f.shape} != model shape "
+                f"{self._state[1].shape[1:]} (create a new subtractor)")
         self._state, fg = mog2_step(self._state, f, self._params)
         return np.asarray(fg)
 

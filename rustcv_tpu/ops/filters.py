@@ -436,3 +436,31 @@ def integral_u8(img: jax.Array) -> jax.Array:
         raise ValueError("integral expects a single-channel (H, W) image")
     s = jnp.cumsum(jnp.cumsum(img.astype(jnp.int32), axis=0), axis=1)
     return jnp.pad(s, ((1, 0), (1, 0)))
+
+
+@partial(jax.jit, static_argnames=("has_channels",))
+def pyr_up(img: jax.Array, has_channels: bool = None) -> jax.Array:  # type: ignore[assignment]
+    """Pyramid upsample to (2H, 2W): polyphase binomial on the source
+    (even = [1,6,1], odd = [4,4] per axis; replicate border), interleaved
+    by stack+reshape - no scatter, no zero-stuffed intermediate. Exact vs
+    golden.pyr_up; constant images stay constant including borders."""
+    if has_channels is None:
+        has_channels = img.ndim >= 3 and img.shape[-1] in (1, 3, 4)
+    ax_h, ax_w = _spatial_axes(img, has_channels)
+    ax_h = ax_h % img.ndim
+    ax_w = ax_w % img.ndim
+
+    def up_axis(a, axis):
+        n = a.shape[axis]
+        p = _replicate_pad(a, axis, 1)
+        left = jax.lax.slice_in_dim(p, 0, n, axis=axis)
+        right = jax.lax.slice_in_dim(p, 2, n + 2, axis=axis)
+        even = left + 6 * a + right
+        odd = 4 * (a + right)
+        out = jnp.stack([even, odd], axis=axis + 1)
+        shape = list(a.shape)
+        shape[axis] *= 2
+        return out.reshape(shape)
+
+    acc = up_axis(up_axis(img.astype(jnp.int32), ax_w), ax_h)
+    return jnp.clip((acc + 32) >> 6, 0, 255).astype(jnp.uint8)

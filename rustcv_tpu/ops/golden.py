@@ -914,3 +914,27 @@ def scharr3_gray(gray: np.ndarray):
     ph = _replicate_pad(sm_h, 1, 0)
     gy = (ph[2 : h + 2, :] - ph[0:h, :]).astype(np.int32)
     return gx, gy
+
+
+def pyr_up(img: np.ndarray) -> np.ndarray:
+    """Image-pyramid upsample to (2H, 2W), frozen spec: the 5x5 binomial
+    zero-stuff upsample expressed POLYPHASE on the source with replicate
+    border (per axis: even outputs = [1,6,1]*src, odd = [4,4]*src), so
+    every output phase carries total weight 64 and a constant image stays
+    constant everywhere (incl. borders): (Sigma + 32) >> 6 (OpenCV pyrUp
+    role; border mode matches our pyr_down)."""
+
+    def up_axis(a, axis):
+        c = a
+        left = np.take(a, [0] + list(range(a.shape[axis] - 1)), axis=axis)
+        right = np.take(a, list(range(1, a.shape[axis])) + [a.shape[axis] - 1],
+                        axis=axis)
+        even = left + 6 * c + right          # weight 8
+        odd = 4 * (c + right)                # weight 8
+        out = np.stack([even, odd], axis=axis + 1)
+        shape = list(a.shape)
+        shape[axis] *= 2
+        return out.reshape(shape)
+
+    acc = up_axis(up_axis(img.astype(np.int32), 1), 0)
+    return ((acc + 32) >> 6).clip(0, 255).astype(np.uint8)

@@ -111,3 +111,28 @@ class TestFacades:
                           - golden.filter2d(img, k).astype(int)).max() <= 1
             s = imgproc.integral(m)
             assert np.array_equal(np.asarray(s), golden.integral(img))
+
+
+class TestPyrUp:
+    def test_exact_gray_and_bgr(self, jax_cpu):
+        rng = np.random.default_rng(5)
+        for shape in [(17, 23), (12, 16, 3)]:
+            img = rng.integers(0, 256, shape, np.uint8)
+            dev = np.asarray(filters.pyr_up(img))
+            assert dev.shape[:2] == (shape[0] * 2, shape[1] * 2)
+            assert np.array_equal(dev, golden.pyr_up(img))
+
+    def test_constant_preserved(self, jax_cpu):
+        img = np.full((8, 8), 137, np.uint8)
+        up = np.asarray(filters.pyr_up(img))
+        assert (up == 137).all()  # x4 gain restores DC exactly
+
+    def test_facade(self, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core.mat import Mat
+
+        img = np.random.default_rng(6).integers(0, 256, (10, 12), np.uint8)
+        out = imgproc.pyr_up(Mat.from_array(img))
+        got = out.to_numpy()
+        got = got[..., 0] if got.ndim == 3 else got
+        assert np.array_equal(got, golden.pyr_up(img))
