@@ -119,6 +119,19 @@ def main(width: int = 160, height: int = 120) -> int:
         poly = imgproc.approx_poly_dp(cnt, 2.0)
         ok("convex_hull/area/rects/approx_poly_dp",
            f"(hull {len(hull)} pts, area {area:.0f}, poly {len(poly)})")
+    ell = imgproc.get_structuring_element("ellipse", 5)
+    imgproc.erode_kernel(mask, ell); imgproc.dilate_kernel(mask, ell)
+    imgproc.sep_filter_2d(mat, imgproc.get_gaussian_kernel(5),
+                          imgproc.get_gaussian_kernel(5))
+    ok("structuring elements / sep_filter_2d")
+    if contours:
+        big = max(contours, key=len)
+        vx, vy, _, _ = imgproc.fit_line(big)
+        try:
+            (ecx, ecy), (emaj, emin), eang = imgproc.fit_ellipse(big)
+            ok("fit_line/fit_ellipse", f"(major {emaj:.0f}px at {eang:.0f} deg)")
+        except ValueError:
+            ok("fit_line/fit_ellipse", "(degenerate contour)")
     seeds = np.zeros((height, width), np.int32)
     seeds[height // 4, width // 4] = 1
     seeds[3 * height // 4, 3 * width // 4] = 2

@@ -952,7 +952,9 @@ __all__ = [
     "cvt_hsv", "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
-    "filter2d", "get_perspective_transform", "integral",
+    "dilate_kernel", "erode_kernel", "filter2d", "fit_ellipse", "fit_line",
+    "get_gaussian_kernel", "get_perspective_transform",
+    "get_structuring_element", "integral", "sep_filter_2d",
     "morphology_ex",
     "warp_perspective",
     "cam_shift", "good_features_to_track", "hough_circles", "hough_lines", "hu_moments",
@@ -1338,3 +1340,53 @@ def watershed(mat: Mat, markers) -> "np.ndarray":
     from ..ops import watershed as _ws
 
     return _ws.watershed(_gray_of_mat(mat), markers)
+
+
+from ..ops.filters import get_structuring_element  # noqa: E402
+from ..ops.shape import fit_ellipse, fit_line  # noqa: E402
+
+
+def erode_kernel(mat: Mat, kernel) -> Mat:
+    """Erosion over an arbitrary bool structuring element (see
+    :func:`get_structuring_element`)."""
+    from ..ops import filters as _filters
+
+    return _apply(
+        mat,
+        lambda d: _filters.erode_kernel_u8(d, kernel),
+        lambda h: golden.erode_kernel(h, kernel),
+    )
+
+
+def dilate_kernel(mat: Mat, kernel) -> Mat:
+    """Dilation over an arbitrary bool structuring element."""
+    from ..ops import filters as _filters
+
+    return _apply(
+        mat,
+        lambda d: _filters.dilate_kernel_u8(d, kernel),
+        lambda h: golden.dilate_kernel(h, kernel),
+    )
+
+
+def get_gaussian_kernel(ksize: int, sigma: float = -1.0):
+    """1-D Gaussian taps (OpenCV ``getGaussianKernel``): float64 [k]
+    normalized to sum 1; sigma<=0 uses OpenCV's 0.3*((k-1)*0.5-1)+0.8."""
+    import numpy as np
+
+    if ksize < 1 or ksize % 2 == 0:
+        raise ValueError("ksize must be odd and positive")
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    t = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2
+    k = np.exp(-(t * t) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def sep_filter_2d(mat: Mat, kx, ky) -> Mat:
+    """Separable correlation (OpenCV ``sepFilter2D``): outer(ky, kx)
+    through :func:`filter2d` (the rank-1 fast path applies)."""
+    import numpy as np
+
+    return filter2d(mat, np.outer(np.asarray(ky, np.float64),
+                                  np.asarray(kx, np.float64)))

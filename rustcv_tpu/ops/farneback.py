@@ -81,7 +81,10 @@ def _poly_exp(f: jax.Array, n: int, sigma: float) -> jax.Array:
         _sep(f, gx, gx, n),    # <w f, xy>
     ])
     inv = jnp.asarray(ginv[1:], dtype=jnp.float32)  # drop the constant row
-    return jnp.einsum("cp,phw->chw", inv, p)
+    # HIGHEST: the TPU MXU's default bf16 einsum breaks f64-oracle
+    # parity; this [5, 6] contraction is negligible either way
+    return jnp.einsum("cp,phw->chw", inv, p,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _box(a: jax.Array, win: int) -> jax.Array:

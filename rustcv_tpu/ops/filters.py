@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from functools import lru_cache, partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -464,3 +466,84 @@ def pyr_up(img: jax.Array, has_channels: bool = None) -> jax.Array:  # type: ign
 
     acc = up_axis(up_axis(img.astype(jnp.int32), ax_w), ax_h)
     return jnp.clip((acc + 32) >> 6, 0, 255).astype(jnp.uint8)
+
+
+def get_structuring_element(shape: str, ksize: int):
+    """Morphology kernels (OpenCV ``getStructuringElement``): bool
+    (k, k) numpy mask. shape: "rect" (all ones), "cross" (center row +
+    column), "ellipse" (inscribed disc, the OpenCV inclusion rule:
+    |dx| <= r·sqrt(1-(dy/r)^2) rounded)."""
+    import numpy as np
+
+    if ksize < 1 or ksize % 2 == 0:
+        raise ValueError("ksize must be odd and positive")
+    r = ksize // 2
+    if shape == "rect":
+        return np.ones((ksize, ksize), bool)
+    if shape == "cross":
+        m = np.zeros((ksize, ksize), bool)
+        m[r, :] = True
+        m[:, r] = True
+        return m
+    if shape == "ellipse":
+        m = np.zeros((ksize, ksize), bool)
+        rr = max(r, 1)
+        for dy in range(-r, r + 1):
+            t = 1.0 - (dy / rr) ** 2
+            dx = int(round(rr * np.sqrt(max(t, 0.0)))) if r > 0 else 0
+            m[dy + r, r - dx : r + dx + 1] = True
+        return m
+    raise ValueError(f"unknown shape {shape!r} (rect, cross, ellipse)")
+
+
+def _masked_window_reduce(img: jax.Array, kernel, fn) -> jax.Array:
+    """k×k windowed reduce over only the True offsets of ``kernel``."""
+    import numpy as np
+
+    k = np.asarray(kernel, bool)
+    ksize = k.shape[0]
+    has_channels = img.ndim >= 3 and img.shape[-1] in (1, 3, 4)
+    ax_h, ax_w = _spatial_axes(img, has_channels)
+    r = ksize // 2
+    p = _replicate_pad(_replicate_pad(img, ax_h, r), ax_w, r)
+    h = img.shape[ax_h]
+    w = img.shape[ax_w]
+    acc = None
+    for dy in range(ksize):
+        for dx in range(ksize):
+            if not k[dy, dx]:
+                continue
+            sl = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(p, dy, dy + h, axis=ax_h),
+                dx, dx + w, axis=ax_w)
+            acc = sl if acc is None else fn(acc, sl)
+    if acc is None:
+        raise ValueError("structuring element has no True cells")
+    return acc
+
+
+def erode_kernel_u8(img: jax.Array, kernel) -> jax.Array:
+    """Erosion over an arbitrary structuring element (host bool mask,
+    baked into the program) — exact vs golden.erode_kernel."""
+    return _morph_kernel_jit(np.asarray(kernel, bool).tobytes(),
+                             np.asarray(kernel).shape, "erode")(img)
+
+
+def dilate_kernel_u8(img: jax.Array, kernel) -> jax.Array:
+    """Dilation over an arbitrary structuring element."""
+    return _morph_kernel_jit(np.asarray(kernel, bool).tobytes(),
+                             np.asarray(kernel).shape, "dilate")(img)
+
+
+@lru_cache(maxsize=64)
+def _morph_kernel_jit(kbytes: bytes, kshape, op: str):
+    import numpy as np
+
+    k = np.frombuffer(kbytes, bool).reshape(kshape)
+    fn = jnp.minimum if op == "erode" else jnp.maximum
+
+    @jax.jit
+    def run(img):
+        return _masked_window_reduce(img, k, fn)
+
+    return run

@@ -938,3 +938,29 @@ def pyr_up(img: np.ndarray) -> np.ndarray:
 
     acc = up_axis(up_axis(img.astype(np.int32), 1), 0)
     return ((acc + 32) >> 6).clip(0, 255).astype(np.uint8)
+
+
+def erode_kernel(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Erosion over an arbitrary bool structuring element (replicate
+    border) — frozen spec for filters.erode_kernel_u8."""
+    return _masked_reduce(img, kernel, np.minimum)
+
+
+def dilate_kernel(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    return _masked_reduce(img, kernel, np.maximum)
+
+
+def _masked_reduce(img, kernel, fn):
+    k = np.asarray(kernel, bool)
+    ksize = k.shape[0]
+    r = ksize // 2
+    p = _replicate_pad(img.astype(np.int32), r, r)
+    h, w = img.shape[:2]
+    acc = None
+    for dy in range(ksize):
+        for dx in range(ksize):
+            if not k[dy, dx]:
+                continue
+            sl = p[dy : dy + h, dx : dx + w]
+            acc = sl if acc is None else fn(acc, sl)
+    return acc.astype(np.uint8)

@@ -239,3 +239,66 @@ def min_enclosing_circle(pts: np.ndarray) -> Tuple[Tuple[float, float], float]:
                     continue
                 ctr, r = circ3(sp[k], sp[j], sp[i])
     return ((float(ctr[0]), float(ctr[1])), float(r))
+
+
+def fit_line(pts: np.ndarray) -> Tuple[float, float, float, float]:
+    """Total-least-squares line fit (OpenCV ``fitLine`` DIST_L2 role):
+    (vx, vy, x0, y0) — unit direction + a point on the line (the
+    centroid). Direction sign: vx >= 0 (vy >= 0 when vx == 0)."""
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    if len(p) < 2:
+        raise ValueError("fit_line needs at least 2 points")
+    c = p.mean(axis=0)
+    q = p - c
+    cov = q.T @ q
+    evals, evecs = np.linalg.eigh(cov)
+    v = evecs[:, int(np.argmax(evals))]
+    if v[0] < 0 or (v[0] == 0 and v[1] < 0):
+        v = -v
+    return (float(v[0]), float(v[1]), float(c[0]), float(c[1]))
+
+
+def fit_ellipse(pts: np.ndarray):
+    """Direct least-squares ellipse fit (the numerically stable
+    Halir-Flusser partitioning of Fitzgibbon's method; OpenCV
+    ``fitEllipse`` role): ((cx, cy), (major, minor) FULL axes,
+    angle_deg of the major axis from +x, in [0, 180))."""
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    if len(p) < 5:
+        raise ValueError("fit_ellipse needs at least 5 points")
+    mx, my = p[:, 0].mean(), p[:, 1].mean()
+    x, y = p[:, 0] - mx, p[:, 1] - my
+    D1 = np.stack([x * x, x * y, y * y], axis=1)
+    D2 = np.stack([x, y, np.ones_like(x)], axis=1)
+    S1 = D1.T @ D1
+    S2 = D1.T @ D2
+    S3 = D2.T @ D2
+    try:
+        T = -np.linalg.solve(S3, S2.T)
+    except np.linalg.LinAlgError as e:
+        raise ValueError("degenerate point set for ellipse fit") from e
+    M = S1 + S2 @ T
+    M2 = np.array([M[2] / 2.0, -M[1], M[0] / 2.0])
+    evals, evecs = np.linalg.eig(M2)
+    cond = 4.0 * evecs[0].real * evecs[2].real - evecs[1].real ** 2
+    idx = np.where(cond > 1e-12)[0]
+    if len(idx) == 0:
+        raise ValueError("no ellipse solution (degenerate/collinear points)")
+    a1 = evecs[:, idx[0]].real
+    A, B, Cc, Dd, E, F = np.concatenate([a1, T @ a1])
+    den = B * B - 4.0 * A * Cc
+    if den >= 0:
+        raise ValueError("fit is not an ellipse")
+    cx = (2.0 * Cc * Dd - B * E) / den
+    cy = (2.0 * A * E - B * Dd) / den
+    dif = np.hypot(A - Cc, B)
+    q = 2.0 * (A * E * E + Cc * Dd * Dd - B * Dd * E + den * F)
+    ax1 = -np.sqrt(max(q * ((A + Cc) + dif), 0.0)) / den
+    ax2 = -np.sqrt(max(q * ((A + Cc) - dif), 0.0)) / den
+    major, minor = max(ax1, ax2), min(ax1, ax2)
+    if abs(B) > 1e-12 * max(abs(A), abs(Cc), 1e-30):
+        ang = (np.degrees(np.arctan2(Cc - A - dif, B)) + 90.0) % 180.0
+    else:
+        ang = 0.0 if A <= Cc else 90.0
+    return ((float(cx + mx), float(cy + my)),
+            (float(2 * major), float(2 * minor)), float(ang))
