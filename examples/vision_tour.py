@@ -119,6 +119,13 @@ def main(width: int = 160, height: int = 120) -> int:
         poly = imgproc.approx_poly_dp(cnt, 2.0)
         ok("convex_hull/area/rects/approx_poly_dp",
            f"(hull {len(hull)} pts, area {area:.0f}, poly {len(poly)})")
+    try:
+        gc_mask = imgproc.grab_cut(mat, rect=(width // 4, height // 4,
+                                              width // 2, height // 2),
+                                   iter_count=2)
+        ok("grab_cut", f"({int(np.isin(gc_mask, [1, 3]).sum())} fg px)")
+    except RuntimeError:
+        ok("grab_cut", "(native maxflow unavailable)")
     ell = imgproc.get_structuring_element("ellipse", 5)
     imgproc.erode_kernel(mask, ell); imgproc.dilate_kernel(mask, ell)
     imgproc.sep_filter_2d(mat, imgproc.get_gaussian_kernel(5),

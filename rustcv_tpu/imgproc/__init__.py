@@ -961,6 +961,7 @@ __all__ = [
     "kmeans_quantize",
     "line", "lut", "match_descriptors", "match_shapes", "mean_shift",
     "polylines",
+    "grab_cut",
     "get_rotation_matrix_2d", "get_optimal_new_camera_matrix",
     "init_undistort_rectify_map", "project_points", "rodrigues",
     "undistort", "undistort_points",
@@ -1390,3 +1391,22 @@ def sep_filter_2d(mat: Mat, kx, ky) -> Mat:
 
     return filter2d(mat, np.outer(np.asarray(ky, np.float64),
                                   np.asarray(kx, np.float64)))
+
+
+GC_BGD, GC_FGD, GC_PR_BGD, GC_PR_FGD = 0, 1, 2, 3
+
+
+def grab_cut(mat: Mat, mask=None, rect=None, iter_count: int = 5,
+             seed: int = 0):
+    """GrabCut foreground extraction (OpenCV ``grabCut``): GMM color
+    models + a REAL min-cut (native C++ Dinic over the 8-connected
+    grid). Returns the GC_* mask (ops/grabcut.py)."""
+    import numpy as np
+
+    from ..ops import grabcut as _gc
+
+    a = mat.to_numpy() if not mat.is_on_device else np.asarray(mat.device())
+    if a.ndim == 2:
+        raise ValueError("grab_cut needs a BGR image")
+    return _gc.grab_cut(a, mask=mask, rect=rect, iter_count=iter_count,
+                        seed=seed)

@@ -27,6 +27,7 @@ _SRCS = [
     os.path.join(_HERE, "jpeg_encode.cpp"),
     os.path.join(_HERE, "jpeg_host.cpp"),
     os.path.join(_HERE, "v4l2.cpp"),
+    os.path.join(_HERE, "maxflow.cpp"),
 ]
 _SRC = _SRCS[0]
 _SO = os.path.join(_HERE, "librustcv_capture.so")
@@ -136,6 +137,12 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.rcv_v4l2_stop.restype = ctypes.c_int
     lib.rcv_v4l2_stop.argtypes = [ctypes.c_void_p]
     lib.rcv_v4l2_close.argtypes = [ctypes.c_void_p]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.rcv_maxflow_grid.restype = ctypes.c_int64
+    lib.rcv_maxflow_grid.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, i64p, i64p, i64p, i64p, i64p, i64p,
+        u8cp,
+    ]
     lib.rcv_jpeg_decode_pitched.restype = ctypes.c_int
     lib.rcv_jpeg_decode_pitched.argtypes = [
         u8cp, ctypes.c_long, u8cp, ctypes.c_long, ctypes.c_long,
