@@ -119,6 +119,18 @@ def main(width: int = 160, height: int = 120) -> int:
         poly = imgproc.approx_poly_dp(cnt, 2.0)
         ok("convex_hull/area/rects/approx_poly_dp",
            f"(hull {len(hull)} pts, area {area:.0f}, poly {len(poly)})")
+    Kc = np.array([[250.0, 0, width / 2], [0, 250.0, height / 2], [0, 0, 1]])
+    objp = np.array([[x * 0.1, y * 0.1, 0.05 * ((x + y) % 3)]
+                     for x in range(4) for y in range(3)], float)
+    imgp = imgproc.project_points(objp, [0.1, -0.2, 0.05], [0, 0, 1.5], Kc)
+    rv, tv = imgproc.solve_pnp(objp, imgp, Kc)
+    hsrc = np.array([[0, 0], [100, 5], [95, 80], [5, 78], [50, 40], [20, 60]], float)
+    Hm = np.array([[1.05, 0.1, 4.0], [-0.08, 0.98, 2.0], [1e-4, 0, 1.0]])
+    hq = np.hstack([hsrc, np.ones((6, 1))]) @ Hm.T
+    Hest, hin = imgproc.find_homography(hsrc, hq[:, :2] / hq[:, 2:])
+    ok("solve_pnp/find_homography",
+       f"(pose err {np.linalg.norm(rv - [0.1, -0.2, 0.05]):.1e}, "
+       f"{int(hin.sum())}/6 inliers)")
     try:
         gc_mask = imgproc.grab_cut(mat, rect=(width // 4, height // 4,
                                               width // 2, height // 2),

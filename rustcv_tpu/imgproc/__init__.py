@@ -951,6 +951,7 @@ __all__ = [
     "corner_sub_pix", "cvt_gray", "distance_transform",
     "cvt_hsv", "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
+    "find_homography", "solve_pnp",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "dilate_kernel", "erode_kernel", "filter2d", "fit_ellipse", "fit_line",
     "get_gaussian_kernel", "get_perspective_transform",
@@ -1315,8 +1316,10 @@ from ..ops.calib import (  # noqa: E402  (re-exports)
     init_undistort_rectify_map,
     project_points,
     rodrigues,
+    solve_pnp,
     undistort_points,
 )
+from ..ops.geometry import find_homography  # noqa: E402
 
 
 def undistort(mat: Mat, K, dist, new_K=None) -> Mat:

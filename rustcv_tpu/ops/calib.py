@@ -157,3 +157,76 @@ def undistort(img, K: np.ndarray, dist, new_K: Optional[np.ndarray] = None):
     h, w = img.shape[0], img.shape[1]
     mx, my = init_undistort_rectify_map(K, dist, new_K, (w, h))
     return remap(img, jnp.asarray(mx), jnp.asarray(my), border="constant")
+
+
+def solve_pnp(
+    obj_pts: np.ndarray,
+    img_pts: np.ndarray,
+    K: np.ndarray,
+    dist=(0, 0, 0, 0, 0),
+    iterations: int = 20,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pose from 3D↔2D correspondences (OpenCV ``solvePnP`` ITERATIVE
+    role): DLT initialization + Gauss-Newton refinement of (rvec, tvec)
+    minimizing reprojection error through the FULL distortion model
+    (numeric Jacobian — 6 params, deterministic). Needs ≥ 6 points in a
+    non-degenerate configuration. Returns (rvec (3,), tvec (3,))."""
+    obj = np.asarray(obj_pts, np.float64).reshape(-1, 3)
+    img = np.asarray(img_pts, np.float64).reshape(-1, 2)
+    n = len(obj)
+    if n != len(img) or n < 6:
+        raise ValueError("solve_pnp needs >= 6 point correspondences")
+    K = np.asarray(K, np.float64)
+    # --- DLT init on UNDISTORTED normalized points ---------------------
+    und = undistort_points(img, K, dist)
+    xn = (und[:, 0] - K[0, 2]) / K[0, 0]
+    yn = (und[:, 1] - K[1, 2]) / K[1, 1]
+    A = np.zeros((2 * n, 12))
+    for i in range(n):
+        X = np.append(obj[i], 1.0)
+        A[2 * i, 0:4] = X
+        A[2 * i, 8:12] = -xn[i] * X
+        A[2 * i + 1, 4:8] = X
+        A[2 * i + 1, 8:12] = -yn[i] * X
+    _, _, vt = np.linalg.svd(A)
+    P = vt[-1].reshape(3, 4)
+    R_raw = P[:, :3]
+    # orthogonalize + scale; fix sign so points sit in front (z > 0)
+    u, s, vtr = np.linalg.svd(R_raw)
+    R = u @ vtr
+    scale = s.mean()
+    if scale < 1e-12:
+        raise ValueError("degenerate point configuration")
+    t = P[:, 3] / scale
+    if np.linalg.det(R) < 0:
+        R, t = -R, -t
+    z = obj @ R.T + t
+    if np.median(z[:, 2]) < 0:
+        R = u @ np.diag([1.0, 1.0, -1.0]) @ vtr
+        if np.linalg.det(R) < 0:
+            R = -R
+        t = -t
+    rvec = rodrigues(R)
+    tvec = t.copy()
+
+    # --- Gauss-Newton on the full (distorted) projection ---------------
+    def residual(r, tv):
+        return (project_points(obj, r, tv, K, dist) - img).reshape(-1)
+
+    params = np.concatenate([rvec, tvec])
+    eps = 1e-6
+    for _ in range(iterations):
+        r0 = residual(params[:3], params[3:])
+        J = np.zeros((2 * n, 6))
+        for j in range(6):
+            p2 = params.copy()
+            p2[j] += eps
+            J[:, j] = (residual(p2[:3], p2[3:]) - r0) / eps
+        try:
+            step = np.linalg.solve(J.T @ J + 1e-9 * np.eye(6), -J.T @ r0)
+        except np.linalg.LinAlgError:
+            break
+        params = params + step
+        if np.linalg.norm(step) < 1e-10:
+            break
+    return params[:3].copy(), params[3:].copy()

@@ -119,3 +119,77 @@ def estimate_affine_2d(
     if len(src) != len(dst) or len(src) < 3:
         return None, np.zeros(len(src), bool)
     return _ransac(src, dst, _fit_affine, 3, ransac_thresh, iters, seed)
+
+
+def _fit_homography(src: np.ndarray, dst: np.ndarray) -> Optional[np.ndarray]:
+    """Normalized DLT → 3×3 H (H @ [sx, sy, 1] ∝ [dx, dy, 1])."""
+    n = len(src)
+    if n < 4:
+        return None
+
+    def norm(p):
+        c = p.mean(axis=0)
+        s = np.sqrt(2.0) / max(np.linalg.norm(p - c, axis=1).mean(), 1e-12)
+        T = np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1.0]])
+        return (p - c) * s, T
+
+    sp, Ts = norm(src)
+    dp, Td = norm(dst)
+    A = np.zeros((2 * n, 9))
+    for i in range(n):
+        x, y = sp[i]
+        u, v = dp[i]
+        A[2 * i] = [-x, -y, -1, 0, 0, 0, u * x, u * y, u]
+        A[2 * i + 1] = [0, 0, 0, -x, -y, -1, v * x, v * y, v]
+    try:
+        _, _, vt = np.linalg.svd(A)
+    except np.linalg.LinAlgError:
+        return None
+    H = vt[-1].reshape(3, 3)
+    H = np.linalg.inv(Td) @ H @ Ts
+    if abs(H[2, 2]) < 1e-12 or not np.all(np.isfinite(H)):
+        return None
+    return H / H[2, 2]
+
+
+def _proj_h(H: np.ndarray, p: np.ndarray) -> np.ndarray:
+    q = p @ H[:, :2].T + H[:, 2]
+    w = q[:, 2:]
+    return q[:, :2] / np.where(np.abs(w) < 1e-12, 1e-12, w)
+
+
+def find_homography(
+    src_pts,
+    dst_pts,
+    ransac_thresh: float = 3.0,
+    iters: int = 200,
+    seed: int = 7,
+) -> Tuple[Optional[np.ndarray], np.ndarray]:
+    """Projective 3×3 homography via RANSAC + inlier DLT refit (the
+    OpenCV ``findHomography`` RANSAC role) → (H float64 or None,
+    inlier mask). Deterministic for a given seed."""
+    src = np.asarray(src_pts, np.float64).reshape(-1, 2)
+    dst = np.asarray(dst_pts, np.float64).reshape(-1, 2)
+    n = len(src)
+    if n != len(dst) or n < 4:
+        return None, np.zeros(n, bool)
+    rng = np.random.default_rng(seed)
+    best_mask = np.zeros(n, bool)
+    best_h = None
+    for _ in range(iters):
+        idx = rng.choice(n, size=4, replace=False)
+        h = _fit_homography(src[idx], dst[idx])
+        if h is None:
+            continue
+        err = np.linalg.norm(_proj_h(h, src) - dst, axis=1)
+        mask = err < ransac_thresh
+        if mask.sum() > best_mask.sum():
+            best_mask = mask
+            best_h = h
+    if best_h is None or best_mask.sum() < 4:
+        return None, np.zeros(n, bool)
+    refined = _fit_homography(src[best_mask], dst[best_mask])
+    if refined is not None:
+        best_mask = np.linalg.norm(_proj_h(refined, src) - dst, axis=1) < ransac_thresh
+        best_h = refined
+    return best_h, best_mask
