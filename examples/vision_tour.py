@@ -119,6 +119,12 @@ def main(width: int = 160, height: int = 120) -> int:
         poly = imgproc.approx_poly_dp(cnt, 2.0)
         ok("convex_hull/area/rects/approx_poly_dp",
            f"(hull {len(hull)} pts, area {area:.0f}, poly {len(poly)})")
+    blob_img = np.full((height, width), 220, np.uint8)
+    byy, bxx = np.mgrid[0:height, 0:width]
+    for (bcx, bcy, br) in [(40, 40, 10), (110, 60, 13)]:
+        blob_img[(bxx - bcx) ** 2 + (byy - bcy) ** 2 <= br * br] = 40
+    blobs = imgproc.detect_blobs(Mat.from_array(blob_img))
+    ok("detect_blobs", f"({len(blobs)} blobs)")
     Kc = np.array([[250.0, 0, width / 2], [0, 250.0, height / 2], [0, 0, 1]])
     objp = np.array([[x * 0.1, y * 0.1, 0.05 * ((x + y) % 3)]
                      for x in range(4) for y in range(3)], float)

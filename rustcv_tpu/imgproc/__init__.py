@@ -948,10 +948,10 @@ __all__ = [
     "approx_poly_dp", "arc_length", "bounding_rect", "contour_area",
     "convex_hull", "create_background_subtractor_mog2",
     "min_area_rect", "min_enclosing_circle",
-    "corner_sub_pix", "cvt_gray", "distance_transform",
+    "corner_sub_pix", "cvt_gray", "detect_blobs", "distance_transform",
     "cvt_hsv", "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
-    "find_homography", "solve_pnp",
+    "calibrate_camera", "find_homography", "solve_pnp",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "dilate_kernel", "erode_kernel", "filter2d", "fit_ellipse", "fit_line",
     "get_gaussian_kernel", "get_perspective_transform",
@@ -1312,6 +1312,7 @@ def psnr(a: Mat, b: Mat) -> float:
 
 # --- camera model (host tables + device remap, ops/calib.py) -------------
 from ..ops.calib import (  # noqa: E402  (re-exports)
+    calibrate_camera,
     get_optimal_new_camera_matrix,
     init_undistort_rectify_map,
     project_points,
@@ -1413,3 +1414,16 @@ def grab_cut(mat: Mat, mask=None, rect=None, iter_count: int = 5,
         raise ValueError("grab_cut needs a BGR image")
     return _gc.grab_cut(a, mask=mask, rect=rect, iter_count=iter_count,
                         seed=seed)
+
+
+def detect_blobs(mat: Mat, params=None):
+    """Blob detection (OpenCV ``SimpleBlobDetector``): [K, 3] float64
+    (cx, cy, diameter). Thresholds + device CCL + host contour geometry,
+    merged across levels (ops/blob.py)."""
+    import numpy as np
+
+    from ..ops import blob as _blob
+
+    g = _gray_of_mat(mat)
+    p = params if params is not None else _blob.BlobParams()
+    return _blob.detect_blobs(np.asarray(g), p)

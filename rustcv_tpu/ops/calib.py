@@ -230,3 +230,127 @@ def solve_pnp(
         if np.linalg.norm(step) < 1e-10:
             break
     return params[:3].copy(), params[3:].copy()
+
+
+def calibrate_camera(
+    obj_points,
+    img_points,
+    image_size: Tuple[int, int],
+    iterations: int = 30,
+):
+    """Planar-target camera calibration (OpenCV ``calibrateCamera`` role,
+    Zhang's method): per-view homographies → absolute-conic closed-form
+    K init (zero skew) → per-view extrinsics → joint Gauss-Newton over
+    (fx, fy, cx, cy, k1, k2, p1, p2, k3, rvec_i, tvec_i) minimizing total
+    reprojection error (numeric Jacobian; deterministic).
+
+    ``obj_points``: list of [N_i, 3] planar targets (Z = 0);
+    ``img_points``: list of [N_i, 2] detected pixels. Needs >= 3 views.
+    Returns (rms, K, dist (5,), rvecs, tvecs)."""
+    from .geometry import _fit_homography
+
+    views = len(obj_points)
+    if views != len(img_points) or views < 3:
+        raise ValueError("calibrate_camera needs >= 3 views")
+    objs = [np.asarray(o, np.float64).reshape(-1, 3) for o in obj_points]
+    imgs = [np.asarray(p, np.float64).reshape(-1, 2) for p in img_points]
+    for o in objs:
+        if np.abs(o[:, 2]).max() > 1e-9:
+            raise ValueError("planar calibration requires Z == 0 targets")
+
+    # --- Zhang init: V b = 0 over homography constraints ----------------
+    hs = []
+    for o, p in zip(objs, imgs):
+        h = _fit_homography(o[:, :2], p)
+        if h is None:
+            raise ValueError("degenerate view (homography failed)")
+        hs.append(h)
+
+    def vij(h, i, j):
+        return np.array([
+            h[0, i] * h[0, j],
+            h[0, i] * h[1, j] + h[1, i] * h[0, j],
+            h[1, i] * h[1, j],
+            h[2, i] * h[0, j] + h[0, i] * h[2, j],
+            h[2, i] * h[1, j] + h[1, i] * h[2, j],
+            h[2, i] * h[2, j],
+        ])
+
+    V = []
+    for h in hs:
+        V.append(vij(h, 0, 1))
+        V.append(vij(h, 0, 0) - vij(h, 1, 1))
+    _, _, vt = np.linalg.svd(np.asarray(V))
+    b11, b12, b22, b13, b23, b33 = vt[-1]
+    # closed-form intrinsics (Zhang appendix B)
+    den = b11 * b22 - b12 * b12
+    if abs(den) < 1e-15:
+        raise ValueError("degenerate view geometry (parallel planes?)")
+    v0 = (b12 * b13 - b11 * b23) / den
+    lam = b33 - (b13 * b13 + v0 * (b12 * b13 - b11 * b23)) / b11
+    if lam / b11 <= 0 or lam <= 0 and b11 <= 0:
+        lam, b11, b12, b22, b13, b23 = (-lam, -b11, -b12, -b22, -b13, -b23)
+    fx = np.sqrt(abs(lam / b11))
+    fy = np.sqrt(abs(lam * b11 / den))
+    u0 = -b13 * fx * fx / lam
+    K0 = np.array([[fx, 0, u0], [0, fy, v0], [0, 0, 1.0]])
+
+    # --- extrinsics per view -------------------------------------------
+    rvecs, tvecs = [], []
+    Kinv = np.linalg.inv(K0)
+    for h in hs:
+        lam_i = 1.0 / max(np.linalg.norm(Kinv @ h[:, 0]), 1e-12)
+        r1 = lam_i * (Kinv @ h[:, 0])
+        r2 = lam_i * (Kinv @ h[:, 1])
+        t = lam_i * (Kinv @ h[:, 2])
+        if t[2] < 0:
+            r1, r2, t = -r1, -r2, -t
+        r3 = np.cross(r1, r2)
+        R = np.stack([r1, r2, r3], axis=1)
+        u, _, vtr = np.linalg.svd(R)
+        R = u @ vtr
+        if np.linalg.det(R) < 0:
+            R = u @ np.diag([1.0, 1.0, -1.0]) @ vtr
+        rvecs.append(rodrigues(R))
+        tvecs.append(t)
+
+    # --- joint Gauss-Newton refinement ---------------------------------
+    p0 = np.concatenate(
+        [[K0[0, 0], K0[1, 1], K0[0, 2], K0[1, 2]], np.zeros(5)]
+        + [np.concatenate([r, t]) for r, t in zip(rvecs, tvecs)])
+
+    def unpack(p):
+        Km = np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1.0]])
+        dist = p[4:9]
+        ext = p[9:].reshape(views, 6)
+        return Km, dist, ext
+
+    def residual(p):
+        Km, dist, ext = unpack(p)
+        out = []
+        for o, ip, e in zip(objs, imgs, ext):
+            out.append((project_points(o, e[:3], e[3:], Km, dist) - ip).reshape(-1))
+        return np.concatenate(out)
+
+    params = p0
+    eps = 1e-6
+    nres = sum(2 * len(o) for o in objs)
+    for _ in range(iterations):
+        r0 = residual(params)
+        J = np.zeros((nres, len(params)))
+        for j in range(len(params)):
+            p2 = params.copy()
+            p2[j] += eps
+            J[:, j] = (residual(p2) - r0) / eps
+        try:
+            step = np.linalg.solve(J.T @ J + 1e-9 * np.eye(len(params)),
+                                   -J.T @ r0)
+        except np.linalg.LinAlgError:
+            break
+        params = params + step
+        if np.linalg.norm(step) < 1e-11:
+            break
+    Kf, dist, ext = unpack(params)
+    rms = float(np.sqrt(np.mean(residual(params) ** 2)))
+    return (rms, Kf, dist.copy(),
+            [e[:3].copy() for e in ext], [e[3:].copy() for e in ext])

@@ -89,3 +89,55 @@ class TestSolvePnP:
     def test_too_few_raises(self):
         with pytest.raises(ValueError, match=">= 6"):
             calib.solve_pnp(np.zeros((4, 3)), np.zeros((4, 2)), K)
+
+
+class TestCalibrateCamera:
+    def _views(self, n_views=5, dist=(0, 0, 0, 0, 0), noise=0.0, seed=0):
+        rng = np.random.default_rng(seed)
+        gx, gy = np.meshgrid(np.arange(7) * 0.03, np.arange(5) * 0.03)
+        obj = np.column_stack([gx.ravel(), gy.ravel(), np.zeros(35)])
+        objs, imgs, rts = [], [], []
+        for _ in range(n_views):
+            rvec = rng.uniform(-0.35, 0.35, 3)
+            tvec = np.array([rng.uniform(-0.06, 0.06), rng.uniform(-0.05, 0.05),
+                             rng.uniform(0.4, 0.7)])
+            pix = calib.project_points(obj, rvec, tvec, K, dist)
+            if noise:
+                pix = pix + rng.normal(0, noise, pix.shape)
+            objs.append(obj)
+            imgs.append(pix)
+            rts.append((rvec, tvec))
+        return objs, imgs, rts
+
+    def test_recovers_intrinsics(self):
+        objs, imgs, rts = self._views()
+        rms, Ke, dist, rvecs, tvecs = calib.calibrate_camera(objs, imgs, (640, 480))
+        assert rms < 1e-6
+        np.testing.assert_allclose(Ke, K, rtol=1e-6, atol=1e-4)
+        assert np.abs(dist).max() < 1e-6
+        for (rv, tv), re_, te_ in zip(rts, rvecs, tvecs):
+            np.testing.assert_allclose(re_, rv, atol=1e-6)
+            np.testing.assert_allclose(te_, tv, atol=1e-6)
+
+    def test_recovers_distortion(self):
+        dist = (-0.22, 0.06, 0.0008, -0.0012, 0.0)
+        objs, imgs, _ = self._views(6, dist, seed=1)
+        rms, Ke, de, *_ = calib.calibrate_camera(objs, imgs, (640, 480))
+        assert rms < 1e-5
+        np.testing.assert_allclose(Ke, K, rtol=1e-4, atol=0.05)
+        np.testing.assert_allclose(de, dist, atol=1e-4)
+
+    def test_noisy_views(self):
+        objs, imgs, _ = self._views(8, noise=0.2, seed=2)
+        rms, Ke, *_ = calib.calibrate_camera(objs, imgs, (640, 480))
+        assert rms < 0.4
+        assert abs(Ke[0, 0] - K[0, 0]) / K[0, 0] < 0.02
+        assert abs(Ke[0, 2] - K[0, 2]) < 5.0
+
+    def test_validation(self):
+        objs, imgs, _ = self._views(2)
+        with pytest.raises(ValueError, match=">= 3 views"):
+            calib.calibrate_camera(objs, imgs, (640, 480))
+        bad = [np.column_stack([o[:, :2], np.ones(len(o))]) for o in objs] + [objs[0]]
+        with pytest.raises(ValueError, match="Z == 0"):
+            calib.calibrate_camera(bad, imgs + [imgs[0]], (640, 480))
