@@ -415,11 +415,14 @@ def good_features_to_track(mat: Mat, max_corners: int = 256, **kw):
         coords = np.asarray(coords)[np.asarray(valid)]
     else:
         mask = golden.harris_corners(gray, **kw)
-        # Rank with the SAME k the mask used (a default-k response here
-        # would pick a different top-K set than the device path).
-        resp = golden.harris_response(gray, k=kw.get("k", 0.04))
+        # Rank with the SAME fixed-point response the mask used; stable sort
+        # so integer ties break by flat index ascending, exactly like the
+        # device path's lax.top_k.
+        resp = golden.harris_response_i32(
+            gray, k_num=int(round(kw.get("k", 0.04) * 1024))
+        )
         ys, xs = np.nonzero(mask)
-        order = np.argsort(-resp[ys, xs])[:max_corners]
+        order = np.argsort(-resp[ys, xs], kind="stable")[:max_corners]
         coords = np.stack([ys[order], xs[order]], axis=-1)
     # (y, x) → (x, y)
     return coords[:, ::-1].astype(np.float32)

@@ -18,6 +18,14 @@ from ..core.config import SimpleConfig
 from ..core.pixel_format import PixelFormat
 
 
+def default_mjpeg_backend() -> str:
+    """Backend policy for MJPEG pipelines: block-packed hybrid when the
+    native entropy coder built, else full-host decode."""
+    from .. import native
+
+    return "hybrid" if native.available() else "host"
+
+
 @dataclass(frozen=True)
 class PipelineModel:
     """Declarative pipeline bundle → engine factory."""
@@ -39,6 +47,10 @@ class PipelineModel:
 
         ``device_sim`` defaults to True for raw formats (the zero-copy HBM
         capture path) and False for MJPEG (host entropy decode required).
+        MJPEG defaults to the block-packed hybrid backend (host entropy
+        decode → packed coefficient upload → on-device dequant/IDCT/color,
+        ~10× fewer H2D bytes than staged BGR) whenever the native coder is
+        available; the full-host path remains the explicit fallback.
         """
         from ..capture import SimulationDriver
         from ..runtime import MultiStreamEngine
@@ -55,6 +67,8 @@ class PipelineModel:
             mesh=mesh,
             encode_jpeg_quality=self.encode_jpeg_quality,
         )
+        if self.pixel_format == PixelFormat.MJPEG and "mjpeg_backend" not in overrides:
+            kwargs["mjpeg_backend"] = default_mjpeg_backend()
         kwargs.update(overrides)
         return MultiStreamEngine(
             driver,

@@ -2,12 +2,12 @@
 
 BASELINE config 4 ("Harris corner detection + NMS on 1080p stream,
 reduction-heavy feature path"). The reference has no feature detectors; the
-spec is frozen in :func:`golden.harris_response` / :func:`golden.harris_corners`.
-
-Gradients and their products are integer (exact); the windowed second-moment
-matrix and the response are float32 — float reassociation means device vs
-NumPy agreement is positional (corner sets), not bitwise. Tests assert corner
-sets match under a small response tolerance.
+corner spec is FROZEN as fixed-point int32 arithmetic in
+:func:`golden.harris_response_i32` / :func:`golden.harris_corners` — the
+device agrees bit-for-bit (array-equal masks and responses; no float
+reassociation anywhere on the corner path). The float
+:func:`harris_response` remains as a response-surface API (positional
+parity only), spec :func:`golden.harris_response`.
 """
 
 from __future__ import annotations
@@ -42,6 +42,29 @@ def harris_response(gray_u8: jax.Array, k: float = 0.04) -> jax.Array:
     return det - jnp.float32(k) * tr * tr
 
 
+_GAUSS5_I = (1, 4, 6, 4, 1)
+
+
+def _smooth5_i32(m: jax.Array) -> jax.Array:
+    """Separable integer 5×5 Gaussian, (Σ+128)>>8 (arithmetic shift)."""
+    acc = _taps(_taps(m, -1, _GAUSS5_I, 2), -2, _GAUSS5_I, 2)
+    return (acc + 128) >> 8
+
+
+@partial(jax.jit, static_argnames=("k_num",))
+def harris_response_i32(gray_u8: jax.Array, k_num: int = 41) -> jax.Array:
+    """Fixed-point Harris response (..., H, W) int32 — bit-exact vs
+    :func:`golden.harris_response_i32` (see there for the arithmetic and
+    the i32 overflow-headroom proof)."""
+    gx, gy = sobel3_gray(gray_u8)
+    sxx5 = _smooth5_i32(gx * gx) >> 5
+    syy5 = _smooth5_i32(gy * gy) >> 5
+    sxy5 = _smooth5_i32(gx * gy) >> 5
+    det = sxx5 * syy5 - sxy5 * sxy5
+    trh = (sxx5 + syy5) >> 1
+    return det - k_num * ((trh * trh) >> 8)
+
+
 @partial(jax.jit, static_argnames=("k", "threshold_rel", "nms_radius"))
 def harris_corners(
     gray_u8: jax.Array,
@@ -49,26 +72,33 @@ def harris_corners(
     threshold_rel: float = 0.01,
     nms_radius: int = 1,
 ) -> jax.Array:
-    """Boolean corner mask: response > rel·max AND (2r+1)² local maximum.
+    """Boolean corner mask: response > t_num·(max>>12) AND (2r+1)² local
+    maximum — integer throughout, array-equal with golden.harris_corners.
 
     The local-max test uses a max-pool (reduce_window) rather than golden's
-    explicit shift loop — mathematically identical for ties because golden
-    requires ``resp >= neighbor`` for all neighbors, i.e. resp == window max.
+    explicit shift loop — identical for ties because golden requires
+    ``resp >= neighbor`` for all neighbors, i.e. resp == window max.
     Batched inputs reduce max over the spatial axes per image.
     """
-    resp = harris_response(gray_u8, k=k)
+    resp = harris_response_i32(gray_u8, k_num=int(round(k * 1024)))
     return _corner_mask(resp, threshold_rel, nms_radius)
+
+
+import numpy as _np
+
+_I32_MIN = _np.int32(-(2**31))  # np scalar: reduce_window needs a concrete init
 
 
 def _corner_mask(resp: jax.Array, threshold_rel: float, nms_radius: int) -> jax.Array:
     spatial_max = jnp.max(resp, axis=(-2, -1), keepdims=True)
-    thresh = jnp.float32(threshold_rel) * spatial_max
+    t_num = int(round(threshold_rel * 4096))
+    thresh = t_num * (spatial_max >> 12)
 
     win = 2 * nms_radius + 1
     dims = (1,) * (resp.ndim - 2) + (win, win)
     strides = (1,) * resp.ndim
     neigh_max = jax.lax.reduce_window(
-        resp, -jnp.inf, jax.lax.max, dims, strides, padding="SAME"
+        resp, _I32_MIN, jax.lax.max, dims, strides, padding="SAME"
     )
     return (resp > thresh) & (resp >= neigh_max)
 
@@ -86,14 +116,14 @@ def harris_corner_list(
     Data-dependent corner counts don't fit XLA's static shapes, so we return
     a fixed-size top-K by response with a mask — the jit-friendly contract.
     """
-    resp = harris_response(gray_u8, k=k)
+    resp = harris_response_i32(gray_u8, k_num=int(round(k * 1024)))
     mask = _corner_mask(resp, threshold_rel, nms_radius)  # shares resp
     h, w = resp.shape[-2], resp.shape[-1]
-    scores = jnp.where(mask, resp, -jnp.inf).reshape(*resp.shape[:-2], h * w)
+    scores = jnp.where(mask, resp, _I32_MIN).reshape(*resp.shape[:-2], h * w)
     top, idx = jax.lax.top_k(scores, max_corners)
     ys = idx // w
     xs = idx % w
-    valid = top > -jnp.inf
+    valid = top > _I32_MIN
     return jnp.stack([ys, xs], axis=-1), valid
 
 

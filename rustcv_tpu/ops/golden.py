@@ -26,7 +26,8 @@ Frozen specs defined here (integer-exact, platform-independent):
 - Gaussian 5×5: separable [1,4,6,4,1] (sum 16 per axis), replicate border,
   single final rounding ``(Σ + 128) >> 8``.
 - Sobel 3×3 + gradient magnitude ``min(255, isqrt(gx²+gy²))``.
-- Harris: float32 (positional parity, see module docs in features.py).
+- Harris: fixed-point int32 (``harris_response_i32`` — bit-exact corner
+  spec; the float ``harris_response`` remains as a response-surface API).
 """
 
 from __future__ import annotations
@@ -867,17 +868,65 @@ def harris_response(gray_u8: np.ndarray, k: float = 0.04) -> np.ndarray:
     return det - np.float32(k) * tr * tr
 
 
+def harris_response_i32(gray_u8: np.ndarray, k_num: int = 41) -> np.ndarray:
+    """Fixed-point Harris response — the FROZEN integer spec (bit-exact on
+    every platform; no float reassociation anywhere).
+
+    Arithmetic (all int32-safe; computed here in int64 and cast, which is
+    identical because no intermediate overflows i32):
+
+    - ``gx, gy`` = exact integer Sobel (|·| ≤ 1020).
+    - products ``pxx=gx², pyy=gy², pxy=gx·gy`` (|·| ≤ 1 040 400).
+    - window: separable 5×5 integer Gaussian taps (1,4,6,4,1) (sum 256),
+      replicate border, one rounding shift ``s = (Σ + 128) >> 8``
+      (arithmetic shift, i.e. floor — matters for negative ``pxy`` sums);
+      |s| ≤ 1 040 400.
+    - headroom shift: ``s5 = s >> 5`` (|·| ≤ 32 513) so every following
+      product fits i32.
+    - ``det = sxx5·syy5 − sxy5²`` (|·| ≤ 2³¹−1), ``trh = (sxx5+syy5) >> 1``,
+      ``R = det − k_num·((trh·trh) >> 8)``.
+
+    ``k_num`` is Harris k in units of 1/1024 (41/1024 ≈ 0.04 — the classic
+    default). The response is a monotone relabeling of the float response up
+    to fixed-point quantization; corners are defined on THIS lattice.
+    """
+    gx, gy = sobel3_gray(gray_u8)
+    gx = gx.astype(np.int64)
+    gy = gy.astype(np.int64)
+
+    def smooth_i(m: np.ndarray) -> np.ndarray:
+        p = _replicate_pad(m, 2, 2)
+        h, w = m.shape
+        taps = (1, 4, 6, 4, 1)
+        tmp = sum(t * p[:, i : i + w] for i, t in enumerate(taps))
+        acc = sum(t * tmp[i : i + h] for i, t in enumerate(taps))
+        return (acc + 128) >> 8
+
+    sxx5 = smooth_i(gx * gx) >> 5
+    syy5 = smooth_i(gy * gy) >> 5
+    sxy5 = smooth_i(gx * gy) >> 5
+    det = sxx5 * syy5 - sxy5 * sxy5
+    trh = (sxx5 + syy5) >> 1
+    r = det - k_num * ((trh * trh) >> 8)
+    return r.astype(np.int32)
+
+
 def harris_corners(
     gray_u8: np.ndarray,
     k: float = 0.04,
     threshold_rel: float = 0.01,
     nms_radius: int = 1,
 ) -> np.ndarray:
-    """Corner mask: response > threshold_rel·max(response) AND 3×3 local max."""
-    resp = harris_response(gray_u8, k)
-    thresh = threshold_rel * float(resp.max())
+    """Corner mask on the integer response (bit-exact spec):
+    ``resp > t_num·(max(resp) >> 12)`` AND (2r+1)² local max (ties count as
+    maxima), with ``k_num = round(k·1024)``, ``t_num = round(rel·4096)``
+    (41/4096 ≈ 1%). max(resp) < 0 (featureless images) yields whatever the
+    integer comparison gives — frozen as-is."""
+    resp = harris_response_i32(gray_u8, k_num=int(round(k * 1024)))
+    t_num = int(round(threshold_rel * 4096))
+    thresh = t_num * (int(resp.max()) >> 12)
     r = nms_radius
-    p = np.pad(resp, r, mode="constant", constant_values=-np.inf)
+    p = np.pad(resp, r, mode="constant", constant_values=np.int32(-(2**31)))
     h, w = resp.shape
     local_max = np.ones_like(resp, dtype=bool)
     for dy in range(2 * r + 1):

@@ -194,10 +194,18 @@ class MultiStreamEngine:
             self._pool = None
             self._staging = []
         else:
-            nbytes = self.spec.raw_bytes()
-            # Double-buffered staging: gather tick k+1 while tick k's upload
-            # is in flight (host-side analog of the kernel mmap ring).
-            self._staging = [np.zeros((self.n, nbytes), np.uint8) for _ in range(2)]
+            if self._mjpeg_hybrid:
+                # Hybrid staging (packed coefficient rows) is geometry-
+                # dependent and built lazily at the first tick; the dense BGR
+                # staging below would be ~100 MB of dead host RAM at 8×1080p.
+                self._staging = []
+            else:
+                nbytes = self.spec.raw_bytes()
+                # Double-buffered staging: gather tick k+1 while tick k's
+                # upload is in flight (host-side analog of the mmap ring).
+                self._staging = [
+                    np.zeros((self.n, nbytes), np.uint8) for _ in range(2)
+                ]
             self._pool = (
                 ThreadPoolExecutor(
                     max_workers=decode_workers, thread_name_prefix="rustcv-decode"
@@ -902,6 +910,8 @@ class MultiStreamEngine:
                     rc.width, rc.height, rc.pixel_format,
                 )
             self._sim_fn = self._build_sim_fn()
+        elif self._mjpeg_hybrid:
+            self._staging = []
         else:
             nbytes = self.spec.raw_bytes()
             self._staging = [np.zeros((self.n, nbytes), np.uint8) for _ in range(2)]

@@ -589,15 +589,30 @@ class TestHarrisParity:
         got = np.asarray(features.harris_response(jax_cpu.numpy.asarray(img)))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
-    def test_corners_positional(self, jax_cpu):
+    def test_response_i32_bit_exact(self, jax_cpu):
+        for img in (_checkerboard(64, 64, 8), _checkerboard(48, 80, 5)):
+            want = golden.harris_response_i32(img)
+            got = np.asarray(features.harris_response_i32(jax_cpu.numpy.asarray(img)))
+            np.testing.assert_array_equal(got, want)
+
+    def test_corners_bit_exact(self, jax_cpu):
         img = _checkerboard(64, 64, 8)
         want = golden.harris_corners(img)
         got = np.asarray(features.harris_corners(jax_cpu.numpy.asarray(img)))
-        # corner sets must agree except possibly at float-tie boundaries
-        diff = np.logical_xor(want, got).sum()
-        assert diff <= max(2, int(0.02 * want.sum()))
+        # fixed-point spec: masks are ARRAY-EQUAL, no tie tolerance
+        np.testing.assert_array_equal(got, want)
         # interior corners of a checkerboard must all be found
         assert got[8:-8, 8:-8].sum() >= 40
+
+    def test_corners_bit_exact_nondefault_params(self, jax_cpu):
+        img = _checkerboard(48, 80, 5)
+        want = golden.harris_corners(img, k=0.06, threshold_rel=0.02, nms_radius=2)
+        got = np.asarray(
+            features.harris_corners(
+                jax_cpu.numpy.asarray(img), k=0.06, threshold_rel=0.02, nms_radius=2
+            )
+        )
+        np.testing.assert_array_equal(got, want)
 
     def test_corner_list(self, jax_cpu):
         img = _checkerboard(64, 64, 8)
@@ -606,8 +621,9 @@ class TestHarrisParity:
         mask = golden.harris_corners(img)
         n_valid = valid.sum()
         assert n_valid > 0
+        # fixed-point spec: every listed corner is exactly a golden corner
         hits = sum(bool(mask[y, x]) for (y, x) in coords[valid][: int(n_valid)])
-        assert hits >= 0.95 * n_valid
+        assert hits == n_valid
 
 
 class TestDrawLineCircle:

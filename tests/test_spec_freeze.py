@@ -45,6 +45,8 @@ GOLDEN_HASHES = {
     "demosaic": "bb79f11a3e96c6fa",
 }
 HARRIS_CORNER_COUNT = 10
+# Fixed-point Harris response (int32) — frozen spec (golden.harris_response_i32)
+HARRIS_I32_HASH = "78ea761e2457e90e"
 
 
 def _h(a: np.ndarray) -> str:
@@ -92,6 +94,9 @@ def test_harris_corner_count_frozen():
     yuyv = sim.synth_raw(W, H, PixelFormat.YUYV, SEQ)
     gray = golden.bgr_to_gray(golden.yuyv_to_bgr(yuyv, W, H))
     assert int(golden.harris_corners(gray).sum()) == HARRIS_CORNER_COUNT
+    resp = golden.harris_response_i32(gray)
+    assert resp.dtype == np.int32
+    assert _h(resp) == HARRIS_I32_HASH
 
 
 def test_put_text_masks_frozen():
