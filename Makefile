@@ -1,6 +1,17 @@
 # Convenience targets (see CLAUDE.md for environment notes)
 
-.PHONY: test test-tpu bench bench-all native clean
+.PHONY: test test-tpu bench bench-all native fuzz clean
+
+# ASan+UBSan mutational fuzz of the native JPEG entropy coders (the parsers
+# that consume untrusted bytes). Deterministic seed; FUZZ_SECONDS budget for
+# the mutation loop after the full-corpus regression pass.
+FUZZ_SECONDS ?= 60
+fuzz:
+	g++ -O1 -g -std=c++17 -fsanitize=address,undefined -fno-sanitize-recover=all \
+	    rustcv_tpu/native/jpeg_entropy.cpp rustcv_tpu/native/jpeg_encode.cpp \
+	    tests/fuzz/fuzz_jpeg.cpp -o /tmp/rcv_fuzz_jpeg
+	/tmp/rcv_fuzz_jpeg tests/fuzz/corpus $(FUZZ_SECONDS)
+	python tests/fuzz/fuzz_avi.py $(FUZZ_SECONDS)
 
 test:
 	python -m pytest tests/ -q

@@ -61,6 +61,35 @@ def main() -> None:
         host_fps = None
         host_gather_ms = None
 
+    # Encoded host delivery (VERDICT r2 #2): same capture + filter pipeline
+    # with the JPEG encoder's numeric half fused in (resize to VGA + FDCT +
+    # quantize on-device); the host fetches ~int16 coefficient rows and
+    # Huffman-codes them to JFIF bytes (pipelined: engine.stream_encoded).
+    # This is the host-VISIBLE number — every counted tick's JPEG payloads
+    # landed in host memory.
+    try:
+        from rustcv_tpu.core import PixelFormat, SimpleConfig
+        from rustcv_tpu.capture import SimulationDriver
+        from rustcv_tpu.runtime import MultiStreamEngine
+
+        eng = MultiStreamEngine(
+            SimulationDriver(device_count=n_streams, paced=False), n_streams,
+            SimpleConfig(width=1920, height=1080, fps=60, pixel_format=PixelFormat.YUYV),
+            filter="blur_sobel", overlay=True, device_sim=True,
+            resize_to=(640, 480), encode_jpeg_quality=85,
+        )
+        rects8 = np.tile(np.array([[100, 100, 400, 300]], np.int32), (n_streams, 1))
+        colors8 = np.tile(np.array([[0, 255, 0]], np.uint8), (n_streams, 1))
+        enc_stats, payload_mb = eng.run_encoded(
+            60, warmup=3, rects=rects8, rect_colors=colors8
+        )
+        eng.close()
+        host_fps_encoded = round(enc_stats.fps_total, 2)
+        payload_mb = round(payload_mb, 3)
+    except Exception:
+        host_fps_encoded = None
+        payload_mb = None
+
     agg_fps = tp.fps_total
     # Device time per fused tick: the throughput run IS dispatch-N-then-
     # fetch-last on the zero-H2D path, so wall/ticks is device execution
@@ -81,6 +110,8 @@ def main() -> None:
                 "p99_roundtrip_ms": round(lat.p99_latency_ms, 3),
                 "host_path_fps": host_fps,
                 "host_gather_ms_per_tick": host_gather_ms,
+                "host_path_fps_encoded": host_fps_encoded,
+                "encoded_payload_mb_per_tick": payload_mb,
                 "n_streams": n_streams,
                 "resolution": "1920x1080",
                 "pipeline": "yuyv_decode+gauss5+sobel_mag+rect_overlay",

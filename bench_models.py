@@ -53,8 +53,7 @@ def run_model(name: str, ticks: int, scale: int):
     colors = np.tile(np.array([[0, 255, 0]], np.uint8), (n, 1))
     stats = eng.run(ticks, warmup=min(3, ticks), measure_latency=False,
                     rects=rects, rect_colors=colors)
-    eng.close()
-    return {
+    row = {
         "model": name,
         "streams": n,
         "resolution": f"{w}x{h}",
@@ -62,6 +61,17 @@ def run_model(name: str, ticks: int, scale: int):
         "fps_per_stream": round(stats.fps_per_stream, 1),
         "ms_per_tick": round(stats.wall_s / max(1, stats.ticks) * 1e3, 3),
     }
+    if n == 1 and m.pixel_format != PixelFormat.MJPEG:
+        # Single-stream programs are dispatch/RTT-bound on tunneled
+        # transports (288→736 fps run-to-run swings, VERDICT r2 #6): the
+        # in-program lax.scan chain amortizes dispatch over 16 ticks and
+        # reports the device's own rate.
+        cst = eng.run_chained(max(ticks, 64), chain=16, warmup=1,
+                              rects=rects, rect_colors=colors)
+        row["fps_chained"] = round(cst.fps_total, 1)
+        row["ms_per_tick_chained"] = round(cst.wall_s / max(1, cst.ticks) * 1e3, 3)
+    eng.close()
+    return row
 
 
 def main(ticks: int, scale: int, models=None) -> None:

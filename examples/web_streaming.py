@@ -43,29 +43,37 @@ class Broadcast:
 
 
 def capture_loop(engine: MultiStreamEngine, channels, stop: threading.Event,
-                 quality: int, encoder: str = "host"):
+                 quality: int, encoder: str = "tpu"):
     from PIL import Image
+
+    if encoder == "tpu" and engine.spec.encode_jpeg:
+        # The production hot path: the tick program emits block-packed
+        # quantized coefficients; engine.stream_encoded pipelines device
+        # compute, the (small) async D2H, and host Huffman coding across
+        # ticks — the tunnel carries JPEG-sized payloads, never raw BGR.
+        while not stop.is_set():
+            try:
+                for _res, payloads in engine.stream_encoded(stop=stop):
+                    for ch, payload in zip(channels, payloads):
+                        ch.publish(payload)
+            except Exception as e:  # noqa: BLE001 — backoff (web_streaming.rs:95-99)
+                print(f"capture error: {e}; backing off")
+                stop.wait(0.5)
+        return
 
     while not stop.is_set():
         try:
             res = engine.tick(block=True)
             if encoder == "tpu":
-                # TPU encode: color convert + subsample + FDCT + quantize
-                # stay on-chip; only quantized coefficients come back and
-                # the host does Huffman coding per stream. Prefer the FUSED
-                # form (the tick program already emitted the coefficients —
-                # zero extra dispatch); engines built without
-                # encode_jpeg_quality take the second-dispatch batch path.
-                if engine.spec.encode_jpeg:
-                    payloads = engine.encode_payloads(res)
-                else:
-                    from rustcv_tpu.ops.jpeg_encode import encode_jpeg_batch_tpu
+                # Unfused fallback: batch-encode the BGR output in a second
+                # dispatch (engines built without encode_jpeg_quality).
+                from rustcv_tpu.ops.jpeg_encode import encode_jpeg_batch_tpu
 
-                    dev = res.outputs["bgr"]
-                    if dev.ndim == 3:  # packed rows (N, H, W*3)
-                        n, h, w3 = dev.shape
-                        dev = dev.reshape(n, h, w3 // 3, 3)
-                    payloads = encode_jpeg_batch_tpu(dev, quality)
+                dev = res.outputs["bgr"]
+                if dev.ndim == 3:  # packed rows (N, H, W*3)
+                    n, h, w3 = dev.shape
+                    dev = dev.reshape(n, h, w3 // 3, 3)
+                payloads = encode_jpeg_batch_tpu(dev, quality)
                 for ch, payload in zip(channels, payloads):
                     ch.publish(payload)
                 continue
@@ -122,7 +130,7 @@ def make_handler(channels):
 
 
 def main(port: int = 8080, n_streams: int = 2, width: int = 640, height: int = 480,
-         quality: int = 80, duration: float = 0.0, encoder: str = "host") -> None:
+         quality: int = 80, duration: float = 0.0, encoder: str = "tpu") -> None:
     engine = MultiStreamEngine(
         SimulationDriver(device_count=n_streams, paced=True), n_streams,
         SimpleConfig(width=width, height=height, fps=30, pixel_format=PixelFormat.YUYV),
@@ -154,7 +162,7 @@ if __name__ == "__main__":
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--streams", type=int, default=2)
     p.add_argument("--duration", type=float, default=0.0, help="auto-stop after N s")
-    p.add_argument("--encoder", choices=("host", "tpu"), default="host",
-                   help="JPEG encoder: host PIL or the hybrid TPU FDCT path")
+    p.add_argument("--encoder", choices=("host", "tpu"), default="tpu",
+                   help="JPEG encoder: the hybrid TPU FDCT path (default) or host PIL")
     a = p.parse_args()
     main(a.port, a.streams, duration=a.duration, encoder=a.encoder)

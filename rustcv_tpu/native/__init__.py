@@ -28,6 +28,7 @@ _SRCS = [
     os.path.join(_HERE, "jpeg_host.cpp"),
     os.path.join(_HERE, "v4l2.cpp"),
     os.path.join(_HERE, "maxflow.cpp"),
+    os.path.join(_HERE, "unionfind.cpp"),
 ]
 _SRC = _SRCS[0]
 _SO = os.path.join(_HERE, "librustcv_capture.so")
@@ -109,6 +110,12 @@ def _bind(lib: ctypes.CDLL) -> None:
         i16p, i16p, i16p, ctypes.c_int, intp, intp, intp, intp,
         ctypes.c_int, ctypes.c_int, u16p, u16p, u8cp, ctypes.c_long,
     ]
+    lib.rcv_jpeg_entropy_encode_packed.restype = ctypes.c_long
+    lib.rcv_jpeg_entropy_encode_packed.argtypes = [
+        u8cp, i16p, ctypes.c_int, i32p, i16p, ctypes.c_int,
+        ctypes.c_int, intp, intp, intp, intp,
+        ctypes.c_int, ctypes.c_int, u16p, u16p, u8cp, ctypes.c_long,
+    ]
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.rcv_v4l2_available.restype = ctypes.c_int
     lib.rcv_v4l2_open.restype = ctypes.c_void_p
@@ -147,6 +154,14 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.rcv_jpeg_decode_pitched.argtypes = [
         u8cp, ctypes.c_long, u8cp, ctypes.c_long, ctypes.c_long,
         ctypes.c_int, intp, intp,
+    ]
+    lib.rcv_union_find.restype = ctypes.c_long
+    lib.rcv_union_find.argtypes = [
+        i32p, ctypes.c_long, i32p, i32p, ctypes.c_long,
+    ]
+    lib.rcv_ccl_label.restype = ctypes.c_long
+    lib.rcv_ccl_label.argtypes = [
+        u8cp, ctypes.c_long, ctypes.c_long, i32p,
     ]
 
 
@@ -529,6 +544,115 @@ def jpeg_entropy_encode(
     if n < 0:
         raise ValueError(f"JPEG entropy encode failed (rc={n})")
     return out[:n].tobytes()
+
+
+def jpeg_entropy_encode_packed(
+    idx: "np.ndarray",
+    val: "np.ndarray",
+    dense_ids: "np.ndarray",
+    dense_rows: "np.ndarray",
+    blocks: list,
+    qts: list,
+    width: int,
+    height: int,
+    h_samp: list,
+    v_samp: list,
+) -> bytes:
+    """Entropy-encode from BLOCK-PACKED coefficients (the device-side
+    :func:`rustcv_tpu.ops.jpeg_encode.pack_coeff_rows` layout): ``idx``/
+    ``val`` are [nbt, K] u8/i16 over the component-concatenated block axis,
+    ``dense_ids``/[dcap] i32 (sentinel ≥ nbt unused) + ``dense_rows``
+    [dcap, 64] i16 the busy-block escape. ``blocks`` = per-component
+    (bh, bw). Bytes are identical to :func:`jpeg_entropy_encode` on the
+    equivalent dense grids (parity-tested)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    ncomp = len(blocks)
+    if ncomp not in (1, 3):
+        raise ValueError(f"ncomp must be 1 or 3, got {ncomp}")
+    idx = np.ascontiguousarray(idx, np.uint8)
+    val = np.ascontiguousarray(val, np.int16)
+    dense_ids = np.ascontiguousarray(dense_ids, np.int32)
+    dense_rows = np.ascontiguousarray(dense_rows, np.int16).reshape(-1, 64)
+    if idx.shape != val.shape or idx.ndim != 2:
+        raise ValueError(f"idx/val shape mismatch: {idx.shape} vs {val.shape}")
+    k = idx.shape[1]
+    nbt = sum(bh * bw for bh, bw in blocks)
+    if idx.shape[0] != nbt:
+        raise ValueError(f"idx rows {idx.shape[0]} != total blocks {nbt}")
+    bws = (ctypes.c_int * 3)()
+    bhs = (ctypes.c_int * 3)()
+    hs = (ctypes.c_int * 3)()
+    vs = (ctypes.c_int * 3)()
+    for c in range(ncomp):
+        bhs[c], bws[c] = blocks[c]
+        hs[c], vs[c] = h_samp[c], v_samp[c]
+    q0 = np.ascontiguousarray(qts[0], np.uint16).reshape(64)
+    q1 = (
+        np.ascontiguousarray(qts[1], np.uint16).reshape(64)
+        if ncomp == 3 else q0
+    )
+    cap = 4096 + nbt * 64 * 8
+    out = np.empty(cap, np.uint8)
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    u16 = ctypes.POINTER(ctypes.c_uint16)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    n = lib.rcv_jpeg_entropy_encode_packed(
+        _u8p(idx), val.ctypes.data_as(i16), k,
+        dense_ids.ctypes.data_as(i32), dense_rows.ctypes.data_as(i16),
+        int(dense_ids.shape[0]),
+        ncomp, bws, bhs, hs, vs, width, height,
+        q0.ctypes.data_as(u16), q1.ctypes.data_as(u16),
+        _u8p(out), cap,
+    )
+    if n < 0:
+        raise ValueError(f"JPEG packed entropy encode failed (rc={n})")
+    return out[:n].tobytes()
+
+
+def ccl_label(mask: "np.ndarray") -> tuple:
+    """Two-pass union-find connected components (4-connectivity) over a u8
+    mask: returns ``(count, labels int32 (H, W))``, components numbered
+    1..count by raster-first pixel, background 0. GIL released."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    m = np.ascontiguousarray(mask, np.uint8)
+    if m.ndim != 2:
+        raise ValueError(f"ccl_label: 2-D mask required, got {m.shape}")
+    labels = np.empty(m.shape, np.int32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    n = lib.rcv_ccl_label(
+        _u8p(m), m.shape[0], m.shape[1], labels.ctypes.data_as(i32)
+    )
+    if n < 0:
+        raise ValueError(f"ccl_label failed (rc={n})")
+    return int(n), labels
+
+
+def union_find(n: int, edges_a: "np.ndarray", edges_b: "np.ndarray") -> tuple:
+    """Min-root union-find over ``n`` nodes with undirected edges
+    ``(edges_a[i], edges_b[i])``. Returns ``(count, root)`` where
+    ``root[i]`` is the SMALLEST node id in i's component (so components
+    number naturally in raster order when node ids are raster-ordered).
+    The C pass releases the GIL and runs in O(m α(n))."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    ea = np.ascontiguousarray(edges_a, np.int32)
+    eb = np.ascontiguousarray(edges_b, np.int32)
+    if ea.shape != eb.shape or ea.ndim != 1:
+        raise ValueError(f"edge arrays must be 1-D and equal: {ea.shape} vs {eb.shape}")
+    parent = np.empty(int(n), np.int32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    cnt = lib.rcv_union_find(
+        parent.ctypes.data_as(i32), int(n),
+        ea.ctypes.data_as(i32), eb.ctypes.data_as(i32), int(ea.shape[0]),
+    )
+    if cnt < 0:
+        raise ValueError(f"union_find failed (rc={cnt}; edge id out of range?)")
+    return int(cnt), parent
 
 
 class NativeRing:

@@ -315,4 +315,143 @@ long rcv_jpeg_entropy_encode(const int16_t* c0, const int16_t* c1,
   return bw.pos;
 }
 
+// Packed-input variant: the device ships per-block (position, value) slot
+// pairs for light blocks (≤ K nonzeros) plus whole 64-wide dense rows for
+// busy blocks (rustcv_tpu/ops/jpeg_encode.py::pack_coeff_rows) — ~3× fewer
+// D2H bytes than dense int16 grids. Components are CONCATENATED along the
+// block axis in (Y, Cb, Cr) order; `idx`/`val` are [nbt, K], `dense_ids`
+// [dcap] holds global block ids (sentinel ≥ nbt for unused slots),
+// `dense_rows` [dcap, 64]. Geometry/table args as rcv_jpeg_entropy_encode.
+// Returns bytes written or the same negative codes (-1 bad args, -2 buffer
+// too small, -3 out-of-category coefficient).
+long rcv_jpeg_entropy_encode_packed(
+    const uint8_t* idx, const int16_t* val, int kslots,
+    const int32_t* dense_ids, const int16_t* dense_rows, int dcap,
+    int ncomp, const int* bws, const int* bhs, const int* hs, const int* vs,
+    int width, int height, const uint16_t* qluma, const uint16_t* qchroma,
+    uint8_t* out, long cap) {
+  if (!idx || !val || !out || !qluma || kslots < 1 || kslots > 64 ||
+      (ncomp != 1 && ncomp != 3) || width <= 0 || height <= 0)
+    return -1;
+  if (ncomp == 3 && !qchroma) return -1;
+  if (dcap > 0 && (!dense_ids || !dense_rows)) return -1;
+
+  int hmax = 1, vmax = 1;
+  for (int c = 0; c < ncomp; ++c) {
+    if (hs[c] < 1 || hs[c] > 4 || vs[c] < 1 || vs[c] > 4) return -1;
+    if (hs[c] > hmax) hmax = hs[c];
+    if (vs[c] > vmax) vmax = vs[c];
+  }
+  int mcus_x = (width + 8 * hmax - 1) / (8 * hmax);
+  int mcus_y = (height + 8 * vmax - 1) / (8 * vmax);
+  long comp_off[3] = {0, 0, 0};
+  long nbt = 0;
+  for (int c = 0; c < ncomp; ++c) {
+    if (bws[c] != mcus_x * hs[c] || bhs[c] != mcus_y * vs[c]) return -1;
+    comp_off[c] = nbt;
+    nbt += (long)bws[c] * bhs[c];
+  }
+  // Busy-block lookup: global block id → dense row (or -1).
+  // dcap is small (~nbt/16); a full-size map keeps the hot loop branchless.
+  int32_t* dense_of = new int32_t[nbt];
+  for (long i = 0; i < nbt; ++i) dense_of[i] = -1;
+  for (int d = 0; d < dcap; ++d) {
+    int32_t id = dense_ids[d];
+    if (id >= 0 && id < nbt) dense_of[id] = d;
+  }
+
+  BitWriter bw{out, cap};
+  put_marker(&bw, 0xD8);
+  put_marker(&bw, 0xE0);
+  put_u16(&bw, 16);
+  const uint8_t jfif[14] = {'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0};
+  for (int i = 0; i < 14; ++i) bw.byte(jfif[i]);
+  for (int t = 0; t < (ncomp == 3 ? 2 : 1); ++t) {
+    const uint16_t* q = t == 0 ? qluma : qchroma;
+    put_marker(&bw, 0xDB);
+    put_u16(&bw, 67);
+    bw.byte((uint8_t)t);
+    for (int k = 0; k < 64; ++k) {
+      uint16_t v = q[ZIGZAG[k]];
+      bw.byte((uint8_t)(v > 255 ? 255 : (v < 1 ? 1 : v)));
+    }
+  }
+  put_marker(&bw, 0xC0);
+  put_u16(&bw, (uint16_t)(8 + 3 * ncomp));
+  bw.byte(8);
+  put_u16(&bw, (uint16_t)height);
+  put_u16(&bw, (uint16_t)width);
+  bw.byte((uint8_t)ncomp);
+  for (int c = 0; c < ncomp; ++c) {
+    bw.byte((uint8_t)(c + 1));
+    bw.byte((uint8_t)((hs[c] << 4) | vs[c]));
+    bw.byte((uint8_t)(c == 0 ? 0 : 1));
+  }
+  EncTable dc_l, ac_l, dc_c, ac_c;
+  build_enc_table(DC_LUMA_BITS, DC_LUMA_VALS, 12, &dc_l);
+  build_enc_table(AC_LUMA_BITS, AC_LUMA_VALS, 162, &ac_l);
+  put_dht(&bw, 0, 0, DC_LUMA_BITS, DC_LUMA_VALS);
+  put_dht(&bw, 1, 0, AC_LUMA_BITS, AC_LUMA_VALS);
+  if (ncomp == 3) {
+    build_enc_table(DC_CHROMA_BITS, DC_CHROMA_VALS, 12, &dc_c);
+    build_enc_table(AC_CHROMA_BITS, AC_CHROMA_VALS, 162, &ac_c);
+    put_dht(&bw, 0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS);
+    put_dht(&bw, 1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS);
+  }
+  put_marker(&bw, 0xDA);
+  put_u16(&bw, (uint16_t)(6 + 2 * ncomp));
+  bw.byte((uint8_t)ncomp);
+  for (int c = 0; c < ncomp; ++c) {
+    bw.byte((uint8_t)(c + 1));
+    bw.byte((uint8_t)(c == 0 ? 0x00 : 0x11));
+  }
+  bw.byte(0);
+  bw.byte(63);
+  bw.byte(0);
+
+  int prev_dc[3] = {0, 0, 0};
+  int16_t blk[64];
+  long rc = 0;
+  for (int my = 0; my < mcus_y && !bw.overflow && rc == 0; ++my) {
+    for (int mx = 0; mx < mcus_x && rc == 0; ++mx) {
+      for (int c = 0; c < ncomp; ++c) {
+        const EncTable* dt = (c == 0) ? &dc_l : &dc_c;
+        const EncTable* at = (c == 0) ? &ac_l : &ac_c;
+        for (int by = 0; by < vs[c]; ++by) {
+          for (int bx = 0; bx < hs[c]; ++bx) {
+            long bi = comp_off[c] +
+                      (long)(my * vs[c] + by) * bws[c] + (mx * hs[c] + bx);
+            const int16_t* src;
+            if (dense_of[bi] >= 0) {
+              src = dense_rows + (long)dense_of[bi] * 64;
+            } else {
+              std::memset(blk, 0, sizeof(blk));
+              const uint8_t* bidx = idx + bi * kslots;
+              const int16_t* bval = val + bi * kslots;
+              for (int s = 0; s < kslots; ++s) {
+                if (bval[s]) blk[bidx[s] & 63] = bval[s];
+              }
+              src = blk;
+            }
+            int dc = encode_block(&bw, src, prev_dc[c], dt, at);
+            if (dc == INT32_MIN) {
+              rc = -3;
+              break;
+            }
+            prev_dc[c] = dc;
+          }
+          if (rc) break;
+        }
+        if (rc) break;
+      }
+    }
+  }
+  delete[] dense_of;
+  if (rc) return rc;
+  bw.flush();
+  put_marker(&bw, 0xD9);
+  if (bw.overflow) return -2;
+  return bw.pos;
+}
+
 }  // extern "C"

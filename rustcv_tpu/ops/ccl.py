@@ -1,104 +1,117 @@
-"""Connected components (4-connectivity) — scan-based label propagation.
+"""Connected components (4-connectivity) — run-length reduction + native
+union-find.
 
-``connectedComponents`` is the textbook "sequential" vision op (union-find
-over a raster scan). The TPU formulation replaces pointer chasing with
-SEGMENTED MIN-SCANS: initialize every foreground pixel with its flat index,
-then repeatedly sweep a run-limited cumulative-min forward and backward
-along rows and columns (``jax.lax.associative_scan`` with a reset-at-
-background combiner). Each 4-sweep round lets labels flow around one
-"corner" of a component, so the round count needed is the component
-geometry's spiral depth — a handful for blob-like masks — inside a
-``lax.while_loop`` with a fixed-point (no-change) exit.
+``connectedComponents`` is the textbook "sequential" vision op: union-find
+over a raster scan, pointer-chasing with data-dependent depth — the ONE
+shape a TPU cannot express efficiently. The r2 formulation (iterated
+segmented min-scans to a fixed point on-device) was exact but cost 429 ms
+@1080p and minutes of XLA compile; per the GrabCut precedent
+(ops/grabcut.py — host C++ Dinic for the pointer-chasing core), the right
+split is:
 
-Output labels are compacted to 1..N on the host (tiny unique() pass);
-background = 0. Matches the trivially-correct BFS oracle exactly.
+1. vectorized run-length labeling: every foreground pixel gets the flat
+   index of its horizontal run's first pixel (one ``maximum.accumulate``);
+2. one graph edge per vertical run-overlap SEGMENT (not per pixel pair —
+   O(#runs), found with three vectorized comparisons);
+3. native min-root union-find over the run graph
+   (``native/unionfind.cpp``, O(m α(n)), GIL released).
+
+Components number 1..N by their raster-first pixel (min-root union keeps
+the smallest run id as each component's representative — the frozen order
+contract for free). Matches the BFS oracle exactly. When the native
+library is available the whole thing is ONE C++ two-pass scan
+(``rcv_ccl_label``): measured 5 ms @1080p blob masks / 36 ms dense
+speckle on one host core vs 429 ms on-device — and zero device compile.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.int32(2**30)
 
+def _union_find_host(n: int, ea: np.ndarray, eb: np.ndarray):
+    """Native union-find, pure-Python fallback when the library is absent."""
+    from .. import native
 
-def _seg_min_scan(vals: jax.Array, fg: jax.Array, axis: int, reverse: bool):
-    """Run-limited cumulative min along ``axis``: mins propagate through
-    contiguous foreground runs and reset at background pixels."""
-    # Elements: (m, b) — m = running min, b = 1 while the run is unbroken
-    # back to the segment start. Combine: (m1,b1)·(m2,b2) =
-    # (min(m2, m1 if b2 else ∞), b1&b2) — associative.
-    axis = axis % vals.ndim  # associative_scan's reverse needs axis >= 0
-    m0 = jnp.where(fg, vals, _INF)
-    b0 = fg.astype(jnp.int32)
+    if native.available():
+        return native.union_find(n, ea, eb)
+    parent = np.arange(n, dtype=np.int32)
 
-    def comb(a, b):
-        m1, b1 = a
-        m2, b2 = b
-        m = jnp.minimum(m2, jnp.where(b2 > 0, m1, _INF))
-        return m, b1 * b2
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
 
-    m, _ = jax.lax.associative_scan(comb, (m0, b0), axis=axis, reverse=reverse)
-    return jnp.where(fg, jnp.minimum(vals, m), _INF)
-
-
-def _round(labels: jax.Array, fg: jax.Array) -> jax.Array:
-    labels = _seg_min_scan(labels, fg, axis=-1, reverse=False)
-    labels = _seg_min_scan(labels, fg, axis=-1, reverse=True)
-    labels = _seg_min_scan(labels, fg, axis=-2, reverse=False)
-    labels = _seg_min_scan(labels, fg, axis=-2, reverse=True)
-    return labels
-
-
-@partial(jax.jit, static_argnames=("max_rounds",))
-def _label_device(mask: jax.Array, max_rounds: int = 256) -> jax.Array:
-    h, w = mask.shape[-2], mask.shape[-1]
-    fg = mask != 0
-    init = jnp.arange(h * w, dtype=jnp.int32).reshape(mask.shape)
-    init = jnp.where(fg, init, _INF)
-
-    def cond(state):
-        i, cur, changed = state
-        return (i < max_rounds) & changed
-
-    def body(state):
-        i, cur, _ = state
-        nxt = _round(cur, fg)
-        return i + 1, nxt, jnp.any(nxt != cur)
-
-    _, out, changed = jax.lax.while_loop(cond, body, (0, init, jnp.bool_(True)))
-    return jnp.where(fg, out, -1), jnp.logical_not(changed)
+    for a, b in zip(ea.tolist(), eb.tolist()):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if ra < rb:
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    roots = np.fromiter((find(i) for i in range(n)), np.int32, n)
+    return int(np.unique(roots).size), roots
 
 
 def connected_components(mask, max_rounds: int = 256):
     """u8/bool mask (H, W) → (count, labels int32 (H, W)); background 0,
     components 1..count ordered by their minimum flat index (the raster-
-    first pixel — a deterministic, content-independent order). Raises if
-    the fixed point isn't reached within ``max_rounds`` sweep rounds (only
-    pathological serpentine masks need more than a few dozen)."""
-    raw, converged = _label_device(jnp.asarray(mask), max_rounds)
-    if not bool(converged):
-        raise ValueError(
-            f"connected_components: no fixed point in {max_rounds} rounds "
-            "(serpentine mask?) — raise max_rounds"
-        )
-    return _compact(np.asarray(raw))
+    first pixel — a deterministic, content-independent order).
+    ``max_rounds`` is kept for API compatibility (the run-graph algorithm
+    is exact in one pass; nothing iterates)."""
+    from .. import native
 
+    m = np.asarray(mask)  # device inputs: ONE u8 fetch (4× less than labels)
+    if m.ndim != 2:
+        raise ValueError(f"connected_components: 2-D mask required, got {m.shape}")
+    if native.available():
+        # The fast path: one native two-pass scan (measured 5 ms @1080p
+        # blob masks, 36 ms dense speckle, vs 429 ms for the r2 on-device
+        # fixpoint); the vectorized run-graph below is the NumPy fallback.
+        # Any nonzero byte is foreground — u8 masks pass through zero-copy.
+        mm = m if m.dtype == np.uint8 else (m != 0).astype(np.uint8)
+        return native.ccl_label(mm)
+    fg = m != 0
+    h, w = fg.shape
+    labels = np.zeros((h, w), np.int32)
+    if not fg.any():
+        return 0, labels
+    flat = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    rs = fg.copy()
+    rs[:, 1:] &= ~fg[:, :-1]  # horizontal run starts
+    # Every fg pixel's run label = flat index of its run start. The running
+    # row-max works because run starts increase left-to-right, so the most
+    # recent start at-or-before a pixel is its own run's.
+    runlab = np.maximum.accumulate(np.where(rs, flat, 0), axis=1)
+    run_starts = flat[rs]  # ascending = raster order of runs
+    nruns = int(run_starts.size)
 
-def _compact(raw: np.ndarray):
-    fg = raw >= 0
-    fgv = raw[fg]
-    uniq = np.unique(fgv)
-    out = np.zeros(raw.shape, np.int32)
-    if uniq.size:
-        # uniq is sorted: searchsorted IS the rank remap (vectorized; a
-        # per-pixel Python dict.get cost seconds on dense 1080p masks).
-        out[fg] = np.searchsorted(uniq, fgv).astype(np.int32) + 1
-    return int(uniq.size), out
+    # One edge per vertical run-overlap segment: adjacent (y, y+1) fg pairs
+    # whose (top-run, bottom-run) combination differs from the pair one
+    # column left — O(#runs) edges even on dense masks.
+    va = fg[:-1] & fg[1:]
+    top = runlab[:-1]
+    bot = runlab[1:]
+    cont = np.zeros_like(va)
+    cont[:, 1:] = (
+        va[:, :-1]
+        & (top[:, 1:] == top[:, :-1])
+        & (bot[:, 1:] == bot[:, :-1])
+    )
+    first = va & ~cont
+    ia = np.searchsorted(run_starts, top[first]).astype(np.int32)
+    ib = np.searchsorted(run_starts, bot[first]).astype(np.int32)
+
+    count, root = _union_find_host(nruns, ia, ib)
+    roots = np.unique(root)  # sorted by run id = raster order of components
+    comp_of_run = (np.searchsorted(roots, root) + 1).astype(np.int32)
+    labels[fg] = comp_of_run[np.searchsorted(run_starts, runlab[fg])]
+    return int(count), labels
 
 
 def connected_components_with_stats(mask, max_rounds: int = 256):

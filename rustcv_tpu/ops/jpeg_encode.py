@@ -282,6 +282,68 @@ def encode_jpeg_batch_tpu(
     return out
 
 
+def pack_coeff_rows(
+    coeffs: jax.Array, k_slots: int, dense_cap: int
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Device-side block-pack of quantized coefficient rows — the encode-
+    direction twin of the decode path's block-packed upload (D2H shrinks
+    ~3× vs dense int16 grids; the tunnel is the bottleneck, not the chip).
+
+    ``coeffs``: (..., B, 64) int16. Per block, the first ``k_slots``
+    nonzeros are emitted as (position u8, value i16) slot pairs via a
+    rank-one-hot reduce (TPU-native: no scatters, no lane gathers). Blocks
+    with more than ``k_slots`` nonzeros ship whole as 64-wide dense rows
+    (row-granular escape, top-k selected); their slot rows are zero.
+
+    Returns ``(idx u8 (...,B,K), val i16 (...,B,K), dense_ids i32
+    (...,DCAP) — block ids, sentinel B for unused slots, DESCENDING by
+    nnz — dense_rows i16 (...,DCAP,64), n_dense i32 (...))``. If
+    ``n_dense > dense_cap`` the packing is incomplete and the caller must
+    fall back to the dense grids (they remain program outputs).
+    """
+    nz = coeffs != 0
+    nnz = nz.sum(-1)  # (..., B) i32
+    rank = jnp.cumsum(nz.astype(jnp.int32), axis=-1) - 1
+    light = nnz <= k_slots
+    sel = nz & light[..., None]
+    oh = (sel[..., None] & (rank[..., None] == jnp.arange(k_slots))).astype(
+        jnp.float32
+    )  # (..., B, 64, K)
+    # Values ≤ 1023 and positions ≤ 63 are exact in f32.
+    val = jnp.einsum("...jk,...j->...k", oh, coeffs.astype(jnp.float32))
+    idx = jnp.einsum("...jk,j->...k", oh, jnp.arange(64, dtype=jnp.float32))
+    b = coeffs.shape[-2]
+    dense_cap = min(dense_cap, b)  # tiny images: cap cannot exceed blocks
+    score = jnp.where(nnz > k_slots, nnz, -1)
+    top, ids = jax.lax.top_k(score, dense_cap)
+    valid = top > 0
+    rows = jnp.take_along_axis(
+        coeffs, jnp.minimum(ids, b - 1)[..., None], axis=-2
+    )
+    return (
+        idx.astype(jnp.uint8),
+        val.astype(jnp.int16),
+        jnp.where(valid, ids, b).astype(jnp.int32),
+        rows * valid[..., None].astype(jnp.int16),
+        # TRUE busy-block count (NOT capped at dense_cap — overflow must be
+        # detectable by the n_dense > dense_cap comparison).
+        (nnz > k_slots).sum(-1).astype(jnp.int32),
+    )
+
+
+def unpack_coeff_rows_numpy(idx, val, dense_ids, dense_rows, nblocks):
+    """Host oracle: reverse :func:`pack_coeff_rows` to dense (B, 64) i16
+    (single item, no batch dims) — test/reference use."""
+    out = np.zeros((nblocks + 1, 64), np.int16)
+    np.add.at(
+        out[:nblocks],
+        (np.arange(nblocks)[:, None], idx.astype(np.intp)),
+        val,
+    )
+    out[dense_ids] = dense_rows
+    return out[:nblocks]
+
+
 # ---------------------------------------------------------------------------
 # NumPy oracle (same frozen spec, float64 transform — used by tests)
 # ---------------------------------------------------------------------------

@@ -30,6 +30,26 @@ def stream_mesh(devices: Optional[Sequence] = None, axis: str = "stream") -> Mes
     return Mesh(devs, (axis,))
 
 
+def grid_mesh(
+    n_streams: int,
+    n_rows: int,
+    devices: Optional[Sequence] = None,
+    axes: Sequence[str] = ("stream", "rows"),
+) -> Mesh:
+    """A 2-D (streams × rows) mesh: the outer axis data-parallels stream
+    groups, the inner axis shards each frame's rows (spatial parallelism
+    with ppermute halos — parallel/spatial.py). The inner axis varies
+    fastest over the device list, so row-neighbor chips are ICI-adjacent
+    on a physical torus slice."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    if devs.size != n_streams * n_rows:
+        raise ValueError(
+            f"grid_mesh: {n_streams}x{n_rows} needs {n_streams * n_rows} "
+            f"devices, got {devs.size}"
+        )
+    return Mesh(devs.reshape(n_streams, n_rows), tuple(axes))
+
+
 def stream_sharding(mesh: Mesh) -> NamedSharding:
     """Shard a [N, ...] batch over the mesh's first axis."""
     return NamedSharding(mesh, P(mesh.axis_names[0]))

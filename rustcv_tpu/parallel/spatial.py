@@ -102,6 +102,47 @@ def _spatial_fn(mesh: Mesh, axis: str, n_dev: int):
     )
 
 
+@lru_cache(maxsize=8)
+def _spatial2d_fn(mesh: Mesh, saxis: str, raxis: str, n_rows: int):
+    return jax.jit(
+        shard_map(
+            partial(_band_blur_sobel, axis_name=raxis, n_dev=n_rows),
+            mesh=mesh,
+            in_specs=P(saxis, raxis, None),
+            out_specs=P(saxis, raxis, None),
+        )
+    )
+
+
+def blur_sobel_mag_spatial_2d(gray: jax.Array, mesh: Mesh) -> jax.Array:
+    """Fused Gaussian5+Sobel+|∇| on a 2-D (streams × rows) mesh: the batch
+    axis shards over ``stream`` (pure DP, no collectives) AND each frame's
+    rows shard over ``rows`` with ppermute halo exchange — both mesh axes
+    working in one program (the composed tp/sp-style layout the 1-D paths
+    exercise separately). ``gray``: u8 [N, H, W]; N divides the stream
+    axis, H the rows axis (each band ≥ HALO rows). Bit-exact with the
+    single-device golden chain."""
+    if len(mesh.axis_names) != 2:
+        raise ValueError(
+            f"2-D spatial sharding expects a 2-axis mesh, got {mesh.axis_names}"
+        )
+    saxis, raxis = mesh.axis_names
+    n_s = int(mesh.shape[saxis])
+    n_r = int(mesh.shape[raxis])
+    if gray.ndim != 3:
+        raise ValueError(f"expected [N, H, W], got shape {gray.shape}")
+    if gray.shape[0] % n_s != 0:
+        raise ValueError(f"N={gray.shape[0]} must divide over {n_s} stream groups")
+    if gray.shape[-2] % n_r != 0:
+        raise ValueError(f"H={gray.shape[-2]} must divide over {n_r} row bands")
+    if gray.shape[-2] // n_r < HALO:
+        raise ValueError(
+            f"band height {gray.shape[-2] // n_r} < halo {HALO}: use fewer "
+            "row devices for this image height"
+        )
+    return _spatial2d_fn(mesh, saxis, raxis, n_r)(gray)
+
+
 def blur_sobel_mag_spatial(gray: jax.Array, mesh: Mesh) -> jax.Array:
     """Fused Gaussian5+Sobel+|∇| with the ROW axis sharded across the mesh.
 

@@ -64,6 +64,13 @@ class PipelineSpec:
     # (int16) for the host Huffman coder (native.jpeg_entropy_encode).
     encode_jpeg: int = 0
     encode_subsampling: str = "4:2:0"
+    # Device-side block-pack of the encode coefficients (K slots per block
+    # + dense-row escape; ops/jpeg_encode.pack_coeff_rows): adds
+    # enc_idx/enc_val/enc_dense_ids/enc_dense_rows/enc_ndense outputs for
+    # ~3× smaller D2H delivery. The dense enc_y/cb/cr stay as outputs for
+    # over-capacity fallback ticks. 0 = off; else the K slot count.
+    encode_packed: int = 0
+    encode_dense_cap: int = 0
 
     def raw_bytes(self) -> int:
         if self.pixel_format == PixelFormat.MJPEG:
@@ -292,6 +299,14 @@ def _build(spec: PipelineSpec):
                 eb, eg, er, spec.encode_jpeg, spec.encode_subsampling
             )
             out["enc_y"], out["enc_cb"], out["enc_cr"] = cy, ccb, ccr
+            if spec.encode_packed:
+                allc = jnp.concatenate([cy, ccb, ccr], axis=-2)
+                (
+                    out["enc_idx"], out["enc_val"], out["enc_dense_ids"],
+                    out["enc_dense_rows"], out["enc_ndense"],
+                ) = _jenc.pack_coeff_rows(
+                    allc, spec.encode_packed, spec.encode_dense_cap
+                )
         if spec.emit_bgr:
             out["bgr"] = bgr
         if spec.emit_filtered and filtered is not None:

@@ -51,11 +51,16 @@ class TestConnectedComponents:
         assert np.array_equal(np.unique(lab[mask != 0]), np.arange(1, n + 1))
         assert np.all(lab[mask == 0] == 0)
 
-    def test_round_budget_raises(self, jax_cpu):
-        """A deep spiral can't converge in 1 round — must raise, never
-        return wrong labels silently."""
-        with pytest.raises(ValueError):
-            ccl.connected_components(_spiral(31), max_rounds=1)
+    def test_deep_spiral_exact(self, jax_cpu):
+        """The run-graph algorithm is exact in ONE pass — a deep spiral
+        (the old fixpoint formulation's worst case, which needed an
+        iteration budget and could fail it) labels correctly regardless of
+        max_rounds."""
+        mask = _spiral(31)
+        n, lab = ccl.connected_components(mask, max_rounds=1)
+        n2, lab2 = ccl.connected_components_numpy(mask)
+        assert n == n2
+        np.testing.assert_array_equal(lab, lab2)
 
     def test_with_stats(self, jax_cpu):
         mask = np.zeros((40, 60), np.uint8)

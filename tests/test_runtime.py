@@ -324,6 +324,32 @@ class TestSpatialParallel:
             ])
             np.testing.assert_array_equal(got, want, err_msg=str(shape))
 
+    def test_spatial_2d_mesh_bit_exact(self, rng, jax_cpu):
+        """2-D (streams × rows) mesh: stream-DP and row-sharded halos in
+        ONE program over one mesh — still bit-exact vs golden."""
+        import jax as _jax
+
+        from rustcv_tpu.parallel import blur_sobel_mag_spatial_2d, grid_mesh
+
+        if len(_jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        mesh = grid_mesh(4, 2)
+        g = rng.integers(0, 256, (4, 64, 96), dtype=np.uint8)
+        got = np.asarray(blur_sobel_mag_spatial_2d(jax_cpu.numpy.asarray(g), mesh))
+        want = np.stack([
+            golden.gradient_magnitude_u8(*golden.sobel3_gray(golden.gaussian5_u8(x)))
+            for x in g
+        ])
+        np.testing.assert_array_equal(got, want)
+        # batch sizes that are multiples of the stream axis also work
+        g2 = rng.integers(0, 256, (8, 32, 64), dtype=np.uint8)
+        got2 = np.asarray(blur_sobel_mag_spatial_2d(jax_cpu.numpy.asarray(g2), mesh))
+        want2 = np.stack([
+            golden.gradient_magnitude_u8(*golden.sobel3_gray(golden.gaussian5_u8(x)))
+            for x in g2
+        ])
+        np.testing.assert_array_equal(got2, want2)
+
     def test_spatial_rejects_tiny_bands(self, rng, jax_cpu):
         from rustcv_tpu.parallel import blur_sobel_mag_spatial, stream_mesh
 

@@ -54,6 +54,23 @@ class TestMatchTemplate:
         resp = np.asarray(tm.match_template(img, tmpl, "ccoeff_normed"))
         assert np.all(resp == 0.0)
 
+    @pytest.mark.parametrize("method", tm.METHODS)
+    def test_fft_route_matches_oracle(self, jax_cpu, rng, method):
+        """Templates with area ≥ FFT_AREA_THRESHOLD use the FFT cross-
+        correlation — same tolerance contract as the conv route."""
+        img = golden.bgr_to_gray(sim.synth_bgr(200, 160, 3))
+        noise = rng.integers(0, 12, size=img.shape, dtype=np.uint8)
+        img = np.clip(img.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+        ty, tx = 31, 77
+        tmpl = img[ty : ty + 40, tx : tx + 48].copy()  # area 1920 ≥ 1024
+        assert tmpl.shape[0] * tmpl.shape[1] >= tm.FFT_AREA_THRESHOLD
+        want = tm.match_template_numpy(img, tmpl, method)
+        got = np.asarray(tm.match_template(img, tmpl, method))
+        scale = max(1.0, float(np.abs(want).max()))
+        assert np.max(np.abs(got - want)) / scale < 1e-4
+        mn, mx, mnloc, mxloc = tm.min_max_loc(got)
+        assert (mnloc if method == "sqdiff" else mxloc) == (tx, ty)
+
     def test_rejects_unknown_method(self):
         with pytest.raises(ValueError):
             tm.match_template_numpy(np.zeros((8, 8), np.uint8), np.zeros((2, 2), np.uint8), "bogus")
