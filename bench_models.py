@@ -66,7 +66,10 @@ def run_model(name: str, ticks: int, scale: int):
         # transports (288→736 fps run-to-run swings, VERDICT r2 #6): the
         # in-program lax.scan chain amortizes dispatch over 16 ticks and
         # reports the device's own rate.
-        cst = eng.run_chained(max(ticks, 64), chain=16, warmup=1,
+        # Enough in-program ticks that the single final-fetch RTT (~30 ms
+        # tunneled) is noise: 16 dispatches x 32 ticks ~ 0.25-0.5 s of
+        # device work per measurement.
+        cst = eng.run_chained(max(ticks * 8, 512), chain=32, warmup=1,
                               rects=rects, rect_colors=colors)
         row["fps_chained"] = round(cst.fps_total, 1)
         row["ms_per_tick_chained"] = round(cst.wall_s / max(1, cst.ticks) * 1e3, 3)

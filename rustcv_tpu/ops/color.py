@@ -54,6 +54,11 @@ def _interleave_pair_bgr(b0, g0, r0, b1, g1, r1, width: int, height: int):
     byte-for-byte.
     """
     batch = b0.shape[:-2]
+    # NOTE (measured r3): a u32-QUAD variant (two pairs → three u32 words,
+    # halving the minor-axis elements through the stack/bitcast relayout)
+    # REGRESSED the composed headline 1.97 → 3.43 ms/tick: the even/odd
+    # pair deinterleave it needs is six strided lane slices — the expensive
+    # gather form (CLAUDE.md). Reverted; u16-pair form is the keeper.
     w0 = (b0 | (g0 << 8)).astype(jnp.uint16)
     w1 = (r0 | (b1 << 8)).astype(jnp.uint16)
     w2 = (g1 | (r1 << 8)).astype(jnp.uint16)

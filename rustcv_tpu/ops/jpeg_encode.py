@@ -331,6 +331,47 @@ def pack_coeff_rows(
     )
 
 
+def blob_from_packed(idx, val, dense_ids, dense_rows, ndense) -> jax.Array:
+    """Concatenate the packed-coefficient outputs into one u8 array
+    (..., blob_bytes): [idx u8 | val i16 | dense_ids i32 | dense_rows i16 |
+    ndense i32], each flattened little-endian. One D2H fetch instead of
+    five — on a 30 ms-RTT tunnel that is the difference between 1 and 5
+    round trips per delivered tick. Inverse: :func:`split_blob`."""
+    batch = idx.shape[:-2]
+
+    def u8(a):
+        b = jax.lax.bitcast_convert_type(a, jnp.uint8)
+        return b.reshape(*batch, -1)
+
+    return jnp.concatenate(
+        [u8(idx), u8(val), u8(dense_ids), u8(dense_rows),
+         u8(ndense[..., None])],
+        axis=-1,
+    )
+
+
+def split_blob(blob: np.ndarray, nbt: int, k: int, dcap: int):
+    """Host inverse of :func:`blob_from_packed` for one batch item or a
+    batch: returns (idx, val, dense_ids, dense_rows, ndense) numpy views."""
+    batch = blob.shape[:-1]
+    o0 = nbt * k
+    o1 = o0 + nbt * k * 2
+    o2 = o1 + dcap * 4
+    o3 = o2 + dcap * 64 * 2
+    o4 = o3 + 4
+    if blob.shape[-1] != o4:
+        raise ValueError(f"blob length {blob.shape[-1]} != expected {o4}")
+    def seg(a, dt):  # batched slices are row-strided → compact before view
+        return np.ascontiguousarray(a).view(dt)
+
+    idx = blob[..., :o0].reshape(*batch, nbt, k)
+    val = seg(blob[..., o0:o1], np.int16).reshape(*batch, nbt, k)
+    ids = seg(blob[..., o1:o2], np.int32).reshape(*batch, dcap)
+    rows = seg(blob[..., o2:o3], np.int16).reshape(*batch, dcap, 64)
+    nd = seg(blob[..., o3:o4], np.int32).reshape(*batch)
+    return idx, val, ids, rows, nd
+
+
 def unpack_coeff_rows_numpy(idx, val, dense_ids, dense_rows, nblocks):
     """Host oracle: reverse :func:`pack_coeff_rows` to dense (B, 64) i16
     (single item, no batch dims) — test/reference use."""

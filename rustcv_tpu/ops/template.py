@@ -20,7 +20,11 @@ Harris):
 - ``ccoeff_normed``: R = Σ(T′·W) / √(ΣT′² · Σ(W−mean(W))²) with
   T′ = T − mean(T); degenerate windows (zero variance on either side) → 0.
 - ``ccorr_normed``:  R = Σ(T·W) / √(ΣT² · ΣW²); zero denominators → 0.
-- ``sqdiff``:        R = Σ(T−W)² = ΣT² − 2Σ(T·W) + ΣW².
+- ``sqdiff``:        R = Σ(T−W)² = ΣT² − 2Σ(T·W) + ΣW². Accuracy is
+  RELATIVE to the response scale (~1e-7·scale on the FFT route, ~1e-9 on
+  conv): an exact-cut minimum reads ~0 + ε·ΣW², not exactly 0 — peak
+  LOCATIONS are unaffected. Exact-zero detection needs the conv route
+  (templates below FFT_AREA_THRESHOLD).
 
 Output shape (H−th+1, W−tw+1), peak (ccoeff/ccorr: max; sqdiff: min) at
 the template's top-left corner.
@@ -63,8 +67,9 @@ def _conv_rows(lhs: jax.Array, kernels: jax.Array) -> jax.Array:
 
 
 # Templates with area ≥ this go through the FFT route (the conv's FLOPs
-# scale with template area; the FFT's don't).
-FFT_AREA_THRESHOLD = 1024
+# scale with template area; the FFT's don't — measured 4.9 ms vs 270 ms
+# for 64×64 @1080p, and the FFT already wins by 16×16).
+FFT_AREA_THRESHOLD = 256
 
 
 def _window_sums_u32(img_u8: jax.Array, th: int, tw: int):

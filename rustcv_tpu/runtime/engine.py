@@ -1048,18 +1048,22 @@ class MultiStreamEngine:
                 max_workers=4, thread_name_prefix="rustcv-fetch"
             )
         packed = bool(self.spec.encode_packed)
-        keys = (
-            ("enc_idx", "enc_val", "enc_dense_ids", "enc_dense_rows", "enc_ndense")
-            if packed
-            else ("enc_y", "enc_cb", "enc_cr")
-        )
+        # Packed delivery fetches ONE fused byte blob (a single D2H round
+        # trip per tick); dense fetches the three coefficient grids.
+        keys = ("enc_blob",) if packed else ("enc_y", "enc_cb", "enc_cr")
         inflight = deque()
 
         def _drain_one():
             res, futs = inflight.popleft()
             vals = [f.result() for f in futs]
             if packed:
-                idx, val, ids, rows, nd = vals
+                from ..ops.jpeg_encode import split_blob
+
+                nbt = res.outputs["enc_idx"].shape[-2]
+                idx, val, ids, rows, nd = split_blob(
+                    vals[0], nbt, self.spec.encode_packed,
+                    self.spec.encode_dense_cap,
+                )
                 if (nd <= self.spec.encode_dense_cap).all():
                     return res, self._encode_from_host_packed(idx, val, ids, rows)
                 # Over-capacity tick: the dense grids are still device

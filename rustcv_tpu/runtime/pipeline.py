@@ -307,6 +307,13 @@ def _build(spec: PipelineSpec):
                 ) = _jenc.pack_coeff_rows(
                     allc, spec.encode_packed, spec.encode_dense_cap
                 )
+                # Single-fetch delivery blob: every packed buffer as one u8
+                # array, so RTT-dominated transports pay ONE round trip per
+                # tick instead of five (layout: see jpeg_encode.split_blob).
+                out["enc_blob"] = _jenc.blob_from_packed(
+                    out["enc_idx"], out["enc_val"], out["enc_dense_ids"],
+                    out["enc_dense_rows"], out["enc_ndense"],
+                )
         if spec.emit_bgr:
             out["bgr"] = bgr
         if spec.emit_filtered and filtered is not None:

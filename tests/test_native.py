@@ -159,3 +159,54 @@ class TestJpegEntropyRobustness:
                 out_idx=_np.zeros((7, 4), _np.uint8),
                 out_val=_np.zeros((7, 4), _np.int16),
             )
+
+
+class TestGilRelease:
+    """The multi-worker scaling claim (decode/encode pools, PERFORMANCE.md)
+    rests on the ctypes coders releasing the GIL. This host has one core,
+    so a wall-clock speedup is unmeasurable here — instead we prove the
+    release directly: a pure-Python counter thread keeps making progress
+    WHILE a native entropy decode runs. With the GIL held for the call's
+    duration, the counter would sit frozen until the call returned.
+
+    (sys.setswitchinterval is raised so the scheduler would NOT hand the
+    GIL over mid-call by timeslice alone at this rate; progress therefore
+    demonstrates an explicit release.)
+    """
+
+    def test_counter_progresses_during_native_decode(self):
+        import sys
+        import threading
+
+        from rustcv_tpu.capture.simulation import encode_mjpeg, synth_bgr
+
+        jpg = bytes(encode_mjpeg(synth_bgr(1280, 720, 3), quality=95))
+        native.jpeg_entropy_decode(jpg)  # warm (lazy lib build)
+
+        progress = []
+        stop = threading.Event()
+
+        def count():
+            n = 0
+            while not stop.is_set():
+                n += 1
+                progress.append(n)
+
+        t = threading.Thread(target=count, daemon=True)
+        t.start()
+        while not progress:  # counter thread actually running
+            time.sleep(0.001)
+        old = sys.getswitchinterval()
+        sys.setswitchinterval(10.0)  # no timeslice handoffs from here on
+        try:
+            before = len(progress)
+            for _ in range(5):
+                native.jpeg_entropy_decode(jpg)  # ~10+ ms of native work
+            during = len(progress) - before
+            stop.set()
+            t.join(timeout=5)
+            # With the GIL held across the native calls, `during` would be
+            # ~0 (the main thread never yields: setswitchinterval(10)).
+            assert during > 1000, f"counter made only {during} steps"
+        finally:
+            sys.setswitchinterval(old)

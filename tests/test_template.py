@@ -41,7 +41,12 @@ class TestMatchTemplate:
             assert mx == pytest.approx(1.0, abs=1e-4)
             assert mx <= 1.0 + 1e-4 and mn >= -1.0 - 1e-4
         if method == "sqdiff":
-            assert mn == pytest.approx(0.0, abs=1e-2)
+            # Exact-cut minimum is 0 in exact math; the f32 response is
+            # accurate RELATIVE to its scale (ΣT² ~ 1e7 here) — the FFT
+            # route's cancellation error at the minimum is ~1e-7 of scale
+            # (conv route: ~1e-9). Location above is asserted exact.
+            scale = float((tmpl.astype(np.float64) ** 2).sum())
+            assert mn <= 1e-6 * scale
 
     def test_flat_windows_are_zero_not_nan(self, jax_cpu):
         """Zero-variance windows (and a zero-variance template) must yield
