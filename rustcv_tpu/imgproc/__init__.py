@@ -213,10 +213,12 @@ def resize(mat: Mat, width: int, height: int, interpolation: str = "bilinear") -
         "bilinear": (_resize.resize_bilinear, golden.resize_bilinear),
         "nearest": (_resize.resize_nearest, golden.resize_nearest),
         "area": (_resize.resize_area, golden.resize_area),
+        "cubic": (_resize.resize_bicubic, golden.resize_bicubic),
     }
     if interpolation not in fns:
         raise ValueError(
-            f"unknown interpolation {interpolation!r} (bilinear, nearest, area)"
+            f"unknown interpolation {interpolation!r} "
+            "(bilinear, nearest, area, cubic)"
         )
     dev, host = fns[interpolation]
     return _apply(
@@ -308,6 +310,30 @@ def cvt_hsv(mat: Mat) -> Mat:
     from ..ops import color as _color
 
     return _apply(mat, _color.bgr_to_hsv, golden.bgr_to_hsv)
+
+
+def cvt_hsv_to_bgr(mat: Mat) -> Mat:
+    """HSV u8 (H ∈ [0, 180)) → BGR — frozen integer spec
+    (golden.hsv_to_bgr); round-trips cvt_hsv within ±4 LSB (H is
+    quantized to 2°, so an exact inverse does not exist)."""
+    from ..ops import color as _color
+
+    return _apply(mat, _color.hsv_to_bgr, golden.hsv_to_bgr)
+
+
+def cvt_ycrcb(mat: Mat) -> Mat:
+    """BGR → YCrCb u8 (OpenCV 8-bit convention, 14-bit fixed-point
+    constants) — exact integer spec (golden.bgr_to_ycrcb)."""
+    from ..ops import color as _color
+
+    return _apply(mat, _color.bgr_to_ycrcb, golden.bgr_to_ycrcb)
+
+
+def cvt_ycrcb_to_bgr(mat: Mat) -> Mat:
+    """YCrCb u8 → BGR — exact integer spec (golden.ycrcb_to_bgr)."""
+    from ..ops import color as _color
+
+    return _apply(mat, _color.ycrcb_to_bgr, golden.ycrcb_to_bgr)
 
 
 def in_range(mat: Mat, lower, upper) -> Mat:
@@ -952,7 +978,8 @@ __all__ = [
     "convex_hull", "create_background_subtractor_mog2",
     "min_area_rect", "min_enclosing_circle",
     "corner_sub_pix", "cvt_gray", "detect_blobs", "distance_transform",
-    "cvt_hsv", "dilate", "equalize_hist", "erode",
+    "cvt_hsv", "cvt_hsv_to_bgr", "cvt_ycrcb", "cvt_ycrcb_to_bgr",
+    "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
     "calibrate_camera", "find_homography", "solve_pnp",
     "find_contours", "flip", "flood_fill", "gaussian_blur",

@@ -586,6 +586,64 @@ def bgr_to_hsv(bgr: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def bgr_to_ycrcb(bgr: jax.Array) -> jax.Array:
+    """(…, 3) u8 BGR → YCrCb u8 — bit-exact vs golden.bgr_to_ycrcb
+    (14-bit fixed-point constants, arithmetic-shift descale)."""
+    b = bgr[..., 0].astype(jnp.int32)
+    g = bgr[..., 1].astype(jnp.int32)
+    r = bgr[..., 2].astype(jnp.int32)
+    y = (4899 * r + 9617 * g + 1868 * b + 8192) >> 14
+    cr = ((r - y) * 11682 + (128 << 14) + 8192) >> 14
+    cb = ((b - y) * 9241 + (128 << 14) + 8192) >> 14
+    out = jnp.stack([y, jnp.clip(cr, 0, 255), jnp.clip(cb, 0, 255)], axis=-1)
+    return out.astype(jnp.uint8)
+
+
+@jax.jit
+def ycrcb_to_bgr(ycrcb: jax.Array) -> jax.Array:
+    """(…, 3) u8 YCrCb → BGR u8 — bit-exact vs golden.ycrcb_to_bgr."""
+    y = ycrcb[..., 0].astype(jnp.int32)
+    cr = ycrcb[..., 1].astype(jnp.int32) - 128
+    cb = ycrcb[..., 2].astype(jnp.int32) - 128
+    r = y + ((22987 * cr + 8192) >> 14)
+    g = y + ((-11698 * cr - 5638 * cb + 8192) >> 14)
+    b = y + ((29049 * cb + 8192) >> 14)
+    out = jnp.stack([b, g, r], axis=-1)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
+def hsv_to_bgr(hsv: jax.Array) -> jax.Array:
+    """(…, 3) u8 HSV (H ∈ [0, 180)) → BGR u8 — bit-exact vs
+    golden.hsv_to_bgr. The 6-sector select is a one-hot sum (per-pixel
+    small-axis gathers are the slow form on TPU; see CLAUDE.md)."""
+    h = hsv[..., 0].astype(jnp.int32)
+    s = hsv[..., 1].astype(jnp.int32)
+    v = hsv[..., 2].astype(jnp.int32)
+    sector = (h // 30) % 6  # h ≤ 255: tiny static range, XLA folds the div
+    rem = h % 30
+
+    def rdiv(a, d):
+        return _div_floor_exact(2 * a + d, jnp.full_like(a, 2 * d))
+
+    p = rdiv(v * (255 - s), 255)
+    q = rdiv(v * (255 * 30 - s * rem), 255 * 30)
+    t = rdiv(v * (255 * 30 - s * (30 - rem)), 255 * 30)
+    # (B, G, R) per sector — indices into (v, p, q, t), golden's table.
+    tabs = ((1, 3, 0), (1, 0, 2), (3, 0, 1), (0, 2, 1), (0, 1, 3), (2, 1, 0))
+    vpqt = (v, p, q, t)
+    chans = []
+    for c in range(3):
+        acc = jnp.zeros_like(v)
+        for sec in range(6):
+            acc = acc + jnp.where(sector == sec, vpqt[tabs[sec][c]], 0)
+        chans.append(acc)
+    out = jnp.stack(chans, axis=-1)
+    out = jnp.where((s == 0)[..., None], v[..., None], out)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
 def in_range(img: jax.Array, lower: jax.Array, upper: jax.Array) -> jax.Array:
     """Per-channel inclusive range mask → u8 {0, 255} (OpenCV inRange);
     bit-exact vs golden.in_range."""

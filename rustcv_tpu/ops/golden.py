@@ -162,6 +162,76 @@ def bgr_to_hsv(bgr: np.ndarray) -> np.ndarray:
     return np.stack([h, s, v], axis=-1).astype(np.uint8)
 
 
+def bgr_to_ycrcb(bgr: np.ndarray) -> np.ndarray:
+    """Frozen integer BGR → YCrCb (OpenCV 8-bit convention, 14-bit
+    fixed-point constants: 0.299/0.587/0.114 luma, 0.713/0.564 chroma):
+
+    - Y  = (4899·R + 9617·G + 1868·B + 8192) >> 14
+    - Cr = ((R − Y)·11682 + (128<<14) + 8192) >> 14, clamped to [0, 255]
+    - Cb = ((B − Y)·9241  + (128<<14) + 8192) >> 14, clamped
+
+    All shifts arithmetic (floor) — device == oracle bit-for-bit.
+    """
+    b = bgr[..., 0].astype(np.int64)
+    g = bgr[..., 1].astype(np.int64)
+    r = bgr[..., 2].astype(np.int64)
+    y = (4899 * r + 9617 * g + 1868 * b + 8192) >> 14
+    cr = ((r - y) * 11682 + (128 << 14) + 8192) >> 14
+    cb = ((b - y) * 9241 + (128 << 14) + 8192) >> 14
+    out = np.stack([y, np.clip(cr, 0, 255), np.clip(cb, 0, 255)], axis=-1)
+    return out.astype(np.uint8)
+
+
+def ycrcb_to_bgr(ycrcb: np.ndarray) -> np.ndarray:
+    """Frozen integer YCrCb → BGR (inverse constants 1.403/0.714/0.344/
+    1.773 as 22987/11698/5638/29049 over 2^14; same descale discipline)."""
+    y = ycrcb[..., 0].astype(np.int64)
+    cr = ycrcb[..., 1].astype(np.int64) - 128
+    cb = ycrcb[..., 2].astype(np.int64) - 128
+    r = y + ((22987 * cr + 8192) >> 14)
+    g = y + ((-11698 * cr - 5638 * cb + 8192) >> 14)
+    b = y + ((29049 * cb + 8192) >> 14)
+    out = np.stack([b, g, r], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def hsv_to_bgr(hsv: np.ndarray) -> np.ndarray:
+    """Frozen integer HSV → BGR (inverse of :func:`bgr_to_hsv`'s 8-bit
+    convention, H ∈ [0, 180)): sector = H // 30, rem = H % 30, and with
+    round-half-up rational division ``rdiv(a, d) = (2a + d) // (2d)``:
+
+    - p = rdiv(V·(255 − S), 255)
+    - q = rdiv(V·(255·30 − S·rem), 255·30)
+    - t = rdiv(V·(255·30 − S·(30 − rem)), 255·30)
+    - (B, G, R) by sector: 0→(p,t,V) 1→(p,V,q) 2→(t,V,p) 3→(V,q,p)
+      4→(V,p,t) 5→(q,p,V); S == 0 → (V, V, V).
+
+    An exact inverse of the quantized forward map does not exist (H is
+    quantized to 2°); round-tripping bgr→hsv→bgr is tested to ±4 LSB.
+    """
+    h = hsv[..., 0].astype(np.int64)
+    s = hsv[..., 1].astype(np.int64)
+    v = hsv[..., 2].astype(np.int64)
+    sector = (h // 30) % 6
+    rem = h % 30
+
+    def rdiv(a, d):
+        return (2 * a + d) // (2 * d)
+
+    p = rdiv(v * (255 - s), 255)
+    q = rdiv(v * (255 * 30 - s * rem), 255 * 30)
+    t = rdiv(v * (255 * 30 - s * (30 - rem)), 255 * 30)
+    tabs = np.array(
+        [[1, 3, 0], [1, 0, 2], [3, 0, 1], [0, 2, 1], [0, 1, 3], [2, 1, 0]],
+        np.int64,
+    )  # indices into (v, p, q, t) per (sector, channel BGR)
+    stackvpqt = np.stack([v, p, q, t], axis=-1)
+    sel = tabs[sector]  # (..., 3)
+    out = np.take_along_axis(stackvpqt, sel, axis=-1)
+    out = np.where((s == 0)[..., None], v[..., None], out)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def in_range(img: np.ndarray, lower, upper) -> np.ndarray:
     """Per-channel inclusive range mask → u8 {0, 255} (OpenCV inRange)."""
     lo = np.asarray(lower, np.int32)
@@ -560,6 +630,54 @@ def resize_bilinear(img: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
     )
     out = (acc + (1 << (2 * RESIZE_SHIFT - 1))) >> (2 * RESIZE_SHIFT)
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def resize_bicubic_coeffs(src_size: int, dst_size: int):
+    """Per-output-pixel 4-tap tables for INTER_CUBIC (a = −0.75, OpenCV's
+    kernel), frozen spec. Half-pixel centers as resize_coeffs; taps at
+    ix−1..ix+2 CLAMPED to [0, src−1] (replicate border). Weights w(x) for
+    |x|≤1: (a+2)|x|³ − (a+3)|x|² + 1; 1<|x|<2: a(|x|³ − 5|x|² + 8|x| − 4);
+    quantized to 11-bit with w1 = 2048 − (w0+w2+w3) so flat regions are
+    exact. Returns (tap_idx int32 [dst, 4], weights int32 [dst, 4])."""
+    a = -0.75
+    dx = np.arange(dst_size, dtype=np.float64)
+    fx = (dx + 0.5) * (src_size / dst_size) - 0.5
+    ix = np.floor(fx).astype(np.int64)
+    f = fx - ix
+
+    def k(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1.0,
+            (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0,
+            np.where(x < 2.0, a * (x**3 - 5.0 * x**2 + 8.0 * x - 4.0), 0.0),
+        )
+
+    w = np.stack([k(f + 1.0), k(f), k(1.0 - f), k(2.0 - f)], axis=-1)
+    wq = np.round(w * RESIZE_ONE).astype(np.int64)
+    wq[:, 1] = RESIZE_ONE - (wq[:, 0] + wq[:, 2] + wq[:, 3])
+    taps = ix[:, None] + np.arange(-1, 3)[None, :]
+    taps = np.clip(taps, 0, src_size - 1)
+    return taps.astype(np.int32), wq.astype(np.int32)
+
+
+def resize_bicubic(img: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
+    """Fixed-point separable bicubic resize (INTER_CUBIC role), frozen
+    spec. Horizontal pass keeps unshifted 11-bit sums; vertical rounds
+    once: ``(Σ + 2^21) >> 22``, clamped to u8. i32 bound: |Σ|w|| ≤
+    1.281·2048 per axis → |acc| ≤ 255·(1.281·2048)² ≈ 1.76e9 < 2³¹.
+    Works on (H, W) gray or (H, W, C)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    xt, xw = resize_bicubic_coeffs(img.shape[1], dst_w)
+    yt, yw = resize_bicubic_coeffs(img.shape[0], dst_h)
+    a = img.astype(np.int64)
+    tmp = sum(a[:, xt[:, j]] * xw[:, j][None, :, None] for j in range(4))
+    acc = sum(tmp[yt[:, j]] * yw[:, j][:, None, None] for j in range(4))
+    out = (acc + (1 << (2 * RESIZE_SHIFT - 1))) >> (2 * RESIZE_SHIFT)
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    return out[..., 0] if squeeze else out
 
 
 def resize_nearest_coeffs(src_size: int, dst_size: int) -> np.ndarray:

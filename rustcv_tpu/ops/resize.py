@@ -56,6 +56,31 @@ def resize_bilinear(img: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("dst_w", "dst_h"))
+def resize_bicubic(img: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
+    """INTER_CUBIC resize (..., H, W, C) u8 → (..., dst_h, dst_w, C) u8 —
+    bit-exact vs golden.resize_bicubic (a = −0.75, 11-bit fixed point,
+    single final rounding; i32-safe, bound in the golden docstring).
+    2-D input resizes a gray plane."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    src_h, src_w = img.shape[-3], img.shape[-2]
+    xt, xw = golden.resize_bicubic_coeffs(src_w, dst_w)
+    yt, yw = golden.resize_bicubic_coeffs(src_h, dst_h)
+    xt_j = [jnp.asarray(xt[:, j]) for j in range(4)]
+    yt_j = [jnp.asarray(yt[:, j]) for j in range(4)]
+    xw_j = [jnp.asarray(xw[:, j])[:, None] for j in range(4)]
+    yw_j = [jnp.asarray(yw[:, j])[:, None, None] for j in range(4)]
+
+    a = img.astype(jnp.int32)
+    tmp = sum(jnp.take(a, xt_j[j], axis=-2) * xw_j[j] for j in range(4))
+    acc = sum(jnp.take(tmp, yt_j[j], axis=-3) * yw_j[j] for j in range(4))
+    out = (acc + (1 << (2 * golden.RESIZE_SHIFT - 1))) >> (2 * golden.RESIZE_SHIFT)
+    out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+    return out[..., 0] if squeeze else out
+
+
+@partial(jax.jit, static_argnames=("dst_w", "dst_h"))
 def resize_bilinear_plane(plane: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
     """Resize single-channel planes (..., H, W) int → (..., dst_h, dst_w) u8.
 

@@ -43,6 +43,11 @@ GOLDEN_HASHES = {
     "pyr_down": "547dddceb3c29b48",
     "rect": "56b8ed603693fdf8",
     "demosaic": "bb79f11a3e96c6fa",
+    # round-3 additions
+    "ycrcb": "815774196f9c1ddc",
+    "ycrcb_back": "a735db09f3c7d3a4",
+    "hsv_back": "5936c3b12398026f",
+    "bicubic": "22ea78b64a5275bc",
 }
 HARRIS_CORNER_COUNT = 10
 # Fixed-point Harris response (int32) — frozen spec (golden.harris_response_i32)
@@ -88,6 +93,11 @@ def test_decode_and_ops_frozen():
     assert _h(ov) == GOLDEN_HASHES["rect"]
     raw_bayer = sim.synth_raw(W, H, PixelFormat.BAYER_RGGB, SEQ).reshape(H, W)
     assert _h(golden.demosaic_bilinear(raw_bayer, "RGGB")) == GOLDEN_HASHES["demosaic"]
+    ycc = golden.bgr_to_ycrcb(dec)
+    assert _h(ycc) == GOLDEN_HASHES["ycrcb"]
+    assert _h(golden.ycrcb_to_bgr(ycc)) == GOLDEN_HASHES["ycrcb_back"]
+    assert _h(golden.hsv_to_bgr(golden.bgr_to_hsv(dec))) == GOLDEN_HASHES["hsv_back"]
+    assert _h(golden.resize_bicubic(dec, 40, 30)) == GOLDEN_HASHES["bicubic"]
 
 
 def test_harris_corner_count_frozen():
