@@ -336,6 +336,21 @@ def cvt_ycrcb_to_bgr(mat: Mat) -> Mat:
     return _apply(mat, _color.ycrcb_to_bgr, golden.ycrcb_to_bgr)
 
 
+def cvt_lab(mat: Mat) -> Mat:
+    """BGR → CIE L*a*b* u8 (OpenCV 8-bit convention; frozen float spec
+    golden.bgr_to_lab, device within ±1 LSB — documented tolerance)."""
+    from ..ops import color as _color
+
+    return _apply(mat, _color.bgr_to_lab, golden.bgr_to_lab)
+
+
+def cvt_lab_to_bgr(mat: Mat) -> Mat:
+    """Lab u8 → BGR (golden.lab_to_bgr, ±1 LSB device tolerance)."""
+    from ..ops import color as _color
+
+    return _apply(mat, _color.lab_to_bgr, golden.lab_to_bgr)
+
+
 def in_range(mat: Mat, lower, upper) -> Mat:
     """Per-channel inclusive range mask → u8 {0, 255} Mat (OpenCV
     ``inRange``); compose with :func:`cvt_hsv` for color segmentation."""
@@ -978,7 +993,8 @@ __all__ = [
     "convex_hull", "create_background_subtractor_mog2",
     "min_area_rect", "min_enclosing_circle",
     "corner_sub_pix", "cvt_gray", "detect_blobs", "distance_transform",
-    "cvt_hsv", "cvt_hsv_to_bgr", "cvt_ycrcb", "cvt_ycrcb_to_bgr",
+    "cvt_hsv", "cvt_hsv_to_bgr", "cvt_lab", "cvt_lab_to_bgr",
+    "cvt_ycrcb", "cvt_ycrcb_to_bgr",
     "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
     "calibrate_camera", "find_homography", "solve_pnp",

@@ -644,6 +644,66 @@ def hsv_to_bgr(hsv: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def bgr_to_lab(bgr: jax.Array) -> jax.Array:
+    """(…, 3) u8 BGR → CIE L*a*b* u8 — float32 device path for the frozen
+    float64 spec golden.bgr_to_lab (±1 LSB documented tolerance)."""
+    from .golden import _LAB_M, _LAB_WHITE
+
+    srgb = bgr[..., ::-1].astype(jnp.float32) / 255.0
+    lin = jnp.where(
+        srgb > 0.04045,
+        ((srgb + 0.055) / 1.055) ** 2.4,
+        srgb / 12.92,
+    )
+    xyz = lin @ jnp.asarray(_LAB_M.T, jnp.float32)
+    d = jnp.float32(6.0 / 29.0)
+    t = xyz / jnp.asarray(_LAB_WHITE, jnp.float32)
+    f = jnp.where(t > d**3, jnp.cbrt(t), t / (3 * d * d) + 4.0 / 29.0)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    out = jnp.stack(
+        [
+            jnp.round((116.0 * fy - 16.0) * (255.0 / 100.0)),
+            jnp.round(500.0 * (fx - fy)) + 128.0,
+            jnp.round(200.0 * (fy - fz)) + 128.0,
+        ],
+        axis=-1,
+    )
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
+def lab_to_bgr(lab: jax.Array) -> jax.Array:
+    """(…, 3) u8 Lab → BGR u8 (inverse; golden.lab_to_bgr, ±1 LSB)."""
+    import numpy as _np2
+
+    from .golden import _LAB_M, _LAB_WHITE
+
+    ell = lab[..., 0].astype(jnp.float32) * (100.0 / 255.0)
+    a = lab[..., 1].astype(jnp.float32) - 128.0
+    b = lab[..., 2].astype(jnp.float32) - 128.0
+    fy = (ell + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+    d = jnp.float32(6.0 / 29.0)
+
+    def finv(f):
+        return jnp.where(f > d, f**3, 3 * d * d * (f - 4.0 / 29.0))
+
+    xyz = jnp.stack([finv(fx), finv(fy), finv(fz)], axis=-1) * jnp.asarray(
+        _LAB_WHITE, jnp.float32
+    )
+    minv = _np2.linalg.inv(_LAB_M).T
+    lin = xyz @ jnp.asarray(minv, jnp.float32)
+    srgb = jnp.where(
+        lin > 0.0031308,
+        1.055 * jnp.maximum(lin, 0.0) ** (1.0 / 2.4) - 0.055,
+        12.92 * lin,
+    )
+    out = jnp.round(srgb[..., ::-1] * 255.0)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
 def in_range(img: jax.Array, lower: jax.Array, upper: jax.Array) -> jax.Array:
     """Per-channel inclusive range mask → u8 {0, 255} (OpenCV inRange);
     bit-exact vs golden.in_range."""

@@ -232,6 +232,70 @@ def hsv_to_bgr(hsv: np.ndarray) -> np.ndarray:
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+_LAB_M = np.array(  # sRGB→XYZ (D65), rows applied to (R, G, B)
+    [
+        [0.412453, 0.357580, 0.180423],
+        [0.212671, 0.715160, 0.072169],
+        [0.019334, 0.119193, 0.950227],
+    ],
+    np.float64,
+)
+_LAB_WHITE = (0.950456, 1.0, 1.088754)  # Xn, Yn, Zn
+
+
+def bgr_to_lab(bgr: np.ndarray) -> np.ndarray:
+    """Frozen CIE L*a*b* spec, u8 in/out (OpenCV 8-bit convention:
+    L·255/100, a+128, b+128), float64 oracle:
+
+    sRGB gamma linearization (t>0.04045 → ((t+0.055)/1.055)^2.4 else
+    t/12.92) → XYZ (D65) → f(t) = t^(1/3) for t > (6/29)³ else
+    t/(3·(6/29)²) + 4/29 → L = 116·fy − 16, a = 500(fx−fy),
+    b = 200(fy−fz); round-half-even quantization, clipped to u8.
+    Device (float32) agrees within ±1 LSB (documented tolerance, like
+    corner_sub_pix)."""
+    srgb = bgr[..., ::-1].astype(np.float64) / 255.0
+    lin = np.where(
+        srgb > 0.04045, ((srgb + 0.055) / 1.055) ** 2.4, srgb / 12.92
+    )
+    xyz = lin @ _LAB_M.T
+    d = 6.0 / 29.0
+    t = xyz / np.array(_LAB_WHITE)
+    f = np.where(t > d**3, np.cbrt(t), t / (3 * d * d) + 4.0 / 29.0)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    ell = 116.0 * fy - 16.0
+    a = 500.0 * (fx - fy)
+    b = 200.0 * (fy - fz)
+    out = np.stack(
+        [np.round(ell * 255.0 / 100.0), np.round(a) + 128.0, np.round(b) + 128.0],
+        axis=-1,
+    )
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def lab_to_bgr(lab: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`bgr_to_lab` (same frozen conventions); round-trip
+    error is bounded by the u8 quantization of a/b (±3 LSB tested)."""
+    ell = lab[..., 0].astype(np.float64) * 100.0 / 255.0
+    a = lab[..., 1].astype(np.float64) - 128.0
+    b = lab[..., 2].astype(np.float64) - 128.0
+    fy = (ell + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+    d = 6.0 / 29.0
+
+    def finv(f):
+        return np.where(f > d, f**3, 3 * d * d * (f - 4.0 / 29.0))
+
+    xyz = np.stack([finv(fx), finv(fy), finv(fz)], axis=-1) * np.array(_LAB_WHITE)
+    lin = xyz @ np.linalg.inv(_LAB_M).T
+    srgb = np.where(
+        lin > 0.0031308, 1.055 * np.maximum(lin, 0.0) ** (1 / 2.4) - 0.055,
+        12.92 * lin,
+    )
+    out = np.round(srgb[..., ::-1] * 255.0)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def in_range(img: np.ndarray, lower, upper) -> np.ndarray:
     """Per-channel inclusive range mask → u8 {0, 255} (OpenCV inRange)."""
     lo = np.asarray(lower, np.int32)

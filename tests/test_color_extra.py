@@ -122,3 +122,42 @@ class TestBicubic:
         np.testing.assert_array_equal(
             out.to_numpy(), golden.resize_bicubic(img, 48, 40)
         )
+
+
+class TestLab:
+    def test_device_within_1lsb(self, jax_cpu, bgr):
+        from rustcv_tpu.ops import color as _color
+
+        want = golden.bgr_to_lab(bgr).astype(int)
+        got = np.asarray(_color.bgr_to_lab(jax_cpu.numpy.asarray(bgr))).astype(int)
+        assert np.abs(got - want).max() <= 1
+        lab = golden.bgr_to_lab(bgr)
+        back_w = golden.lab_to_bgr(lab).astype(int)
+        back_g = np.asarray(_color.lab_to_bgr(jax_cpu.numpy.asarray(lab))).astype(int)
+        assert np.abs(back_g - back_w).max() <= 1
+
+    def test_known_values(self):
+        white = np.array([[[255, 255, 255]]], np.uint8)
+        lw = golden.bgr_to_lab(white)[0, 0]
+        assert lw[0] == 255 and abs(int(lw[1]) - 128) <= 1 and abs(int(lw[2]) - 128) <= 1
+        black = np.array([[[0, 0, 0]]], np.uint8)
+        lb = golden.bgr_to_lab(black)[0, 0]
+        assert lb[0] == 0 and lb[1] == 128 and lb[2] == 128
+        # mid-gray: L ≈ 53.6% → 137, neutral chroma
+        gray = np.array([[[128, 128, 128]]], np.uint8)
+        lg = golden.bgr_to_lab(gray)[0, 0]
+        assert abs(int(lg[1]) - 128) <= 1 and abs(int(lg[2]) - 128) <= 1
+
+    def test_round_trip(self, bgr):
+        back = golden.lab_to_bgr(golden.bgr_to_lab(bgr)).astype(int)
+        d = np.abs(back - bgr.astype(int))
+        # u8 Lab quantizes a/b to 1.0 and L to 0.39 units; inverting through
+        # the cube amplifies that near gamut edges (saturated blues) — same
+        # magnitude as OpenCV's 8U Lab round trip. Typical error is ~1 LSB.
+        assert d.max() <= 24
+        assert d.mean() <= 2.0
+
+    def test_facade(self, jax_cpu, bgr):
+        out = imgproc.cvt_lab(Mat.from_array(bgr))
+        want = golden.bgr_to_lab(bgr).astype(int)
+        assert np.abs(out.to_numpy().astype(int) - want).max() <= 1
