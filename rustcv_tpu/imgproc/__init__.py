@@ -751,6 +751,24 @@ def hough_lines(mat: Mat, threshold: int = 50, max_lines: int = 32,
     return np.asarray(lines)[np.asarray(valid)]
 
 
+def hough_lines_p(mat: Mat, threshold: int = 50,
+                  min_line_length: float = 30.0, max_line_gap: float = 5.0,
+                  max_segments: int = 64, **kw):
+    """Line segments on a binary edge Mat (OpenCV ``HoughLinesP`` role;
+    deterministic spec — device accumulator peaks + host inlier-run
+    extraction, see ops/hough.hough_lines_p). Returns int32 [M, 4]
+    (x1, y1, x2, y2)."""
+    from ..ops import hough as _hough
+
+    a = mat.device() if mat.is_on_device else mat.to_numpy()
+    if a.ndim == 3:
+        a = a[..., 0]
+    return _hough.hough_lines_p(
+        a, threshold=threshold, min_line_length=min_line_length,
+        max_line_gap=max_line_gap, max_segments=max_segments, **kw,
+    )
+
+
 def lut(mat: Mat, table) -> Mat:
     """Apply a 256-entry u8 lookup table per byte (OpenCV ``LUT`` — gamma
     and tone curves). Device path is gather-free (ops/hist.apply_lut)."""
@@ -1004,7 +1022,8 @@ __all__ = [
     "get_structuring_element", "integral", "sep_filter_2d",
     "morphology_ex",
     "warp_perspective",
-    "cam_shift", "good_features_to_track", "hough_circles", "hough_lines", "hu_moments",
+    "cam_shift", "good_features_to_track", "hough_circles", "hough_lines",
+    "hough_lines_p", "hu_moments",
     "kmeans_quantize",
     "line", "lut", "match_descriptors", "match_shapes", "mean_shift",
     "polylines",

@@ -322,3 +322,65 @@ def hough_circles_numpy(
     votes = np.array(votes, np.int32)
     order = np.argsort(-votes, kind="stable")  # final-vote order (device match)
     return out[order], votes[order]
+
+
+def hough_lines_p(
+    edges,
+    n_thetas: int = 180,
+    rho_bins: int = 2048,
+    threshold: int = 50,
+    min_line_length: float = 30.0,
+    max_line_gap: float = 5.0,
+    max_lines: int = 32,
+    max_segments: int = 64,
+    tol: float = 1.0,
+):
+    """Line SEGMENTS (OpenCV ``HoughLinesP`` role) — deterministic spec.
+
+    OpenCV's probabilistic variant randomly samples points and mutates the
+    accumulator as it goes — inherently sequential AND nondeterministic.
+    The TPU-native reformulation is deterministic: the batched device
+    accumulator (:func:`hough_lines`) finds the top peak lines, then a
+    vectorized host pass walks each line's inlier points (|x·cosθ +
+    y·sinθ − rho| ≤ ``tol``), sorts them by projection along the line,
+    splits where consecutive-point spacing exceeds ``max_line_gap``, and
+    keeps spans of at least ``min_line_length``. Returns int32
+    [M, 4] (x1, y1, x2, y2), M ≤ max_segments, ordered by line strength
+    then position along the line.
+    """
+    import numpy as np
+
+    e = np.asarray(edges)
+    lines, valid, _votes = hough_lines(
+        jnp.asarray(e), n_thetas=n_thetas, rho_bins=rho_bins,
+        max_lines=max_lines, threshold=threshold,
+    )
+    lines = np.asarray(lines)[np.asarray(valid)]
+    ys, xs = np.nonzero(e)
+    segs = []
+    used = np.zeros(xs.shape[0], bool)
+    for rho_v, theta_v in lines:
+        if len(segs) >= max_segments:
+            break
+        c, s = np.cos(theta_v), np.sin(theta_v)
+        d = np.abs(xs * c + ys * s - rho_v)
+        on = (d <= tol) & ~used
+        if not on.any():
+            continue
+        px, py = xs[on], ys[on]
+        proj = -px * s + py * c
+        order = np.argsort(proj, kind="stable")
+        px, py, proj = px[order], py[order], proj[order]
+        breaks = np.flatnonzero(np.diff(proj) > max_line_gap)
+        starts = np.concatenate([[0], breaks + 1])
+        ends = np.concatenate([breaks, [proj.size - 1]])
+        hit = np.flatnonzero(on)[order]
+        for a, b in zip(starts, ends):
+            if proj[b] - proj[a] >= min_line_length:
+                segs.append((px[a], py[a], px[b], py[b]))
+                used[hit[a : b + 1]] = True  # points consumed, like OpenCV
+                if len(segs) >= max_segments:
+                    break
+    if not segs:
+        return np.zeros((0, 4), np.int32)
+    return np.asarray(segs, np.int32)

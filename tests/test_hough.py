@@ -78,3 +78,65 @@ class TestHough:
         horiz = [r for r, t in lines if abs(np.degrees(t) - 90) < 2]
         assert any(abs(r - 40) < 3 for r in horiz)
         assert any(abs(r - 59) < 3 for r in horiz)
+
+
+class TestHoughLinesP:
+    def test_two_segments_same_line(self, jax_cpu):
+        """Two collinear segments separated by a gap > max_line_gap must
+        come back as TWO segments with endpoints near the truth."""
+        from rustcv_tpu.ops import hough as _hough
+
+        e = np.zeros((80, 120), np.uint8)
+        e[40, 10:50] = 255   # segment A: x 10..49
+        e[40, 70:110] = 255  # segment B: x 70..109
+        segs = _hough.hough_lines_p(
+            e, threshold=30, min_line_length=20, max_line_gap=5
+        )
+        assert segs.shape[0] == 2
+        spans = sorted((min(x1, x2), max(x1, x2)) for x1, y1, x2, y2 in segs)
+        assert abs(spans[0][0] - 10) <= 1 and abs(spans[0][1] - 49) <= 1
+        assert abs(spans[1][0] - 70) <= 1 and abs(spans[1][1] - 109) <= 1
+        assert all(y1 == 40 and y2 == 40 for _x1, y1, _x2, y2 in segs)
+
+    def test_min_length_filters(self, jax_cpu):
+        from rustcv_tpu.ops import hough as _hough
+
+        e = np.zeros((60, 100), np.uint8)
+        e[20, 10:90] = 255  # long
+        e[45, 30:40] = 255  # short (10 px)
+        segs = _hough.hough_lines_p(
+            e, threshold=8, min_line_length=30, max_line_gap=3
+        )
+        assert segs.shape[0] == 1
+        assert segs[0][1] == 20 and segs[0][3] == 20
+
+    def test_diagonal_segment(self, jax_cpu):
+        from rustcv_tpu.ops import hough as _hough
+
+        e = np.zeros((80, 80), np.uint8)
+        for i in range(15, 65):
+            e[i, i] = 255
+        segs = _hough.hough_lines_p(
+            e, threshold=30, min_line_length=30, max_line_gap=4
+        )
+        assert segs.shape[0] >= 1
+        x1, y1, x2, y2 = segs[0]
+        length = np.hypot(int(x2) - int(x1), int(y2) - int(y1))
+        assert length >= 45  # ~50·√2 ≈ 70 for the full diagonal... at least most
+        assert abs(int(x1) - int(y1)) <= 2 and abs(int(x2) - int(y2)) <= 2
+
+    def test_empty_mask(self, jax_cpu):
+        from rustcv_tpu.ops import hough as _hough
+
+        segs = _hough.hough_lines_p(np.zeros((32, 32), np.uint8))
+        assert segs.shape == (0, 4)
+
+    def test_facade(self, jax_cpu):
+        from rustcv_tpu import imgproc
+        from rustcv_tpu.core import Mat
+
+        e = np.zeros((64, 96), np.uint8)
+        e[30, 8:88] = 255
+        segs = imgproc.hough_lines_p(Mat.from_array(e), threshold=30,
+                                     min_line_length=40)
+        assert segs.shape[0] == 1
