@@ -962,11 +962,19 @@ def dilate(mat: Mat, ksize: int = 3) -> Mat:
     return _apply(mat, lambda d: _filters.dilate_u8(d, ksize), lambda h: golden.dilate(h, ksize))
 
 
-def median_blur(mat: Mat) -> Mat:
-    """3×3 median filter (exact)."""
+def median_blur(mat: Mat, ksize: int = 3) -> Mat:
+    """k×k median filter (odd k, exact). k = 3 uses the 19-exchange
+    selection network; larger kernels use bitwise bisection (8 counting
+    rounds — same cost for any k, see ops/filters.median_u8)."""
     from ..ops import filters as _filters
 
-    return _apply(mat, _filters.median3_u8, golden.median3)
+    if ksize == 3:
+        return _apply(mat, _filters.median3_u8, golden.median3)
+    return _apply(
+        mat,
+        lambda d: _filters.median_u8(d, ksize),
+        lambda h: golden.median_k(h, ksize),
+    )
 
 
 def canny(mat: Mat, low: int = 40, high: int = 90) -> Mat:

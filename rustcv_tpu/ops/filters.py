@@ -145,6 +145,41 @@ def dilate_u8(img: jax.Array, ksize: int = 3) -> jax.Array:
     return _window_reduce(img, ksize, jnp.maximum)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def median_u8(img: jax.Array, k: int = 5) -> jax.Array:
+    """k×k median (odd k) via BITWISE BISECTION — exact, any kernel size.
+
+    Sorting networks scale O(k² log² k²) compare-exchanges; instead build
+    the median value bit-by-bit from the MSB: bit b of the median is 0 iff
+    at least ⌈k²/2⌉ taps are ≤ prefix + 2^b − 1. Eight counting rounds of
+    k² compares each — pure fusible VPU work, no tap-array mutation, and
+    the same code handles every k (the selection-network form is kept for
+    k = 3 where its 19 exchanges win). Bit-exact vs golden.median_k.
+    """
+    if k % 2 != 1 or k < 1:
+        raise ValueError(f"median_u8: odd k required, got {k}")
+    has_channels = img.ndim >= 3 and img.shape[-1] in (1, 3, 4)
+    ax_h, ax_w = _spatial_axes(img, has_channels)
+    r = k // 2
+    p = _replicate_pad(_replicate_pad(img, ax_h, r), ax_w, r)
+    h = img.shape[ax_h]
+    w = img.shape[ax_w]
+    taps = [
+        jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(p, dy, dy + h, axis=ax_h), dx, dx + w, axis=ax_w
+        ).astype(jnp.int32)
+        for dy in range(k)
+        for dx in range(k)
+    ]
+    need = (k * k) // 2 + 1
+    med = jnp.zeros_like(taps[0])
+    for bit in range(7, -1, -1):
+        thresh = med + ((1 << bit) - 1)
+        cnt = sum((t <= thresh).astype(jnp.int32) for t in taps)
+        med = jnp.where(cnt >= need, med, med + (1 << bit))
+    return med.astype(jnp.uint8)
+
+
 @jax.jit
 def median3_u8(img: jax.Array) -> jax.Array:
     """3×3 median via a 9-element sorting/selection network (exact).

@@ -606,13 +606,21 @@ def integral(img: np.ndarray) -> np.ndarray:
 
 def median3(img: np.ndarray) -> np.ndarray:
     """3×3 median filter, replicate border (exact integer median of 9)."""
-    r = 1
+    return median_k(img, 3)
+
+
+def median_k(img: np.ndarray, k: int) -> np.ndarray:
+    """k×k median (odd k), replicate border — sorted[k²//2] of the window
+    (odd tap count → np.median is the exact integer order statistic)."""
+    if k % 2 != 1 or k < 1:
+        raise ValueError(f"median_k: odd k required, got {k}")
+    r = k // 2
     p = _replicate_pad(img.astype(np.uint8), r, r)
     h, w = img.shape[:2]
     taps = np.stack(
-        [p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)], axis=0
+        [p[dy : dy + h, dx : dx + w] for dy in range(k) for dx in range(k)], axis=0
     )
-    return np.median(taps, axis=0).astype(np.uint8)  # 9 taps → exact integer
+    return np.median(taps, axis=0).astype(np.uint8)
 
 
 THRESH_BINARY = "binary"
