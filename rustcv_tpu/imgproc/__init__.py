@@ -916,6 +916,35 @@ def sobel_magnitude(mat: Mat) -> Mat:
     return _apply(mat, dev, host)
 
 
+def laplacian(mat: Mat) -> "np.ndarray":
+    """3×3 Laplacian (OpenCV ``Laplacian`` ksize=1, CV_16S-style signed
+    output role): gray (BGR input converts via the exact luma) → signed
+    int32 (H, W) array, exact integer arithmetic vs golden.laplacian3,
+    replicate borders."""
+    from ..ops import filters as _filters
+
+    g = _gray_of_mat(mat)
+    if mat.is_on_device:
+        return np.asarray(_filters.laplacian3(g))
+    return golden.laplacian3(np.asarray(g))
+
+
+def scharr(mat: Mat, dx: int = 1, dy: int = 0) -> "np.ndarray":
+    """Scharr 3×3 derivative (OpenCV ``Scharr`` role): exactly one of
+    (dx, dy) = (1, 0) or (0, 1). Signed int32 (H, W) output, exact vs
+    golden.scharr3_gray, replicate borders."""
+    if (dx, dy) not in ((1, 0), (0, 1)):
+        raise ValueError("scharr requires (dx, dy) of (1, 0) or (0, 1)")
+    from ..ops import filters as _filters
+
+    g = _gray_of_mat(mat)
+    if mat.is_on_device:
+        gx, gy = _filters.scharr3_gray(g)
+        return np.asarray(gx if dx else gy)
+    gx, gy = golden.scharr3_gray(np.asarray(g))
+    return gx if dx else gy
+
+
 def threshold(mat: Mat, thresh: int, maxval: int = 255, type: str = "binary") -> Mat:
     """Element-wise threshold (binary/binary_inv/trunc/tozero/tozero_inv)."""
     from ..ops import filters as _filters
@@ -1039,10 +1068,11 @@ __all__ = [
     "get_rotation_matrix_2d", "get_optimal_new_camera_matrix",
     "init_undistort_rectify_map", "project_points", "rodrigues",
     "undistort", "undistort_points",
-    "harris_corners", "in_range", "match_template",
+    "harris_corners", "in_range", "laplacian", "match_template",
     "median_blur", "min_max_loc", "orb_features", "phase_correlate",
     "pyr_up", "moments", "pyr_down", "put_text",
-    "rectangle", "remap", "resize", "rotate", "sobel_magnitude", "stereo_bm", "threshold",
+    "rectangle", "remap", "resize", "rotate", "scharr", "sobel_magnitude",
+    "stereo_bm", "threshold",
     "warp_affine", "watershed",
 ]
 

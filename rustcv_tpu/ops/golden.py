@@ -1203,3 +1203,37 @@ def _masked_reduce(img, kernel, fn):
             sl = p[dy : dy + h, dx : dx + w]
             acc = sl if acc is None else fn(acc, sl)
     return acc.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Kalman filter (float64 frozen spec)
+# ---------------------------------------------------------------------------
+
+
+def kalman_predict(x, P, A, Q, B=None, u=None):
+    """Kalman time update (OpenCV ``KalmanFilter::predict`` semantics,
+    modules/video/src/kalman.cpp): x' = A·x (+ B·u), P' = A·P·Aᵀ + Q.
+    float64 frozen spec; the reference has no Kalman — this is an
+    OpenCV-role addition. Returns (x', P')."""
+    x = np.asarray(x, np.float64)
+    P = np.asarray(P, np.float64)
+    A = np.asarray(A, np.float64)
+    xp = A @ x
+    if B is not None and u is not None:
+        xp = xp + np.asarray(B, np.float64) @ np.asarray(u, np.float64)
+    Pp = A @ P @ A.T + np.asarray(Q, np.float64)
+    return xp, Pp
+
+
+def kalman_correct(x, P, z, H, R):
+    """Kalman measurement update (OpenCV ``KalmanFilter::correct``):
+    S = H·P·Hᵀ + R, K = (solve(S, H·P))ᵀ, x⁺ = x + K(z − H·x),
+    P⁺ = P − K·H·P. Returns (x⁺, P⁺, K)."""
+    x = np.asarray(x, np.float64)
+    P = np.asarray(P, np.float64)
+    H = np.asarray(H, np.float64)
+    HP = H @ P
+    S = HP @ H.T + np.asarray(R, np.float64)
+    K = np.linalg.solve(S, HP).T
+    innov = np.asarray(z, np.float64) - H @ x
+    return x + K @ innov, P - K @ HP, K

@@ -324,18 +324,17 @@ class MultiStreamEngine:
             self._chain_fns[chain] = self._build_sim_fn_chained(chain)
         fn = self._chain_fns[chain]
 
-        if self._overlay_cache is None or self._overlay_cache[0] != "dummy":
-            r = jax.numpy.asarray(
-                rects if rects is not None else np.zeros((self.n, 4), np.int32),
-                jax.numpy.int32,
-            )
-            c = jax.numpy.asarray(
-                rect_colors if rect_colors is not None else np.zeros((self.n, 3), np.uint8),
-                jax.numpy.uint8,
-            )
-            th = jax.numpy.int32(2)
-        else:
-            r, c, th = self._overlay_cache[1]
+        # Always build overlay args from the call (a cached "dummy" entry
+        # must not shadow caller-provided rects); they upload once per run.
+        r = jax.numpy.asarray(
+            rects if rects is not None else np.zeros((self.n, 4), np.int32),
+            jax.numpy.int32,
+        )
+        c = jax.numpy.asarray(
+            rect_colors if rect_colors is not None else np.zeros((self.n, 3), np.uint8),
+            jax.numpy.uint8,
+        )
+        th = jax.numpy.int32(2)
 
         seqs = jax.numpy.asarray(self._seqs.astype(np.int32))
         if self._in_sharding is not None:

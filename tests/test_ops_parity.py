@@ -236,11 +236,12 @@ class TestResizeParity:
             ("bilinear", golden.resize_bilinear),
             ("nearest", golden.resize_nearest),
             ("area", golden.resize_area),
+            ("cubic", golden.resize_bicubic),
         ):
             out = imgproc.resize(Mat.from_array(img), 16, 12, interpolation=mode)
             np.testing.assert_array_equal(out.to_numpy(), fn(img, 16, 12))
         with pytest.raises(ValueError):
-            imgproc.resize(Mat.from_array(img), 16, 12, interpolation="cubic")
+            imgproc.resize(Mat.from_array(img), 16, 12, interpolation="lanczos9")
 
     @pytest.mark.parametrize("h,w", [(48, 64), (47, 63)])  # odd dims too
     def test_pyr_down_bit_exact(self, rng, jax_cpu, h, w):

@@ -133,6 +133,22 @@ class TestEngine:
         assert stats.dropped_frames == 0  # free-run sources never drop
         eng.close()
 
+    def test_run_chained_honors_rects(self, jax_cpu):
+        # Regression: run_chained used to reuse a cached dummy overlay and
+        # silently ignore caller-provided rects.
+        eng = MultiStreamEngine(
+            _driver(device_count=2), 2,
+            SimpleConfig(width=64, height=48, pixel_format=PixelFormat.YUYV),
+            device_sim=True, overlay=True,
+        )
+        rects = np.array([[4, 4, 20, 16], [8, 8, 30, 20]], np.int32)
+        cols = np.array([[0, 255, 0], [255, 0, 0]], np.uint8)
+        st = eng.run_chained(4, chain=2, rects=rects, rect_colors=cols)
+        assert st.ticks == 4 and st.frames == 8
+        st2 = eng.run_chained(4, chain=2)  # dummy path still works after
+        assert st2.ticks == 4
+        eng.close()
+
     def test_set_resolution_hot_swap(self, jax_cpu):
         eng = MultiStreamEngine(
             _driver(), 2,
