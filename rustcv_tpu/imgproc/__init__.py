@@ -129,6 +129,83 @@ def polylines(mat: Mat, pts, color: Scalar, thickness: int = 1,
              Point(int(p[0][0]), int(p[0][1])), color, thickness)
 
 
+def ellipse(mat: Mat, center: Point, axes, angle: float, color: Scalar,
+            thickness: int = 1) -> None:
+    """Draw a rotated ellipse in place (OpenCV ``ellipse`` full-arc role;
+    frozen float64 spec golden.ellipse_mask). The mask is computed on the
+    host and painted on device (put_text precedent) — identical bytes on
+    both paths. ``thickness < 0`` fills."""
+    from ..ops import draw as _draw
+
+    if mat.is_empty():
+        return
+    mask = golden.ellipse_mask(
+        mat.rows, mat.cols, (center.x, center.y),
+        (int(axes[0]), int(axes[1])), angle, thickness,
+    )
+    _draw_packed_inplace(
+        mat,
+        lambda packed: _draw.paint_mask_packed(packed, mask, color.bgr),
+        lambda h, w: mask,
+        color,
+    )
+
+
+def fill_poly(mat: Mat, pts, color: Scalar) -> None:
+    """Fill a polygon in place (OpenCV ``fillPoly`` single-polygon role;
+    exact-integer even-odd spec golden.fill_poly_mask — device and host
+    bit-identical, boundary included)."""
+    import numpy as np
+
+    from ..ops import draw as _draw
+
+    p = np.asarray(pts, np.int32).reshape(-1, 2)
+    _draw_packed_inplace(
+        mat,
+        lambda packed: _draw.fill_poly_packed(packed, p, color.bgr),
+        lambda h, w: golden.fill_poly_mask(h, w, p),
+        color,
+    )
+
+
+def arrowed_line(mat: Mat, p1: Point, p2: Point, color: Scalar,
+                 thickness: int = 1, tip_length: float = 0.1) -> None:
+    """Arrow from p1 to p2 (OpenCV ``arrowedLine``): the shaft plus two
+    head strokes at ±π/4 off the reverse direction, head length
+    ``tip_length``·|p2−p1| (endpoints rounded half-away like OpenCV)."""
+    import math
+
+    line(mat, p1, p2, color, thickness)
+    dx, dy = p1.x - p2.x, p1.y - p2.y
+    L = math.hypot(dx, dy)
+    if L == 0:
+        return
+    tip = tip_length * L
+    ang = math.atan2(dy, dx)
+    for da in (math.pi / 4, -math.pi / 4):
+        hx = int(math.floor(p2.x + tip * math.cos(ang + da) + 0.5))
+        hy = int(math.floor(p2.y + tip * math.sin(ang + da) + 0.5))
+        line(mat, Point(hx, hy), p2, color, thickness)
+
+
+def draw_contours(mat: Mat, contours, contour_idx: int, color: Scalar,
+                  thickness: int = 1) -> None:
+    """Draw contours in place (OpenCV ``drawContours`` role):
+    ``contour_idx < 0`` draws all; ``thickness < 0`` fills each polygon
+    (fill_poly spec), else strokes it closed (polylines spec)."""
+    sel = contours if contour_idx < 0 else [contours[contour_idx]]
+    for c in sel:
+        import numpy as np
+
+        p = np.asarray(c, np.int64).reshape(-1, 2)
+        if len(p) < 2:
+            continue
+        if thickness < 0 and len(p) >= 3:
+            fill_poly(mat, p, color)
+        else:
+            polylines(mat, p, color, max(thickness, 1), closed=True)
+
+
 def rectangle(mat: Mat, rect: Rect, color: Scalar, thickness: int = 1) -> None:
     """Draw a rectangle outline in place (drawing.rs:67-106 semantics)."""
     if mat.is_empty():
@@ -784,6 +861,60 @@ def lut(mat: Mat, table) -> Mat:
     )
 
 
+def apply_color_map(mat: Mat, colormap: str = "jet") -> Mat:
+    """Map a gray (or BGR-via-luma) Mat through a 256-entry color table
+    (OpenCV ``applyColorMap`` role; frozen anchor-interpolation tables,
+    golden.colormap_table). Returns a BGR Mat. Device path is three
+    gather-free LUT applies (ops/hist.apply_lut)."""
+    import numpy as np
+
+    from ..ops import hist as _hist
+
+    table = golden.colormap_table(colormap)  # [256, 3] BGR
+    g = _gray_of_mat(mat)
+    if mat.is_on_device:
+        import jax.numpy as jnp
+
+        chans = [_hist.apply_lut(g, table[:, c]) for c in range(3)]
+        bgr = jnp.stack(chans, axis=-1)  # (H, W, 3)
+        return Mat.from_device(bgr)
+    return Mat.from_array(table[np.asarray(g)])
+
+
+def normalize(mat: Mat, alpha: float = 0.0, beta: float = 255.0,
+              norm_type: str = "minmax") -> Mat:
+    """Normalize a u8 Mat (OpenCV ``normalize`` role; frozen f64 spec
+    golden.normalize_u8, device f32 ±1 LSB): ``minmax`` maps the value
+    range to [alpha, beta]; ``inf``/``l1``/``l2`` scale the norm to
+    ``alpha``."""
+    from ..ops import arith as _arith
+
+    return _apply(
+        mat,
+        lambda d: _arith.normalize_u8(d, alpha, beta, norm_type),
+        lambda h: golden.normalize_u8(h, alpha, beta, norm_type),
+    )
+
+
+def accumulate_weighted(acc, mat: Mat, alpha: float):
+    """Running average (OpenCV ``accumulateWeighted``): returns the new
+    float32 accumulator (1−α)·acc + α·mat. ``acc`` may be a float32
+    ndarray, a jax.Array, or None (initialised to the frame)."""
+    import numpy as np
+
+    from ..ops import arith as _arith
+
+    if mat.is_on_device:
+        src = mat.device()
+        if acc is None:
+            return src.astype("float32")
+        return _arith.accumulate_weighted(acc, src, alpha)
+    src = mat.to_numpy()
+    if acc is None:
+        return src.astype(np.float32)
+    return _arith.accumulate_weighted_numpy(np.asarray(acc), src, alpha)
+
+
 def calc_hue_hist(mat_hsv: Mat, mask=None):
     """Normalized 180-bin hue histogram of an HSV Mat (the model for
     :func:`back_project`)."""
@@ -1044,9 +1175,12 @@ __all__ = [
     "calc_optical_flow_farneback",
     "calc_optical_flow_pyr_lk", "circle", "clahe", "compute_brief",
     "connected_components", "connected_components_with_stats",
-    "approx_poly_dp", "arc_length", "bounding_rect", "contour_area",
-    "convex_hull", "create_background_subtractor_mog2",
-    "min_area_rect", "min_enclosing_circle",
+    "accumulate_weighted", "apply_color_map", "approx_poly_dp",
+    "arc_length", "arrowed_line", "bounding_rect", "contour_area",
+    "convex_hull", "convex_hull_indices", "convexity_defects",
+    "create_background_subtractor_mog2", "draw_contours", "ellipse",
+    "fill_poly", "is_contour_convex", "min_area_rect",
+    "min_enclosing_circle", "normalize", "point_polygon_test",
     "corner_sub_pix", "cvt_gray", "detect_blobs", "distance_transform",
     "cvt_hsv", "cvt_hsv_to_bgr", "cvt_lab", "cvt_lab_to_bgr",
     "cvt_ycrcb", "cvt_ycrcb_to_bgr",
@@ -1206,8 +1340,12 @@ from ..ops.shape import (  # noqa: E402  (re-exports)
     bounding_rect,
     contour_area,
     convex_hull,
+    convex_hull_indices,
+    convexity_defects,
+    is_contour_convex,
     min_area_rect,
     min_enclosing_circle,
+    point_polygon_test,
 )
 
 

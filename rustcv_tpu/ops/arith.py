@@ -143,3 +143,43 @@ def norm_numpy(a, kind="l2"):
     if kind == "inf":
         return float(f.max())
     raise ValueError(kind)
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def normalize_u8(img: jax.Array, alpha: float = 0.0, beta: float = 255.0,
+                 kind: str = "minmax") -> jax.Array:
+    """u8 normalize (OpenCV ``normalize`` role; frozen spec
+    golden.normalize_u8). Device f32 vs the f64 oracle — documented
+    ±1 LSB at scale boundaries. ``minmax`` maps [min, max] → [alpha,
+    beta]; ``inf``/``l1``/``l2`` scale so the norm equals ``alpha``."""
+    a = img.astype(jnp.float32)
+    if kind == "minmax":
+        lo = a.min()
+        hi = a.max()
+        scale = jnp.where(hi == lo, 0.0, (beta - alpha) / (hi - lo))
+        out = (a - lo) * scale + alpha
+    elif kind in ("inf", "l1", "l2"):
+        n = {
+            "inf": lambda: jnp.abs(a).max(),
+            "l1": lambda: jnp.abs(a).sum(),
+            "l2": lambda: jnp.sqrt((a * a).sum()),
+        }[kind]()
+        out = a * jnp.where(n == 0, 0.0, alpha / n)
+    else:
+        raise ValueError(f"unknown norm kind {kind!r}")
+    return jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
+def accumulate_weighted(acc: jax.Array, src: jax.Array,
+                        alpha: float) -> jax.Array:
+    """Running average (OpenCV ``accumulateWeighted``):
+    acc' = (1−α)·acc + α·src, float32 accumulator, u8 or float src."""
+    return (1.0 - alpha) * acc.astype(jnp.float32) + alpha * src.astype(
+        jnp.float32
+    )
+
+
+def accumulate_weighted_numpy(acc, src, alpha):
+    return ((1.0 - np.float32(alpha)) * acc.astype(np.float32)
+            + np.float32(alpha) * src.astype(np.float32))

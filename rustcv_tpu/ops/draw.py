@@ -15,6 +15,8 @@ bound check lets x ≥ cols writes bleed into the next row's start
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -285,5 +287,70 @@ def circle_packed(
     ring = (4 * d2 >= lo * lo) & (4 * d2 <= hi * hi)
     mask = jnp.where(t < 0, filled, ring)
 
+    lane_color = _lane_color(jnp.asarray(color_bgr, jnp.uint8), chan, mask.shape)
+    return jnp.where(mask, lane_color, img).astype(jnp.uint8)
+
+
+@jax.jit
+def paint_mask_packed(img: jax.Array, mask: jax.Array,
+                      color_bgr: jax.Array) -> jax.Array:
+    """Paint a full-frame (H, W) u8 mask onto packed-rows BGR u8
+    (..., H, W*3). Host-computed frozen masks (ellipse, text) paint
+    through this — mask > 0 pixels take ``color_bgr``."""
+    h, w3 = img.shape[-2], img.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (h, w3), 1)
+    chan = lane % 3
+    m3 = jnp.repeat(mask > 0, 3, axis=-1)
+    lane_color = _lane_color(jnp.asarray(color_bgr, jnp.uint8), chan, (h, w3))
+    return jnp.where(m3, lane_color, img).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("include_edges",))
+def fill_poly_packed(img: jax.Array, pts: jax.Array, color_bgr: jax.Array,
+                     include_edges: bool = True) -> jax.Array:
+    """Filled polygon on packed-rows BGR u8 (..., H, W*3) — bit-identical
+    to golden.fill_poly_mask: exact-integer even-odd ray crossing per
+    pixel (one fused elementwise program; the K edge tests unroll — K is
+    the static leading dim of ``pts`` [K, 2] i32), OR'd with thickness-1
+    edge strokes. Vertex values are traced (moving polygons never
+    recompile); vertex COUNT recompiles."""
+    h, w3 = img.shape[-2], img.shape[-1]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w3), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (h, w3), 1)
+    xs = lane // 3
+    chan = lane % 3
+
+    p = jnp.asarray(pts, jnp.int32)
+    k = p.shape[0]
+    from .filters import isqrt_exact
+    from .color import _div_floor_exact
+
+    inside = jnp.zeros((h, w3), bool)
+    edge = jnp.zeros((h, w3), bool)
+    for i in range(k):
+        x1, y1 = p[i, 0], p[i, 1]
+        x2, y2 = p[(i + 1) % k, 0], p[(i + 1) % k, 1]
+        d = y2 - y1
+        straddle = (y1 > ys) != (y2 > ys)
+        t = (ys - y1) * (x2 - x1) - (xs - x1) * d
+        inside = inside ^ (straddle & ((t > 0) == (d > 0)) & (d != 0))
+        if include_edges:
+            # thickness-1 stroke, exact golden.line_mask arithmetic
+            abx, aby = x2 - x1, y2 - y1
+            apx, apy = xs - x1, ys - y1
+            bpx, bpy = xs - x2, ys - y2
+            ab2 = abx * abx + aby * aby
+            dot = apx * abx + apy * aby
+            cross = jnp.abs(apx * aby - apy * abx)
+            s = jnp.maximum(isqrt_exact(ab2), 1)
+            perp = _div_floor_exact(2 * cross, jnp.broadcast_to(s, cross.shape))
+            body = (dot >= 0) & (dot <= ab2) & (perp <= 1)
+            caps = (4 * (apx * apx + apy * apy) <= 1) | (
+                4 * (bpx * bpx + bpy * bpy) <= 1
+            )
+            stroke = jnp.where(ab2 == 0, caps, body | caps)
+            edge = edge | stroke
+
+    mask = inside | edge
     lane_color = _lane_color(jnp.asarray(color_bgr, jnp.uint8), chan, mask.shape)
     return jnp.where(mask, lane_color, img).astype(jnp.uint8)

@@ -1237,3 +1237,143 @@ def kalman_correct(x, P, z, H, R):
     K = np.linalg.solve(S, HP).T
     innov = np.asarray(z, np.float64) - H @ x
     return x + K @ innov, P - K @ HP, K
+
+
+# ---------------------------------------------------------------------------
+# Polygon fill / ellipse / colormaps / normalize (frozen specs)
+# ---------------------------------------------------------------------------
+
+
+def fill_poly_mask(h: int, w: int, pts) -> np.ndarray:
+    """Frozen filled-polygon mask (OpenCV ``fillPoly`` role): even-odd
+    interior by the exact-integer +x ray crossing rule, OR'd with the
+    thickness-1 stroke of every edge so the boundary is included like
+    OpenCV's. Pure int32-safe arithmetic (products ≤ 2^25 at 4K coords) —
+    the device twin (ops/draw.fill_poly_packed) is bit-identical.
+
+    ``pts``: [K, 2] integer (x, y) vertices, K ≥ 3."""
+    p = np.asarray(pts, np.int64).reshape(-1, 2)
+    k = len(p)
+    if k < 3:
+        raise ValueError("fill_poly needs >= 3 vertices")
+    ys, xs = np.mgrid[0:h, 0:w]
+    px = xs.astype(np.int64)
+    py = ys.astype(np.int64)
+    inside = np.zeros((h, w), bool)
+    for i in range(k):
+        x1, y1 = int(p[i][0]), int(p[i][1])
+        x2, y2 = int(p[(i + 1) % k][0]), int(p[(i + 1) % k][1])
+        d = y2 - y1
+        if d == 0:
+            continue
+        straddle = (y1 > py) != (y2 > py)
+        t = (py - y1) * (x2 - x1) - (px - x1) * d
+        inside ^= straddle & ((t > 0) == (d > 0))
+    edge = np.zeros((h, w), bool)
+    for i in range(k):
+        edge |= line_mask(h, w, tuple(p[i]), tuple(p[(i + 1) % k]), 1) > 0
+    return ((inside | edge).astype(np.uint8)) * 255
+
+
+def ellipse_mask(h: int, w: int, center, axes, angle_deg: float,
+                 thickness: int = 1) -> np.ndarray:
+    """Frozen rotated-ellipse mask (OpenCV ``ellipse`` role, full arc):
+    float64 spec — rotate into the ellipse frame with exact-radian
+    cos/sin, test u² + v² ≤ 1 with u = x'/a, v = y'/b. ``thickness < 0``
+    fills; a ring is inside the (a+⌈t/2⌉, b+⌈t/2⌉) ellipse and outside
+    the (a−⌊(t+1)/2⌋, b−⌊(t+1)/2⌋) one (axes clamped at 0). Host-only
+    spec: the device path paints this exact mask (put_text precedent)."""
+    import math
+
+    cx, cy = float(center[0]), float(center[1])
+    a0, b0 = int(axes[0]), int(axes[1])
+    th = math.radians(float(angle_deg))
+    c, s = math.cos(th), math.sin(th)
+    ys, xs = np.mgrid[0:h, 0:w]
+    dx = xs.astype(np.float64) - cx
+    dy = ys.astype(np.float64) - cy
+    rx = dx * c + dy * s
+    ry = -dx * s + dy * c
+
+    def inside(a, b):
+        if a <= 0 or b <= 0:
+            return np.zeros((h, w), bool)
+        return (rx / a) ** 2 + (ry / b) ** 2 <= 1.0
+
+    if thickness < 0:
+        m = inside(a0, b0)
+    else:
+        t = int(thickness)
+        outer = inside(a0 + (t + 1) // 2, b0 + (t + 1) // 2)
+        inner = inside(a0 - (t + 1) // 2, b0 - (t + 1) // 2)
+        m = outer & ~inner
+    return m.astype(np.uint8) * 255
+
+
+#: Anchor tables for :func:`colormap_table` — frozen role spec (the
+#: reference has no colormaps; OpenCV's tables are GNU-Octave formulas.
+#: Ours are linear anchor interpolation, pinned by spec-freeze hash).
+#: Each anchor is (position in [0,1], (R, G, B) in [0,1]).
+COLORMAP_ANCHORS = {
+    "autumn": [(0.0, (1, 0, 0)), (1.0, (1, 1, 0))],
+    "bone": [(0.0, (0, 0, 0)), (0.375, (0.3281, 0.3281, 0.4531)),
+             (0.75, (0.6562, 0.7812, 0.7812)), (1.0, (1, 1, 1))],
+    "cool": [(0.0, (0, 1, 1)), (1.0, (1, 0, 1))],
+    "hot": [(0.0, (0, 0, 0)), (1 / 3, (1, 0, 0)), (2 / 3, (1, 1, 0)),
+            (1.0, (1, 1, 1))],
+    "hsv": [(0.0, (1, 0, 0)), (1 / 6, (1, 1, 0)), (2 / 6, (0, 1, 0)),
+            (3 / 6, (0, 1, 1)), (4 / 6, (0, 0, 1)), (5 / 6, (1, 0, 1)),
+            (1.0, (1, 0, 0))],
+    "jet": [(0.0, (0, 0, 0.5)), (0.125, (0, 0, 1)), (0.375, (0, 1, 1)),
+            (0.625, (1, 1, 0)), (0.875, (1, 0, 0)), (1.0, (0.5, 0, 0))],
+    "ocean": [(0.0, (0, 0, 0)), (1 / 3, (0, 0, 1 / 3)),
+              (2 / 3, (0, 0.5, 2 / 3)), (1.0, (1, 1, 1))],
+    "pink": [(0.0, (0.1178, 0, 0)), (0.375, (0.6218, 0.4292, 0.4292)),
+             (0.75, (0.8840, 0.8840, 0.6614)), (1.0, (1, 1, 1))],
+    "rainbow": [(0.0, (1, 0, 0)), (0.2, (1, 1, 0)), (0.4, (0, 1, 0)),
+                (0.6, (0, 1, 1)), (0.8, (0, 0, 1)), (1.0, (1, 0, 1))],
+    "spring": [(0.0, (1, 0, 1)), (1.0, (1, 1, 0))],
+    "summer": [(0.0, (0, 0.5, 0.4)), (1.0, (1, 1, 0.4))],
+    "winter": [(0.0, (0, 0, 1)), (1.0, (0, 1, 0.5))],
+    "gray": [(0.0, (0, 0, 0)), (1.0, (1, 1, 1))],
+}
+
+
+def colormap_table(name: str) -> np.ndarray:
+    """256×3 u8 **BGR** lookup table for :data:`COLORMAP_ANCHORS` entry
+    ``name`` — float64 linear interpolation between anchors, rounded
+    half-away (np.floor(v·255 + 0.5)). Frozen spec."""
+    if name not in COLORMAP_ANCHORS:
+        raise ValueError(
+            f"unknown colormap {name!r} (have {sorted(COLORMAP_ANCHORS)})"
+        )
+    anchors = COLORMAP_ANCHORS[name]
+    xs = np.array([a[0] for a in anchors], np.float64)
+    rgb = np.array([a[1] for a in anchors], np.float64)  # [K, 3]
+    t = np.arange(256, dtype=np.float64) / 255.0
+    out = np.stack([np.interp(t, xs, rgb[:, c]) for c in range(3)], axis=1)
+    u8 = np.floor(out * 255.0 + 0.5).astype(np.uint8)
+    return u8[:, ::-1].copy()  # RGB anchors -> BGR table
+
+
+def normalize_u8(img: np.ndarray, alpha: float = 0.0, beta: float = 255.0,
+                 kind: str = "minmax") -> np.ndarray:
+    """Frozen u8 normalize (OpenCV ``normalize`` role): ``minmax`` maps
+    [min, max] → [alpha, beta] (flat image → alpha); ``inf``/``l1``/``l2``
+    scale so the chosen norm equals ``alpha``. float64 math, round
+    half-away, saturate to u8. Device twin is f32 — documented ±1 LSB."""
+    a = img.astype(np.float64)
+    if kind == "minmax":
+        lo, hi = float(a.min()), float(a.max())
+        scale = 0.0 if hi == lo else (beta - alpha) / (hi - lo)
+        out = (a - lo) * scale + alpha
+    elif kind in ("inf", "l1", "l2"):
+        n = {
+            "inf": np.abs(a).max(),
+            "l1": np.abs(a).sum(),
+            "l2": np.sqrt((a * a).sum()),
+        }[kind]
+        out = a * (0.0 if n == 0 else alpha / n)
+    else:
+        raise ValueError(f"unknown norm kind {kind!r}")
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)

@@ -302,3 +302,120 @@ def fit_ellipse(pts: np.ndarray):
         ang = 0.0 if A <= Cc else 90.0
     return ((float(cx + mx), float(cy + my)),
             (float(2 * major), float(2 * minor)), float(ang))
+
+
+def convex_hull_indices(pts: np.ndarray, clockwise: bool = False) -> np.ndarray:
+    """Indices into ``pts`` of the convex-hull vertices, in the same
+    order :func:`convex_hull` returns them (OpenCV ``convexHull`` with
+    ``returnPoints=False`` role). Duplicate input points map to their
+    first occurrence."""
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    hull = convex_hull(p, clockwise=clockwise)
+    idx = []
+    for q in hull:
+        matches = np.nonzero((p[:, 0] == q[0]) & (p[:, 1] == q[1]))[0]
+        idx.append(int(matches[0]))
+    return np.asarray(idx, np.int64)
+
+
+def point_polygon_test(contour: np.ndarray, pt, measure_dist: bool = False):
+    """OpenCV ``pointPolygonTest``: +1 inside / 0 on an edge / −1 outside
+    (even-odd ray rule, exact integer when inputs are integral); with
+    ``measure_dist`` the signed min distance to the polygon edges
+    (float64, positive inside)."""
+    p = np.asarray(contour, np.float64).reshape(-1, 2)
+    k = len(p)
+    px, py = float(pt[0]), float(pt[1])
+    on_edge = False
+    inside = False
+    for i in range(k):
+        x1, y1 = p[i]
+        x2, y2 = p[(i + 1) % k]
+        # on-segment: zero cross product AND within the bounding box
+        cross = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
+        if cross == 0 and min(x1, x2) <= px <= max(x1, x2) and \
+                min(y1, y2) <= py <= max(y1, y2):
+            on_edge = True
+        if (y1 > py) != (y2 > py):
+            t = (py - y1) * (x2 - x1) - (px - x1) * (y2 - y1)
+            if (t > 0) == (y2 - y1 > 0):
+                inside = not inside
+    if not measure_dist:
+        return 0.0 if on_edge else (1.0 if inside else -1.0)
+    # min distance point→segment over all edges
+    best = np.inf
+    for i in range(k):
+        a = p[i]
+        b = p[(i + 1) % k]
+        ab = b - a
+        ap = np.array([px, py]) - a
+        ab2 = float(ab @ ab)
+        t = 0.0 if ab2 == 0 else float(np.clip(ap @ ab / ab2, 0.0, 1.0))
+        d = np.hypot(*(ap - t * ab))
+        best = min(best, d)
+    if on_edge:
+        return 0.0
+    return best if inside else -best
+
+
+def is_contour_convex(pts: np.ndarray) -> bool:
+    """OpenCV ``isContourConvex`` role: True when every turn along the
+    closed polygon has the same orientation (collinear runs allowed) AND
+    the boundary wraps exactly once (self-intersecting star polygons are
+    not convex). Degenerate (<3 points) → False."""
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    k = len(p)
+    if k < 3:
+        return False
+    sign = 0
+    for i in range(k):
+        a, b, c = p[i], p[(i + 1) % k], p[(i + 2) % k]
+        cr = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if cr != 0:
+            s = 1 if cr > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    if sign == 0:
+        return False  # all collinear
+    # single winding: total turning angle must be ±2π
+    ang = 0.0
+    for i in range(k):
+        a, b, c = p[i], p[(i + 1) % k], p[(i + 2) % k]
+        v1 = b - a
+        v2 = c - b
+        ang += np.arctan2(v1[0] * v2[1] - v1[1] * v2[0], v1 @ v2)
+    return bool(abs(abs(ang) - 2 * np.pi) < 1e-6)
+
+
+def convexity_defects(contour: np.ndarray, hull_idx: np.ndarray):
+    """OpenCV ``convexityDefects`` role: for each hull edge (consecutive
+    ``hull_idx`` entries into ``contour``), the contour point between
+    them farthest from the edge. Returns [D, 4] int64 rows
+    (start_idx, end_idx, farthest_idx, depth_fixpt) with depth in
+    1/256 pixel units (OpenCV's fixed-point convention); edges whose max
+    depth rounds to 0 are omitted."""
+    c = np.asarray(contour, np.float64).reshape(-1, 2)
+    hi = np.asarray(hull_idx, np.int64).reshape(-1)
+    n = len(c)
+    out = []
+    for j in range(len(hi)):
+        s = int(hi[j])
+        e = int(hi[(j + 1) % len(hi)])
+        a, b = c[s], c[e]
+        ab = b - a
+        L = np.hypot(*ab)
+        if L == 0:
+            continue
+        best_d, best_i = 0.0, -1
+        i = (s + 1) % n
+        while i != e:
+            d = abs((c[i] - a)[0] * ab[1] - (c[i] - a)[1] * ab[0]) / L
+            if d > best_d:
+                best_d, best_i = d, i
+            i = (i + 1) % n
+        depth = int(np.floor(best_d * 256.0 + 0.5))
+        if best_i >= 0 and depth > 0:
+            out.append((s, e, best_i, depth))
+    return np.asarray(out, np.int64).reshape(-1, 4)
