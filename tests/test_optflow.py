@@ -10,11 +10,15 @@ from rustcv_tpu.ops import optflow as of
 
 
 @pytest.fixture()
-def pair(rng):
-    """Textured frame + a (3.4, −2.2) px translated copy."""
+def pair():
+    """Textured frame + a (3.4, −2.2) px translated copy. Uses a LOCAL
+    fixed-seed generator (not the session ``rng``) so the noise — and the
+    marginal corner-trackability assertion downstream — does not depend on
+    which tests ran earlier in the session."""
+    local = np.random.default_rng(7)
     prev = golden.bgr_to_gray(sim.synth_bgr(160, 120, 3))
     prev = np.clip(
-        prev.astype(np.int32) + rng.integers(0, 20, prev.shape), 0, 255
+        prev.astype(np.int32) + local.integers(0, 20, prev.shape), 0, 255
     ).astype(np.uint8)
     m = np.array([[1.0, 0.0, 3.4], [0.0, 1.0, -2.2]])
     nxt = warp.warp_affine_numpy(prev, m, (160, 120), border="replicate")
