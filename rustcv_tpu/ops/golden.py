@@ -1377,3 +1377,138 @@ def normalize_u8(img: np.ndarray, alpha: float = 0.0, beta: float = 255.0,
     else:
         raise ValueError(f"unknown norm kind {kind!r}")
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# MOSSE correlation-filter tracker (frozen float64 spec)
+# ---------------------------------------------------------------------------
+# OpenCV ``legacy::TrackerMOSSE`` role (Bolme et al. 2010). The reference
+# has no tracker; this is an OpenCV-parity addition like MOG2/Kalman.
+# All arithmetic is float64 + numpy rfft2 — the device twin
+# (ops/tracker.py) is f32 and is bounded against this spec.
+
+MOSSE_EPS = 1e-5
+MOSSE_SIGMA = 2.0
+#: Fixed init perturbations (angle_rad, scale) about the patch centre —
+#: deterministic stand-ins for OpenCV's 8 random warps.
+MOSSE_WARPS = (
+    (0.0, 1.0), (0.05, 1.0), (-0.05, 1.0), (0.10, 1.0),
+    (-0.10, 1.0), (0.18, 1.0), (0.0, 0.95), (0.0, 1.05),
+)
+
+
+def mosse_hann(h: int, w: int) -> np.ndarray:
+    """Outer product of 1-D Hann windows (0.5 − 0.5·cos(2πk/(n−1));
+    all-ones when an axis has a single sample)."""
+    def hann1(n):
+        if n == 1:
+            return np.ones(1)
+        k = np.arange(n, dtype=np.float64)
+        return 0.5 - 0.5 * np.cos(2.0 * np.pi * k / (n - 1))
+    return np.outer(hann1(h), hann1(w))
+
+
+def mosse_preprocess(patch: np.ndarray) -> np.ndarray:
+    """log(1+p), zero-mean / unit-std normalize (ε=1e-5), Hann-windowed."""
+    p = np.log1p(patch.astype(np.float64))
+    p = (p - p.mean()) / (p.std() + MOSSE_EPS)
+    return p * mosse_hann(*p.shape)
+
+
+def mosse_gauss(h: int, w: int, sigma: float = MOSSE_SIGMA) -> np.ndarray:
+    """Desired response: unit-peak Gaussian at (h//2, w//2)."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    d2 = (ys - h // 2) ** 2.0 + (xs - w // 2) ** 2.0
+    return np.exp(-d2 / (2.0 * sigma * sigma))
+
+
+def _mosse_warp_patch(patch: np.ndarray, angle: float, scale: float) -> np.ndarray:
+    """Rotate+scale the patch about its centre, clamped bilinear sampling
+    (replicate border)."""
+    h, w = patch.shape
+    c, s = np.cos(angle) / scale, np.sin(angle) / scale
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    sx = c * (xs - cx) + s * (ys - cy) + cx
+    sy = -s * (xs - cx) + c * (ys - cy) + cy
+    x0 = np.clip(np.floor(sx), 0, w - 1).astype(np.int64)
+    y0 = np.clip(np.floor(sy), 0, h - 1).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = np.clip(sx - x0, 0.0, 1.0)
+    fy = np.clip(sy - y0, 0.0, 1.0)
+    p = patch.astype(np.float64)
+    top = p[y0, x0] * (1 - fx) + p[y0, x1] * fx
+    bot = p[y1, x0] * (1 - fx) + p[y1, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _mosse_crop(frame: np.ndarray, cy: int, cx: int, h: int, w: int):
+    """Clamped h×w crop centred at (cy, cx); returns (patch, oy, ox)."""
+    fh, fw = frame.shape
+    oy = int(np.clip(cy - h // 2, 0, fh - h))
+    ox = int(np.clip(cx - w // 2, 0, fw - w))
+    return frame[oy:oy + h, ox:ox + w], oy, ox
+
+
+def mosse_init(frame: np.ndarray, bbox):
+    """Train the filter on the bbox patch over :data:`MOSSE_WARPS`.
+    ``bbox`` = (x, y, w, h) ints. Returns state dict with complex A/B
+    numerator/denominator spectra (rfft2 half-plane), the desired-response
+    spectrum G, integer centre (cy, cx) and window (h, w)."""
+    x, y, w, h = (int(v) for v in bbox)
+    if h < 4 or w < 4:
+        raise ValueError("MOSSE window must be at least 4x4")
+    cy, cx = y + h // 2, x + w // 2
+    patch, _, _ = _mosse_crop(np.asarray(frame, np.float64), cy, cx, h, w)
+    G = np.fft.rfft2(mosse_gauss(h, w))
+    A = np.zeros_like(G)
+    B = np.zeros(G.shape, np.float64)
+    for ang, sc in MOSSE_WARPS:
+        F = np.fft.rfft2(mosse_preprocess(_mosse_warp_patch(patch, ang, sc)))
+        A += G * np.conj(F)
+        B += (F * np.conj(F)).real
+    return {"A": A, "B": B, "G": G, "center": (cy, cx), "size": (h, w)}
+
+
+def mosse_psr(resp: np.ndarray, py: int, px: int, excl: int = 5) -> float:
+    """Peak-to-sidelobe ratio: peak vs mean/std outside the (2·excl+1)²
+    exclusion square around the peak."""
+    h, w = resp.shape
+    mask = np.ones((h, w), bool)
+    mask[max(py - excl, 0):py + excl + 1, max(px - excl, 0):px + excl + 1] = False
+    side = resp[mask]
+    return float((resp[py, px] - side.mean()) / (side.std() + MOSSE_EPS))
+
+
+def mosse_step(state: dict, frame: np.ndarray, lr: float = 0.2,
+               psr_threshold: float = 5.7):
+    """One tracking step: correlate at the last centre, move to the
+    response peak, compute PSR; when PSR clears the threshold, re-crop at
+    the new centre and blend the filter with rate ``lr``. Returns
+    (new_state, ok, psr). On failure the state (incl. centre) is frozen —
+    OpenCV's legacy tracker likewise reports failure and stops adapting."""
+    h, w = state["size"]
+    cy, cx = state["center"]
+    f64 = np.asarray(frame, np.float64)
+    patch, oy, ox = _mosse_crop(f64, cy, cx, h, w)
+    F = np.fft.rfft2(mosse_preprocess(patch))
+    resp = np.fft.irfft2(F * state["A"] / (state["B"] + MOSSE_EPS), s=(h, w))
+    py, px = np.unravel_index(int(resp.argmax()), resp.shape)
+    psr = mosse_psr(resp, int(py), int(px))
+    if psr < psr_threshold:
+        return state, False, psr
+    # displacement of the peak from the response origin (h//2, w//2),
+    # re-anchored to the actual (clamped) crop origin
+    ncy = oy + h // 2 + (int(py) - h // 2)
+    ncx = ox + w // 2 + (int(px) - w // 2)
+    fh, fw = f64.shape
+    ncy = int(np.clip(ncy, h // 2, fh - h + h // 2))
+    ncx = int(np.clip(ncx, w // 2, fw - w + w // 2))
+    patch2, _, _ = _mosse_crop(f64, ncy, ncx, h, w)
+    F2 = np.fft.rfft2(mosse_preprocess(patch2))
+    A = lr * (state["G"] * np.conj(F2)) + (1.0 - lr) * state["A"]
+    B = lr * (F2 * np.conj(F2)).real + (1.0 - lr) * state["B"]
+    new = {"A": A, "B": B, "G": state["G"], "center": (ncy, ncx),
+           "size": (h, w)}
+    return new, True, psr
