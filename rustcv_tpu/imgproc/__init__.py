@@ -1206,7 +1206,7 @@ __all__ = [
     "median_blur", "min_max_loc", "orb_features", "phase_correlate",
     "pyr_up", "moments", "pyr_down", "put_text",
     "rectangle", "remap", "resize", "rotate", "scharr", "sobel_magnitude",
-    "stereo_bm", "threshold",
+    "stereo_bm", "stereo_sgbm", "threshold",
     "warp_affine", "watershed",
 ]
 
@@ -1228,6 +1228,32 @@ def stereo_bm(left: Mat, right: Mat, num_disparities: int = 64,
         gr if right.is_on_device else np.asarray(gr),
         num_disparities=num_disparities, block_size=block_size,
         texture=texture, uniqueness=uniqueness,
+    )
+    return np.asarray(disp), np.asarray(valid)
+
+
+def stereo_sgbm(left: Mat, right: Mat, num_disparities: int = 64,
+                block_size: int = 5, p1=None, p2=None, uniqueness: int = 10,
+                disp12_max_diff: int = 1, num_dirs: int = 8,
+                prefilter_cap: int = 63):
+    """Semi-global stereo matching (OpenCV ``StereoSGBM`` role) over a
+    rectified gray pair: (disparity float32 (H, W), valid bool).
+    Birchfield-Tomasi costs on clipped-Sobel prefilter, lax.scan path
+    aggregation over 4/8 directions, uniqueness + sub-pixel + LR
+    consistency (ops/sgbm.py; frozen int64 oracle)."""
+    import numpy as np
+
+    from ..ops import sgbm as _sgbm
+
+    gl = _gray_of_mat(left)
+    gr = _gray_of_mat(right)
+    disp, valid = _sgbm.stereo_sgbm(
+        gl if left.is_on_device else np.asarray(gl),
+        gr if right.is_on_device else np.asarray(gr),
+        num_disparities=num_disparities, block_size=block_size,
+        p1=p1, p2=p2, uniqueness=uniqueness,
+        disp12_max_diff=disp12_max_diff, num_dirs=num_dirs,
+        prefilter_cap=prefilter_cap,
     )
     return np.asarray(disp), np.asarray(valid)
 
