@@ -1122,6 +1122,41 @@ def dilate(mat: Mat, ksize: int = 3) -> Mat:
     return _apply(mat, lambda d: _filters.dilate_u8(d, ksize), lambda h: golden.dilate(h, ksize))
 
 
+def fast_nl_means_denoising(mat: Mat, h: float = 10.0,
+                            template_window_size: int = 7,
+                            search_window_size: int = 21) -> Mat:
+    """Non-local means denoising (OpenCV ``fastNlMeansDenoising`` role)
+    on a gray image — lax.scan over the search window, box-filtered
+    patch distances, zero gathers (ops/nlmeans.py; f64 oracle, +-1 LSB)."""
+    from ..ops import nlmeans as _nl
+
+    return _apply(
+        mat,
+        lambda d: _nl.nl_means(d if d.ndim == 2 else d[..., 0], h,
+                               template_window_size, search_window_size),
+        lambda a: _nl.nl_means_numpy(a if a.ndim == 2 else a[..., 0], h,
+                                     template_window_size,
+                                     search_window_size),
+    )
+
+
+def fast_nl_means_denoising_colored(mat: Mat, h: float = 10.0,
+                                    h_color: float = 10.0,
+                                    template_window_size: int = 7,
+                                    search_window_size: int = 21) -> Mat:
+    """Colored NL-means (OpenCV ``fastNlMeansDenoisingColored`` role):
+    denoise L with ``h``, a/b with ``h_color`` in CIE Lab, convert back."""
+    import jax.numpy as _jnp
+
+    from ..ops import nlmeans as _nl
+
+    a = mat.device() if mat.is_on_device else _jnp.asarray(mat.to_numpy())
+    out = _nl.nl_means_colored(a, h, h_color, template_window_size,
+                               search_window_size)
+    return Mat.from_device(out) if mat.is_on_device else Mat.from_array(
+        __import__("numpy").asarray(out))
+
+
 def median_blur(mat: Mat, ksize: int = 3) -> Mat:
     """k×k median filter (odd k, exact). k = 3 uses the 19-exchange
     selection network; larger kernels use bitwise bisection (8 counting
@@ -1207,6 +1242,7 @@ __all__ = [
     "pyr_up", "moments", "pyr_down", "put_text",
     "rectangle", "remap", "resize", "rotate", "scharr", "sobel_magnitude",
     "stereo_bm", "stereo_sgbm", "threshold",
+    "fast_nl_means_denoising", "fast_nl_means_denoising_colored",
     "warp_affine", "watershed",
 ]
 
