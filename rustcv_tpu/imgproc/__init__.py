@@ -1222,6 +1222,9 @@ __all__ = [
     "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
     "calibrate_camera", "find_homography", "solve_pnp",
+    "solve_pnp_ransac", "stereo_rectify", "reproject_image_to_3d",
+    "find_fundamental_mat", "compute_correspond_epilines",
+    "triangulate_points",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "dilate_kernel", "erode_kernel", "filter2d", "fit_ellipse", "fit_line",
     "get_gaussian_kernel", "get_perspective_transform",
@@ -1619,9 +1622,17 @@ from ..ops.calib import (  # noqa: E402  (re-exports)
     get_optimal_new_camera_matrix,
     init_undistort_rectify_map,
     project_points,
+    reproject_image_to_3d,
     rodrigues,
     solve_pnp,
+    solve_pnp_ransac,
+    stereo_rectify,
     undistort_points,
+)
+from ..ops.epipolar import (  # noqa: E402  (re-exports)
+    compute_correspond_epilines,
+    find_fundamental_mat,
+    triangulate_points,
 )
 from ..ops.geometry import find_homography  # noqa: E402
 

@@ -354,3 +354,125 @@ def calibrate_camera(
     rms = float(np.sqrt(np.mean(residual(params) ** 2)))
     return (rms, Kf, dist.copy(),
             [e[:3].copy() for e in ext], [e[3:].copy() for e in ext])
+
+
+def solve_pnp_ransac(
+    obj_pts: np.ndarray,
+    img_pts: np.ndarray,
+    K: np.ndarray,
+    dist=(0, 0, 0, 0, 0),
+    iters: int = 100,
+    reproj_threshold: float = 8.0,
+    seed: int = 7,
+) -> Tuple[Optional[np.ndarray], Optional[np.ndarray], np.ndarray]:
+    """Outlier-robust pose (OpenCV ``solvePnPRansac`` role): seeded
+    6-point minimal :func:`solve_pnp` samples (DLT-only, 0 GN iters),
+    reprojection-error consensus, final :func:`solve_pnp` refit on the
+    inliers → (rvec, tvec, inlier mask) or (None, None, zeros)."""
+    obj = np.asarray(obj_pts, np.float64).reshape(-1, 3)
+    img = np.asarray(img_pts, np.float64).reshape(-1, 2)
+    n = len(obj)
+    if n != len(img) or n < 6:
+        return None, None, np.zeros(n, bool)
+    rng = np.random.default_rng(seed)
+    best_mask = np.zeros(n, bool)
+    best = None
+    for _ in range(iters):
+        idx = rng.choice(n, size=6, replace=False)
+        try:
+            r, t = solve_pnp(obj[idx], img[idx], K, dist, iterations=0)
+        except (ValueError, np.linalg.LinAlgError):
+            continue
+        err = np.linalg.norm(project_points(obj, r, t, K, dist) - img,
+                             axis=1)
+        mask = err < reproj_threshold
+        if mask.sum() > best_mask.sum():
+            best_mask = mask
+            best = (r, t)
+    if best is None or best_mask.sum() < 6:
+        return None, None, np.zeros(n, bool)
+    r, t = solve_pnp(obj[best_mask], img[best_mask], K, dist)
+    err = np.linalg.norm(project_points(obj, r, t, K, dist) - img, axis=1)
+    return r, t, err < reproj_threshold
+
+
+def stereo_rectify(
+    K1: np.ndarray, d1, K2: np.ndarray, d2,
+    size: Tuple[int, int], R: np.ndarray, T: np.ndarray,
+):
+    """Bouguet stereo rectification (OpenCV ``stereoRectify``
+    CALIB_ZERO_DISPARITY role). ``size`` = (width, height);
+    ``x₂ = R x₁ + T``. Returns (R1, R2, P1, P2, Q).
+
+    Frozen spec: each camera turns half the inter-camera rotation
+    (``rodrigues(∓om/2)``), then both are spun so the baseline becomes
+    the rectified x-axis (dominant-axis convention as OpenCV's ``idx``);
+    the new focal is the mean of the y-focals, and the shared principal
+    point is the mean over both cameras of the undistorted, rectified
+    image-corner centroid — zero disparity at infinity."""
+    K1 = np.asarray(K1, np.float64)
+    K2 = np.asarray(K2, np.float64)
+    R = np.asarray(R, np.float64)
+    t = np.asarray(T, np.float64).reshape(3)
+    w, h = size
+
+    om = rodrigues(R)
+    r_half = rodrigues(-0.5 * om)          # rotates cam2 halfway back
+    t_r = r_half @ t
+    idx = 0 if abs(t_r[0]) >= abs(t_r[1]) else 1
+    uu = np.zeros(3)
+    uu[idx] = 1.0 if t_r[idx] > 0 else -1.0
+    ww = np.cross(t_r, uu)
+    nw = np.linalg.norm(ww)
+    if nw > 1e-12:
+        ww *= np.arccos(np.clip(abs(t_r[idx]) / np.linalg.norm(t_r),
+                                -1.0, 1.0)) / nw
+    w_r = rodrigues(ww)
+    r1 = w_r @ r_half.T
+    r2 = w_r @ r_half
+    t_new = r2 @ t
+
+    fc_new = 0.5 * (K1[1, 1] + K2[1, 1])
+
+    # shared principal point: centroid of the rectified corner grid
+    corners = np.array([[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1]],
+                       np.float64)
+    cc = np.zeros(2)
+    for Kk, dk, rk in ((K1, d1, r1), (K2, d2, r2)):
+        und = undistort_points(corners, Kk, dk)
+        xn = (und[:, 0] - Kk[0, 2]) / Kk[0, 0]
+        yn = (und[:, 1] - Kk[1, 2]) / Kk[1, 1]
+        ray = np.stack([xn, yn, np.ones(4)], axis=1) @ rk.T
+        px = ray[:, :2] / ray[:, 2:]
+        cc += np.array([(w - 1) / 2, (h - 1) / 2]) - fc_new * px.mean(axis=0)
+    cc *= 0.5
+
+    p1 = np.array([[fc_new, 0, cc[0], 0],
+                   [0, fc_new, cc[1], 0],
+                   [0, 0, 1, 0]])
+    p2 = p1.copy()
+    p2[idx, 3] = fc_new * t_new[idx]
+
+    tx = t_new[idx]
+    q = np.array([
+        [1, 0, 0, -cc[0]],
+        [0, 1, 0, -cc[1]],
+        [0, 0, 0, fc_new],
+        [0, 0, -1.0 / tx, 0],
+    ])
+    return r1, r2, p1, p2, q
+
+
+def reproject_image_to_3d(disparity: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Disparity (H, W) float + 4×4 Q → (H, W, 3) float32 XYZ (OpenCV
+    ``reprojectImageTo3D`` role). Pure elementwise — callers on the hot
+    path should fold it into their device program; this host form is the
+    oracle."""
+    d = np.asarray(disparity, np.float64)
+    hh, ww = d.shape
+    ys, xs = np.mgrid[0:hh, 0:ww].astype(np.float64)
+    vec = np.stack([xs, ys, d, np.ones_like(d)], axis=-1)
+    out = vec @ np.asarray(q, np.float64).T
+    w_ = out[..., 3:]
+    w_ = np.where(np.abs(w_) < 1e-12, 1e-12, w_)
+    return (out[..., :3] / w_).astype(np.float32)
