@@ -755,6 +755,40 @@ def rotate(mat: Mat, angle_deg: float, center=None, scale: float = 1.0) -> Mat:
     return warp_affine(mat, m, (w, h))
 
 
+def warp_polar(mat: Mat, center, max_radius: float, dst_size,
+               semilog: bool = False, inverse: bool = False,
+               border: str = "constant") -> Mat:
+    """Polar/semilog-polar warp (OpenCV ``warpPolar`` role): rows =
+    angle, cols = radius; ``inverse`` maps back to cartesian. Host map
+    build + traced-map device remap (ops/warp.py polar spec)."""
+    import numpy as np
+
+    from ..ops import warp as _warp
+
+    a = mat.device() if mat.is_on_device else mat.to_numpy()
+    squeeze = a.ndim == 3 and a.shape[-1] == 1
+    out = _warp.warp_polar(a[..., 0] if squeeze else a, center, max_radius,
+                           dst_size, semilog, inverse, border)
+    if squeeze:
+        out = out[..., None]
+    return Mat.from_device(out) if mat.is_on_device else Mat.from_array(
+        np.asarray(out))
+
+
+def linear_polar(mat: Mat, center, max_radius: float,
+                 inverse: bool = False) -> Mat:
+    """Legacy OpenCV ``linearPolar`` (dst = src size)."""
+    return warp_polar(mat, center, max_radius, (mat.rows, mat.cols),
+                      False, inverse)
+
+
+def log_polar(mat: Mat, center, max_radius: float,
+              inverse: bool = False) -> Mat:
+    """Legacy OpenCV ``logPolar`` (semilog radius axis, dst = src size)."""
+    return warp_polar(mat, center, max_radius, (mat.rows, mat.cols),
+                      True, inverse)
+
+
 def calc_hist(mat: Mat):
     """256-bin histogram (int32 counts) of a u8 gray Mat (BGR inputs are
     converted via the exact luma) — OpenCV ``calcHist`` for the common
@@ -1221,6 +1255,8 @@ __all__ = [
     "cvt_ycrcb", "cvt_ycrcb_to_bgr",
     "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
+    "warp_polar", "linear_polar", "log_polar",
+    "dct", "idct", "dft", "idft", "mul_spectrums", "get_optimal_dft_size",
     "calibrate_camera", "find_homography", "solve_pnp",
     "solve_pnp_ransac", "stereo_rectify", "reproject_image_to_3d",
     "find_fundamental_mat", "compute_correspond_epilines",
@@ -1635,6 +1671,14 @@ from ..ops.epipolar import (  # noqa: E402  (re-exports)
     triangulate_points,
 )
 from ..ops.geometry import find_homography  # noqa: E402
+from ..ops.transform import (  # noqa: E402  (re-exports)
+    dct,
+    dft,
+    get_optimal_dft_size,
+    idct,
+    idft,
+    mul_spectrums,
+)
 
 
 def undistort(mat: Mat, K, dist, new_K=None) -> Mat:

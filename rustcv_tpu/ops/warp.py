@@ -499,3 +499,82 @@ def warp_perspective_numpy(
         maske = inside[..., None] if img.ndim == 3 else inside
         out = np.where(maske, out, 0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Polar warps (OpenCV warpPolar / linearPolar / logPolar roles)
+# ---------------------------------------------------------------------------
+# Frozen spec (host float64 map build, device = the remap spec above):
+#   forward  dst(φ_row, ρ_col) samples src at
+#       angle = φ_row · 2π / dst_h
+#       rho   = ρ_col · max_radius / dst_w            (linear)
+#       rho   = exp(ρ_col · ln(max_radius) / dst_w) − 1   (semilog)
+#       (map_x, map_y) = center + rho · (cos angle, sin angle)
+#   inverse  dst(y, x) samples the POLAR image at
+#       rho = |(x, y) − center|, angle = atan2 wrapped to [0, 2π)
+#       (map_x, map_y) = (rho-index of rho, angle / (2π / src_polar_h))
+# Out-of-range samples take the remap "constant" (0) border unless told
+# otherwise. Maps are host tables like undistort's: per-geometry, built
+# once, traced into the device remap — changing center/radius never
+# recompiles.
+
+
+def warp_polar_maps(src_size: Tuple[int, int], center: Tuple[float, float],
+                    max_radius: float, dst_size: Tuple[int, int],
+                    semilog: bool = False, inverse: bool = False):
+    """Build (map_x, map_y) float32 for :func:`remap` implementing the
+    polar spec above. ``src_size``/``dst_size`` are (h, w)."""
+    cx, cy = float(center[0]), float(center[1])
+    dst_h, dst_w = dst_size
+    if not inverse:
+        phi = (np.arange(dst_h, dtype=np.float64) * (2.0 * np.pi / dst_h))
+        idx = np.arange(dst_w, dtype=np.float64)
+        if semilog:
+            rho = np.exp(idx * (np.log(max(max_radius, 1e-12)) / dst_w)) - 1.0
+        else:
+            rho = idx * (max_radius / dst_w)
+        mx = cx + rho[None, :] * np.cos(phi)[:, None]
+        my = cy + rho[None, :] * np.sin(phi)[:, None]
+    else:
+        # src here is the POLAR image; dst is cartesian
+        src_h, src_w = src_size
+        ys, xs = np.mgrid[0:dst_h, 0:dst_w].astype(np.float64)
+        dx, dy = xs - cx, ys - cy
+        rho = np.hypot(dx, dy)
+        ang = np.mod(np.arctan2(dy, dx), 2.0 * np.pi)
+        if semilog:
+            k = np.log(max(max_radius, 1e-12)) / src_w
+            mx = np.log(rho + 1.0) / k
+        else:
+            mx = rho * (src_w / max_radius)
+        my = ang * (src_h / (2.0 * np.pi))
+    return mx.astype(np.float32), my.astype(np.float32)
+
+
+def warp_polar(img, center, max_radius: float, dst_size: Tuple[int, int],
+               semilog: bool = False, inverse: bool = False,
+               border: str = "constant"):
+    """OpenCV ``warpPolar`` role. Forward: (H, W[, C]) cartesian →
+    (dst_h, dst_w) polar (rows = angle, cols = radius). ``inverse``
+    maps a polar image back to cartesian ``dst_size``. Device path =
+    packed-quad remap with traced maps; NumPy inputs use the oracle."""
+    src_size = (img.shape[0], img.shape[1])
+    mx, my = warp_polar_maps(src_size, center, max_radius, dst_size,
+                             semilog, inverse)
+    if isinstance(img, np.ndarray):
+        return remap_numpy(img, mx, my, border)
+    return remap(img, jnp.asarray(mx), jnp.asarray(my), border)
+
+
+def linear_polar(img, center, max_radius: float, inverse: bool = False,
+                 border: str = "constant"):
+    """Legacy OpenCV ``linearPolar``: warp_polar with dst = src size."""
+    return warp_polar(img, center, max_radius,
+                      (img.shape[0], img.shape[1]), False, inverse, border)
+
+
+def log_polar(img, center, max_radius: float, inverse: bool = False,
+              border: str = "constant"):
+    """Legacy OpenCV ``logPolar`` (semilog radius axis), dst = src size."""
+    return warp_polar(img, center, max_radius,
+                      (img.shape[0], img.shape[1]), True, inverse, border)
