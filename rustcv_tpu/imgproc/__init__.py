@@ -1255,6 +1255,7 @@ __all__ = [
     "cvt_ycrcb", "cvt_ycrcb_to_bgr",
     "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
+    "sift_features", "match_descriptors_l2",
     "warp_polar", "linear_polar", "log_polar",
     "dct", "idct", "dft", "idft", "mul_spectrums", "get_optimal_dft_size",
     "calibrate_camera", "find_homography", "solve_pnp",
@@ -1400,6 +1401,27 @@ def integral(mat: Mat):
     if mat.is_on_device and h * w * 255 < 2**31:
         return np.asarray(_filters.integral_u8(g)).astype(np.int64)
     return golden.integral(np.asarray(g))
+
+
+def sift_features(mat: Mat, n_features: int = 0,
+                  contrast_threshold: float = 0.04,
+                  edge_threshold: float = 10.0, sigma: float = 1.6,
+                  double_image: bool = True):
+    """SIFT keypoints + descriptors (OpenCV ``SIFT`` role, Lowe 2004):
+    returns (keypoints float32 [N, 6] (x, y, size, angle_deg, response,
+    octave), descriptors u8 [N, 128]). Device-resident Mats build the
+    Gaussian/DoG pyramids on device; the sparse per-keypoint stage is
+    host f64 (ops/sift.py). Match with :func:`match_descriptors_l2`."""
+    import numpy as np
+
+    from ..ops import sift as _sift
+
+    g = _gray_of_mat(mat)
+    return _sift.detect_and_compute(
+        np.asarray(g), n_features=n_features,
+        contrast_threshold=contrast_threshold,
+        edge_threshold=edge_threshold, sigma=sigma,
+        double_image=double_image, use_device=mat.is_on_device)
 
 
 def orb_features(mat: Mat, max_keypoints: int = 512, threshold: int = 20):
@@ -1670,6 +1692,7 @@ from ..ops.epipolar import (  # noqa: E402  (re-exports)
     find_fundamental_mat,
     triangulate_points,
 )
+from ..ops.sift import match_descriptors_l2  # noqa: E402
 from ..ops.geometry import find_homography  # noqa: E402
 from ..ops.transform import (  # noqa: E402  (re-exports)
     dct,
