@@ -1255,7 +1255,7 @@ __all__ = [
     "cvt_ycrcb", "cvt_ycrcb_to_bgr",
     "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
-    "sift_features", "match_descriptors_l2",
+    "sift_features", "match_descriptors_l2", "stitch_images",
     "warp_polar", "linear_polar", "log_polar",
     "dct", "idct", "dft", "idft", "mul_spectrums", "get_optimal_dft_size",
     "calibrate_camera", "find_homography", "solve_pnp",
@@ -1401,6 +1401,26 @@ def integral(mat: Mat):
     if mat.is_on_device and h * w * 255 < 2**31:
         return np.asarray(_filters.integral_u8(g)).astype(np.int64)
     return golden.integral(np.asarray(g))
+
+
+def stitch_images(mats, min_matches: int = 12):
+    """Panorama stitching (OpenCV ``Stitcher`` role): SIFT registration
+    chained image-to-image, RANSAC homographies, feather-blended
+    compositing — device remap compositing for device-resident Mats
+    (ops/stitch.py). Returns a Mat anchored at the first image."""
+    import numpy as np
+
+    arrays = []
+    for m in mats:
+        a = m.device() if getattr(m, "is_on_device", False) else (
+            m.to_numpy() if hasattr(m, "to_numpy") else np.asarray(m))
+        if a.ndim == 3 and a.shape[-1] == 1:
+            a = a[..., 0]
+        arrays.append(a)
+    from ..ops import stitch as _stitch
+
+    out = _stitch.stitch(arrays, min_matches=min_matches)
+    return Mat.from_array(np.asarray(out) if out.ndim != 3 else out)
 
 
 def sift_features(mat: Mat, n_features: int = 0,

@@ -122,6 +122,13 @@ class TestExamples:
         assert "batched mode" in out and "independent mode" in out
 
 
+def test_panorama_example(jax_cpu, capsys):
+    from examples.panorama import main
+
+    assert main() == 0
+    assert "reconstruction" in capsys.readouterr().out
+
+
 def test_video_file_io_example(jax_cpu, capsys):
     import os
 
