@@ -1156,6 +1156,29 @@ def dilate(mat: Mat, ksize: int = 3) -> Mat:
     return _apply(mat, lambda d: _filters.dilate_u8(d, ksize), lambda h: golden.dilate(h, ksize))
 
 
+def inpaint(mat: Mat, mask, radius: int = 3,
+            method: str = "telea") -> Mat:
+    """Inpaint holes (OpenCV ``inpaint`` role): ``telea`` = host Fast
+    Marching (sequential escape, like GrabCut/CCL); ``diffusion`` =
+    harmonic fill whose device twin is a fused Jacobi fori_loop
+    (ops/inpaint.py)."""
+    import numpy as np
+
+    from ..ops import inpaint as _inp
+
+    if mat.is_on_device and method == "diffusion":
+        import jax.numpy as jnp
+
+        out = _inp.inpaint_diffusion(mat.device(), jnp.asarray(
+            np.asarray(mask).astype(bool)))
+        return Mat.from_device(out)
+    a = mat.to_numpy()
+    squeeze = a.ndim == 3 and a.shape[-1] == 1
+    out = _inp.inpaint(a[..., 0] if squeeze else a, np.asarray(mask),
+                       radius, method)
+    return Mat.from_array(out[..., None] if squeeze else out)
+
+
 def fast_nl_means_denoising(mat: Mat, h: float = 10.0,
                             template_window_size: int = 7,
                             search_window_size: int = 21) -> Mat:
@@ -1283,6 +1306,7 @@ __all__ = [
     "rectangle", "remap", "resize", "rotate", "scharr", "sobel_magnitude",
     "stereo_bm", "stereo_sgbm", "threshold",
     "fast_nl_means_denoising", "fast_nl_means_denoising_colored",
+    "inpaint",
     "warp_affine", "watershed",
 ]
 
