@@ -1279,6 +1279,7 @@ __all__ = [
     "dilate", "equalize_hist", "erode",
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
     "sift_features", "match_descriptors_l2", "stitch_images",
+    "hog_descriptor", "hog_detect_multi_scale",
     "warp_polar", "linear_polar", "log_polar",
     "dct", "idct", "dft", "idft", "mul_spectrums", "get_optimal_dft_size",
     "calibrate_camera", "find_homography", "solve_pnp",
@@ -1445,6 +1446,44 @@ def stitch_images(mats, min_matches: int = 12):
 
     out = _stitch.stitch(arrays, min_matches=min_matches)
     return Mat.from_array(np.asarray(out) if out.ndim != 3 else out)
+
+
+def hog_descriptor(mat: Mat):
+    """HOG block grid (OpenCV ``HOGDescriptor.compute`` role) for a gray
+    Mat with 8-multiple dims → float32 [H/8-1, W/8-1, 36] (ops/hog.py:
+    one-hot orientation planes + separable pad/reshape cell binning,
+    zero gathers). Slice 15x7 block windows for 3780-dim descriptors."""
+    import numpy as np
+
+    from ..ops import hog as _hog
+
+    g = _gray_of_mat(mat)
+    if mat.is_on_device:
+        return np.asarray(_hog.hog_blocks(g))
+    return hog_blocks_f32(np.asarray(g))
+
+
+def hog_blocks_f32(a):
+    import numpy as np
+
+    from ..ops import hog as _hog
+
+    return _hog.hog_blocks_numpy(np.asarray(a)).astype(np.float32)
+
+
+def hog_detect_multi_scale(mat: Mat, svm_weights, svm_bias: float,
+                           threshold: float = 0.0, scale: float = 1.2):
+    """Sliding-window linear-SVM detection over a scale pyramid (OpenCV
+    ``HOGDescriptor.detectMultiScale`` role) → (boxes [N,4] xywh,
+    scores). Device score maps for device-resident Mats."""
+    import numpy as np
+
+    from ..ops import hog as _hog
+
+    g = np.asarray(_gray_of_mat(mat))
+    return _hog.detect_multi_scale(g, svm_weights, svm_bias,
+                                   threshold=threshold, scale=scale,
+                                   use_device=mat.is_on_device)
 
 
 def sift_features(mat: Mat, n_features: int = 0,
