@@ -1156,6 +1156,33 @@ def dilate(mat: Mat, ksize: int = 3) -> Mat:
     return _apply(mat, lambda d: _filters.dilate_u8(d, ksize), lambda h: golden.dilate(h, ksize))
 
 
+def seamless_clone(src_mat: Mat, dst_mat: Mat, mask, center,
+                   mixed: bool = False) -> Mat:
+    """Poisson blending (OpenCV ``seamlessClone`` role): solve the
+    guided Laplace equation inside the mask — device fused-Jacobi
+    fori_loop for device-resident destinations (ops/poisson.py).
+    ``mixed`` = MIXED_CLONE (keep stronger destination gradients)."""
+    import numpy as np
+
+    from ..ops import poisson as _poi
+
+    flags = _poi.MIXED_CLONE if mixed else _poi.NORMAL_CLONE
+    s = src_mat.to_numpy() if hasattr(src_mat, "to_numpy") else np.asarray(src_mat)
+    if s.ndim == 3 and s.shape[-1] == 1:
+        s = s[..., 0]
+    if dst_mat.is_on_device:
+        d = dst_mat.device()
+        squeeze = d.ndim == 3 and d.shape[-1] == 1
+        out = _poi.seamless_clone(s, d[..., 0] if squeeze else d,
+                                  np.asarray(mask), center, flags)
+        return Mat.from_device(out[..., None] if squeeze else out)
+    d = dst_mat.to_numpy()
+    squeeze = d.ndim == 3 and d.shape[-1] == 1
+    out = _poi.seamless_clone_numpy(s, d[..., 0] if squeeze else d,
+                                    np.asarray(mask), center, flags)
+    return Mat.from_array(out[..., None] if squeeze else out)
+
+
 def inpaint(mat: Mat, mask, radius: int = 3,
             method: str = "telea") -> Mat:
     """Inpaint holes (OpenCV ``inpaint`` role): ``telea`` = host Fast
@@ -1307,7 +1334,7 @@ __all__ = [
     "rectangle", "remap", "resize", "rotate", "scharr", "sobel_magnitude",
     "stereo_bm", "stereo_sgbm", "threshold",
     "fast_nl_means_denoising", "fast_nl_means_denoising_colored",
-    "inpaint",
+    "inpaint", "seamless_clone",
     "warp_affine", "watershed",
 ]
 
