@@ -1156,6 +1156,23 @@ def dilate(mat: Mat, ksize: int = 3) -> Mat:
     return _apply(mat, lambda d: _filters.dilate_u8(d, ksize), lambda h: golden.dilate(h, ksize))
 
 
+def merge_mertens(mats):
+    """Exposure fusion (OpenCV ``MergeMertens`` role): u8 BGR exposure
+    stack → float32 [0,1] fused image. One jitted pyramid program for
+    device-resident Mats (ops/hdr.py)."""
+    import numpy as np
+
+    from ..ops import hdr as _hdr
+
+    arrays = [m.to_numpy() if hasattr(m, "to_numpy") else np.asarray(m)
+              for m in mats]
+    if any(getattr(m, "is_on_device", False) for m in mats):
+        import jax.numpy as jnp
+
+        return np.asarray(_hdr.merge_mertens(jnp.asarray(np.stack(arrays))))
+    return _hdr.merge_mertens_numpy(arrays)
+
+
 def seamless_clone(src_mat: Mat, dst_mat: Mat, mask, center,
                    mixed: bool = False) -> Mat:
     """Poisson blending (OpenCV ``seamlessClone`` role): solve the
@@ -1334,7 +1351,7 @@ __all__ = [
     "rectangle", "remap", "resize", "rotate", "scharr", "sobel_magnitude",
     "stereo_bm", "stereo_sgbm", "threshold",
     "fast_nl_means_denoising", "fast_nl_means_denoising_colored",
-    "inpaint", "seamless_clone",
+    "inpaint", "seamless_clone", "merge_mertens",
     "warp_affine", "watershed",
 ]
 

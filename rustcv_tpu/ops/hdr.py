@@ -1,0 +1,256 @@
+"""HDR imaging (OpenCV ``MergeMertens`` / ``CalibrateDebevec`` /
+``MergeDebevec`` / ``Tonemap`` roles).
+
+The reference has no HDR stack; OpenCV-parity addition to the photo
+family (nlmeans/inpaint/poisson).
+
+TPU formulation: Mertens exposure fusion is pyramidal elementwise math —
+per-exposure quality weights (contrast = |laplacian|, saturation =
+channel std, well-exposedness = Gaussian around mid-gray), softmax-style
+normalization across the stack, then a Laplacian-pyramid blend. Every
+stage is elementwise / separable-blur work; the device twin jits the
+whole fusion as one program (pyramids unrolled over static levels).
+Debevec calibration is a tiny host lstsq (256+N unknowns — sparse
+sampled pixels, once per camera); the radiance merge and tonemaps are
+elementwise device math.
+
+Frozen spec (float64 oracles):
+- Mertens weights: ``C = |4c − Σ_4 c_q|`` on the gray mean (replicate
+  border), ``S = std across channels``, ``E = Π_c exp(−(v_c − 0.5)² /
+  (2·0.2²))``, all on [0,1] floats; ``w = C·S·E + 1e-12``, normalized
+  across exposures;
+- pyramid: 5-tap [1,4,6,4,1]/16 separable blur, downsample ``[::2]``;
+  Laplacian = level − upsample(next); upsample = zero-stuff ×2 then the
+  same blur ×4 gain; levels = ``min(⌊log2(min(H, W))⌋ − 2, 6)``;
+- collapse: Σ_levels upsample-accumulate, clipped to [0, 1];
+- Debevec: ``g`` solved from sampled pixels with smoothness λ = 10 and
+  the triangle weight ``w(z) = min(z, 255 − z) + 1``; radiance =
+  ``exp(Σ w·(g(z) − ln Δt) / Σ w)``;
+- Reinhard global tonemap: ``L_out = L·(1 + L/L_white²)/(1 + L)`` on
+  the log-average-scaled luminance, gamma 1/2.2 display encode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_SIGMA_E = 0.2
+
+
+def _levels_for(h: int, w: int) -> int:
+    return max(1, min(int(np.floor(np.log2(min(h, w)))) - 2, 6))
+
+
+# ---------------------------------------------------------------------------
+# float64 oracle
+# ---------------------------------------------------------------------------
+
+def _blur5(a: np.ndarray) -> np.ndarray:
+    t = np.array([1, 4, 6, 4, 1], np.float64) / 16.0
+    p = np.pad(a, ((0, 0), (2, 2)) + ((0, 0),) * (a.ndim - 2), mode="edge")
+    out = sum(t[k] * p[:, k:k + a.shape[1]] for k in range(5))
+    p = np.pad(out, ((2, 2), (0, 0)) + ((0, 0),) * (a.ndim - 2), mode="edge")
+    return sum(t[k] * p[k:k + a.shape[0], :] for k in range(5))
+
+
+def _down(a: np.ndarray) -> np.ndarray:
+    return _blur5(a)[::2, ::2]
+
+
+def _up(a: np.ndarray, shape) -> np.ndarray:
+    h, w = shape
+    z = np.zeros((a.shape[0] * 2, a.shape[1] * 2) + a.shape[2:], a.dtype)
+    z[::2, ::2] = a
+    return (_blur5(z) * 4.0)[:h, :w]
+
+
+def _weights_np(imgs: List[np.ndarray]) -> np.ndarray:
+    ws = []
+    for im in imgs:
+        v = im  # [H, W, C] in [0, 1]
+        gray = v.mean(axis=-1)
+        p = np.pad(gray, 1, mode="edge")
+        lap = np.abs(4 * gray - (p[:-2, 1:-1] + p[2:, 1:-1]
+                                 + p[1:-1, :-2] + p[1:-1, 2:]))
+        sat = v.std(axis=-1)
+        wellexp = np.exp(-((v - 0.5) ** 2)
+                         / (2 * _SIGMA_E * _SIGMA_E)).prod(axis=-1)
+        ws.append(lap * sat * wellexp + 1e-12)
+    w = np.stack(ws)
+    return w / w.sum(axis=0, keepdims=True)
+
+
+def merge_mertens_numpy(images: Sequence[np.ndarray]) -> np.ndarray:
+    """u8 exposure stack [(H, W, 3)...] → fused float32 (H, W, 3) in
+    [0, 1] (OpenCV MergeMertens convention)."""
+    imgs = [np.asarray(im, np.float64) / 255.0 for im in images]
+    h, w = imgs[0].shape[:2]
+    n_lvl = _levels_for(h, w)
+    wts = _weights_np(imgs)
+
+    acc = None
+    for k, im in enumerate(imgs):
+        # Gaussian pyramid of the weight, Laplacian pyramid of the image
+        gw = [wts[k]]
+        gi = [im]
+        for _ in range(n_lvl - 1):
+            gw.append(_down(gw[-1]))
+            gi.append(_down(gi[-1]))
+        contrib = []
+        for lv in range(n_lvl):
+            if lv < n_lvl - 1:
+                lap = gi[lv] - _up(_down(gi[lv]), gi[lv].shape[:2])
+            else:
+                lap = gi[lv]
+            contrib.append(lap * gw[lv][..., None])
+        if acc is None:
+            acc = contrib
+        else:
+            acc = [a + c for a, c in zip(acc, contrib)]
+
+    out = acc[-1]
+    for lv in range(n_lvl - 2, -1, -1):
+        out = _up(out, acc[lv].shape[:2]) + acc[lv]
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+def calibrate_debevec(images: Sequence[np.ndarray],
+                      times: Sequence[float], n_samples: int = 70,
+                      lam: float = 10.0, seed: int = 7) -> np.ndarray:
+    """Recover the log response g[256] per channel → (3, 256) float64
+    (g[127] pinned to 0)."""
+    imgs = [np.asarray(im) for im in images]
+    rng = np.random.default_rng(seed)
+    h, w = imgs[0].shape[:2]
+    ys = rng.integers(0, h, n_samples)
+    xs = rng.integers(0, w, n_samples)
+    lnt = np.log(np.asarray(times, np.float64))
+    out = np.zeros((3, 256))
+    wgt = np.minimum(np.arange(256), 255 - np.arange(256)) + 1.0
+    for c in range(3):
+        a = []
+        b = []
+        for j, im in enumerate(imgs):
+            z = im[ys, xs, c]
+            for i in range(n_samples):
+                row = np.zeros(256 + n_samples)
+                ww = wgt[z[i]]
+                row[z[i]] = ww
+                row[256 + i] = -ww
+                a.append(row)
+                b.append(ww * lnt[j])
+        # smoothness
+        for z in range(1, 255):
+            row = np.zeros(256 + n_samples)
+            row[z - 1], row[z], row[z + 1] = lam * wgt[z], -2 * lam * wgt[z], lam * wgt[z]
+            a.append(row)
+            b.append(0.0)
+        # pin g[127] = 0
+        row = np.zeros(256 + n_samples)
+        row[127] = 1.0
+        a.append(row)
+        b.append(0.0)
+        sol, *_ = np.linalg.lstsq(np.asarray(a), np.asarray(b), rcond=None)
+        out[c] = sol[:256]
+    return out
+
+
+def merge_debevec_numpy(images: Sequence[np.ndarray],
+                        times: Sequence[float],
+                        response: np.ndarray) -> np.ndarray:
+    """→ radiance float32 (H, W, 3) (linear, arbitrary scale)."""
+    lnt = np.log(np.asarray(times, np.float64))
+    wgt = np.minimum(np.arange(256), 255 - np.arange(256)) + 1.0
+    num = None
+    den = None
+    for j, im in enumerate(images):
+        z = np.asarray(im)
+        wz = wgt[z]
+        g = np.stack([response[c][z[..., c]] for c in range(3)], axis=-1)
+        contrib = wz * (g - lnt[j])
+        num = contrib if num is None else num + contrib
+        den = wz if den is None else den + wz
+    return np.exp(num / np.maximum(den, 1e-9)).astype(np.float32)
+
+
+def tonemap_reinhard_numpy(hdr: np.ndarray, gamma: float = 2.2,
+                           l_white: float = 4.0) -> np.ndarray:
+    """Radiance → u8 display (global Reinhard on luminance)."""
+    h = np.asarray(hdr, np.float64)
+    # Rec.709 luminance, BGR channel order
+    lum = 0.2126 * h[..., 2] + 0.7152 * h[..., 1] + 0.0722 * h[..., 0]
+    log_avg = np.exp(np.log(lum + 1e-9).mean())
+    l = 0.18 * lum / log_avg
+    ld = l * (1.0 + l / (l_white * l_white)) / (1.0 + l)
+    scale = ld / np.maximum(lum, 1e-9)
+    out = np.clip(h * scale[..., None], 0.0, 1.0) ** (1.0 / gamma)
+    return np.clip(np.floor(out * 255.0 + 0.5), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# device twin (Mertens fusion, one jitted program)
+# ---------------------------------------------------------------------------
+
+def _blur5_j(a: jax.Array) -> jax.Array:
+    t = np.array([1, 4, 6, 4, 1], np.float32) / 16.0
+    pad = ((0, 0), (2, 2)) + ((0, 0),) * (a.ndim - 2)
+    p = jnp.pad(a, pad, mode="edge")
+    out = sum(jnp.float32(t[k]) * p[:, k:k + a.shape[1]] for k in range(5))
+    pad = ((2, 2), (0, 0)) + ((0, 0),) * (a.ndim - 2)
+    p = jnp.pad(out, pad, mode="edge")
+    return sum(jnp.float32(t[k]) * p[k:k + a.shape[0], :] for k in range(5))
+
+
+def _up_j(a: jax.Array, shape) -> jax.Array:
+    h, w = shape
+    z = jnp.zeros((a.shape[0] * 2, a.shape[1] * 2) + a.shape[2:], a.dtype)
+    z = z.at[::2, ::2].set(a)
+    return (_blur5_j(z) * 4.0)[:h, :w]
+
+
+@jax.jit
+def merge_mertens(stack: jax.Array) -> jax.Array:
+    """Device twin — u8 [N, H, W, 3] stack → float32 (H, W, 3) in
+    [0, 1]; ~1e-3 of the f64 oracle."""
+    imgs = stack.astype(jnp.float32) / 255.0
+    n, h, w = imgs.shape[:3]
+    n_lvl = _levels_for(h, w)
+
+    gray = imgs.mean(axis=-1)
+    p = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    lap = jnp.abs(4 * gray - (p[:, :-2, 1:-1] + p[:, 2:, 1:-1]
+                              + p[:, 1:-1, :-2] + p[:, 1:-1, 2:]))
+    sat = imgs.std(axis=-1)
+    wellexp = jnp.exp(-((imgs - 0.5) ** 2)
+                      / (2 * _SIGMA_E * _SIGMA_E)).prod(axis=-1)
+    wts = lap * sat * wellexp + 1e-12
+    wts = wts / wts.sum(axis=0, keepdims=True)
+
+    acc = None
+    for k in range(n):
+        gw = [wts[k]]
+        gi = [imgs[k]]
+        for _ in range(n_lvl - 1):
+            gw.append(_blur5_j(gw[-1])[::2, ::2])
+            gi.append(_blur5_j(gi[-1])[::2, ::2])
+        contrib = []
+        for lv in range(n_lvl):
+            if lv < n_lvl - 1:
+                down = _blur5_j(gi[lv])[::2, ::2]
+                lap_l = gi[lv] - _up_j(down, gi[lv].shape[:2])
+            else:
+                lap_l = gi[lv]
+            contrib.append(lap_l * gw[lv][..., None])
+        acc = contrib if acc is None else [a + c
+                                           for a, c in zip(acc, contrib)]
+
+    out = acc[-1]
+    for lv in range(n_lvl - 2, -1, -1):
+        out = _up_j(out, acc[lv].shape[:2]) + acc[lv]
+    return jnp.clip(out, 0.0, 1.0)

@@ -1,0 +1,91 @@
+"""HDR stack: Mertens fusion recovers detail from both exposure ends,
+Debevec calibration recovers a known response, tonemap sanity, device
+fusion matches the oracle."""
+
+import numpy as np
+import pytest
+
+from rustcv_tpu.ops import hdr
+
+
+def _radiance_scene(h=64, w=96):
+    """Ground-truth linear radiance with detail in shadows AND highlights."""
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = np.where(xs < w / 2, 0.02, 1.0)         # dark half / bright half
+    texture = 1.0 + 0.4 * np.sin(xs * 1.1) * np.cos(ys * 0.9)
+    rad = base * texture
+    return np.stack([rad, rad * 0.8, rad * 1.2], axis=-1)  # BGR-ish
+
+
+def _expose(rad, t):
+    """Linear exposure + clipping camera (identity response)."""
+    return np.clip(rad * t * 255.0, 0, 255).astype(np.uint8)
+
+
+class TestMertens:
+    def test_recovers_both_ends(self):
+        rad = _radiance_scene()
+        stack = [_expose(rad, t) for t in (0.25, 1.0, 8.0)]
+        fused = hdr.merge_mertens_numpy(stack)
+        assert fused.shape == rad.shape and fused.dtype == np.float32
+        assert fused.min() >= 0.0 and fused.max() <= 1.0
+        gray = fused.mean(axis=-1)
+        dark = gray[8:-8, 8:44]
+        bright = gray[8:-8, 52:-8]
+        # texture survives in BOTH halves: the short exposure saturates
+        # the bright half, the long exposure crushes the dark half —
+        # fusion must beat the best single exposure in each region
+        singles = [np.asarray(s, np.float64).mean(-1) / 255.0
+                   for s in stack]
+        assert dark.std() > 0.8 * max(s[8:-8, 8:44].std() for s in singles)
+        assert bright.std() > 0.8 * max(s[8:-8, 52:-8].std()
+                                        for s in singles)
+
+    def test_identical_stack_is_identity_like(self):
+        img = np.tile(np.linspace(40, 200, 96).astype(np.uint8),
+                      (64, 1))[..., None].repeat(3, -1)
+        fused = hdr.merge_mertens_numpy([img, img, img])
+        assert np.abs(fused * 255.0 - img).mean() < 3.0
+
+    def test_device_matches_oracle(self, jax_cpu):
+        import jax.numpy as jnp
+
+        rad = _radiance_scene()
+        stack = [_expose(rad, t) for t in (0.25, 1.0, 8.0)]
+        g = hdr.merge_mertens_numpy(stack)
+        d = np.asarray(hdr.merge_mertens(jnp.asarray(np.stack(stack))))
+        np.testing.assert_allclose(d, g, atol=2e-3)
+
+
+class TestDebevec:
+    def test_recovers_linear_response_and_radiance(self):
+        rad = _radiance_scene()
+        times = [0.125, 0.5, 2.0, 8.0]
+        stack = [_expose(rad, t) for t in times]
+        resp = hdr.calibrate_debevec(stack, times)
+        # identity camera → g(z) ≈ ln(z/255·k): check monotonic + log-linear
+        z = np.arange(30, 220)
+        for c in range(3):
+            g = resp[c]
+            assert np.all(np.diff(g[30:220]) > -1e-6)
+            fit = np.polyfit(np.log(z / 255.0), g[z], 1)
+            assert abs(fit[0] - 1.0) < 0.15  # slope ~1 in log space
+        merged = hdr.merge_debevec_numpy(stack, times, resp)
+        # radiance ratios recovered (scale-free): bright/dark ≈ 50
+        ratio = np.median(merged[8:-8, 52:-8, 0]) / np.median(
+            merged[8:-8, 8:44, 0])
+        true_ratio = np.median(rad[8:-8, 52:-8, 0]) / np.median(
+            rad[8:-8, 8:44, 0])
+        assert abs(np.log(ratio / true_ratio)) < 0.25
+
+
+class TestTonemap:
+    def test_reinhard_compresses_range(self):
+        rad = _radiance_scene() * 10.0
+        out = hdr.tonemap_reinhard_numpy(rad)
+        assert out.dtype == np.uint8 and out.shape == rad.shape
+        gray = out.mean(-1)
+        # both halves visible (not crushed/saturated)
+        assert 5 < gray[8:-8, 8:44].mean() < 250
+        assert 5 < gray[8:-8, 52:-8].mean() < 250
+        assert gray[8:-8, 52:-8].mean() > gray[8:-8, 8:44].mean()
