@@ -1156,6 +1156,69 @@ def dilate(mat: Mat, ksize: int = 3) -> Mat:
     return _apply(mat, lambda d: _filters.dilate_u8(d, ksize), lambda h: golden.dilate(h, ksize))
 
 
+def edge_preserving_filter(mat: Mat, sigma_s: float = 60.0,
+                           sigma_r: float = 0.4) -> Mat:
+    """Domain-transform recursive edge-preserving smoothing (OpenCV
+    ``edgePreservingFilter`` role) — lax.scan recursion on device
+    (ops/dtfilter.py)."""
+    return _photo_op(mat, "edge_preserving_filter", sigma_s, sigma_r)
+
+
+def detail_enhance(mat: Mat, sigma_s: float = 10.0,
+                   sigma_r: float = 0.15) -> Mat:
+    """OpenCV ``detailEnhance`` role: DT base + 3x detail."""
+    return _photo_op(mat, "detail_enhance", sigma_s, sigma_r)
+
+
+def stylization(mat: Mat, sigma_s: float = 60.0,
+                sigma_r: float = 0.45) -> Mat:
+    """OpenCV ``stylization`` role: DT-flattened regions + dark edges."""
+    return _photo_op(mat, "stylization", sigma_s, sigma_r)
+
+
+def pencil_sketch(mat: Mat, sigma_s: float = 60.0, sigma_r: float = 2.0,
+                  shade_factor: float = 0.05):
+    """OpenCV ``pencilSketch`` role → (gray sketch Mat, color Mat)."""
+    import numpy as np
+
+    from ..ops import dtfilter as _dt
+
+    a = mat.device() if mat.is_on_device else mat.to_numpy()
+    if a.ndim == 2:
+        a = a[..., None]
+    if a.shape[-1] == 1:
+        import numpy as _np
+        rep = (a if isinstance(a, _np.ndarray) else a)
+        a = _np.repeat(_np.asarray(rep), 3, -1) if isinstance(rep, _np.ndarray) else None
+        if a is None:
+            import jax.numpy as jnp
+            a = jnp.repeat(rep, 3, -1)
+    sk, co = _dt.pencil_sketch(a, sigma_s, sigma_r, shade_factor)
+    mk = Mat.from_device if mat.is_on_device else (
+        lambda x: Mat.from_array(np.asarray(x)))
+    return mk(sk[..., None] if np.asarray(sk).ndim == 2 else sk), mk(co)
+
+
+def _photo_op(mat: Mat, name: str, sigma_s: float, sigma_r: float) -> Mat:
+    import numpy as np
+
+    from ..ops import dtfilter as _dt
+
+    a = mat.device() if mat.is_on_device else mat.to_numpy()
+    squeeze = a.ndim == 3 and a.shape[-1] == 1
+    if squeeze:
+        if isinstance(a, np.ndarray):
+            a = np.repeat(a, 3, -1)
+        else:
+            import jax.numpy as jnp
+            a = jnp.repeat(a, 3, -1)
+    out = getattr(_dt, name)(a, sigma_s, sigma_r)
+    if squeeze:
+        out = out[..., :1]
+    return Mat.from_device(out) if mat.is_on_device else Mat.from_array(
+        np.asarray(out))
+
+
 def merge_mertens(mats):
     """Exposure fusion (OpenCV ``MergeMertens`` role): u8 BGR exposure
     stack → float32 [0,1] fused image. One jitted pyramid program for
@@ -1352,6 +1415,8 @@ __all__ = [
     "stereo_bm", "stereo_sgbm", "threshold",
     "fast_nl_means_denoising", "fast_nl_means_denoising_colored",
     "inpaint", "seamless_clone", "merge_mertens",
+    "edge_preserving_filter", "detail_enhance", "stylization",
+    "pencil_sketch",
     "warp_affine", "watershed",
 ]
 
