@@ -1156,6 +1156,26 @@ def dilate(mat: Mat, ksize: int = 3) -> Mat:
     return _apply(mat, lambda d: _filters.dilate_u8(d, ksize), lambda h: golden.dilate(h, ksize))
 
 
+def pyr_mean_shift_filtering(mat: Mat, sp: int = 10, sr: float = 25.0,
+                             max_level: int = 1,
+                             max_iter: int = 5) -> Mat:
+    """Mean-shift posterization (OpenCV ``pyrMeanShiftFiltering`` role):
+    per-pixel joint spatial-color mode seeking over a decimation
+    pyramid (ops/meanshift_filter.py; gather-per-offset device twin for
+    device-resident Mats)."""
+    import numpy as np
+
+    from ..ops import meanshift_filter as _msf
+
+    if mat.is_on_device:
+        return Mat.from_device(_msf.pyr_mean_shift(
+            mat.device(), sp=sp, sr=float(sr), max_level=max_level,
+            max_iter=max_iter))
+    return Mat.from_array(_msf.pyr_mean_shift_numpy(
+        mat.to_numpy(), sp=sp, sr=float(sr), max_level=max_level,
+        max_iter=max_iter))
+
+
 def edge_preserving_filter(mat: Mat, sigma_s: float = 60.0,
                            sigma_r: float = 0.4) -> Mat:
     """Domain-transform recursive edge-preserving smoothing (OpenCV
@@ -1415,6 +1435,7 @@ __all__ = [
     "stereo_bm", "stereo_sgbm", "threshold",
     "fast_nl_means_denoising", "fast_nl_means_denoising_colored",
     "inpaint", "seamless_clone", "merge_mertens",
+    "pyr_mean_shift_filtering",
     "edge_preserving_filter", "detail_enhance", "stylization",
     "pencil_sketch",
     "warp_affine", "watershed",
