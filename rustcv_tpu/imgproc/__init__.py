@@ -1239,6 +1239,19 @@ def _photo_op(mat: Mat, name: str, sigma_s: float, sigma_r: float) -> Mat:
         np.asarray(out))
 
 
+def align_mtb(mats, max_bits: int = 6):
+    """Median-threshold-bitmap exposure alignment (OpenCV ``AlignMTB``
+    role): translation-register a u8 stack to its first image
+    (exposure-invariant; ops/hdr.py). Returns aligned Mats."""
+    import numpy as np
+
+    from ..ops import hdr as _hdr
+
+    arrays = [m.to_numpy() if hasattr(m, "to_numpy") else np.asarray(m)
+              for m in mats]
+    return [Mat.from_array(a) for a in _hdr.align_mtb(arrays, max_bits)]
+
+
 def merge_mertens(mats):
     """Exposure fusion (OpenCV ``MergeMertens`` role): u8 BGR exposure
     stack → float32 [0,1] fused image. One jitted pyramid program for
@@ -1434,7 +1447,7 @@ __all__ = [
     "rectangle", "remap", "resize", "rotate", "scharr", "sobel_magnitude",
     "stereo_bm", "stereo_sgbm", "threshold",
     "fast_nl_means_denoising", "fast_nl_means_denoising_colored",
-    "inpaint", "seamless_clone", "merge_mertens",
+    "inpaint", "seamless_clone", "merge_mertens", "align_mtb",
     "pyr_mean_shift_filtering",
     "edge_preserving_filter", "detail_enhance", "stylization",
     "pencil_sketch",

@@ -254,3 +254,74 @@ def merge_mertens(stack: jax.Array) -> jax.Array:
     for lv in range(n_lvl - 2, -1, -1):
         out = _up_j(out, acc[lv].shape[:2]) + acc[lv]
     return jnp.clip(out, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# AlignMTB (median-threshold-bitmap exposure alignment)
+# ---------------------------------------------------------------------------
+
+def _mtb(gray: np.ndarray):
+    """Median-threshold bitmap + exclusion mask (±4 around the median)."""
+    med = np.median(gray)
+    return gray > med, np.abs(gray.astype(np.int32) - med) > 4
+
+
+def _shift2d(a: np.ndarray, dy: int, dx: int) -> np.ndarray:
+    out = np.zeros_like(a)
+    ys = slice(max(dy, 0), a.shape[0] + min(dy, 0))
+    xs = slice(max(dx, 0), a.shape[1] + min(dx, 0))
+    out[ys, xs] = a[slice(max(-dy, 0), a.shape[0] + min(-dy, 0)),
+                    slice(max(-dx, 0), a.shape[1] + min(-dx, 0))]
+    return out
+
+
+def align_mtb_shift(ref_gray: np.ndarray, img_gray: np.ndarray,
+                    max_bits: int = 6):
+    """Translation (dy, dx) aligning ``img`` onto ``ref`` (OpenCV
+    ``AlignMTB.calculateShift`` role). Frozen spec: per pyramid level
+    (coarse→fine, ``[::2]`` decimation), try the 9 one-pixel offsets of
+    2× the coarser shift; score = XOR of median-threshold bitmaps under
+    both exclusion masks; smallest error wins (ties → scan order)."""
+    ref = np.asarray(ref_gray, np.float64)
+    img = np.asarray(img_gray, np.float64)
+    levels = min(max_bits, int(np.floor(np.log2(min(ref.shape)))) - 3)
+    refs, imgs = [ref], [img]
+    for _ in range(max(levels - 1, 0)):
+        refs.append(refs[-1][::2, ::2])
+        imgs.append(imgs[-1][::2, ::2])
+    dy = dx = 0
+    for lv in range(len(refs) - 1, -1, -1):
+        dy *= 2
+        dx *= 2
+        rb, rm = _mtb(refs[lv])
+        ib, im = _mtb(imgs[lv])
+        best = None
+        for oy in (-1, 0, 1):
+            for ox in (-1, 0, 1):
+                ty, tx = dy + oy, dx + ox
+                sb = _shift2d(ib, ty, tx)
+                sm = _shift2d(im, ty, tx)
+                err = int(((rb ^ sb) & rm & sm).sum())
+                if best is None or err < best[0]:
+                    best = (err, ty, tx)
+        _, dy, dx = best
+    return dy, dx
+
+
+def align_mtb(images, max_bits: int = 6):
+    """Align a u8 BGR exposure stack to its first image by MTB
+    translation (OpenCV ``AlignMTB.process`` role) → list of shifted
+    copies (zero-filled borders)."""
+    imgs = [np.asarray(im) for im in images]
+    ref = imgs[0].mean(axis=-1) if imgs[0].ndim == 3 else imgs[0]
+    out = [imgs[0].copy()]
+    for im in imgs[1:]:
+        g = im.mean(axis=-1) if im.ndim == 3 else im
+        dy, dx = align_mtb_shift(ref, g, max_bits)
+        if im.ndim == 3:
+            shifted = np.stack([_shift2d(im[..., c], dy, dx)
+                                for c in range(im.shape[-1])], axis=-1)
+        else:
+            shifted = _shift2d(im, dy, dx)
+        out.append(shifted)
+    return out

@@ -89,3 +89,42 @@ class TestTonemap:
         assert 5 < gray[8:-8, 8:44].mean() < 250
         assert 5 < gray[8:-8, 52:-8].mean() < 250
         assert gray[8:-8, 52:-8].mean() > gray[8:-8, 8:44].mean()
+
+
+class TestAlignMTB:
+    def test_recovers_known_shift(self):
+        rng = np.random.default_rng(4)
+        base = rng.integers(0, 256, (128, 160)).astype(np.uint8)
+        # smooth it so MTB bitmaps are meaningful
+        from rustcv_tpu.ops.sift import _blur
+
+        base = _blur(base.astype(np.float64), 2.0)
+        base = ((base - base.min()) / np.ptp(base) * 255).astype(np.uint8)
+        for true in [(3, -5), (-7, 2), (0, 0), (11, 9)]:
+            shifted = hdr._shift2d(base, *true)
+            dy, dx = hdr.align_mtb_shift(base, shifted)
+            # aligning the shifted image back onto base
+            assert (dy, dx) == (-true[0], -true[1])
+
+    def test_align_stack_under_exposure_change(self):
+        rng = np.random.default_rng(6)
+        from rustcv_tpu.ops.sift import _blur
+
+        base = _blur(rng.integers(0, 256, (96, 128)).astype(np.float64),
+                     2.0)
+        base = ((base - base.min()) / np.ptp(base) * 255)
+        bright = np.clip(base * 1.8, 0, 255).astype(np.uint8)
+        dark = np.clip(base * 0.5, 0, 255).astype(np.uint8)
+        moved = hdr._shift2d(dark, 4, -6)
+        stack3 = [np.stack([im] * 3, -1)
+                  for im in (bright.astype(np.uint8), moved)]
+        aligned = hdr.align_mtb(stack3)
+        # the second image came back into register (MTB is exposure-
+        # invariant: both threshold at their own medians)
+        sel = np.s_[12:-12, 12:-12]
+        before = np.abs(moved[sel].astype(int) * 2
+                        - bright[sel].astype(int) * 1)  # scale mismatch
+        realigned = aligned[1][..., 0][sel].astype(int)
+        target = dark[sel].astype(int)
+        assert np.abs(realigned - target).mean() < \
+            np.abs(moved[sel].astype(int) - target).mean()
