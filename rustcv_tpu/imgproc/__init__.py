@@ -1410,7 +1410,8 @@ __all__ = [
     "accumulate_weighted", "apply_color_map", "approx_poly_dp",
     "arc_length", "arrowed_line", "bounding_rect", "contour_area",
     "convex_hull", "convex_hull_indices", "convexity_defects",
-    "create_background_subtractor_mog2", "draw_contours", "ellipse",
+    "create_background_subtractor_mog2",
+    "create_background_subtractor_knn", "draw_contours", "ellipse",
     "fill_poly", "is_contour_convex", "min_area_rect",
     "min_enclosing_circle", "normalize", "point_polygon_test",
     "corner_sub_pix", "cvt_gray", "detect_blobs", "distance_transform",
@@ -1696,6 +1697,16 @@ from ..ops.shape import (  # noqa: E402  (re-exports)
     min_enclosing_circle,
     point_polygon_test,
 )
+
+
+def create_background_subtractor_knn(n_samples: int = 7, **kw):
+    """Per-pixel sample-consensus background model (OpenCV
+    ``createBackgroundSubtractorKNN`` role) — deterministic cyclic-slot
+    bank, all-elementwise device update (ops/knn_bgsub.py). ``kw``
+    forwards to KNNParams (dist2_threshold, k_nn, ...)."""
+    from ..ops.knn_bgsub import BackgroundSubtractorKNN
+
+    return BackgroundSubtractorKNN(n_samples=n_samples, **kw)
 
 
 def create_background_subtractor_mog2(k: int = 4, **kw):
