@@ -1421,6 +1421,7 @@ __all__ = [
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
     "sift_features", "match_descriptors_l2", "stitch_images",
     "hog_descriptor", "hog_detect_multi_scale",
+    "cascade_detect_multi_scale",
     "warp_polar", "linear_polar", "log_polar",
     "dct", "idct", "dft", "idft", "mul_spectrums", "get_optimal_dft_size",
     "calibrate_camera", "find_homography", "solve_pnp",
@@ -1590,6 +1591,25 @@ def stitch_images(mats, min_matches: int = 12):
 
     out = _stitch.stitch(arrays, min_matches=min_matches)
     return Mat.from_array(np.asarray(out) if out.ndim != 3 else out)
+
+
+def cascade_detect_multi_scale(mat: Mat, cascade_model,
+                               scale_step: float = 1.2,
+                               min_size: int = 0):
+    """Haar cascade detection (OpenCV ``CascadeClassifier
+    .detectMultiScale`` role) → (boxes [N,4] xywh, margins). Train or
+    load models with ops/cascade.py (train_cascade / Cascade.from_json);
+    device scorer for device-resident Mats — every Haar rect is four
+    shifted slices of the integral image over the whole window grid."""
+    import numpy as np
+
+    from ..ops import cascade as _casc
+
+    g = np.asarray(_gray_of_mat(mat))
+    return _casc.detect_multi_scale(g, cascade_model,
+                                    scale_step=scale_step,
+                                    min_size=min_size,
+                                    use_device=mat.is_on_device)
 
 
 def hog_descriptor(mat: Mat):
