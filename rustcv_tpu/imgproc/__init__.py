@@ -1156,6 +1156,59 @@ def dilate(mat: Mat, ksize: int = 3) -> Mat:
     return _apply(mat, lambda d: _filters.dilate_u8(d, ksize), lambda h: golden.dilate(h, ksize))
 
 
+def guided_filter(guide_mat: Mat, src_mat: Mat, radius: int = 8,
+                  eps: float = 1e-3) -> Mat:
+    """Guided filter (He et al.; OpenCV ximgproc ``guidedFilter`` role):
+    box-filter-only edge-preserving smoothing of ``src`` steered by a
+    gray ``guide`` (ops/dtfilter.py)."""
+    import numpy as np
+
+    from ..ops import dtfilter as _dt
+
+    g = _gray_of_mat(guide_mat)
+    s = src_mat.device() if src_mat.is_on_device else src_mat.to_numpy()
+    squeeze = s.ndim == 3 and s.shape[-1] == 1
+    out = _dt.guided_filter(g if guide_mat.is_on_device else np.asarray(g),
+                            s[..., 0] if squeeze else s, radius, eps)
+    if squeeze:
+        out = out[..., None]
+    return Mat.from_device(out) if src_mat.is_on_device else         Mat.from_array(np.asarray(out))
+
+
+def color_change(mat: Mat, mask, mul=(1.5, 1.0, 1.0)) -> Mat:
+    """Seamless per-channel gradient scaling (OpenCV ``colorChange``
+    role; ops/poisson.py)."""
+    import numpy as np
+
+    from ..ops import poisson as _poi
+
+    return Mat.from_array(_poi.color_change(mat.to_numpy(),
+                                            np.asarray(mask), mul))
+
+
+def illumination_change(mat: Mat, mask, alpha: float = 0.2,
+                        beta: float = 0.4) -> Mat:
+    """Seamless illumination attenuation (OpenCV ``illuminationChange``
+    role; ops/poisson.py)."""
+    import numpy as np
+
+    from ..ops import poisson as _poi
+
+    return Mat.from_array(_poi.illumination_change(
+        mat.to_numpy(), np.asarray(mask), alpha, beta))
+
+
+def texture_flattening(mat: Mat, mask, low_threshold: float = 30.0) -> Mat:
+    """Seamless texture removal keeping strong edges (OpenCV
+    ``textureFlattening`` role; ops/poisson.py)."""
+    import numpy as np
+
+    from ..ops import poisson as _poi
+
+    return Mat.from_array(_poi.texture_flattening(
+        mat.to_numpy(), np.asarray(mask), low_threshold))
+
+
 def pyr_mean_shift_filtering(mat: Mat, sp: int = 10, sr: float = 25.0,
                              max_level: int = 1,
                              max_iter: int = 5) -> Mat:
@@ -1450,7 +1503,8 @@ __all__ = [
     "stereo_bm", "stereo_sgbm", "threshold",
     "fast_nl_means_denoising", "fast_nl_means_denoising_colored",
     "inpaint", "seamless_clone", "merge_mertens", "align_mtb",
-    "pyr_mean_shift_filtering",
+    "pyr_mean_shift_filtering", "guided_filter",
+    "color_change", "illumination_change", "texture_flattening",
     "edge_preserving_filter", "detail_enhance", "stylization",
     "pencil_sketch",
     "warp_affine", "watershed",

@@ -209,3 +209,55 @@ def pencil_sketch(img, sigma_s: float = 60.0, sigma_r: float = 2.0,
                              * (src * (1 - shade_factor)
                                 + 255.0 * shade_factor) + 0.5), 0, 255)
     return sketch.astype(xp.uint8), color.astype(xp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Guided filter (He et al. 2010; OpenCV ximgproc.guidedFilter role)
+# ---------------------------------------------------------------------------
+# Frozen spec (f64 oracle): gray guide I, filter input p (any channels),
+# box means of radius r (replicate border):
+#   a = cov(I, p) / (var(I) + eps),  b = mean(p) − a·mean(I)
+#   q = mean(a)·I + mean(b)
+# Output dtype follows the input (u8 rounds half-up). Pure box filters +
+# elementwise — the most TPU-friendly edge-preserving filter there is.
+
+def _box_mean(a, r, xp):
+    n = (2 * r + 1)
+    pad = [(r, r), (r, r)] + [(0, 0)] * (a.ndim - 2)
+    p = xp.pad(a, pad, mode="edge")
+    out = sum(p[k:k + a.shape[0]] for k in range(n)) / n
+    p2 = xp.pad(out, [(0, 0), (r, r)] + [(0, 0)] * (a.ndim - 2),
+                mode="edge")
+    return sum(p2[:, k:k + a.shape[1]] for k in range(n)) / n
+
+
+def guided_filter(guide, src, radius: int = 8, eps: float = 1e-3):
+    """Edge-preserving smoothing of ``src`` steered by gray ``guide``
+    (both u8 or float; u8 scales to [0,1]). Works on numpy (f64 oracle)
+    or jax (f32 device) arrays."""
+    xp = np if isinstance(guide, np.ndarray) else jnp
+    dt = np.float64 if xp is np else jnp.float32
+    g = guide.astype(dt)
+    p = src.astype(dt)
+    was_u8 = src.dtype == np.uint8
+    if guide.dtype == np.uint8:
+        g = g / 255.0
+    if was_u8:
+        p = p / 255.0
+    if p.ndim == 3:
+        gg = g[..., None]
+    else:
+        gg = g
+    mean_i = _box_mean(g, radius, xp)
+    mean_p = _box_mean(p, radius, xp)
+    mean_ip = _box_mean((gg * p) if p.ndim == 3 else g * p, radius, xp)
+    mean_ii = _box_mean(g * g, radius, xp)
+    var_i = mean_ii - mean_i * mean_i
+    mi = mean_i[..., None] if p.ndim == 3 else mean_i
+    vi = var_i[..., None] if p.ndim == 3 else var_i
+    a = (mean_ip - mi * mean_p) / (vi + eps)
+    b = mean_p - a * mi
+    q = _box_mean(a, radius, xp) * gg + _box_mean(b, radius, xp)
+    if was_u8:
+        return xp.clip(xp.floor(q * 255.0 + 0.5), 0, 255).astype(xp.uint8)
+    return q

@@ -158,3 +158,88 @@ def seamless_clone(src, dst, mask, center, flags: int = NORMAL_CLONE,
     out = _clone_core(jnp.asarray(np.stack(grads), jnp.float32), d3,
                       jnp.asarray(hole), flags, max_iters)
     return out[..., 0] if single else out
+
+
+# ---------------------------------------------------------------------------
+# Poisson-editing extensions (OpenCV colorChange / illuminationChange /
+# textureFlattening roles) — same solver, modified guidance fields.
+# ---------------------------------------------------------------------------
+
+def _solve_with_grads(grads, dst, hole, max_iters, tol):
+    """Oracle Jacobi solve with explicit gradient canvases (f64)."""
+    d3 = dst.astype(np.float64)
+    rhs = _rhs(grads, d3, mixed=False)
+    hm = hole[..., None]
+    f = d3.copy()
+    for _ in range(max_iters):
+        p = np.pad(f, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        nsum = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]
+        new = np.where(hm, (nsum + rhs) / 4.0, d3)
+        delta = np.abs(new - f)[hole].max() if hole.any() else 0.0
+        f = new
+        if delta < tol:
+            break
+    return np.clip(np.floor(f + 0.5), 0, 255).astype(np.uint8)
+
+
+def _self_grads(img3: np.ndarray):
+    """Gradient canvases of the image itself (full-canvas patch)."""
+    return _patch_grads(img3.astype(np.float64))
+
+
+def color_change(img: np.ndarray, mask: np.ndarray, mul=(1.5, 1.0, 1.0),
+                 max_iters: int = 4000, tol: float = 0.01) -> np.ndarray:
+    """OpenCV ``colorChange`` role: per-channel gradient scaling inside
+    the mask, seamlessly re-integrated. ``mul`` = BGR multipliers."""
+    img = np.asarray(img)
+    d3 = img[..., None] if img.ndim == 2 else img
+    hole = np.asarray(mask).astype(bool).copy()
+    hole[0, :] = hole[-1, :] = False
+    hole[:, 0] = hole[:, -1] = False
+    m = np.asarray(mul, np.float64).reshape(1, 1, -1)
+    grads = [g * m for g in _self_grads(d3)]
+    out = _solve_with_grads(grads, d3, hole, max_iters, tol)
+    return out[..., 0] if img.ndim == 2 else out
+
+
+def illumination_change(img: np.ndarray, mask: np.ndarray,
+                        alpha: float = 0.2, beta: float = 0.4,
+                        max_iters: int = 4000,
+                        tol: float = 0.01) -> np.ndarray:
+    """OpenCV ``illuminationChange`` role (Pérez §4.4): gradients scale
+    by ``(α_eff/|v|)^β`` with ``α_eff = alpha · mean|v|`` over the mask
+    — gradients above the (alpha-scaled) mask average compress,
+    flattening strong illumination; weak texture is gently lifted."""
+    img = np.asarray(img)
+    d3 = img[..., None] if img.ndim == 2 else img
+    hole = np.asarray(mask).astype(bool).copy()
+    hole[0, :] = hole[-1, :] = False
+    hole[:, 0] = hole[:, -1] = False
+    grads = []
+    for g in _self_grads(d3):
+        mag = np.abs(g).mean(axis=-1, keepdims=True)
+        a_eff = alpha * max(float(mag[hole].mean()), 1e-6)
+        scale = np.power(a_eff / np.maximum(mag, 1e-3), beta)
+        grads.append(g * scale)
+    out = _solve_with_grads(grads, d3, hole, max_iters, tol)
+    return out[..., 0] if img.ndim == 2 else out
+
+
+def texture_flattening(img: np.ndarray, mask: np.ndarray,
+                       low_threshold: float = 8.0,
+                       max_iters: int = 4000,
+                       tol: float = 0.01) -> np.ndarray:
+    """OpenCV ``textureFlattening`` role: only gradients with magnitude
+    ≥ ``low_threshold`` survive inside the mask (edge-only guidance —
+    Pérez §4.3's Canny variant with a plain magnitude gate, frozen)."""
+    img = np.asarray(img)
+    d3 = img[..., None] if img.ndim == 2 else img
+    hole = np.asarray(mask).astype(bool).copy()
+    hole[0, :] = hole[-1, :] = False
+    hole[:, 0] = hole[:, -1] = False
+    grads = []
+    for g in _self_grads(d3):
+        mag = np.abs(g).sum(axis=-1, keepdims=True)
+        grads.append(np.where(mag >= low_threshold, g, 0.0))
+    out = _solve_with_grads(grads, d3, hole, max_iters, tol)
+    return out[..., 0] if img.ndim == 2 else out

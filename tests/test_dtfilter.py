@@ -82,3 +82,36 @@ class TestDerivedOps:
         # device and host derived ops agree closely
         de_h = dtfilter.detail_enhance(img)
         assert np.abs(de.astype(int) - de_h.astype(int)).max() <= 2
+
+
+class TestGuidedFilter:
+    def test_edge_preserving_smoothing(self):
+        rng = np.random.default_rng(8)
+        img = np.full((48, 64), 60.0)
+        img[:, 32:] = 190.0
+        noisy = np.clip(img + rng.normal(0, 12, img.shape), 0,
+                        255).astype(np.uint8)
+        out = dtfilter.guided_filter(noisy, noisy, radius=6, eps=1e-2)
+        g = out.astype(float)
+        assert g[:, 6:26].std() < 0.5 * noisy[:, 6:26].astype(float).std()
+        jump = g[:, 38:-6].mean() - g[:, 6:26].mean()
+        assert jump > 0.8 * 130
+
+    def test_guide_steers_other_input(self):
+        # flat input filtered under an edgy guide stays flat
+        guide = np.zeros((32, 40), np.uint8)
+        guide[:, 20:] = 200
+        src = np.full((32, 40), 99, np.uint8)
+        out = dtfilter.guided_filter(guide, src, radius=4)
+        assert np.abs(out.astype(int) - 99).max() <= 1
+
+    def test_device_matches_oracle(self, jax_cpu):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+        src = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+        g = dtfilter.guided_filter(img, src, radius=5)
+        d = np.asarray(dtfilter.guided_filter(jnp.asarray(img),
+                                              jnp.asarray(src), radius=5))
+        assert np.abs(d.astype(int) - g.astype(int)).max() <= 1

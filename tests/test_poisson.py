@@ -94,3 +94,56 @@ class TestDeviceTwin:
                                            np.ones((16, 16), bool),
                                            (200, 200))
         np.testing.assert_array_equal(out, dst)
+
+
+class TestEditingExtensions:
+    def _scene(self):
+        """A Gaussian bump — NON-harmonic structure (a pure ramp has
+        zero divergence, so gradient scaling provably does nothing)."""
+        ys, xs = np.mgrid[0:48, 0:64].astype(np.float64)
+        bump = 90.0 * np.exp(-((ys - 24) ** 2 + (xs - 32) ** 2)
+                             / (2 * 6.0 ** 2))
+        img = np.stack([
+            np.clip(60 + bump, 0, 255),
+            np.clip(60 + 0.5 * bump, 0, 255),
+            np.full((48, 64), 120.0),
+        ], axis=-1).astype(np.uint8)
+        mask = np.zeros((48, 64), bool)
+        mask[8:40, 12:52] = True
+        return img, mask
+
+    def test_color_change_scales_channel(self):
+        img, mask = self._scene()
+        out = poisson.color_change(img, mask, mul=(1.8, 1.0, 1.0))
+        amp_in = img[24, 32, 0].astype(float) - 60.0
+        amp_out = out[24, 32, 0].astype(float) - 60.0
+        # B bump amplitude scales by ~mul (boundary pinned far away)
+        assert amp_out > 1.5 * amp_in
+        # untouched G bump stays put
+        assert abs(float(out[24, 32, 1]) - float(img[24, 32, 1])) <= 2
+        np.testing.assert_array_equal(out[~mask], img[~mask])
+
+    def test_illumination_change_compresses_gradients(self):
+        img, mask = self._scene()
+        out = poisson.illumination_change(img, mask, alpha=0.2, beta=0.6)
+        # the strong bump flattens: peak amplitude shrinks
+        amp_in = img[24, 32, 0].astype(float) - 60.0
+        amp_out = out[24, 32, 0].astype(float) - 60.0
+        assert amp_out < 0.8 * amp_in
+        np.testing.assert_array_equal(out[~mask], img[~mask])
+
+    def test_texture_flattening_kills_small_gradients(self):
+        rng = np.random.default_rng(3)
+        base = np.full((48, 64), 100.0)
+        base[:, 32:] = 200.0           # one strong edge
+        noisy = np.clip(base + rng.normal(0, 5, base.shape), 0,
+                        255).astype(np.uint8)
+        img = np.stack([noisy] * 3, -1)
+        mask = np.zeros((48, 64), bool)
+        mask[6:42, 6:58] = True
+        out = poisson.texture_flattening(img, mask, low_threshold=60.0)
+        g = out[..., 0].astype(float)
+        # texture noise flattened hard
+        assert g[10:38, 10:28].std() < 0.4 * noisy[10:38, 10:28].std()
+        # the strong edge survives
+        assert g[10:38, 40:56].mean() - g[10:38, 10:28].mean() > 60
