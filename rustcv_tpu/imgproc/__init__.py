@@ -1457,7 +1457,7 @@ __all__ = [
     "bitwise_or", "bitwise_xor", "convert_scale_abs", "count_non_zero",
     "mean_std_dev", "norm", "psnr", "subtract",
     "bilateral_filter", "box_blur", "calc_hist", "calc_hue_hist", "canny",
-    "calc_optical_flow_farneback",
+    "calc_optical_flow_farneback", "calc_optical_flow_dis",
     "calc_optical_flow_pyr_lk", "circle", "clahe", "compute_brief",
     "connected_components", "connected_components_with_stats",
     "accumulate_weighted", "apply_color_map", "approx_poly_dp",
@@ -1556,6 +1556,24 @@ def stereo_sgbm(left: Mat, right: Mat, num_disparities: int = 64,
         prefilter_cap=prefilter_cap,
     )
     return np.asarray(disp), np.asarray(valid)
+
+
+def calc_optical_flow_dis(prev: Mat, nxt: Mat, finest_scale: int = 1,
+                          iters: int = 8):
+    """DIS dense optical flow (OpenCV ``DISOpticalFlow`` role): patch
+    inverse search + inverse-residual densification over a pyramid —
+    vmapped shared-fraction patch solves on device (ops/disflow.py).
+    Returns float32 flow [H, W, 2] (u, v) with I1(x+u) ~= I0(x)."""
+    import numpy as np
+
+    from ..ops import disflow as _dis
+
+    g0 = _gray_of_mat(prev)
+    g1 = _gray_of_mat(nxt)
+    if prev.is_on_device:
+        return np.asarray(_dis.dis_flow(g0, g1, finest_scale, iters))
+    return _dis.dis_flow_numpy(np.asarray(g0), np.asarray(g1),
+                               finest_scale, iters)
 
 
 def calc_optical_flow_farneback(
