@@ -1479,6 +1479,8 @@ __all__ = [
     "dct", "idct", "dft", "idft", "mul_spectrums", "get_optimal_dft_size",
     "calibrate_camera", "find_homography", "solve_pnp",
     "solve_pnp_ransac", "stereo_rectify", "reproject_image_to_3d",
+    "fisheye_project_points", "fisheye_undistort_points",
+    "fisheye_init_undistort_rectify_map", "fisheye_undistort",
     "find_fundamental_mat", "compute_correspond_epilines",
     "triangulate_points",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
@@ -2006,6 +2008,10 @@ def psnr(a: Mat, b: Mat) -> float:
 # --- camera model (host tables + device remap, ops/calib.py) -------------
 from ..ops.calib import (  # noqa: E402  (re-exports)
     calibrate_camera,
+    fisheye_init_undistort_rectify_map,
+    fisheye_project_points,
+    fisheye_undistort,
+    fisheye_undistort_points,
     get_optimal_new_camera_matrix,
     init_undistort_rectify_map,
     project_points,

@@ -476,3 +476,91 @@ def reproject_image_to_3d(disparity: np.ndarray, q: np.ndarray) -> np.ndarray:
     w_ = out[..., 3:]
     w_ = np.where(np.abs(w_) < 1e-12, 1e-12, w_)
     return (out[..., :3] / w_).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Fisheye (equidistant) camera model — OpenCV ``cv::fisheye`` role
+# ---------------------------------------------------------------------------
+# Frozen spec (float64 host, same TPU split as the pinhole model above:
+# host table builds, device packed-quad remap):
+#   θ = atan(r), θ_d = θ·(1 + k1·θ² + k2·θ⁴ + k3·θ⁶ + k4·θ⁸)
+#   distorted normalized = (θ_d/r)·(x, y)   (r = √(x²+y²); r→0 ⇒ scale 1)
+#   pixel = K @ [xd, yd, 1]
+# Undistortion inverts θ_d → θ by 10 Newton iterations (the pinhole
+# model's fixed-iteration convention).
+
+def _fisheye_theta_d(theta: np.ndarray, dist) -> np.ndarray:
+    k1, k2, k3, k4 = (list(np.asarray(dist, np.float64).reshape(-1))
+                      + [0.0] * 4)[:4]
+    t2 = theta * theta
+    return theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+
+
+def fisheye_project_points(obj_pts, rvec, tvec, K, dist) -> np.ndarray:
+    """3D points (N, 3) → fisheye pixels (N, 2)."""
+    obj = np.asarray(obj_pts, np.float64).reshape(-1, 3)
+    R = rodrigues(np.asarray(rvec, np.float64))
+    cam = obj @ R.T + np.asarray(tvec, np.float64).reshape(3)
+    x = cam[:, 0] / cam[:, 2]
+    y = cam[:, 1] / cam[:, 2]
+    r = np.sqrt(x * x + y * y)
+    theta = np.arctan(r)
+    td = _fisheye_theta_d(theta, dist)
+    scale = np.where(r > 1e-12, td / np.maximum(r, 1e-12), 1.0)
+    K = np.asarray(K, np.float64)
+    xd = x * scale
+    yd = y * scale
+    return np.stack([K[0, 0] * xd + K[0, 2], K[1, 1] * yd + K[1, 2]],
+                    axis=1)
+
+
+def fisheye_undistort_points(pts, K, dist, iterations: int = 10):
+    """Fisheye pixels (N, 2) → undistorted NORMALIZED points (N, 2)
+    (multiply by K to get pinhole pixels)."""
+    K = np.asarray(K, np.float64)
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    xd = (p[:, 0] - K[0, 2]) / K[0, 0]
+    yd = (p[:, 1] - K[1, 2]) / K[1, 1]
+    td = np.sqrt(xd * xd + yd * yd)
+    theta = td.copy()
+    for _ in range(iterations):
+        f = _fisheye_theta_d(theta, dist) - td
+        eps = 1e-7
+        df = (_fisheye_theta_d(theta + eps, dist)
+              - _fisheye_theta_d(theta - eps, dist)) / (2 * eps)
+        theta = theta - f / np.maximum(df, 1e-9)
+    r = np.tan(theta)
+    scale = np.where(td > 1e-12, r / np.maximum(td, 1e-12), 1.0)
+    return np.stack([xd * scale, yd * scale], axis=1)
+
+
+def fisheye_init_undistort_rectify_map(K, dist, new_K, size):
+    """(map_x, map_y) float32 for the device remap: for each output
+    pixel of the ``new_K`` pinhole view, the fisheye source pixel."""
+    w, h = size
+    K = np.asarray(K, np.float64)
+    nK = np.asarray(new_K if new_K is not None else K, np.float64)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    x = (xs - nK[0, 2]) / nK[0, 0]
+    y = (ys - nK[1, 2]) / nK[1, 1]
+    r = np.sqrt(x * x + y * y)
+    theta = np.arctan(r)
+    td = _fisheye_theta_d(theta, dist)
+    scale = np.where(r > 1e-12, td / np.maximum(r, 1e-12), 1.0)
+    mx = K[0, 0] * x * scale + K[0, 2]
+    my = K[1, 1] * y * scale + K[1, 2]
+    return mx.astype(np.float32), my.astype(np.float32)
+
+
+def fisheye_undistort(img, K, dist, new_K=None):
+    """Undistort a fisheye u8 image via the packed-quad device remap
+    (jax input) or the remap oracle (numpy input)."""
+    from . import warp as _warp
+
+    h, w = img.shape[:2]
+    mx, my = fisheye_init_undistort_rectify_map(K, dist, new_K, (w, h))
+    if isinstance(img, np.ndarray):
+        return _warp.remap_numpy(img, mx, my, "constant")
+    import jax.numpy as jnp
+
+    return _warp.remap(img, jnp.asarray(mx), jnp.asarray(my), "constant")

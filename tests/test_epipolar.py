@@ -137,3 +137,48 @@ class TestRectify:
         w = 2.0 * disp
         np.testing.assert_allclose(out[..., 0], (xs - 320) / w, rtol=1e-6)
         np.testing.assert_allclose(out[..., 2], 500.0 / w, rtol=1e-6)
+
+
+class TestFisheye:
+    K = np.array([[300.0, 0, 320], [0, 300.0, 240], [0, 0, 1]])
+    D = (0.05, -0.01, 0.003, -0.001)
+
+    def test_project_undistort_roundtrip(self):
+        rng = np.random.default_rng(4)
+        pts3 = np.column_stack([rng.uniform(-1.5, 1.5, 50),
+                                rng.uniform(-1.0, 1.0, 50),
+                                rng.uniform(2.0, 6.0, 50)])
+        px = calib.fisheye_project_points(pts3, np.zeros(3), np.zeros(3),
+                                          self.K, self.D)
+        und = calib.fisheye_undistort_points(px, self.K, self.D)
+        # undistorted normalized == pinhole normalized of the 3D points
+        want = pts3[:, :2] / pts3[:, 2:]
+        np.testing.assert_allclose(und, want, atol=1e-9)
+
+    def test_distortion_pulls_inward(self):
+        # equidistant projection compresses off-axis points vs pinhole
+        p = calib.fisheye_project_points(np.array([[1.2, 0.0, 2.0]]),
+                                         np.zeros(3), np.zeros(3),
+                                         self.K, (0, 0, 0, 0))
+        pinhole = 300.0 * 0.6 + 320
+        assert p[0, 0] < pinhole and p[0, 0] > 320
+
+    def test_undistort_image_straightens(self):
+        # a vertical line of 3D points projects curved through the
+        # fisheye; after undistortion with new_K = K it is straight
+        ys = np.linspace(-1.0, 1.0, 9)
+        pts3 = np.column_stack([np.full(9, 0.9), ys, np.full(9, 2.0)])
+        px = calib.fisheye_project_points(pts3, np.zeros(3), np.zeros(3),
+                                          self.K, self.D)
+        assert np.ptp(px[:, 0]) > 2.0  # curved in the fisheye image
+        und = calib.fisheye_undistort_points(px, self.K, self.D)
+        upx = und * [self.K[0, 0], self.K[1, 1]] + [self.K[0, 2],
+                                                    self.K[1, 2]]
+        assert np.ptp(upx[:, 0]) < 1e-6  # straight after undistortion
+
+    def test_image_undistort_runs(self):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (120, 160, 3)).astype(np.uint8)
+        K = np.array([[80.0, 0, 80], [0, 80.0, 60], [0, 0, 1]])
+        out = calib.fisheye_undistort(img, K, self.D)
+        assert out.shape == img.shape and out.dtype == np.uint8
