@@ -1474,7 +1474,7 @@ __all__ = [
     "estimate_affine_2d", "estimate_affine_partial_2d", "fast_corners",
     "sift_features", "match_descriptors_l2", "stitch_images",
     "hog_descriptor", "hog_detect_multi_scale",
-    "cascade_detect_multi_scale",
+    "cascade_detect_multi_scale", "detect_aruco_markers",
     "warp_polar", "linear_polar", "log_polar",
     "dct", "idct", "dft", "idft", "mul_spectrums", "get_optimal_dft_size",
     "calibrate_camera", "find_homography", "solve_pnp",
@@ -1665,6 +1665,20 @@ def stitch_images(mats, min_matches: int = 12):
 
     out = _stitch.stitch(arrays, min_matches=min_matches)
     return Mat.from_array(np.asarray(out) if out.ndim != 3 else out)
+
+
+def detect_aruco_markers(mat: Mat, dictionary, thresh=None):
+    """Fiducial marker detection (OpenCV ``aruco.detectMarkers`` role):
+    → (corners list [4,2] CW from canonical top-left, ids int32 [N]).
+    Build dictionaries with ops/aruco.Dictionary.generate (self-
+    generated codes — no OpenCV data); draw with ops/aruco.draw_marker;
+    pose via ops/aruco.estimate_pose_single_markers."""
+    import numpy as np
+
+    from ..ops import aruco as _aruco
+
+    g = np.asarray(_gray_of_mat(mat))
+    return _aruco.detect_markers(g, dictionary, thresh=thresh)
 
 
 def cascade_detect_multi_scale(mat: Mat, cascade_model,
