@@ -1475,6 +1475,7 @@ __all__ = [
     "sift_features", "match_descriptors_l2", "stitch_images",
     "hog_descriptor", "hog_detect_multi_scale",
     "cascade_detect_multi_scale", "detect_aruco_markers",
+    "qr_detect_and_decode",
     "warp_polar", "linear_polar", "log_polar",
     "dct", "idct", "dft", "idft", "mul_spectrums", "get_optimal_dft_size",
     "calibrate_camera", "find_homography", "solve_pnp",
@@ -1665,6 +1666,19 @@ def stitch_images(mats, min_matches: int = 12):
 
     out = _stitch.stitch(arrays, min_matches=min_matches)
     return Mat.from_array(np.asarray(out) if out.ndim != 3 else out)
+
+
+def qr_detect_and_decode(mat: Mat, thresh=None):
+    """QR detection + decode (OpenCV ``QRCodeDetector.detectAndDecode``
+    role): model-2 versions 1-4, byte mode, all ECC levels/masks, with
+    full Reed-Solomon correction → (text or None, corners or None).
+    Generate codes with ops/qr.encode + ops/qr.draw (ops/qr.py)."""
+    import numpy as np
+
+    from ..ops import qr as _qr
+
+    g = np.asarray(_gray_of_mat(mat))
+    return _qr.detect_and_decode(g, thresh=thresh)
 
 
 def detect_aruco_markers(mat: Mat, dictionary, thresh=None):
