@@ -122,6 +122,15 @@ class TestExamples:
         assert "batched mode" in out and "independent mode" in out
 
 
+def test_fiducials_example(jax_cpu, capsys):
+    from examples.fiducials import main
+
+    assert main() == 0
+    out = capsys.readouterr().out
+    assert "aruco: detected ids [3, 7, 12]" in out
+    assert "fiducial demo" in out
+
+
 def test_panorama_example(jax_cpu, capsys):
     from examples.panorama import main
 
