@@ -305,11 +305,17 @@ def resize(mat: Mat, width: int, height: int, interpolation: str = "bilinear") -
     )
 
 
-def gaussian_blur(mat: Mat) -> Mat:
-    """5×5 Gaussian, replicate border (golden.gaussian5_u8)."""
+def gaussian_blur(mat: Mat, ksize: int = 5, sigma: float = -1.0) -> Mat:
+    """Gaussian blur, replicate border. The default 5×5 runs the frozen
+    integer spec (golden.gaussian5_u8); other ``ksize``/``sigma`` route
+    through get_gaussian_kernel + sep_filter_2d (float-kernel path,
+    ±1 LSB)."""
     from ..ops import filters as _filters
 
-    return _apply(mat, _filters.gaussian5_u8, golden.gaussian5_u8)
+    if ksize == 5 and sigma < 0:
+        return _apply(mat, _filters.gaussian5_u8, golden.gaussian5_u8)
+    k = get_gaussian_kernel(ksize, sigma)
+    return sep_filter_2d(mat, k, k)
 
 
 def adaptive_threshold(mat: Mat, maxval: int = 255, method: str = "mean",
@@ -1062,6 +1068,22 @@ def min_max_loc(resp):
     return _mml(resp)
 
 
+def sobel(mat: Mat, dx: int = 1, dy: int = 0, ksize: int = 3):
+    """Directional derivative (OpenCV ``Sobel`` role, CV_32S-style
+    SIGNED output): gray (BGR converts via exact luma) → int32 ndarray
+    [H, W]. Exact integer separable kernels from getDerivKernels
+    construction (ops/filters.sobel_xy; host oracle int64-exact)."""
+    import numpy as np
+
+    from ..ops import filters as _filters
+
+    g = _gray_of_mat(mat)
+    if mat.is_on_device:
+        return np.asarray(_filters.sobel_xy(g, dx, dy, ksize))
+    return _filters.sobel_xy_numpy(np.asarray(g), dx, dy,
+                                   ksize).astype(np.int32)
+
+
 def sobel_magnitude(mat: Mat) -> Mat:
     """gray(BGR input ok) → Sobel → exact |∇| u8."""
     from ..ops import filters as _filters
@@ -1502,7 +1524,8 @@ __all__ = [
     "harris_corners", "in_range", "laplacian", "match_template",
     "median_blur", "min_max_loc", "orb_features", "phase_correlate",
     "pyr_up", "moments", "pyr_down", "put_text",
-    "rectangle", "remap", "resize", "rotate", "scharr", "sobel_magnitude",
+    "rectangle", "remap", "resize", "rotate", "scharr", "sobel",
+    "sobel_magnitude",
     "stereo_bm", "stereo_sgbm", "threshold",
     "fast_nl_means_denoising", "fast_nl_means_denoising_colored",
     "inpaint", "seamless_clone", "merge_mertens", "align_mtb",

@@ -582,3 +582,63 @@ def _morph_kernel_jit(kbytes: bytes, kshape, op: str):
         return _masked_window_reduce(img, k, fn)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Generic directional derivatives (OpenCV ``Sobel``/``getDerivKernels``)
+# ---------------------------------------------------------------------------
+
+def deriv_kernels(dx: int, dy: int, ksize: int):
+    """Integer separable Sobel kernels (kx, ky) for derivative orders
+    (dx, dy), odd ``ksize`` ≥ 3 (OpenCV ``getDerivKernels`` role):
+    binomial smoothing row convolved ``order`` times with [-1, 0, 1]
+    (each derivative application keeps length by using the [1, 1]
+    pascal step then differencing — the classic Sobel construction:
+    ksize 3, order 1 → [-1, 0, 1]; order 0 → [1, 2, 1])."""
+    if ksize % 2 == 0 or ksize < 3:
+        raise ValueError("ksize must be odd and >= 3")
+    if dx + dy < 1 or dx > 2 or dy > 2:
+        raise ValueError("derivative orders must satisfy 1 <= dx+dy, <= 2 each")
+
+    def kernel(order: int):
+        # binomial smoothing (ksize-1-order steps of ⊛[1,1]) then the
+        # derivative (order steps of ⊛[-1,1]) — lengths add to ksize;
+        # ksize 3: order 0 → [1,2,1], order 1 → [-1,0,1], 2 → [1,-2,1]
+        k = np.array([1.0])
+        for _ in range(ksize - 1 - order):
+            k = np.convolve(k, [1.0, 1.0])
+        for _ in range(order):
+            k = np.convolve(k, [-1.0, 1.0])
+        return k.astype(np.int64)
+
+    return kernel(dx), kernel(dy)
+
+
+def sobel_xy_numpy(gray: np.ndarray, dx: int, dy: int,
+                   ksize: int = 3) -> np.ndarray:
+    """Oracle — exact int64 separable application, replicate border."""
+    kx, ky = deriv_kernels(dx, dy, ksize)
+    a = np.asarray(gray, np.int64)
+    r = ksize // 2
+    p = np.pad(a, ((0, 0), (r, r)), mode="edge")
+    out = np.zeros_like(a)
+    for k, w in enumerate(kx):            # correlation (OpenCV filter2D)
+        if w:
+            out += w * p[:, k:k + a.shape[1]]
+    p = np.pad(out, ((r, r), (0, 0)), mode="edge")
+    out2 = np.zeros_like(a)
+    for k, w in enumerate(ky):
+        if w:
+            out2 += w * p[k:k + a.shape[0], :]
+    return out2
+
+
+@partial(jax.jit, static_argnames=("dx", "dy", "ksize"))
+def sobel_xy(gray: jax.Array, dx: int, dy: int,
+             ksize: int = 3) -> jax.Array:
+    """Device twin — int32 exact (values bounded by 255·4^(ksize-1))."""
+    kx, ky = deriv_kernels(dx, dy, ksize)
+    r = ksize // 2
+    a = gray.astype(jnp.int32)
+    out = _taps(a, -1, tuple(int(w) for w in kx), r)
+    return _taps(out, -2, tuple(int(w) for w in ky), r)

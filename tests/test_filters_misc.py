@@ -136,3 +136,51 @@ class TestPyrUp:
         got = out.to_numpy()
         got = got[..., 0] if got.ndim == 3 else got
         assert np.array_equal(got, golden.pyr_up(img))
+
+
+class TestGenericSobel:
+    def test_kernels_match_opencv_construction(self):
+        from rustcv_tpu.ops import filters as F
+
+        kx, ky = F.deriv_kernels(1, 0, 3)
+        assert kx.tolist() == [-1, 0, 1] and ky.tolist() == [1, 2, 1]
+        kx, _ = F.deriv_kernels(2, 0, 3)
+        assert kx.tolist() == [1, -2, 1]
+        kx, ky = F.deriv_kernels(1, 0, 5)
+        assert kx.tolist() == [-1, -2, 0, 2, 1]
+        assert ky.tolist() == [1, 4, 6, 4, 1]
+
+    def test_ramp_derivatives(self):
+        from rustcv_tpu.ops import filters as F
+
+        ys, xs = np.mgrid[0:10, 0:14]
+        dx = F.sobel_xy_numpy((2 * xs).astype(np.uint8), 1, 0, 3)
+        assert set(np.unique(dx[:, 2:-2])) == {16}  # 2·2 × smooth-sum 4
+        dy = F.sobel_xy_numpy((3 * ys).astype(np.uint8), 0, 1, 3)
+        assert set(np.unique(dy[2:-2, :])) == {24}
+
+    def test_device_exact_all_orders(self, jax_cpu):
+        from rustcv_tpu.ops import filters as F
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (32, 40)).astype(np.uint8)
+        for dx, dy, k in [(1, 0, 3), (0, 1, 3), (1, 1, 3), (2, 0, 3),
+                          (1, 0, 5), (0, 2, 5), (1, 0, 7)]:
+            g = F.sobel_xy_numpy(img, dx, dy, k)
+            d = np.asarray(F.sobel_xy(img, dx, dy, k))
+            np.testing.assert_array_equal(g, d)
+
+    def test_facade_and_variable_gaussian(self, jax_cpu):
+        from rustcv_tpu.core.mat import Mat
+        from rustcv_tpu.imgproc import gaussian_blur, sobel
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (32, 40, 1)).astype(np.uint8)
+        out = sobel(Mat.from_array(img), 1, 0, 3)
+        assert out.dtype == np.int32 and out.shape == (32, 40)
+        b = gaussian_blur(Mat.from_array(img), ksize=9, sigma=2.0)
+        assert b.to_numpy().shape == img.shape
+        # bigger blur smooths more than the default 5x5
+        b5 = gaussian_blur(Mat.from_array(img))
+        assert b.to_numpy().astype(float).std() < \
+            b5.to_numpy().astype(float).std()
