@@ -194,6 +194,52 @@ def main(width: int = 160, height: int = 120) -> int:
     imgproc.put_text(canvas, "tour", Point(8, height - 8), 1.0, Scalar(255, 255, 0))
     ok("rectangle/line/circle/polylines/put_text")
 
+    # --- round-3 wing: stereo, photo, trackers, detection ----------------
+    lft = golden.bgr_to_gray(bgr)
+    rgt = np.roll(lft, 4, axis=1)
+    disp, valid = imgproc.stereo_sgbm(Mat.from_array(lft[..., None]),
+                                      Mat.from_array(rgt[..., None]),
+                                      num_disparities=16)
+    ok("stereo_sgbm", f"{valid.mean():.2f} valid")
+
+    den = imgproc.fast_nl_means_denoising(gray, 10.0, 5, 9)
+    ok("fast_nl_means_denoising", den.to_numpy().shape)
+
+    kp, desc = imgproc.sift_features(gray, n_features=25)
+    ok("sift_features", f"{len(kp)} kp")
+
+    flow = imgproc.calc_optical_flow_dis(gray, gray)
+    ok("calc_optical_flow_dis", f"|u|max {abs(flow).max():.2f}")
+
+    from rustcv_tpu.ops import aruco as _aruco
+    from rustcv_tpu.ops import qr as _qr
+
+    dic = _aruco.Dictionary.generate(8, 4, seed=7)
+    fid = np.full((height, width), 210, np.uint8)
+    fid[8:56, 8:56] = _aruco.draw_marker(dic, 3, 8)
+    _, ids = imgproc.detect_aruco_markers(Mat.from_array(fid[..., None]),
+                                          dic)
+    ok("detect_aruco_markers", f"ids {ids.tolist()}")
+
+    code = _qr.draw(_qr.encode("tour", 1, "L", 0), 4, 4)
+    qrc = np.full((code.shape[0] + 16, code.shape[1] + 16), 255, np.uint8)
+    qrc[8:8 + code.shape[0], 8:8 + code.shape[1]] = code
+    text, _ = imgproc.qr_detect_and_decode(Mat.from_array(qrc[..., None]))
+    ok("qr_detect_and_decode", repr(text))
+
+    from rustcv_tpu.ops.tracker import TrackerMOSSE
+
+    trk = TrackerMOSSE(backend="host")
+    trk.init(lft, (40, 30, 32, 32))
+    okk, box = trk.update(np.roll(lft, 2, axis=1))
+    ok("TrackerMOSSE", f"ok={okk}")
+
+    sk, col = imgproc.pencil_sketch(mat)
+    ok("pencil_sketch", sk.to_numpy().shape)
+
+    fused = imgproc.merge_mertens([mat, mat, mat])
+    ok("merge_mertens", fused.shape)
+
     print(f"vision tour: {steps} stages OK")
     return steps
 

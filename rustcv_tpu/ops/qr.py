@@ -523,7 +523,8 @@ def _finder_centers(dark: np.ndarray) -> np.ndarray:
 def detect_and_decode(img: np.ndarray,
                       thresh: Optional[float] = None):
     """u8 gray → (text or None, corners float32 [4, 2] or None)
-    (OpenCV ``QRCodeDetector.detectAndDecode`` role)."""
+    (OpenCV ``QRCodeDetector.detectAndDecode`` role). Modules should
+    span ≥ 4 px — the 3×3 denoising pre-smooth erodes thinner runs."""
     g = np.asarray(img)
     if g.ndim == 3:
         g = g[..., 0]
