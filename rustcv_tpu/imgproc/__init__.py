@@ -1506,6 +1506,9 @@ __all__ = [
     "fisheye_init_undistort_rectify_map", "fisheye_undistort",
     "find_fundamental_mat", "compute_correspond_epilines",
     "triangulate_points",
+    "find_essential_mat", "decompose_essential_mat", "recover_pose",
+    "correct_matches", "stereo_calibrate", "decompose_homography_mat",
+    "estimate_affine_3d",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "dilate_kernel", "erode_kernel", "filter2d", "fit_ellipse", "fit_line",
     "get_gaussian_kernel", "get_perspective_transform",
@@ -2070,12 +2073,19 @@ from ..ops.calib import (  # noqa: E402  (re-exports)
     rodrigues,
     solve_pnp,
     solve_pnp_ransac,
+    stereo_calibrate,
     stereo_rectify,
+    decompose_homography_mat,
+    estimate_affine_3d,
     undistort_points,
 )
 from ..ops.epipolar import (  # noqa: E402  (re-exports)
     compute_correspond_epilines,
+    correct_matches,
+    decompose_essential_mat,
+    find_essential_mat,
     find_fundamental_mat,
+    recover_pose,
     triangulate_points,
 )
 from ..ops.sift import match_descriptors_l2  # noqa: E402

@@ -167,45 +167,80 @@ def solve_pnp(
     iterations: int = 20,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pose from 3D↔2D correspondences (OpenCV ``solvePnP`` ITERATIVE
-    role): DLT initialization + Gauss-Newton refinement of (rvec, tvec)
-    minimizing reprojection error through the FULL distortion model
-    (numeric Jacobian — 6 params, deterministic). Needs ≥ 6 points in a
-    non-degenerate configuration. Returns (rvec (3,), tvec (3,))."""
+    role): DLT initialization (planar targets: homography init — the
+    12-dof DLT is rank-deficient on coplanar points, so a Zhang r1/r2
+    extraction in the plane's own frame is composed with the plane
+    basis, exactly OpenCV's ITERATIVE split) + Gauss-Newton refinement
+    of (rvec, tvec) minimizing reprojection error through the FULL
+    distortion model (numeric Jacobian — 6 params, deterministic).
+    Needs ≥ 6 points (≥ 4 when coplanar). Returns (rvec (3,),
+    tvec (3,))."""
     obj = np.asarray(obj_pts, np.float64).reshape(-1, 3)
     img = np.asarray(img_pts, np.float64).reshape(-1, 2)
     n = len(obj)
-    if n != len(img) or n < 6:
-        raise ValueError("solve_pnp needs >= 6 point correspondences")
+    if n != len(img) or n < 4:
+        raise ValueError("solve_pnp needs >= 4 point correspondences")
     K = np.asarray(K, np.float64)
-    # --- DLT init on UNDISTORTED normalized points ---------------------
     und = undistort_points(img, K, dist)
-    xn = (und[:, 0] - K[0, 2]) / K[0, 0]
-    yn = (und[:, 1] - K[1, 2]) / K[1, 1]
-    A = np.zeros((2 * n, 12))
-    for i in range(n):
-        X = np.append(obj[i], 1.0)
-        A[2 * i, 0:4] = X
-        A[2 * i, 8:12] = -xn[i] * X
-        A[2 * i + 1, 4:8] = X
-        A[2 * i + 1, 8:12] = -yn[i] * X
-    _, _, vt = np.linalg.svd(A)
-    P = vt[-1].reshape(3, 4)
-    R_raw = P[:, :3]
-    # orthogonalize + scale; fix sign so points sit in front (z > 0)
-    u, s, vtr = np.linalg.svd(R_raw)
-    R = u @ vtr
-    scale = s.mean()
-    if scale < 1e-12:
-        raise ValueError("degenerate point configuration")
-    t = P[:, 3] / scale
-    if np.linalg.det(R) < 0:
-        R, t = -R, -t
-    z = obj @ R.T + t
-    if np.median(z[:, 2]) < 0:
-        R = u @ np.diag([1.0, 1.0, -1.0]) @ vtr
+    centered = obj - obj.mean(axis=0)
+    _, sv, vtp = np.linalg.svd(centered)
+    planar = sv[2] < 1e-9 * max(sv[0], 1e-12)
+    if not planar and n < 6:
+        raise ValueError("solve_pnp needs >= 6 non-coplanar points")
+    if planar:
+        # --- homography init in the plane's frame -----------------------
+        from .geometry import _fit_homography
+
+        b1, b2 = vtp[0], vtp[1]
+        b3 = np.cross(b1, b2)
+        B = np.stack([b1, b2, b3], axis=1)          # plane basis, det +1
+        uv = centered @ np.stack([b1, b2], axis=1)  # (N, 2) plane coords
+        h = _fit_homography(uv, und)
+        if h is None:
+            raise ValueError("degenerate planar configuration")
+        Kinv = np.linalg.inv(K)
+        lam = 1.0 / max(np.linalg.norm(Kinv @ h[:, 0]), 1e-12)
+        r1 = lam * (Kinv @ h[:, 0])
+        r2 = lam * (Kinv @ h[:, 1])
+        tp = lam * (Kinv @ h[:, 2])
+        if tp[2] < 0:
+            r1, r2, tp = -r1, -r2, -tp
+        Rp = np.stack([r1, r2, np.cross(r1, r2)], axis=1)
+        u, _, vtr = np.linalg.svd(Rp)
+        Rp = u @ vtr
+        if np.linalg.det(Rp) < 0:
+            Rp = u @ np.diag([1.0, 1.0, -1.0]) @ vtr
+        R = Rp @ B.T
+        t = tp - R @ obj.mean(axis=0)
+    else:
+        # --- DLT init on UNDISTORTED normalized points ------------------
+        xn = (und[:, 0] - K[0, 2]) / K[0, 0]
+        yn = (und[:, 1] - K[1, 2]) / K[1, 1]
+        A = np.zeros((2 * n, 12))
+        for i in range(n):
+            X = np.append(obj[i], 1.0)
+            A[2 * i, 0:4] = X
+            A[2 * i, 8:12] = -xn[i] * X
+            A[2 * i + 1, 4:8] = X
+            A[2 * i + 1, 8:12] = -yn[i] * X
+        _, _, vt = np.linalg.svd(A)
+        P = vt[-1].reshape(3, 4)
+        R_raw = P[:, :3]
+        # orthogonalize + scale; fix sign so points sit in front (z > 0)
+        u, s, vtr = np.linalg.svd(R_raw)
+        R = u @ vtr
+        scale = s.mean()
+        if scale < 1e-12:
+            raise ValueError("degenerate point configuration")
+        t = P[:, 3] / scale
         if np.linalg.det(R) < 0:
-            R = -R
-        t = -t
+            R, t = -R, -t
+        z = obj @ R.T + t
+        if np.median(z[:, 2]) < 0:
+            R = u @ np.diag([1.0, 1.0, -1.0]) @ vtr
+            if np.linalg.det(R) < 0:
+                R = -R
+            t = -t
     rvec = rodrigues(R)
     tvec = t.copy()
 
@@ -476,6 +511,222 @@ def reproject_image_to_3d(disparity: np.ndarray, q: np.ndarray) -> np.ndarray:
     w_ = out[..., 3:]
     w_ = np.where(np.abs(w_) < 1e-12, 1e-12, w_)
     return (out[..., :3] / w_).astype(np.float32)
+
+
+def stereo_calibrate(
+    obj_points,
+    img_points1,
+    img_points2,
+    K1: np.ndarray, d1,
+    K2: np.ndarray, d2,
+    iterations: int = 30,
+):
+    """Stereo extrinsic calibration (OpenCV ``stereoCalibrate`` with
+    CALIB_FIX_INTRINSIC role): per-view ``solve_pnp`` in each camera →
+    relative pose candidates R_i = R2_i R1_iᵀ, T_i = t2_i − R_i t1_i →
+    chordal-mean rotation (SVD projection of ΣR_i onto SO(3)) + mean
+    translation init → joint Gauss-Newton over (om, T, rvec1_i, tvec1_i)
+    minimizing reprojection error in BOTH cameras (numeric Jacobian,
+    deterministic). Returns (rms, R, T, E, F) with ``x₂ = R x₁ + T``,
+    E = [T]× R, F = K2⁻ᵀ E K1⁻¹."""
+    views = len(obj_points)
+    if views != len(img_points1) or views != len(img_points2) or views < 1:
+        raise ValueError("stereo_calibrate needs matched per-view lists")
+    objs = [np.asarray(o, np.float64).reshape(-1, 3) for o in obj_points]
+    im1 = [np.asarray(p, np.float64).reshape(-1, 2) for p in img_points1]
+    im2 = [np.asarray(p, np.float64).reshape(-1, 2) for p in img_points2]
+    K1 = np.asarray(K1, np.float64)
+    K2 = np.asarray(K2, np.float64)
+
+    # --- init: per-view poses → relative pose mean ----------------------
+    poses1, rel_rs, rel_ts = [], [], []
+    for o, p1, p2 in zip(objs, im1, im2):
+        r1v, t1v = solve_pnp(o, p1, K1, d1)
+        r2v, t2v = solve_pnp(o, p2, K2, d2)
+        if not (np.isfinite(r1v).all() and np.isfinite(t1v).all()):
+            raise ValueError("camera-1 pose failed for a view")
+        poses1.append((r1v, t1v))
+        if not (np.isfinite(r2v).all() and np.isfinite(t2v).all()):
+            continue  # camera-2 view diverged; init from the others
+        R1m, R2m = rodrigues(r1v), rodrigues(r2v)
+        Rrel = R2m @ R1m.T
+        rel_rs.append(Rrel)
+        rel_ts.append(t2v - Rrel @ t1v)
+    if not rel_rs:
+        raise ValueError("no view yielded a finite relative pose")
+    u, _, vt = np.linalg.svd(np.sum(rel_rs, axis=0))
+    Rm = u @ np.diag([1.0, 1.0, np.linalg.det(u @ vt)]) @ vt
+    om = rodrigues(Rm)
+    T = np.mean(rel_ts, axis=0)
+
+    # --- joint GN over (om, T) + per-view camera-1 poses ----------------
+    params = np.concatenate([om, T] + [np.concatenate([r, t])
+                                       for r, t in poses1])
+    n_res = 2 * sum(2 * len(o) for o in objs)
+
+    def residual(p):
+        omc, tc = p[:3], p[3:6]
+        Rc = rodrigues(omc)
+        res = []
+        for i, (o, pa, pb) in enumerate(zip(objs, im1, im2)):
+            r1v = p[6 + 6 * i: 9 + 6 * i]
+            t1v = p[9 + 6 * i: 12 + 6 * i]
+            res.append((project_points(o, r1v, t1v, K1, d1) - pa).ravel())
+            R1m = rodrigues(r1v)
+            r2v = rodrigues(Rc @ R1m)
+            t2v = Rc @ t1v + tc
+            res.append((project_points(o, r2v, t2v, K2, d2) - pb).ravel())
+        return np.concatenate(res)
+
+    eps = 1e-6
+    for _ in range(iterations):
+        r0 = residual(params)
+        J = np.zeros((n_res, len(params)))
+        for j in range(len(params)):
+            p2 = params.copy()
+            p2[j] += eps
+            J[:, j] = (residual(p2) - r0) / eps
+        try:
+            step = np.linalg.solve(J.T @ J + 1e-9 * np.eye(len(params)),
+                                   -J.T @ r0)
+        except np.linalg.LinAlgError:
+            break
+        params = params + step
+        if np.linalg.norm(step) < 1e-10:
+            break
+
+    om, T = params[:3].copy(), params[3:6].copy()
+    R = rodrigues(om)
+    rms = float(np.sqrt(np.mean(residual(params) ** 2)))
+    tx = np.array([[0, -T[2], T[1]], [T[2], 0, -T[0]], [-T[1], T[0], 0]])
+    E = tx @ R
+    F = np.linalg.inv(K2).T @ E @ np.linalg.inv(K1)
+    nf = np.linalg.norm(F)
+    if nf > 1e-12:
+        F = F / nf
+    return rms, R, T, E, F
+
+
+def decompose_homography_mat(h: np.ndarray, K: np.ndarray):
+    """Planar homography decomposition (OpenCV ``decomposeHomographyMat``
+    role) → (num, rotations, translations, normals) with
+    H ∝ K (R + t nᵀ) K⁻¹ (t carries the 1/d plane-distance scale, n unit,
+    n in the FIRST camera frame).
+
+    Frozen spec: Faugeras-Lustman SVD method. H' = K⁻¹HK / σ₂(K⁻¹HK);
+    with singular values d1 ≥ 1 ≥ d3 the four sign choices
+    (ε1, ε3) ∈ {±1}² give n' = (ε1·x1, 0, ε3·x3),
+    R' = Ry(θ(ε1ε3)), t' = (d1−d3)(ε1·x1, 0, −ε3·x3), mapped back by
+    R = s·U R' Vᵀ, t = U t', n = V n' (s = det U · det V). Degenerate
+    d1≈d3 (pure rotation) returns the single solution (H', t=0, n=ẑ).
+    Solutions with n_z < 0 are sign-flipped (t, n) → (−t, −n) so the
+    plane faces camera 1, then deduplicated."""
+    h = np.asarray(h, np.float64)
+    K = np.asarray(K, np.float64)
+    Kinv = np.linalg.inv(K)
+    hn = Kinv @ h @ K
+    u, s, vt = np.linalg.svd(hn)
+    if s[1] < 1e-12:
+        raise ValueError("degenerate homography")
+    hn = hn / s[1]
+    d1, d2, d3 = s / s[1]
+    sgn = np.linalg.det(u) * np.linalg.det(vt)
+
+    sols = []
+    if d1 - d3 < 1e-9:  # pure rotation: H' itself is (close to) R
+        uu, _, vvt = np.linalg.svd(hn)
+        r = uu @ vvt
+        if np.linalg.det(r) < 0:
+            r = -r
+        sols.append((r, np.zeros(3), np.array([0.0, 0.0, 1.0])))
+    else:
+        x1m = np.sqrt(max((d1 * d1 - 1.0) / (d1 * d1 - d3 * d3), 0.0))
+        x3m = np.sqrt(max((1.0 - d3 * d3) / (d1 * d1 - d3 * d3), 0.0))
+        sin_m = np.sqrt(max(
+            (d1 * d1 - 1.0) * (1.0 - d3 * d3), 0.0)) / ((d1 + d3) * d2)
+        cos_t = (d2 * d2 + d1 * d3) / ((d1 + d3) * d2)
+        v = vt.T
+        for e1 in (1.0, -1.0):
+            for e3 in (1.0, -1.0):
+                st = e1 * e3 * sin_m
+                rp = np.array([[cos_t, 0.0, -st],
+                               [0.0, 1.0, 0.0],
+                               [st, 0.0, cos_t]])
+                npr = np.array([e1 * x1m, 0.0, e3 * x3m])
+                tp = (d1 - d3) * np.array([e1 * x1m, 0.0, -e3 * x3m])
+                r = sgn * (u @ rp @ vt)
+                t = u @ tp
+                nrm = v @ npr
+                if nrm[2] < 0:
+                    t, nrm = -t, -nrm
+                if not any(np.abs(r - r2).max() < 1e-9
+                           and np.abs(t - t2).max() < 1e-9
+                           for r2, t2, _ in sols):
+                    sols.append((r, t, nrm))
+    rs = [s_[0] for s_ in sols]
+    ts = [s_[1] for s_ in sols]
+    ns = [s_[2] for s_ in sols]
+    return len(sols), rs, ts, ns
+
+
+def estimate_affine_3d(
+    src,
+    dst,
+    ransac_thresh: float = 3.0,
+    confidence: float = 0.99,
+    iters: int = 200,
+    seed: int = 7,
+) -> Tuple[int, np.ndarray, np.ndarray]:
+    """3-D affine transform between point sets (OpenCV
+    ``estimateAffine3D`` role) → (retval 0/1, A 3×4 float64, inlier
+    mask). Seeded RANSAC over 4-point minimal least-squares fits
+    ([X|1] Aᵀ = Y), L2 gating at ``ransac_thresh``, best-consensus
+    inlier refit (the find_homography protocol). ``confidence``
+    early-exits the loop with the standard (1−w⁴) bound."""
+    s = np.asarray(src, np.float64).reshape(-1, 3)
+    d = np.asarray(dst, np.float64).reshape(-1, 3)
+    n = len(s)
+    if n != len(d) or n < 4:
+        return 0, np.zeros((3, 4)), np.zeros(n, bool)
+
+    def fit(a, b):
+        X = np.concatenate([a, np.ones((len(a), 1))], axis=1)
+        try:
+            sol, *_ = np.linalg.lstsq(X, b, rcond=None)
+        except np.linalg.LinAlgError:
+            return None
+        return sol.T  # 3×4
+
+    Xall = np.concatenate([s, np.ones((n, 1))], axis=1)
+    rng = np.random.default_rng(seed)
+    best_mask = np.zeros(n, bool)
+    best_a = None
+    needed = iters
+    done = 0
+    while done < min(needed, iters):
+        idx = rng.choice(n, size=4, replace=False)
+        a = fit(s[idx], d[idx])
+        done += 1
+        if a is None:
+            continue
+        err = np.linalg.norm(Xall @ a.T - d, axis=1)
+        mask = err < ransac_thresh
+        if mask.sum() > best_mask.sum():
+            best_mask = mask
+            best_a = a
+            w = mask.sum() / n
+            if w > 0:
+                denom = np.log(max(1e-12, 1.0 - w ** 4))
+                if denom < 0:
+                    needed = int(np.ceil(np.log(1 - confidence) / denom))
+    if best_a is None or best_mask.sum() < 4:
+        return 0, np.zeros((3, 4)), np.zeros(n, bool)
+    refined = fit(s[best_mask], d[best_mask])
+    if refined is not None:
+        err = np.linalg.norm(Xall @ refined.T - d, axis=1)
+        best_mask = err < ransac_thresh
+        best_a = refined
+    return 1, best_a, best_mask
 
 
 # ---------------------------------------------------------------------------

@@ -182,3 +182,85 @@ class TestFisheye:
         K = np.array([[80.0, 0, 80], [0, 80.0, 60], [0, 0, 1]])
         out = calib.fisheye_undistort(img, K, self.D)
         assert out.shape == img.shape and out.dtype == np.uint8
+
+
+class TestEssential:
+    def test_essential_recovers_pose_exactly(self):
+        K, R, T, _, p1, p2 = _rig()
+        e, mask = epipolar.find_essential_mat(p1, p2, K)
+        assert e is not None and mask.all()
+        n_good, Rr, tr, pm = epipolar.recover_pose(e, p1, p2, K, mask)
+        assert n_good == len(p1) and pm.all()
+        assert np.abs(Rr - R).max() < 1e-9
+        tu = T / np.linalg.norm(T)
+        assert min(np.abs(tr - tu).max(), np.abs(tr + tu).max()) < 1e-9
+
+    def test_essential_ransac_rejects_outliers(self):
+        K, R, T, _, p1, p2 = _rig(seed=9)
+        rng = np.random.default_rng(0)
+        bad = p2.copy()
+        bad[:10] += rng.uniform(40, 90, (10, 2))
+        e, mask = epipolar.find_essential_mat(p1, bad, K)
+        assert e is not None
+        assert not mask[:10].any() and mask[10:].all()
+        n_good, Rr, tr, _ = epipolar.recover_pose(e, p1, bad, K, mask)
+        assert n_good == len(p1) - 10
+        assert np.abs(Rr - R).max() < 1e-8
+
+    def test_decompose_essential_contains_truth(self):
+        K, R, T, _, p1, p2 = _rig()
+        e, _ = epipolar.find_essential_mat(p1, p2, K, method="8point")
+        r1, r2, t = epipolar.decompose_essential_mat(e)
+        tu = T / np.linalg.norm(T)
+        assert min(np.abs(r1 - R).max(), np.abs(r2 - R).max()) < 1e-9
+        assert min(np.abs(t - tu).max(), np.abs(t + tu).max()) < 1e-9
+        # both are rotations
+        for r in (r1, r2):
+            assert np.abs(r @ r.T - np.eye(3)).max() < 1e-12
+            assert np.linalg.det(r) > 0
+
+    def test_essential_epipolar_constraint_normalized(self):
+        K, R, T, _, p1, p2 = _rig()
+        e, _ = epipolar.find_essential_mat(p1, p2, K, method="8point")
+        x1 = (p1 - [K[0, 2], K[1, 2]]) / [K[0, 0], K[1, 1]]
+        x2 = (p2 - [K[0, 2], K[1, 2]]) / [K[0, 0], K[1, 1]]
+        h1 = np.column_stack([x1, np.ones(len(x1))])
+        h2 = np.column_stack([x2, np.ones(len(x2))])
+        assert np.abs(np.sum(h2 * (h1 @ e.T), axis=1)).max() < 1e-9
+
+
+class TestCorrectMatches:
+    def test_residual_zero_and_points_near_fixed(self):
+        K, R, T, _, p1, p2 = _rig()
+        f = _true_f(K, R, T)
+        rng = np.random.default_rng(4)
+        n1 = p1 + rng.normal(0, 0.5, p1.shape)
+        n2 = p2 + rng.normal(0, 0.5, p2.shape)
+        c1, c2 = epipolar.correct_matches(f, n1, n2)
+        h1 = np.column_stack([c1, np.ones(len(c1))])
+        h2 = np.column_stack([c2, np.ones(len(c2))])
+        res = np.abs(np.sum(h2 * (h1 @ f.T), axis=1))
+        assert res.max() < 1e-10  # exactly on the epipolar constraint
+        move = (np.linalg.norm(c1 - n1, axis=1)
+                + np.linalg.norm(c2 - n2, axis=1))
+        assert move.max() < 3.0  # minimal correction, not a jump
+
+    def test_exact_points_are_fixed_points(self):
+        K, R, T, _, p1, p2 = _rig(seed=11)
+        f = _true_f(K, R, T)
+        c1, c2 = epipolar.correct_matches(f, p1, p2)
+        assert np.abs(c1 - p1).max() < 1e-9
+        assert np.abs(c2 - p2).max() < 1e-9
+
+    def test_correction_reduces_error_vs_truth(self):
+        K, R, T, _, p1, p2 = _rig(seed=6)
+        f = _true_f(K, R, T)
+        rng = np.random.default_rng(8)
+        n1 = p1 + rng.normal(0, 0.7, p1.shape)
+        n2 = p2 + rng.normal(0, 0.7, p2.shape)
+        c1, c2 = epipolar.correct_matches(f, n1, n2)
+        before = (np.linalg.norm(n1 - p1, axis=1)
+                  + np.linalg.norm(n2 - p2, axis=1)).mean()
+        after = (np.linalg.norm(c1 - p1, axis=1)
+                 + np.linalg.norm(c2 - p2, axis=1)).mean()
+        assert after < before

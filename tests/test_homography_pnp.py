@@ -87,8 +87,13 @@ class TestSolvePnP:
         assert np.abs(reproj - img).max() < 1e-6
 
     def test_too_few_raises(self):
+        with pytest.raises(ValueError, match=">= 4"):
+            calib.solve_pnp(np.zeros((3, 3)), np.zeros((3, 2)), K)
+        # 5 non-coplanar points: below the DLT minimum
+        rng = np.random.default_rng(0)
+        obj = rng.uniform(-1, 1, (5, 3))
         with pytest.raises(ValueError, match=">= 6"):
-            calib.solve_pnp(np.zeros((4, 3)), np.zeros((4, 2)), K)
+            calib.solve_pnp(obj, np.zeros((5, 2)), K)
 
 
 class TestCalibrateCamera:
