@@ -1509,6 +1509,7 @@ __all__ = [
     "find_essential_mat", "decompose_essential_mat", "recover_pose",
     "correct_matches", "stereo_calibrate", "decompose_homography_mat",
     "estimate_affine_3d",
+    "find_chessboard_corners", "draw_chessboard_corners",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "dilate_kernel", "erode_kernel", "filter2d", "fit_ellipse", "fit_line",
     "get_gaussian_kernel", "get_perspective_transform",
@@ -2057,6 +2058,49 @@ def psnr(a: Mat, b: Mat) -> float:
     import numpy as np
 
     return _ar.psnr_u8(jnp.asarray(np.asarray(x)), jnp.asarray(np.asarray(y)))
+
+
+def find_chessboard_corners(mat, pattern_size, refine: bool = True):
+    """Inner chessboard corners (OpenCV ``findChessboardCorners`` role;
+    frozen pipeline spec in ops/chessboard.py). Accepts a Mat or array,
+    gray or BGR. Returns (found, corners float64 (rows·cols, 2)
+    row-major — the ``calibrate_camera`` object-point traversal)."""
+    import numpy as np
+
+    from ..ops.chessboard import find_chessboard_corners as _find
+
+    if isinstance(mat, Mat):
+        gray = np.asarray(_gray_of_mat(mat))
+    else:
+        a = np.asarray(mat)
+        gray = golden.bgr_to_gray(a) if a.ndim == 3 else a
+    return _find(gray, pattern_size, refine=refine)
+
+
+def draw_chessboard_corners(mat: Mat, pattern_size, corners,
+                            found: bool) -> None:
+    """Overlay detected corners in place (OpenCV
+    ``drawChessboardCorners`` role): found → color-cycled circles
+    chained row by row; not found → red circles only."""
+    import numpy as np
+
+    pts = np.asarray(corners, np.float64).reshape(-1, 2)
+    if not found:
+        for p in pts:
+            circle(mat, Point(int(round(p[0])), int(round(p[1]))), 4,
+                   Scalar(0, 0, 255), 1)
+        return
+    colors = [(0, 0, 255), (0, 128, 255), (0, 255, 255), (0, 255, 0),
+              (255, 128, 0), (255, 0, 0), (255, 0, 255)]
+    cols = int(pattern_size[0])
+    prev = None
+    for i, p in enumerate(pts):
+        c = Scalar(*colors[(i // cols) % len(colors)])
+        cur = Point(int(round(p[0])), int(round(p[1])))
+        circle(mat, cur, 4, c, 1)
+        if prev is not None:
+            line(mat, prev, cur, c, 1)
+        prev = cur
 
 
 # --- camera model (host tables + device remap, ops/calib.py) -------------
