@@ -1510,6 +1510,7 @@ __all__ = [
     "correct_matches", "stereo_calibrate", "decompose_homography_mat",
     "estimate_affine_3d",
     "find_chessboard_corners", "draw_chessboard_corners",
+    "detect_mser_regions",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "dilate_kernel", "erode_kernel", "filter2d", "fit_ellipse", "fit_line",
     "get_gaussian_kernel", "get_perspective_transform",
@@ -2058,6 +2059,28 @@ def psnr(a: Mat, b: Mat) -> float:
     import numpy as np
 
     return _ar.psnr_u8(jnp.asarray(np.asarray(x)), jnp.asarray(np.asarray(y)))
+
+
+def detect_mser_regions(mat, delta: int = 5, min_area: int = 60,
+                        max_area: int = 14400, max_variation: float = 0.25,
+                        min_diversity: float = 0.2,
+                        polarity: str = "both"):
+    """Maximally stable extremal regions (OpenCV ``MSER.detectRegions``
+    role; frozen component-tree spec in ops/mser.py, native C++ hot
+    path). Returns (regions: list of int32 (K, 2) (x, y) arrays,
+    bboxes: int32 (N, 4) (x, y, w, h))."""
+    import numpy as np
+
+    from ..ops.mser import mser_regions as _mser
+
+    if isinstance(mat, Mat):
+        gray = np.asarray(_gray_of_mat(mat))
+    else:
+        a = np.asarray(mat)
+        gray = golden.bgr_to_gray(a) if a.ndim == 3 else a
+    return _mser(gray, delta=delta, min_area=min_area, max_area=max_area,
+                 max_variation=max_variation, min_diversity=min_diversity,
+                 polarity=polarity)
 
 
 def find_chessboard_corners(mat, pattern_size, refine: bool = True):

@@ -29,6 +29,7 @@ _SRCS = [
     os.path.join(_HERE, "v4l2.cpp"),
     os.path.join(_HERE, "maxflow.cpp"),
     os.path.join(_HERE, "unionfind.cpp"),
+    os.path.join(_HERE, "mser.cpp"),
 ]
 _SRC = _SRCS[0]
 _SO = os.path.join(_HERE, "librustcv_capture.so")
@@ -162,6 +163,11 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.rcv_ccl_label.restype = ctypes.c_long
     lib.rcv_ccl_label.argtypes = [
         u8cp, ctypes.c_long, ctypes.c_long, i32p,
+    ]
+    lib.rcv_mser.restype = ctypes.c_long
+    lib.rcv_mser.argtypes = [
+        u8cp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, i32p, ctypes.c_long,
     ]
 
 
@@ -653,6 +659,34 @@ def union_find(n: int, edges_a: "np.ndarray", edges_b: "np.ndarray") -> tuple:
     if cnt < 0:
         raise ValueError(f"union_find failed (rc={cnt}; edge id out of range?)")
     return int(cnt), parent
+
+
+def mser_triples(gray: "np.ndarray", delta: int, min_area: int,
+                 max_area: int, max_variation: float,
+                 min_diversity: float) -> "np.ndarray | None":
+    """MSER (seed, level, area) triples — bit-identical to the frozen
+    Python spec (ops/mser.py; tests pin it). Returns int32 (N, 3) sorted
+    by (seed, level), or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    g = np.ascontiguousarray(gray, np.uint8)
+    if g.ndim != 2:
+        raise ValueError(f"mser_triples: 2-D gray required, got {g.shape}")
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    cap = 4096
+    while True:
+        out = np.empty((cap, 3), np.int32)
+        cnt = lib.rcv_mser(
+            _u8p(g), g.shape[0], g.shape[1], int(delta), int(min_area),
+            int(max_area), float(max_variation), float(min_diversity),
+            out.ctypes.data_as(i32), cap,
+        )
+        if cnt < 0:
+            raise ValueError(f"rcv_mser failed (rc={cnt})")
+        if cnt <= cap:
+            return out[:cnt].copy()
+        cap = int(cnt)
 
 
 class NativeRing:
