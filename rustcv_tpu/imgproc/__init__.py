@@ -1511,6 +1511,8 @@ __all__ = [
     "estimate_affine_3d",
     "find_chessboard_corners", "draw_chessboard_corners",
     "detect_mser_regions",
+    "box_points", "intersect_convex_convex",
+    "rotated_rectangle_intersection", "emd", "get_gabor_kernel",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "dilate_kernel", "erode_kernel", "filter2d", "fit_ellipse", "fit_line",
     "get_gaussian_kernel", "get_perspective_transform",
@@ -1838,15 +1840,19 @@ from ..ops.shape import (  # noqa: E402  (re-exports)
     approx_poly_dp,
     arc_length,
     bounding_rect,
+    box_points,
     contour_area,
     convex_hull,
     convex_hull_indices,
     convexity_defects,
+    intersect_convex_convex,
     is_contour_convex,
     min_area_rect,
     min_enclosing_circle,
     point_polygon_test,
+    rotated_rectangle_intersection,
 )
+from ..ops.emd import emd  # noqa: E402  (re-export)
 
 
 def create_background_subtractor_knn(n_samples: int = 7, **kw):
@@ -2230,6 +2236,37 @@ def get_gaussian_kernel(ksize: int, sigma: float = -1.0):
     t = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2
     k = np.exp(-(t * t) / (2.0 * sigma * sigma))
     return k / k.sum()
+
+
+def get_gabor_kernel(ksize, sigma: float, theta: float, lambd: float,
+                     gamma: float, psi: float = 3.14159265358979 / 2):
+    """Gabor filter taps (OpenCV ``getGaborKernel``): float64 (kh, kw),
+    g = exp(−(x'² + γ²y'²)/2σ²)·cos(2πx'/λ + ψ) with x', y' the
+    θ-rotated coordinates; ``ksize`` int or (width, height), each
+    dimension auto-sized from σ when ≤ 0 (OpenCV's 3·max(σ, σ/γ)
+    half-extent rule)."""
+    import numpy as np
+
+    if np.isscalar(ksize):
+        kw = kh = int(ksize)
+    else:
+        kw, kh = int(ksize[0]), int(ksize[1])
+    sigma_x = float(sigma)
+    sigma_y = sigma_x / float(gamma)
+    c, s = np.cos(theta), np.sin(theta)
+    if kw <= 0:
+        kw = 2 * int(round(max(abs(3 * sigma_x * c), abs(3 * sigma_y * s)))) + 1
+    if kh <= 0:
+        kh = 2 * int(round(max(abs(3 * sigma_x * s), abs(3 * sigma_y * c)))) + 1
+    xs = np.arange(kw, dtype=np.float64) - (kw - 1) / 2
+    ys = np.arange(kh, dtype=np.float64) - (kh - 1) / 2
+    x, y = np.meshgrid(xs, ys)
+    xr = x * c + y * s
+    yr = -x * s + y * c
+    ex = -0.5 / (sigma_x * sigma_x)
+    ey = -0.5 / (sigma_y * sigma_y)
+    return np.exp(ex * xr * xr + ey * yr * yr) * np.cos(
+        2.0 * np.pi / float(lambd) * xr + float(psi))
 
 
 def sep_filter_2d(mat: Mat, kx, ky) -> Mat:

@@ -419,3 +419,96 @@ def convexity_defects(contour: np.ndarray, hull_idx: np.ndarray):
         if best_i >= 0 and depth > 0:
             out.append((s, e, best_i, depth))
     return np.asarray(out, np.int64).reshape(-1, 4)
+
+
+def box_points(rect):
+    """Corners of a rotated rect ((cx, cy), (w, h), angle_deg) (OpenCV
+    ``boxPoints`` role) → float64 (4, 2), starting at the corner
+    (−w/2, −h/2) rotated into place and proceeding by +90° turns —
+    OpenCV's bottom-left-first winding for its angle convention."""
+    (cx, cy), (w, h), ang = rect
+    a = np.radians(ang)
+    ca, sa = np.cos(a), np.sin(a)
+    dx, dy = w / 2.0, h / 2.0
+    local = np.array([[-dx, dy], [-dx, -dy], [dx, -dy], [dx, dy]])
+    rot = np.array([[ca, -sa], [sa, ca]])
+    return local @ rot.T + np.array([cx, cy])
+
+
+def _clip_poly(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman: clip ``subject`` by CONVEX ``clip`` (both
+    (N, 2) float64, any winding) → (K, 2) float64 (possibly empty)."""
+    # orient clip counter-clockwise so "inside" = left of each edge
+    area2 = 0.0
+    for i in range(len(clip)):
+        x1, y1 = clip[i]
+        x2, y2 = clip[(i + 1) % len(clip)]
+        area2 += x1 * y2 - x2 * y1
+    if area2 < 0:
+        clip = clip[::-1]
+    out = [tuple(p) for p in subject]
+    for i in range(len(clip)):
+        if not out:
+            break
+        a = clip[i]
+        b = clip[(i + 1) % len(clip)]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+
+        def side(p):
+            return ex * (p[1] - a[1]) - ey * (p[0] - a[0])
+
+        cur, out = out, []
+        for j in range(len(cur)):
+            p, q = cur[j], cur[(j + 1) % len(cur)]
+            sp, sq = side(p), side(q)
+            if sp >= 0:
+                out.append(p)
+            if (sp >= 0) != (sq >= 0):  # strict straddle: sp − sq ≠ 0
+                t = sp / (sp - sq)
+                out.append((p[0] + t * (q[0] - p[0]),
+                            p[1] + t * (q[1] - p[1])))
+    return np.asarray(out, np.float64).reshape(-1, 2)
+
+
+def _dedup_ring(pts: np.ndarray, eps: float = 1e-9) -> np.ndarray:
+    if len(pts) < 2:
+        return pts
+    keep = [pts[0]]
+    for p in pts[1:]:
+        if np.hypot(*(p - keep[-1])) > eps:
+            keep.append(p)
+    if len(keep) > 1 and np.hypot(*(keep[0] - keep[-1])) <= eps:
+        keep.pop()
+    return np.asarray(keep)
+
+
+def intersect_convex_convex(p1, p2) -> Tuple[float, np.ndarray]:
+    """Intersection of two CONVEX polygons (OpenCV
+    ``intersectConvexConvex`` role) → (area, vertices float64 (K, 2)
+    counter-clockwise). Sutherland-Hodgman clipping; duplicate vertices
+    collapsed at 1e-9."""
+    a = np.asarray(p1, np.float64).reshape(-1, 2)
+    b = np.asarray(p2, np.float64).reshape(-1, 2)
+    if len(a) < 3 or len(b) < 3:
+        return 0.0, np.zeros((0, 2))
+    inter = _dedup_ring(_clip_poly(a, b))
+    if len(inter) < 3:
+        return 0.0, inter
+    return abs(contour_area(inter, oriented=True)), inter
+
+
+def rotated_rectangle_intersection(rect1, rect2):
+    """Intersection of two rotated rects (OpenCV
+    ``rotatedRectangleIntersection`` role) → (status, points float64
+    (K, 2)): status 0 = none, 1 = partial, 2 = one rect fully inside
+    the other. Exact polygon clip of the two ``box_points`` quads."""
+    q1 = box_points(rect1)
+    q2 = box_points(rect2)
+    area, pts = intersect_convex_convex(q1, q2)
+    if len(pts) == 0:
+        return 0, pts
+    a1 = abs(contour_area(q1, oriented=True))
+    a2 = abs(contour_area(q2, oriented=True))
+    if abs(area - min(a1, a2)) < 1e-6 * max(a1, a2, 1.0):
+        return 2, pts
+    return (1 if area > 0 else 0), pts
