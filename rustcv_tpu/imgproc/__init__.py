@@ -1513,6 +1513,7 @@ __all__ = [
     "detect_mser_regions",
     "box_points", "intersect_convex_convex",
     "rotated_rectangle_intersection", "emd", "get_gabor_kernel",
+    "detect_line_segments",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "dilate_kernel", "erode_kernel", "filter2d", "fit_ellipse", "fit_line",
     "get_gaussian_kernel", "get_perspective_transform",
@@ -2087,6 +2088,25 @@ def detect_mser_regions(mat, delta: int = 5, min_area: int = 60,
     return _mser(gray, delta=delta, min_area=min_area, max_area=max_area,
                  max_variation=max_variation, min_diversity=min_diversity,
                  polarity=polarity)
+
+
+def detect_line_segments(mat, **kw):
+    """Line segments (OpenCV ximgproc ``FastLineDetector`` role; frozen
+    chain-trace + Douglas-Peucker spec in ops/lsd.py) → float64 (N, 4)
+    rows (x1, y1, x2, y2). Device Canny feeds the host tracer; pass
+    ``edges=`` to reuse an on-chip edge map."""
+    import numpy as np
+
+    from ..ops.lsd import detect_line_segments as _detect
+
+    if kw.get("edges") is not None:
+        return _detect(None, **kw)
+    if isinstance(mat, Mat):
+        gray = np.asarray(_gray_of_mat(mat))
+    else:
+        a = np.asarray(mat)
+        gray = golden.bgr_to_gray(a) if a.ndim == 3 else a
+    return _detect(gray, **kw)
 
 
 def find_chessboard_corners(mat, pattern_size, refine: bool = True):
