@@ -1459,6 +1459,37 @@ def canny(mat: Mat, low: int = 40, high: int = 90) -> Mat:
     return Mat.from_array(golden.canny(g, low, high))
 
 
+def thinning(mat: Mat) -> Mat:
+    """Zhang-Suen skeletonization (OpenCV ximgproc ``thinning`` role;
+    frozen spec in ops/morphx.py, device while_loop == oracle
+    BIT-EXACT). Input: u8 mask (non-zero = set); returns a 255/0 u8
+    Mat (OpenCV's convention)."""
+    import jax.numpy as jnp
+
+    from ..ops import morphx as _morphx
+
+    if mat.is_on_device:
+        d = mat.device()
+        g = d.squeeze() if d.ndim == 3 else d
+        return Mat.from_device(_morphx.thinning(g) * jnp.uint8(255))
+    h = mat.to_numpy().squeeze()
+    return Mat.from_array(_morphx.thinning_numpy(h) * np.uint8(255))
+
+
+def anisotropic_diffusion(mat: Mat, alpha: float = 0.15, k: float = 20.0,
+                          niters: int = 10) -> Mat:
+    """Perona-Malik edge-preserving diffusion (OpenCV ximgproc
+    ``anisotropicDiffusion`` role; f64 oracle ±1 LSB in
+    ops/morphx.py)."""
+    from ..ops import morphx as _morphx
+
+    if mat.is_on_device:
+        return Mat.from_device(_morphx.anisotropic_diffusion(
+            mat.device(), alpha=alpha, k=k, niters=niters))
+    return Mat.from_array(_morphx.anisotropic_diffusion_numpy(
+        mat.to_numpy(), alpha=alpha, k=k, niters=niters))
+
+
 def harris_corners(mat: Mat, k: float = 0.04, threshold_rel: float = 0.01, nms_radius: int = 1) -> np.ndarray:
     """Corner mask (H, W) bool."""
     from ..ops import color as _color
@@ -1513,7 +1544,7 @@ __all__ = [
     "detect_mser_regions",
     "box_points", "intersect_convex_convex",
     "rotated_rectangle_intersection", "emd", "get_gabor_kernel",
-    "detect_line_segments",
+    "detect_line_segments", "thinning", "anisotropic_diffusion",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "dilate_kernel", "erode_kernel", "filter2d", "fit_ellipse", "fit_line",
     "get_gaussian_kernel", "get_perspective_transform",
