@@ -1545,6 +1545,7 @@ __all__ = [
     "box_points", "intersect_convex_convex",
     "rotated_rectangle_intersection", "emd", "get_gabor_kernel",
     "detect_line_segments", "thinning", "anisotropic_diffusion",
+    "find_transform_ecc", "compute_ecc",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "dilate_kernel", "erode_kernel", "filter2d", "fit_ellipse", "fit_line",
     "get_gaussian_kernel", "get_perspective_transform",
@@ -1885,6 +1886,10 @@ from ..ops.shape import (  # noqa: E402  (re-exports)
     rotated_rectangle_intersection,
 )
 from ..ops.emd import emd  # noqa: E402  (re-export)
+from ..ops.ecc import (  # noqa: E402  (re-exports)
+    compute_ecc,
+    find_transform_ecc,
+)
 
 
 def create_background_subtractor_knn(n_samples: int = 7, **kw):
