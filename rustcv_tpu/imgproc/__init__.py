@@ -1546,6 +1546,7 @@ __all__ = [
     "rotated_rectangle_intersection", "emd", "get_gabor_kernel",
     "detect_line_segments", "thinning", "anisotropic_diffusion",
     "find_transform_ecc", "compute_ecc",
+    "akaze_features", "match_descriptors_hamming_any",
     "find_contours", "flip", "flood_fill", "gaussian_blur",
     "dilate_kernel", "erode_kernel", "filter2d", "fit_ellipse", "fit_line",
     "get_gaussian_kernel", "get_perspective_transform",
@@ -1813,6 +1814,34 @@ def hog_detect_multi_scale(mat: Mat, svm_weights, svm_bias: float,
     return _hog.detect_multi_scale(g, svm_weights, svm_bias,
                                    threshold=threshold, scale=scale,
                                    use_device=mat.is_on_device)
+
+
+def akaze_features(mat: Mat, n_octaves: int = 4, n_sublevels: int = 4,
+                   threshold: float = 0.001, max_keypoints: int = 2000):
+    """AKAZE keypoints + descriptors (OpenCV ``AKAZE`` role): returns
+    (keypoints float32 [N, 6] (x, y, size, angle_deg, response,
+    evolution_idx), descriptors u8 [N, 64] — 486-bit M-LDB + pad).
+    Device-resident Mats build the FED nonlinear scale space on device;
+    the sparse stage is host f64 (ops/akaze.py). Match with
+    :func:`match_descriptors_hamming_any`."""
+    import numpy as np
+
+    from ..ops import akaze as _akaze
+
+    g = _gray_of_mat(mat)
+    return _akaze.detect_and_compute(
+        np.asarray(g), n_octaves=n_octaves, n_sublevels=n_sublevels,
+        threshold=threshold, max_keypoints=max_keypoints,
+        backend="device" if mat.is_on_device else "host")
+
+
+def match_descriptors_hamming_any(d1, d2, ratio: float = 0.8):
+    """Hamming matcher for byte descriptors of any width (AKAZE's 64
+    bytes, BRIEF/ORB's 32, …) — ±1 MXU matmul, ratio + cross-check
+    (ops/akaze.py)."""
+    from ..ops.akaze import match_descriptors_hamming as _m
+
+    return _m(d1, d2, ratio=ratio)
 
 
 def sift_features(mat: Mat, n_features: int = 0,
