@@ -131,6 +131,14 @@ def test_fiducials_example(jax_cpu, capsys):
     assert "fiducial demo" in out
 
 
+def test_calibrate_example(jax_cpu, capsys):
+    from examples.calibrate import main
+
+    assert main() == 0
+    out = capsys.readouterr().out
+    assert "calibration rms" in out and "PASS" in out
+
+
 def test_panorama_example(jax_cpu, capsys):
     from examples.panorama import main
 
