@@ -1575,6 +1575,14 @@ __all__ = [
     "edge_preserving_filter", "detail_enhance", "stylization",
     "pencil_sketch",
     "warp_affine", "watershed",
+    "copy_make_border", "split", "merge", "mix_channels",
+    "cart_to_polar", "polar_to_cart", "magnitude", "phase", "fast_atan2",
+    "compare", "find_non_zero", "reduce", "sort", "sort_idx",
+    "hconcat", "vconcat", "repeat", "transform", "perspective_transform",
+    "get_affine_transform", "gemm", "scale_add", "set_identity",
+    "determinant", "invert", "solve", "eigen", "sv_decomp",
+    "sv_back_subst", "pca_compute", "pca_project", "pca_back_project",
+    "calc_covar_matrix", "mahalanobis", "RNG",
 ]
 
 
@@ -2256,6 +2264,43 @@ from ..ops.transform import (  # noqa: E402  (re-exports)
     idft,
     mul_spectrums,
 )
+from ..ops.core_ops import (  # noqa: E402  (re-exports)
+    RNG,
+    calc_covar_matrix,
+    cart_to_polar,
+    compare,
+    copy_make_border,
+    determinant,
+    eigen,
+    fast_atan2,
+    find_non_zero,
+    gemm,
+    get_affine_transform,
+    hconcat,
+    invert,
+    magnitude,
+    mahalanobis,
+    mix_channels,
+    pca_back_project,
+    pca_compute,
+    pca_project,
+    perspective_transform,
+    phase,
+    polar_to_cart,
+    scale_add,
+    set_identity,
+    solve,
+    split,
+    sv_back_subst,
+    sv_decomp,
+    vconcat,
+)
+from ..ops.core_ops import merge_channels as merge  # noqa: E402
+from ..ops.core_ops import reduce_mat as reduce  # noqa: E402
+from ..ops.core_ops import repeat_mat as repeat  # noqa: E402
+from ..ops.core_ops import sort_idx  # noqa: E402
+from ..ops.core_ops import sort_mat as sort  # noqa: E402
+from ..ops.core_ops import transform_points as transform  # noqa: E402
 
 
 def undistort(mat: Mat, K, dist, new_K=None) -> Mat:

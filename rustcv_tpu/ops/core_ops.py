@@ -1,0 +1,510 @@
+"""Core array operations (OpenCV ``copyMakeBorder`` / ``split`` /
+``merge`` / ``mixChannels`` / ``cartToPolar`` / ``polarToCart`` /
+``magnitude`` / ``phase`` / ``compare`` / ``findNonZero`` / ``reduce`` /
+``sort`` / ``sortIdx`` / ``hconcat`` / ``vconcat`` / ``repeat`` /
+``transform`` / ``perspectiveTransform`` / ``getAffineTransform`` /
+``gemm`` / ``scaleAdd`` / ``setIdentity`` / ``invert`` / ``solve`` /
+``determinant`` / ``eigen`` / ``SVDecomp`` / ``PCACompute`` /
+``calcCovarMatrix`` / ``Mahalanobis`` / ``randu`` / ``randn`` roles).
+
+The reference (RustCV) has no core-array module — this is OpenCV-role
+surface so a migrating user finds the cv2 utility layer here. Image-scale
+ops carry jax device twins (pure elementwise/layout VPU work that XLA
+fuses for free); small-matrix linear algebra runs on the host in float64
+like the calib module (MXU has nothing to win on 3×3s and the callers
+are host-side anyway).
+
+Frozen specs (validated against OpenCV 5.0 in tests/test_core_ops.py):
+- copy_make_border: the five border types map exactly onto np.pad modes
+  (constant / edge / symmetric / reflect / wrap) — bit-exact;
+- fast_atan2: OpenCV's 7th-order minimax polynomial in degrees (the
+  public constants), max error ≲0.3°; ``cart_to_polar`` / ``phase`` use
+  it in BOTH degree and radian modes exactly as OpenCV does;
+- polar_to_cart: f64 sin/cos oracle; OpenCV's table-interpolated SinCos
+  differs by ≲1e-5 rel — documented tolerance;
+- randu: bit-exact replica of cv::RNG's multiply-with-carry generator
+  (state' = 4164903690·lo32(state) + hi32(state)); integer fill is
+  ``a + next() % (b-a)``, float fill is ``(int32)next()·2⁻³² + ½`` scaled
+  — both verified value-for-value against cv2.setRNGSeed/cv2.randu;
+- randn: OUR frozen spec (Box-Muller pairs over the same MWC stream) —
+  OpenCV's table-based gaussian is NOT reproduced, only the moments.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# borders
+
+_BORDER_TO_PAD = {
+    "replicate": "edge",
+    "reflect": "symmetric",
+    "reflect101": "reflect",
+    "reflect_101": "reflect",
+    "default": "reflect",
+    "wrap": "wrap",
+}
+
+
+def copy_make_border(src, top: int, bottom: int, left: int, right: int,
+                     border_type: str = "constant", value=0):
+    """OpenCV ``copyMakeBorder``. Works on numpy or jax arrays; extra
+    trailing channel axes are padded with zero-width borders."""
+    if min(top, bottom, left, right) < 0:
+        raise ValueError("border widths must be non-negative")
+    xp = np if isinstance(src, np.ndarray) else jnp
+    pad = [(top, bottom), (left, right)] + [(0, 0)] * (src.ndim - 2)
+    if border_type == "constant":
+        return xp.pad(src, pad, mode="constant", constant_values=value)
+    mode = _BORDER_TO_PAD.get(border_type)
+    if mode is None:
+        raise ValueError(f"unknown border_type {border_type!r}")
+    return xp.pad(src, pad, mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# channel plumbing
+
+def split(m):
+    """OpenCV ``split``: (H, W, C) → list of C single-channel arrays."""
+    if m.ndim != 3:
+        raise ValueError("split expects an (H, W, C) array")
+    return [m[..., c] for c in range(m.shape[2])]
+
+
+def merge_channels(channels: Sequence):
+    """OpenCV ``merge``: list of (H, W) planes → (H, W, C)."""
+    xp = np if isinstance(channels[0], np.ndarray) else jnp
+    return xp.stack(list(channels), axis=-1)
+
+
+def mix_channels(srcs: Sequence, n_dst_channels: Sequence[int],
+                 from_to: Sequence[int]):
+    """OpenCV ``mixChannels``: reroute source channel j (global index
+    over the concatenated src channel list) into destination channel k.
+    ``from_to`` is the flat [src0, dst0, src1, dst1, ...] pair list;
+    ``n_dst_channels`` gives each output's channel count. A src index of
+    -1 zero-fills the destination channel."""
+    if len(from_to) % 2:
+        raise ValueError("from_to must be (src, dst) pairs")
+    xp = np if isinstance(srcs[0], np.ndarray) else jnp
+    planes: List = []
+    for s in srcs:
+        planes.extend([s] if s.ndim == 2 else split(s))
+    h, w = planes[0].shape
+    dt = planes[0].dtype
+    n_total = int(sum(n_dst_channels))
+    out_planes: List = [xp.zeros((h, w), dt) for _ in range(n_total)]
+    for i in range(0, len(from_to), 2):
+        sj, dk = int(from_to[i]), int(from_to[i + 1])
+        out_planes[dk] = (xp.zeros((h, w), dt) if sj < 0 else planes[sj])
+    outs, k = [], 0
+    for n in n_dst_channels:
+        outs.append(merge_channels(out_planes[k:k + n]) if n > 1
+                    else out_planes[k])
+        k += n
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# polar <-> cartesian (fastAtan2 frozen spec)
+
+# OpenCV's public minimax fit for atan on [0, 1], output in degrees.
+_ATAN2_P1 = 0.9997878412794807 * (180.0 / np.pi)
+_ATAN2_P3 = -0.3258083974640975 * (180.0 / np.pi)
+_ATAN2_P5 = 0.1555786518463281 * (180.0 / np.pi)
+_ATAN2_P7 = -0.04432655554792128 * (180.0 / np.pi)
+_DBL_EPS = float(np.finfo(np.float64).eps)
+
+
+def _fast_atan2(y, x, xp):
+    """Degrees in [0, 360). f32 arithmetic like OpenCV's."""
+    y = y.astype(xp.float32)
+    x = x.astype(xp.float32)
+    ax, ay = xp.abs(x), xp.abs(y)
+    lo, hi = xp.minimum(ax, ay), xp.maximum(ax, ay)
+    c = lo / (hi + xp.float32(_DBL_EPS))
+    c2 = c * c
+    a = ((xp.float32(_ATAN2_P7) * c2 + xp.float32(_ATAN2_P5)) * c2
+         + xp.float32(_ATAN2_P3)) * c2 * c + xp.float32(_ATAN2_P1) * c
+    a = xp.where(ax >= ay, a, xp.float32(90.0) - a)
+    a = xp.where(x < 0, xp.float32(180.0) - a, a)
+    a = xp.where(y < 0, xp.float32(360.0) - a, a)
+    return a
+
+
+def fast_atan2(y, x):
+    """OpenCV ``fastAtan2`` (degrees, ≈0.3° accuracy). Scalar or array."""
+    xp = jnp if isinstance(y, jax.Array) or isinstance(x, jax.Array) else np
+    out = _fast_atan2(xp.asarray(y, xp.float32), xp.asarray(x, xp.float32), xp)
+    return float(out) if np.ndim(y) == 0 and np.ndim(x) == 0 else out
+
+
+def magnitude(x, y):
+    """OpenCV ``magnitude``: √(x² + y²), elementwise."""
+    xp = np if isinstance(x, np.ndarray) else jnp
+    return xp.sqrt(x.astype(xp.float32) ** 2 + y.astype(xp.float32) ** 2)
+
+
+def phase(x, y, angle_in_degrees: bool = False):
+    """OpenCV ``phase``: the fastAtan2 angle of (x, y). OpenCV uses the
+    polynomial in radian mode too (scaled by π/180) — so do we."""
+    xp = np if isinstance(x, np.ndarray) else jnp
+    deg = _fast_atan2(y, x, xp)
+    return deg if angle_in_degrees else deg * xp.float32(np.pi / 180.0)
+
+
+def cart_to_polar(x, y, angle_in_degrees: bool = False):
+    """OpenCV ``cartToPolar`` → (magnitude, angle)."""
+    return magnitude(x, y), phase(x, y, angle_in_degrees)
+
+
+def polar_to_cart(mag, angle, angle_in_degrees: bool = False):
+    """OpenCV ``polarToCart`` → (x, y). f64 sin/cos spec (OpenCV's
+    table-interpolated SinCos agrees to ≲1e-5 rel)."""
+    xp = np if isinstance(mag, np.ndarray) else jnp
+    a = angle.astype(xp.float64 if xp is np else xp.float32)
+    if angle_in_degrees:
+        a = a * (np.pi / 180.0)
+    return ((mag * xp.cos(a)).astype(xp.float32),
+            (mag * xp.sin(a)).astype(xp.float32))
+
+
+# ---------------------------------------------------------------------------
+# comparisons / scans
+
+_CMP = {
+    "eq": lambda a, b: a == b, "ne": lambda a, b: a != b,
+    "gt": lambda a, b: a > b, "ge": lambda a, b: a >= b,
+    "lt": lambda a, b: a < b, "le": lambda a, b: a <= b,
+}
+
+
+def compare(a, b, op: str):
+    """OpenCV ``compare``: elementwise predicate → u8 mask (255/0)."""
+    if op not in _CMP:
+        raise ValueError(f"unknown op {op!r} (one of {sorted(_CMP)})")
+    xp = np if isinstance(a, np.ndarray) else jnp
+    return _CMP[op](a, b).astype(xp.uint8) * xp.uint8(255)
+
+
+def find_non_zero(m: np.ndarray) -> np.ndarray:
+    """OpenCV ``findNonZero``: (N, 2) int32 points as (x, y), raster
+    scan order. Host op (the output is inherently ragged)."""
+    ys, xs = np.nonzero(np.asarray(m))
+    return np.stack([xs, ys], axis=1).astype(np.int32)
+
+
+def reduce_mat(m, dim: int, rtype: str = "sum"):
+    """OpenCV ``reduce``: collapse rows (dim=0 → one row) or columns
+    (dim=1 → one column) by sum / avg / max / min. Sums/averages
+    accumulate in f64 on host, f32 on device."""
+    xp = np if isinstance(m, np.ndarray) else jnp
+    if dim not in (0, 1):
+        raise ValueError("dim must be 0 (rows) or 1 (cols)")
+    if rtype in ("sum", "avg"):
+        acc = m.astype(xp.float64 if xp is np else xp.float32)
+        out = acc.mean(axis=dim) if rtype == "avg" else acc.sum(axis=dim)
+    elif rtype == "max":
+        out = m.max(axis=dim)
+    elif rtype == "min":
+        out = m.min(axis=dim)
+    else:
+        raise ValueError(f"unknown rtype {rtype!r}")
+    return out[None, :] if dim == 0 else out[:, None]
+
+
+def sort_mat(m, axis: int = 1, descending: bool = False):
+    """OpenCV ``sort`` (SORT_EVERY_ROW ↔ axis=1, SORT_EVERY_COLUMN ↔
+    axis=0), stable."""
+    xp = np if isinstance(m, np.ndarray) else jnp
+    out = xp.sort(m, axis=axis, kind="stable") if xp is np \
+        else xp.sort(m, axis=axis, stable=True)
+    return xp.flip(out, axis=axis) if descending else out
+
+
+def sort_idx(m, axis: int = 1, descending: bool = False):
+    """OpenCV ``sortIdx``: argsort indices, stable ascending; descending
+    sorts -keys stably (OpenCV's descending order of equal keys)."""
+    xp = np if isinstance(m, np.ndarray) else jnp
+    key = -m if descending else m
+    if xp is np:
+        return np.argsort(key, axis=axis, kind="stable").astype(np.int32)
+    return xp.argsort(key, axis=axis, stable=True).astype(xp.int32)
+
+
+def hconcat(mats: Sequence):
+    xp = np if isinstance(mats[0], np.ndarray) else jnp
+    return xp.concatenate(list(mats), axis=1)
+
+
+def vconcat(mats: Sequence):
+    xp = np if isinstance(mats[0], np.ndarray) else jnp
+    return xp.concatenate(list(mats), axis=0)
+
+
+def repeat_mat(m, ny: int, nx: int):
+    """OpenCV ``repeat``: tile ny × nx."""
+    xp = np if isinstance(m, np.ndarray) else jnp
+    reps = (ny, nx) + (1,) * (m.ndim - 2)
+    return xp.tile(m, reps)
+
+
+# ---------------------------------------------------------------------------
+# point-set transforms
+
+def transform_points(pts, m):
+    """OpenCV ``transform`` on an (N, d) point set with an (r, d) or
+    (r, d+1) matrix (the +1 column is an additive offset)."""
+    pts = np.asarray(pts, np.float64)
+    m = np.asarray(m, np.float64)
+    d = pts.shape[-1]
+    if m.shape[1] == d:
+        return pts @ m.T
+    if m.shape[1] == d + 1:
+        return pts @ m[:, :d].T + m[:, d]
+    raise ValueError(f"matrix shape {m.shape} does not match points "
+                     f"of dim {d}")
+
+
+def perspective_transform(pts, m):
+    """OpenCV ``perspectiveTransform``: (N, d) points through an
+    (d+1, d+1) homography, perspective divide included."""
+    pts = np.asarray(pts, np.float64)
+    m = np.asarray(m, np.float64)
+    d = pts.shape[-1]
+    if m.shape != (d + 1, d + 1):
+        raise ValueError(f"matrix must be {(d + 1, d + 1)} for {d}-D points")
+    h = np.concatenate([pts, np.ones((*pts.shape[:-1], 1))], axis=-1) @ m.T
+    return h[..., :d] / h[..., d:d + 1]
+
+
+def get_affine_transform(src, dst) -> np.ndarray:
+    """OpenCV ``getAffineTransform``: exact 2×3 affine from 3 point
+    pairs (solves the 6×6 system in f64)."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    if src.shape != (3, 2) or dst.shape != (3, 2):
+        raise ValueError("need exactly 3 source and 3 destination points")
+    a = np.concatenate([src, np.ones((3, 1))], axis=1)
+    coeffs = np.linalg.solve(a, dst)  # (3, 2)
+    return coeffs.T  # (2, 3)
+
+
+# ---------------------------------------------------------------------------
+# small-matrix linear algebra (host f64, like ops/calib.py)
+
+def gemm(a, b, alpha: float = 1.0, c=None, beta: float = 0.0,
+         transpose_a: bool = False, transpose_b: bool = False,
+         transpose_c: bool = False):
+    """OpenCV ``gemm``: α·op(A)·op(B) + β·op(C)."""
+    xp = np if isinstance(a, np.ndarray) else jnp
+    at = a.T if transpose_a else a
+    bt = b.T if transpose_b else b
+    out = alpha * (at @ bt)
+    if c is not None and beta != 0.0:
+        out = out + beta * (c.T if transpose_c else c)
+    return out
+
+
+def scale_add(a, alpha: float, b):
+    """OpenCV ``scaleAdd``: α·A + B."""
+    return alpha * a + b
+
+
+def set_identity(shape: Tuple[int, int], value: float = 1.0,
+                 dtype=np.float64) -> np.ndarray:
+    """OpenCV ``setIdentity``: value on the diagonal, 0 elsewhere."""
+    out = np.zeros(shape, dtype)
+    np.fill_diagonal(out, value)
+    return out
+
+
+def determinant(m) -> float:
+    return float(np.linalg.det(np.asarray(m, np.float64)))
+
+
+def invert(m, method: str = "lu") -> Tuple[float, np.ndarray]:
+    """OpenCV ``invert``. ``lu``: (nonzero-determinant flag, inverse);
+    ``svd``: (σ_min/σ_max, Moore-Penrose pseudo-inverse) — OpenCV's
+    return-value conventions."""
+    m = np.asarray(m, np.float64)
+    if method == "lu":
+        det = np.linalg.det(m)
+        if abs(det) < np.finfo(np.float64).tiny:
+            return 0.0, np.zeros_like(m.T)
+        return 1.0, np.linalg.inv(m)
+    if method == "svd":
+        u, s, vt = np.linalg.svd(m, full_matrices=False)
+        ratio = float(s[-1] / s[0]) if s[0] > 0 else 0.0
+        keep = s > s[0] * max(m.shape) * np.finfo(np.float64).eps
+        sinv = np.where(keep, 1.0 / np.where(keep, s, 1.0), 0.0)
+        return ratio, (vt.T * sinv) @ u.T
+    raise ValueError(f"unknown method {method!r}")
+
+
+def solve(a, b, method: str = "lu") -> Tuple[bool, np.ndarray]:
+    """OpenCV ``solve``: ``lu`` exact square solve; ``svd``/``qr``/
+    ``normal`` least squares."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if b.ndim == 1:
+        b = b[:, None]
+    if method == "lu":
+        if abs(np.linalg.det(a)) < np.finfo(np.float64).tiny:
+            return False, np.zeros((a.shape[1], b.shape[1]))
+        return True, np.linalg.solve(a, b)
+    if method in ("svd", "qr", "normal"):
+        x, *_ = np.linalg.lstsq(a, b, rcond=None)
+        return True, x
+    raise ValueError(f"unknown method {method!r}")
+
+
+def eigen(m) -> Tuple[bool, np.ndarray, np.ndarray]:
+    """OpenCV ``eigen`` (symmetric input): eigenvalues descending,
+    eigenvectors as ROWS (OpenCV layout)."""
+    m = np.asarray(m, np.float64)
+    w, v = np.linalg.eigh(m)
+    order = np.argsort(w)[::-1]
+    return True, w[order], v[:, order].T
+
+
+def sv_decomp(m) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """OpenCV ``SVDecomp`` → (w, u, vt), singular values descending."""
+    u, s, vt = np.linalg.svd(np.asarray(m, np.float64), full_matrices=False)
+    return s[:, None], u, vt
+
+
+def sv_back_subst(w, u, vt, rhs) -> np.ndarray:
+    """OpenCV ``SVBackSubst``: x = V diag(1/w) Uᵀ b with zeroed tiny w."""
+    s = np.asarray(w, np.float64).ravel()
+    keep = s > (s[0] * max(u.shape[0], vt.shape[1])
+                * np.finfo(np.float64).eps if s.size else 0.0)
+    sinv = np.where(keep, 1.0 / np.where(keep, s, 1.0), 0.0)
+    rhs = np.asarray(rhs, np.float64)
+    if rhs.ndim == 1:
+        rhs = rhs[:, None]
+    return vt.T @ (sinv[:, None] * (u.T @ rhs))
+
+
+# ---------------------------------------------------------------------------
+# statistics
+
+def calc_covar_matrix(samples, rows_as_samples: bool = True,
+                      scrambled: bool = False, scale: bool = False
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """OpenCV ``calcCovarMatrix`` (COVAR_ROWS layout) → (covar, mean).
+    COVAR_NORMAL = (X-μ)ᵀ(X-μ); ``scrambled`` gives COVAR_SCRAMBLED's
+    (X-μ)(X-μ)ᵀ; ``scale`` divides by the sample count."""
+    x = np.asarray(samples, np.float64)
+    if not rows_as_samples:
+        x = x.T
+    mu = x.mean(axis=0)
+    d = x - mu
+    cov = d @ d.T if scrambled else d.T @ d
+    if scale:
+        cov /= x.shape[0]
+    return cov, mu
+
+
+def mahalanobis(v1, v2, icovar) -> float:
+    """OpenCV ``Mahalanobis``: √((v1-v2)ᵀ·icovar·(v1-v2))."""
+    d = np.asarray(v1, np.float64).ravel() - np.asarray(v2, np.float64).ravel()
+    return float(np.sqrt(d @ np.asarray(icovar, np.float64) @ d))
+
+
+def pca_compute(data, mean: Optional[np.ndarray] = None,
+                max_components: int = 0
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """OpenCV ``PCACompute`` (DATA_AS_ROW) → (mean, eigenvectors as
+    rows, eigenvalues descending)."""
+    x = np.asarray(data, np.float64)
+    mu = x.mean(axis=0) if mean is None else np.asarray(mean, np.float64).ravel()
+    d = x - mu
+    # SVD route: numerically better than forming the covariance.
+    _, s, vt = np.linalg.svd(d, full_matrices=False)
+    eigvals = (s ** 2) / x.shape[0]
+    if max_components and max_components < vt.shape[0]:
+        vt = vt[:max_components]
+        eigvals = eigvals[:max_components]
+    return mu, vt, eigvals
+
+
+def pca_project(data, mean, eigenvectors) -> np.ndarray:
+    x = np.asarray(data, np.float64)
+    return (x - np.asarray(mean, np.float64)) @ np.asarray(
+        eigenvectors, np.float64).T
+
+
+def pca_back_project(proj, mean, eigenvectors) -> np.ndarray:
+    return np.asarray(proj, np.float64) @ np.asarray(
+        eigenvectors, np.float64) + np.asarray(mean, np.float64)
+
+
+# ---------------------------------------------------------------------------
+# RNG (cv::RNG multiply-with-carry, bit-exact)
+
+_MWC_A = 4164903690
+
+
+class RNG:
+    """Bit-exact replica of cv::RNG (multiply-with-carry). ``randu``
+    fills match cv2.setRNGSeed + cv2.randu value-for-value (integer AND
+    float paths — see module docstring); ``gaussian`` is our own frozen
+    Box-Muller spec over the same stream."""
+
+    def __init__(self, seed: int = 0xFFFFFFFF):
+        # cv::RNG(0) silently becomes the default seed — keep that quirk.
+        self.state = seed if seed else 0xFFFFFFFF
+
+    def next(self) -> int:
+        self.state = (_MWC_A * (self.state & 0xFFFFFFFF)
+                      + (self.state >> 32)) & 0xFFFFFFFFFFFFFFFF
+        return self.state & 0xFFFFFFFF
+
+    def uniform_int(self, a: int, b: int) -> int:
+        return a + self.next() % (b - a) if b > a else a
+
+    def uniform_float(self, a: float, b: float) -> float:
+        v = self.next()
+        signed = v - (1 << 32) if v >= (1 << 31) else v
+        return float(np.float32(
+            (signed * 2.0 ** -32 + 0.5) * (b - a) + a))
+
+    def randu(self, shape: Tuple[int, ...], low, high,
+              dtype=np.float32) -> np.ndarray:
+        """Row-major fill, one draw per element (cv2.randu order)."""
+        n = int(np.prod(shape))
+        if np.issubdtype(np.dtype(dtype), np.integer):
+            flat = np.fromiter(
+                (self.uniform_int(int(low), int(high)) for _ in range(n)),
+                np.int64, n)
+        else:
+            flat = np.fromiter(
+                (self.uniform_float(float(low), float(high))
+                 for _ in range(n)), np.float64, n)
+        return flat.astype(dtype).reshape(shape)
+
+    def gaussian(self, sigma: float = 1.0) -> float:
+        """Frozen Box-Muller over the MWC stream (our spec)."""
+        while True:
+            u1 = self.uniform_float(0.0, 1.0)
+            u2 = self.uniform_float(0.0, 1.0)
+            if u1 > 1e-12:
+                break
+        r = np.sqrt(-2.0 * np.log(u1))
+        return float(r * np.cos(2.0 * np.pi * u2) * sigma)
+
+    def randn(self, shape: Tuple[int, ...], mean: float, stddev: float,
+              dtype=np.float32) -> np.ndarray:
+        n = int(np.prod(shape))
+        flat = np.fromiter(
+            (mean + self.gaussian(stddev) for _ in range(n)), np.float64, n)
+        return flat.astype(dtype).reshape(shape)
