@@ -1583,6 +1583,8 @@ __all__ = [
     "determinant", "invert", "solve", "eigen", "sv_decomp",
     "sv_back_subst", "pca_compute", "pca_project", "pca_back_project",
     "calc_covar_matrix", "mahalanobis", "RNG",
+    "spatial_gradient", "corner_min_eigen_val",
+    "corner_eigen_vals_and_vecs", "pre_corner_detect",
 ]
 
 
@@ -2294,6 +2296,12 @@ from ..ops.core_ops import (  # noqa: E402  (re-exports)
     sv_back_subst,
     sv_decomp,
     vconcat,
+)
+from ..ops.corner import (  # noqa: E402  (re-exports)
+    corner_eigen_vals_and_vecs,
+    corner_min_eigen_val,
+    pre_corner_detect,
+    spatial_gradient,
 )
 from ..ops.core_ops import merge_channels as merge  # noqa: E402
 from ..ops.core_ops import reduce_mat as reduce  # noqa: E402
