@@ -1585,6 +1585,7 @@ __all__ = [
     "calc_covar_matrix", "mahalanobis", "RNG",
     "spatial_gradient", "corner_min_eigen_val",
     "corner_eigen_vals_and_vecs", "pre_corner_detect",
+    "find_circles_grid", "circles_grid_object_points",
 ]
 
 
@@ -2296,6 +2297,10 @@ from ..ops.core_ops import (  # noqa: E402  (re-exports)
     sv_back_subst,
     sv_decomp,
     vconcat,
+)
+from ..ops.circles_grid import (  # noqa: E402  (re-exports)
+    circles_grid_object_points,
+    find_circles_grid,
 )
 from ..ops.corner import (  # noqa: E402  (re-exports)
     corner_eigen_vals_and_vecs,
