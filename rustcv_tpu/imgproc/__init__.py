@@ -1586,6 +1586,7 @@ __all__ = [
     "spatial_gradient", "corner_min_eigen_val",
     "corner_eigen_vals_and_vecs", "pre_corner_detect",
     "find_circles_grid", "circles_grid_object_points",
+    "slic_superpixels",
 ]
 
 
@@ -2309,6 +2310,7 @@ from ..ops.corner import (  # noqa: E402  (re-exports)
     spatial_gradient,
 )
 from ..ops.core_ops import merge_channels as merge  # noqa: E402
+from ..ops.slic import slic_superpixels  # noqa: E402
 from ..ops.core_ops import reduce_mat as reduce  # noqa: E402
 from ..ops.core_ops import repeat_mat as repeat  # noqa: E402
 from ..ops.core_ops import sort_idx  # noqa: E402
