@@ -1344,6 +1344,60 @@ def merge_mertens(mats):
     return _hdr.merge_mertens_numpy(arrays)
 
 
+def merge_robertson(mats, times, response=None):
+    """Robertson radiance merge (OpenCV ``MergeRobertson`` role):
+    u8 BGR stack + exposure times → float32 radiance; matches cv2 to
+    2e-5 rel with the same response (ops/hdr.py)."""
+    import numpy as np
+
+    from ..ops import hdr as _hdr
+
+    arrays = [m.to_numpy() if hasattr(m, "to_numpy") else np.asarray(m)
+              for m in mats]
+    return _hdr.merge_robertson_numpy(arrays, times, response)
+
+
+def calibrate_robertson(mats, times, max_iter: int = 30):
+    """Robertson EM response recovery (OpenCV ``CalibrateRobertson``
+    role) → (3, 256), g(128)=1 per channel (ops/hdr.py)."""
+    import numpy as np
+
+    from ..ops import hdr as _hdr
+
+    arrays = [m.to_numpy() if hasattr(m, "to_numpy") else np.asarray(m)
+              for m in mats]
+    return _hdr.calibrate_robertson(arrays, times, max_iter)
+
+
+def tonemap_drago(hdr_img, gamma: float = 1.0, saturation: float = 1.0,
+                  bias: float = 0.85):
+    """Drago'03 adaptive-logarithmic tonemap (OpenCV ``TonemapDrago``
+    role): float radiance → float32 [0,1]; ≤0.01 MAE vs cv2 pinned
+    (ops/hdr.py)."""
+    from ..ops import hdr as _hdr
+
+    return _hdr.tonemap_drago_numpy(hdr_img, gamma, saturation, bias)
+
+
+def denoise_tvl1(observations, lam: float = 1.0, niters: int = 30):
+    """Multi-observation TV-L1 denoising (OpenCV ``denoise_TVL1``
+    role): list of u8 frames → u8. Device-resident inputs run the
+    fused fori_loop twin (ops/tvl1.py)."""
+    import numpy as np
+
+    from ..ops import tvl1 as _tvl1
+
+    if any(getattr(m, "is_on_device", False) for m in observations):
+        import jax.numpy as jnp
+
+        stack = jnp.stack([m.device() for m in observations])
+        return np.asarray(_tvl1.denoise_tvl1(stack, lam=lam,
+                                             niters=niters))
+    arrays = [m.to_numpy() if hasattr(m, "to_numpy") else np.asarray(m)
+              for m in observations]
+    return _tvl1.denoise_tvl1_numpy(arrays, lam=lam, niters=niters)
+
+
 def seamless_clone(src_mat: Mat, dst_mat: Mat, mask, center,
                    mixed: bool = False) -> Mat:
     """Poisson blending (OpenCV ``seamlessClone`` role): solve the
@@ -1570,6 +1624,8 @@ __all__ = [
     "stereo_bm", "stereo_sgbm", "threshold",
     "fast_nl_means_denoising", "fast_nl_means_denoising_colored",
     "inpaint", "seamless_clone", "merge_mertens", "align_mtb",
+    "merge_robertson", "calibrate_robertson", "tonemap_drago",
+    "denoise_tvl1",
     "pyr_mean_shift_filtering", "guided_filter",
     "color_change", "illumination_change", "texture_flattening",
     "edge_preserving_filter", "detail_enhance", "stylization",
