@@ -1643,6 +1643,7 @@ __all__ = [
     "corner_eigen_vals_and_vecs", "pre_corner_detect",
     "find_circles_grid", "circles_grid_object_points",
     "slic_superpixels",
+    "clip_line", "ellipse2poly", "draw_keypoints", "draw_matches",
 ]
 
 
@@ -2367,6 +2368,12 @@ from ..ops.corner import (  # noqa: E402  (re-exports)
 )
 from ..ops.core_ops import merge_channels as merge  # noqa: E402
 from ..ops.slic import slic_superpixels  # noqa: E402
+from ..ops.viz import (  # noqa: E402  (re-exports)
+    clip_line,
+    draw_keypoints,
+    draw_matches,
+    ellipse2poly,
+)
 from ..ops.core_ops import reduce_mat as reduce  # noqa: E402
 from ..ops.core_ops import repeat_mat as repeat  # noqa: E402
 from ..ops.core_ops import sort_idx  # noqa: E402
