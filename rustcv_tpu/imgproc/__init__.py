@@ -1644,6 +1644,7 @@ __all__ = [
     "find_circles_grid", "circles_grid_object_points",
     "slic_superpixels",
     "clip_line", "ellipse2poly", "draw_keypoints", "draw_matches",
+    "build_r_table", "ghough_detect",
 ]
 
 
@@ -2367,6 +2368,10 @@ from ..ops.corner import (  # noqa: E402  (re-exports)
     spatial_gradient,
 )
 from ..ops.core_ops import merge_channels as merge  # noqa: E402
+from ..ops.ghough import (  # noqa: E402  (re-exports)
+    build_r_table,
+    ghough_detect,
+)
 from ..ops.slic import slic_superpixels  # noqa: E402
 from ..ops.viz import (  # noqa: E402  (re-exports)
     clip_line,
