@@ -1645,6 +1645,7 @@ __all__ = [
     "slic_superpixels",
     "clip_line", "ellipse2poly", "draw_keypoints", "draw_matches",
     "build_r_table", "ghough_detect",
+    "variational_refine",
 ]
 
 
@@ -2373,6 +2374,7 @@ from ..ops.ghough import (  # noqa: E402  (re-exports)
     ghough_detect,
 )
 from ..ops.slic import slic_superpixels  # noqa: E402
+from ..ops.varref import variational_refine  # noqa: E402
 from ..ops.viz import (  # noqa: E402  (re-exports)
     clip_line,
     draw_keypoints,
