@@ -1646,6 +1646,15 @@ __all__ = [
     "clip_line", "ellipse2poly", "draw_keypoints", "draw_matches",
     "build_r_table", "ghough_detect",
     "variational_refine",
+    "accumulate", "accumulate_square", "accumulate_product",
+    "blend_linear", "blur", "box_filter", "sqr_box_filter",
+    "compare_hist", "create_hanning_window", "cube_root",
+    "convert_points_to_homogeneous", "convert_points_from_homogeneous",
+    "complete_symm", "extract_channel", "insert_channel",
+    "has_non_zero", "invert_affine_transform", "patch_nans",
+    "rand_shuffle", "reduce_arg_max", "reduce_arg_min",
+    "solve_cubic", "solve_poly", "trace", "transpose",
+    "mul_transposed", "sum_elems", "multiply", "divide",
 ]
 
 
@@ -2368,7 +2377,38 @@ from ..ops.corner import (  # noqa: E402  (re-exports)
     pre_corner_detect,
     spatial_gradient,
 )
+from ..ops.core_ops import (  # noqa: E402  (round-3b batch re-exports)
+    accumulate,
+    accumulate_product,
+    accumulate_square,
+    blend_linear,
+    blur,
+    box_filter,
+    compare_hist,
+    complete_symm,
+    convert_points_from_homogeneous,
+    convert_points_to_homogeneous,
+    create_hanning_window,
+    cube_root,
+    extract_channel,
+    has_non_zero,
+    insert_channel,
+    invert_affine_transform,
+    mul_transposed,
+    patch_nans,
+    rand_shuffle,
+    reduce_arg_max,
+    reduce_arg_min,
+    solve_cubic,
+    solve_poly,
+    sqr_box_filter,
+    sum_elems,
+    trace,
+)
+from ..ops.core_ops import divide_u8 as divide  # noqa: E402
 from ..ops.core_ops import merge_channels as merge  # noqa: E402
+from ..ops.core_ops import multiply_u8 as multiply  # noqa: E402
+from ..ops.core_ops import transpose_mat as transpose  # noqa: E402
 from ..ops.ghough import (  # noqa: E402  (re-exports)
     build_r_table,
     ghough_detect,

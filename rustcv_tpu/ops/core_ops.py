@@ -508,3 +508,274 @@ class RNG:
         flat = np.fromiter(
             (mean + self.gaussian(stddev) for _ in range(n)), np.float64, n)
         return flat.astype(dtype).reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# round-3b completeness batch (cross-validated against cv2 5.0 in
+# tests/test_core_ops2.py)
+
+def accumulate(src, dst, mask=None):
+    """OpenCV ``accumulate``: dst + src (float dst), returned (we are
+    functional — cv2 mutates in place)."""
+    xp = np if isinstance(dst, np.ndarray) else jnp
+    add = src.astype(dst.dtype)
+    if mask is not None:
+        add = xp.where(mask.astype(bool), add, xp.zeros_like(add))
+    return dst + add
+
+
+def accumulate_square(src, dst, mask=None):
+    s = src.astype(dst.dtype)
+    return accumulate(s * s, dst, mask)
+
+
+def accumulate_product(src1, src2, dst, mask=None):
+    s = src1.astype(dst.dtype) * src2.astype(dst.dtype)
+    return accumulate(s, dst, mask)
+
+
+def blend_linear(src1, src2, w1, w2):
+    """OpenCV ``blendLinear``: (src1·w1 + src2·w2)/(w1+w2+ε)."""
+    xp = np if isinstance(src1, np.ndarray) else jnp
+    num = (src1.astype(xp.float32) * w1 + src2.astype(xp.float32) * w2)
+    out = num / (w1 + w2 + xp.float32(1e-5))
+    if src1.dtype == xp.uint8:
+        return xp.clip(xp.round(out), 0, 255).astype(xp.uint8)
+    return out
+
+
+def box_filter(src, ksize, normalize: bool = True,
+               border_type: str = "reflect101"):
+    """OpenCV ``boxFilter``/``blur`` (normalize=True) /
+    ``sqrBoxFilter``-style sums (normalize=False → float64 sums).
+    Any (kw, kh); exact vs cv2 for u8 inputs."""
+    kh, kw = (ksize, ksize) if np.isscalar(ksize) else (ksize[1],
+                                                        ksize[0])
+    xp = np if isinstance(src, np.ndarray) else jnp
+    a = src.astype(xp.float64 if xp is np else xp.float32)
+    ry, rx = kh // 2, kw // 2
+    p = copy_make_border(a, ry, kh - 1 - ry, rx, kw - 1 - rx,
+                         border_type)
+    h, w = src.shape[:2]
+    out = xp.zeros_like(a)
+    for dy in range(kh):
+        for dx in range(kw):
+            out = out + p[dy:dy + h, dx:dx + w]
+    if normalize:
+        out = out / (kh * kw)
+        if src.dtype == np.uint8 or str(src.dtype) == "uint8":
+            return xp.clip(xp.round(out), 0, 255).astype(xp.uint8)
+    return out
+
+
+def blur(src, ksize, border_type: str = "reflect101"):
+    """OpenCV ``blur``: normalized box filter."""
+    return box_filter(src, ksize, True, border_type)
+
+
+def sqr_box_filter(src, ksize, normalize: bool = True,
+                   border_type: str = "reflect101"):
+    """OpenCV ``sqrBoxFilter``: box filter of squared values (f64)."""
+    xp = np if isinstance(src, np.ndarray) else jnp
+    a = src.astype(xp.float64 if xp is np else xp.float32)
+    return box_filter(a * a, ksize, normalize, border_type)
+
+
+_HISTCMP = ("correl", "chisqr", "intersect", "bhattacharyya",
+            "chisqr_alt", "kl_div")
+
+
+def compare_hist(h1, h2, method: str = "correl") -> float:
+    """OpenCV ``compareHist``: all six methods, float64."""
+    a = np.asarray(h1, np.float64).ravel()
+    b = np.asarray(h2, np.float64).ravel()
+    if method == "correl":
+        da = a - a.mean()
+        db = b - b.mean()
+        den = np.sqrt((da * da).sum() * (db * db).sum())
+        return float((da * db).sum() / den) if den > 0 else 1.0
+    if method == "chisqr":
+        nz = a > 0
+        return float((((a - b) ** 2)[nz] / a[nz]).sum())
+    if method == "intersect":
+        return float(np.minimum(a, b).sum())
+    if method == "bhattacharyya":
+        s = a.sum() * b.sum()
+        if s <= 0:
+            return 1.0
+        bc = (np.sqrt(a * b)).sum() / np.sqrt(s)
+        return float(np.sqrt(max(1.0 - bc, 0.0)))
+    if method == "chisqr_alt":
+        nz = (a + b) > 0
+        return float(2.0 * (((a - b) ** 2)[nz] / (a + b)[nz]).sum())
+    if method == "kl_div":
+        out = 0.0
+        for p, q in zip(a, b):
+            if p > 0:
+                out += p * np.log(p / max(q, 1e-10))
+            elif q > 0:
+                pass
+        return float(out)
+    raise ValueError(f"unknown method {method!r} (one of {_HISTCMP})")
+
+
+def create_hanning_window(size: Tuple[int, int]) -> np.ndarray:
+    """OpenCV ``createHanningWindow``: √(hann_row·hann_col) — the
+    square-root separable form cv2 uses (black-box pinned)."""
+    w, h = size
+    i = np.arange(h, dtype=np.float64)
+    j = np.arange(w, dtype=np.float64)
+    wr = 0.5 * (1.0 - np.cos(2.0 * np.pi * i / max(h - 1, 1)))
+    wc = 0.5 * (1.0 - np.cos(2.0 * np.pi * j / max(w - 1, 1)))
+    return np.sqrt(wr[:, None] * wc[None, :]).astype(np.float32)
+
+
+def cube_root(x):
+    """OpenCV ``cubeRoot``: sign-preserving cube root."""
+    xp = np if not isinstance(x, jax.Array) else jnp
+    return xp.cbrt(x)
+
+
+def convert_points_to_homogeneous(pts) -> np.ndarray:
+    p = np.asarray(pts, np.float64).reshape(len(pts), -1)
+    return np.concatenate([p, np.ones((len(p), 1))], axis=1)
+
+
+def convert_points_from_homogeneous(pts) -> np.ndarray:
+    p = np.asarray(pts, np.float64).reshape(len(pts), -1)
+    w = p[:, -1:]
+    w = np.where(np.abs(w) < 1e-300, 1.0, w)
+    return p[:, :-1] / w
+
+
+def complete_symm(m, lower_to_upper: bool = False) -> np.ndarray:
+    """OpenCV ``completeSymm``: mirror one triangle onto the other."""
+    a = np.asarray(m).copy()
+    il = np.tril_indices_from(a, -1)
+    if lower_to_upper:
+        a[il[1], il[0]] = a[il]
+    else:
+        a[il] = a[il[1], il[0]]
+    return a
+
+
+def extract_channel(src, c: int):
+    return src[..., c]
+
+
+def insert_channel(src_plane, dst, c: int):
+    xp = np if isinstance(dst, np.ndarray) else jnp
+    if xp is np:
+        out = dst.copy()
+        out[..., c] = src_plane
+        return out
+    return dst.at[..., c].set(src_plane)
+
+
+def has_non_zero(m) -> bool:
+    xp = np if isinstance(m, np.ndarray) else jnp
+    return bool(xp.any(m != 0))
+
+
+def invert_affine_transform(m) -> np.ndarray:
+    """OpenCV ``invertAffineTransform``: exact 2×3 inverse."""
+    m = np.asarray(m, np.float64)
+    a = m[:, :2]
+    ainv = np.linalg.inv(a)
+    return np.concatenate([ainv, -(ainv @ m[:, 2])[:, None]], axis=1)
+
+
+def patch_nans(m, val: float = 0.0):
+    xp = np if isinstance(m, np.ndarray) else jnp
+    return xp.where(xp.isnan(m), xp.asarray(val, m.dtype), m)
+
+
+def rand_shuffle(m, rng: "RNG") -> np.ndarray:
+    """OpenCV ``randShuffle`` role over the pinned MWC stream
+    (Fisher-Yates with uniform_int draws)."""
+    a = np.asarray(m).copy()
+    flat = a.reshape(-1)
+    for i in range(len(flat) - 1, 0, -1):
+        j = rng.uniform_int(0, i + 1)
+        flat[i], flat[j] = flat[j], flat[i]
+    return a
+
+
+def reduce_arg_max(m, axis: int, last_index: bool = False):
+    """OpenCV ``reduceArgMax``."""
+    xp = np if isinstance(m, np.ndarray) else jnp
+    if last_index:
+        n = m.shape[axis]
+        rev = xp.flip(m, axis=axis)
+        idx = n - 1 - xp.argmax(rev, axis=axis)
+    else:
+        idx = xp.argmax(m, axis=axis)
+    return xp.expand_dims(idx.astype(xp.int32), axis)
+
+
+def reduce_arg_min(m, axis: int, last_index: bool = False):
+    xp = np if isinstance(m, np.ndarray) else jnp
+    return reduce_arg_max(-m if xp is jnp else -np.asarray(
+        m, np.float64), axis, last_index)
+
+
+def solve_cubic(coeffs) -> Tuple[int, np.ndarray]:
+    """OpenCV ``solveCubic``: real roots of c0x³+c1x²+c2x+c3 (or the
+    quadratic when c0=0) → (n_real_roots, roots ascending, padded 0)."""
+    c = np.asarray(coeffs, np.float64).ravel()
+    roots = np.roots(c if c[0] != 0 else c[1:])
+    real = np.sort(roots[np.abs(roots.imag) < 1e-9].real)
+    out = np.zeros(3)
+    out[:len(real)] = real[:3]
+    return int(len(real)), out
+
+
+def solve_poly(coeffs) -> np.ndarray:
+    """OpenCV ``solvePoly``: all complex roots of Σ c_i x^i
+    (coefficients LOW order first, cv2's convention) → (N, 2) re/im,
+    ascending by real part."""
+    c = np.asarray(coeffs, np.float64).ravel()[::-1]
+    r = np.roots(c)
+    r = r[np.argsort(r.real, kind="stable")]
+    return np.stack([r.real, r.imag], axis=1)
+
+
+def trace(m) -> float:
+    return float(np.trace(np.asarray(m, np.float64)))
+
+
+def transpose_mat(m):
+    xp = np if isinstance(m, np.ndarray) else jnp
+    return xp.swapaxes(m, 0, 1)
+
+
+def mul_transposed(m, a_t_a: bool = True, scale: float = 1.0
+                   ) -> np.ndarray:
+    """OpenCV ``mulTransposed``: AᵀA (default) or AAᵀ, scaled."""
+    a = np.asarray(m, np.float64)
+    return scale * (a.T @ a if a_t_a else a @ a.T)
+
+
+def sum_elems(m):
+    """OpenCV ``sum``: per-channel sums (f64)."""
+    a = np.asarray(m, np.float64)
+    if a.ndim == 2:
+        return float(a.sum())
+    return a.sum(axis=(0, 1))
+
+
+def multiply_u8(a, b, scale: float = 1.0):
+    """OpenCV ``multiply`` with u8 saturation + rounding."""
+    xp = np if isinstance(a, np.ndarray) else jnp
+    out = a.astype(xp.float64 if xp is np else xp.float32) \
+        * b.astype(xp.float64 if xp is np else xp.float32) * scale
+    return xp.clip(xp.round(out), 0, 255).astype(xp.uint8)
+
+
+def divide_u8(a, b, scale: float = 1.0):
+    """OpenCV ``divide`` with u8 saturation; x/0 = 0 (cv2 semantics)."""
+    xp = np if isinstance(a, np.ndarray) else jnp
+    af = a.astype(xp.float64 if xp is np else xp.float32)
+    bf = b.astype(xp.float64 if xp is np else xp.float32)
+    out = xp.where(bf != 0, af * scale / xp.where(bf == 0, 1, bf), 0.0)
+    return xp.clip(xp.round(out), 0, 255).astype(xp.uint8)
