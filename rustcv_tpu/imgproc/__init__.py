@@ -1655,6 +1655,11 @@ __all__ = [
     "rand_shuffle", "reduce_arg_max", "reduce_arg_min",
     "solve_cubic", "solve_poly", "trace", "transpose",
     "mul_transposed", "sum_elems", "multiply", "divide",
+    "compose_rt", "decompose_projection_matrix",
+    "calibration_matrix_values", "sampson_distance",
+    "estimate_translation_2d", "estimate_translation_3d",
+    "init_camera_matrix_2d", "stereo_rectify_uncalibrated",
+    "filter_speckles", "read_optical_flow", "write_optical_flow",
 ]
 
 
@@ -2366,6 +2371,19 @@ from ..ops.core_ops import (  # noqa: E402  (re-exports)
     sv_back_subst,
     sv_decomp,
     vconcat,
+)
+from ..ops.calib_ext import (  # noqa: E402  (re-exports)
+    calibration_matrix_values,
+    compose_rt,
+    decompose_projection_matrix,
+    estimate_translation_2d,
+    estimate_translation_3d,
+    filter_speckles,
+    init_camera_matrix_2d,
+    read_optical_flow,
+    sampson_distance,
+    stereo_rectify_uncalibrated,
+    write_optical_flow,
 )
 from ..ops.circles_grid import (  # noqa: E402  (re-exports)
     circles_grid_object_points,

@@ -1,0 +1,245 @@
+"""Calib3d long tail (OpenCV ``composeRT`` /
+``decomposeProjectionMatrix`` / ``calibrationMatrixValues`` /
+``sampsonDistance`` / ``estimateTranslation2D/3D`` /
+``stereoRectifyUncalibrated`` / ``initCameraMatrix2D`` roles) and the
+stereo post-filter ``filterSpeckles``.
+
+Host float64 like ops/calib.py (tiny problems, once per frame/camera).
+All cross-validated against cv2 5.0 in tests/test_calib_ext.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .calib import rodrigues
+
+
+def compose_rt(rvec1, tvec1, rvec2, tvec2
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """OpenCV ``composeRT``: the pose that applies (R1,t1) then
+    (R2,t2) → (rvec3, tvec3)."""
+    r1 = rodrigues(np.asarray(rvec1, np.float64))
+    r2 = rodrigues(np.asarray(rvec2, np.float64))
+    r3 = r2 @ r1
+    t3 = r2 @ np.asarray(tvec1, np.float64).ravel() \
+        + np.asarray(tvec2, np.float64).ravel()
+    return rodrigues(r3), t3
+
+
+def _rq3(m: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """RQ decomposition of a 3×3 (R upper-triangular, Q rotation)."""
+    # QR of the flipped transpose gives RQ
+    p = np.fliplr(np.eye(3))
+    q, r = np.linalg.qr((p @ m).T)
+    rr = p @ r.T @ p
+    qq = p @ q.T
+    # make diagonal of rr positive
+    sgn = np.sign(np.diag(rr))
+    sgn[sgn == 0] = 1.0
+    d = np.diag(sgn)
+    return rr @ d, d @ qq
+
+
+def decompose_projection_matrix(p
+                                ) -> Tuple[np.ndarray, np.ndarray,
+                                           np.ndarray]:
+    """OpenCV ``decomposeProjectionMatrix`` → (K (3,3) with K[2,2]=1,
+    R, homogeneous camera centre (4,))."""
+    p = np.asarray(p, np.float64)
+    k, r = _rq3(p[:, :3])
+    if np.linalg.det(r) < 0:
+        r = -r
+    c = -np.linalg.solve(p[:, :3], p[:, 3])
+    center = np.concatenate([c, [1.0]])
+    return k / k[2, 2], r, center
+
+
+def calibration_matrix_values(k, image_size: Tuple[int, int],
+                              aperture_width: float,
+                              aperture_height: float):
+    """OpenCV ``calibrationMatrixValues`` → (fovx°, fovy°,
+    focal_length_mm, principal_point_mm, aspect_ratio)."""
+    k = np.asarray(k, np.float64)
+    w, h = image_size
+    fx, fy = k[0, 0], k[1, 1]
+    cx, cy = k[0, 2], k[1, 2]
+    fovx = np.degrees(np.arctan2(cx, fx) + np.arctan2(w - cx, fx))
+    fovy = np.degrees(np.arctan2(cy, fy) + np.arctan2(h - cy, fy))
+    focal = fx * aperture_width / w if aperture_width > 0 else 0.0
+    pp = ((cx * aperture_width / w) if aperture_width > 0 else 0.0,
+          (cy * aperture_height / h) if aperture_height > 0 else 0.0)
+    return float(fovx), float(fovy), float(focal), pp, float(fy / fx)
+
+
+def sampson_distance(pt1, pt2, f) -> float:
+    """OpenCV ``sampsonDistance``: first-order epipolar distance of
+    HOMOGENEOUS points (x1, x2) under F."""
+    x1 = np.asarray(pt1, np.float64).ravel()
+    x2 = np.asarray(pt2, np.float64).ravel()
+    f = np.asarray(f, np.float64)
+    fx1 = f @ x1
+    ftx2 = f.T @ x2
+    num = float(x2 @ f @ x1) ** 2
+    den = fx1[0] ** 2 + fx1[1] ** 2 + ftx2[0] ** 2 + ftx2[1] ** 2
+    return num / den if den > 0 else 0.0
+
+
+def _ransac_translation(src: np.ndarray, dst: np.ndarray, thresh: float,
+                        iters: int = 100
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    d = dst - src
+    best_inl = None
+    for i in range(min(iters, len(d))):
+        t = d[i % len(d)]
+        inl = np.linalg.norm(d - t, axis=1) < thresh
+        if best_inl is None or inl.sum() > best_inl.sum():
+            best_inl = inl
+    t = d[best_inl].mean(axis=0)
+    return t, best_inl
+
+
+def estimate_translation_2d(src, dst, ransac_threshold: float = 3.0
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    """OpenCV ``estimateTranslation2D`` → ((2,) translation, inlier
+    mask) — RANSAC + inlier mean."""
+    return _ransac_translation(np.asarray(src, np.float64).reshape(-1, 2),
+                               np.asarray(dst, np.float64).reshape(-1, 2),
+                               ransac_threshold)
+
+
+def estimate_translation_3d(src, dst, ransac_threshold: float = 3.0
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    return _ransac_translation(np.asarray(src, np.float64).reshape(-1, 3),
+                               np.asarray(dst, np.float64).reshape(-1, 3),
+                               ransac_threshold)
+
+
+def init_camera_matrix_2d(obj_points: Sequence, img_points: Sequence,
+                          image_size: Tuple[int, int],
+                          aspect_ratio: float = 1.0) -> np.ndarray:
+    """OpenCV ``initCameraMatrix2D`` role: closed-form focal estimate
+    from planar-view homographies (the Zhang init step reused from
+    calibrate_camera), principal point at the image centre."""
+    from .calib import calibrate_camera
+
+    _, k, _, _, _ = calibrate_camera(list(obj_points), list(img_points),
+                                     image_size, iterations=0)
+    return k
+
+
+def stereo_rectify_uncalibrated(pts1, pts2, f,
+                                image_size: Tuple[int, int],
+                                threshold: float = 5.0
+                                ) -> Tuple[bool, np.ndarray, np.ndarray]:
+    """OpenCV ``stereoRectifyUncalibrated`` (Hartley): homographies
+    (H1, H2) that map the epipoles to infinity and align epipolar
+    lines to scanlines."""
+    p1 = np.asarray(pts1, np.float64).reshape(-1, 2)
+    p2 = np.asarray(pts2, np.float64).reshape(-1, 2)
+    f = np.asarray(f, np.float64)
+    w, h = image_size
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+
+    # epipole in image 2: left null vector of F
+    u, s, vt = np.linalg.svd(f)
+    e2 = u[:, 2]
+    if abs(e2[2]) > 1e-12:
+        e2 = e2 / e2[2]
+
+    # translate centre to origin, rotate epipole onto x-axis, map to ∞
+    t = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1.0]])
+    ex, ey = e2[0] - cx, e2[1] - cy
+    d = np.hypot(ex, ey)
+    if d < 1e-9:
+        return False, np.eye(3), np.eye(3)
+    ca, sa = ex / d, ey / d
+    r = np.array([[ca, sa, 0], [-sa, ca, 0], [0, 0, 1.0]])
+    x0 = d
+    g = np.array([[1, 0, 0], [0, 1, 0], [-1.0 / x0, 0, 1]])
+    h2 = np.linalg.inv(t) @ g @ r @ t
+
+    # H1 = matching transform minimizing Σ‖H1 x1 − H2 x2‖² over
+    # H1 = (I + e2 aᵀ) H2 M with M = [e2]x F + e2 vᵀ (v = 1s)
+    e2x = np.array([[0, -e2[2], e2[1]], [e2[2], 0, -e2[0]],
+                    [-e2[1], e2[0], 0]])
+    m = e2x @ f + np.outer(e2, np.ones(3))
+    hm = h2 @ m
+    x1h = np.concatenate([p1, np.ones((len(p1), 1))], 1)
+    x2h = np.concatenate([p2, np.ones((len(p2), 1))], 1)
+    a1 = x1h @ hm.T
+    a1 = a1 / a1[:, 2:3]
+    b = x2h @ h2.T
+    b = b / b[:, 2:3]
+    # least squares for a: a1 @ (a0,a1,a2) ≈ b_x
+    sol, *_ = np.linalg.lstsq(a1, b[:, 0], rcond=None)
+    ha = np.eye(3)
+    ha[0] = sol
+    h1 = ha @ hm
+    # success check: rectified y residual
+    y1 = (x1h @ h1.T)
+    y1 = y1[:, 1] / y1[:, 2]
+    y2 = (x2h @ h2.T)
+    y2 = y2[:, 1] / y2[:, 2]
+    ok = bool(np.median(np.abs(y1 - y2)) < threshold)
+    return ok, h1 / h1[2, 2], h2 / h2[2, 2]
+
+
+def filter_speckles(disparity: np.ndarray, new_val: float,
+                    max_speckle_size: int, max_diff: float
+                    ) -> np.ndarray:
+    """OpenCV ``filterSpeckles``: connected regions (4-conn, neighbors
+    linked when |d_p − d_q| ≤ max_diff) smaller than
+    ``max_speckle_size`` are overwritten with ``new_val``. Returns a
+    new array (functional; cv2 mutates)."""
+    d = np.asarray(disparity)
+    h, w = d.shape
+    out = d.copy()
+    seen = np.zeros((h, w), bool)
+    for y0 in range(h):
+        for x0 in range(w):
+            if seen[y0, x0]:
+                continue
+            stack = [(y0, x0)]
+            seen[y0, x0] = True
+            comp = []
+            while stack:
+                y, x = stack.pop()
+                comp.append((y, x))
+                dv = d[y, x]
+                for yy, xx in ((y - 1, x), (y + 1, x), (y, x - 1),
+                               (y, x + 1)):
+                    if (0 <= yy < h and 0 <= xx < w and not seen[yy, xx]
+                            and abs(float(d[yy, xx]) - float(dv))
+                            <= max_diff):
+                        seen[yy, xx] = True
+                        stack.append((yy, xx))
+            if len(comp) <= max_speckle_size:
+                for y, x in comp:
+                    out[y, x] = new_val
+    return out
+
+
+def read_optical_flow(path: str) -> np.ndarray:
+    """Middlebury ``.flo`` reader (OpenCV ``readOpticalFlow``)."""
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+        if magic != b"PIEH":
+            raise ValueError("not a .flo file")
+        w = int(np.frombuffer(fh.read(4), np.int32)[0])
+        h = int(np.frombuffer(fh.read(4), np.int32)[0])
+        data = np.frombuffer(fh.read(h * w * 2 * 4), np.float32)
+    return data.reshape(h, w, 2).copy()
+
+
+def write_optical_flow(path: str, flow: np.ndarray) -> bool:
+    """Middlebury ``.flo`` writer (OpenCV ``writeOpticalFlow``)."""
+    f = np.asarray(flow, np.float32)
+    h, w = f.shape[:2]
+    with open(path, "wb") as fh:
+        fh.write(b"PIEH")
+        fh.write(np.asarray([w, h], np.int32).tobytes())
+        fh.write(f.astype(np.float32).tobytes())
+    return True

@@ -1,0 +1,134 @@
+"""Calib3d long tail + stereo post-filter vs cv2 5.0."""
+
+import numpy as np
+import pytest
+
+from rustcv_tpu.ops import calib_ext as ce
+
+cv2 = pytest.importorskip("cv2")
+
+
+def test_compose_rt(rng):
+    r1 = rng.normal(0, 0.3, 3)
+    t1 = rng.normal(0, 2, 3)
+    r2 = rng.normal(0, 0.3, 3)
+    t2 = rng.normal(0, 2, 3)
+    rv, tv = ce.compose_rt(r1, t1, r2, t2)
+    ref = cv2.composeRT(r1, t1, r2, t2)
+    np.testing.assert_allclose(rv, ref[0].ravel(), atol=1e-9)
+    np.testing.assert_allclose(tv, ref[1].ravel(), atol=1e-9)
+
+
+def test_decompose_projection_matrix(rng):
+    k_true = np.array([[620.0, 0, 310], [0, 600.0, 245], [0, 0, 1.0]])
+    rv = rng.normal(0, 0.4, 3)
+    from rustcv_tpu.ops.calib import rodrigues
+    r_true = rodrigues(rv)
+    t_true = rng.normal(0, 3, 3)
+    p = k_true @ np.concatenate([r_true, t_true[:, None]], 1)
+    k, r, c = ce.decompose_projection_matrix(p)
+    kr, rr, cr = cv2.decomposeProjectionMatrix(p)[:3]
+    np.testing.assert_allclose(k, kr / kr[2, 2], atol=1e-8)
+    np.testing.assert_allclose(r, rr, atol=1e-8)
+    np.testing.assert_allclose(c / c[3], (cr / cr[3]).ravel(),
+                               atol=1e-8)
+    np.testing.assert_allclose(k, k_true, atol=1e-7)
+
+
+def test_calibration_matrix_values():
+    k = np.array([[600.0, 0, 320], [0, 590.0, 240], [0, 0, 1.0]])
+    ours = ce.calibration_matrix_values(k, (640, 480), 3.6, 2.7)
+    ref = cv2.calibrationMatrixValues(k, (640, 480), 3.6, 2.7)
+    np.testing.assert_allclose(ours[0], ref[0], rtol=1e-9)
+    np.testing.assert_allclose(ours[1], ref[1], rtol=1e-9)
+    np.testing.assert_allclose(ours[2], ref[2], rtol=1e-9)
+    np.testing.assert_allclose(ours[3], ref[3], rtol=1e-9)
+    np.testing.assert_allclose(ours[4], ref[4], rtol=1e-9)
+
+
+def test_sampson_distance(rng):
+    f = rng.normal(0, 1, (3, 3))
+    x1 = np.array([*rng.normal(0, 50, 2), 1.0])
+    x2 = np.array([*rng.normal(0, 50, 2), 1.0])
+    np.testing.assert_allclose(ce.sampson_distance(x1, x2, f),
+                               cv2.sampsonDistance(x1, x2, f),
+                               rtol=1e-10)
+
+
+def test_estimate_translation(rng):
+    src = rng.normal(0, 20, (40, 2))
+    t_true = np.array([3.5, -2.0])
+    dst = src + t_true + rng.normal(0, 0.1, src.shape)
+    dst[:5] += rng.normal(0, 30, (5, 2))  # outliers
+    t, inl = ce.estimate_translation_2d(src, dst)
+    np.testing.assert_allclose(t, t_true, atol=0.15)
+    assert inl.sum() >= 30
+
+
+def test_stereo_rectify_uncalibrated(rng):
+    # synthetic stereo: points on a plane + pure horizontal baseline
+    k = np.array([[500.0, 0, 160], [0, 500.0, 120], [0, 0, 1.0]])
+    pts3 = np.stack([rng.uniform(-1, 1, 60), rng.uniform(-0.7, 0.7, 60),
+                     rng.uniform(3, 6, 60)], 1)
+    p1 = (pts3 / pts3[:, 2:]) @ k.T
+    t = np.array([0.3, 0.05, 0.0])  # slightly off-horizontal baseline
+    pts3b = pts3 - t
+    p2 = (pts3b / pts3b[:, 2:]) @ k.T
+    x1 = p1[:, :2]
+    x2 = p2[:, :2]
+    f, _ = cv2.findFundamentalMat(x1, x2, cv2.FM_8POINT)
+    ok, h1, h2 = ce.stereo_rectify_uncalibrated(x1, x2, f, (320, 240))
+    assert ok
+    # rectification property: warped correspondences share scanlines
+    x1h = np.concatenate([x1, np.ones((60, 1))], 1) @ h1.T
+    x2h = np.concatenate([x2, np.ones((60, 1))], 1) @ h2.T
+    y1 = x1h[:, 1] / x1h[:, 2]
+    y2 = x2h[:, 1] / x2h[:, 2]
+    assert np.median(np.abs(y1 - y2)) < 1.0
+
+
+def test_filter_speckles():
+    disp = np.zeros((8, 10), np.int16)
+    disp[2:4, 2:4] = 50      # 4-px speckle
+    disp[5:8, 5:10] = 30     # 15-px region
+    ours = ce.filter_speckles(disp, 0, 5, 2)
+    ref = disp.copy()
+    cv2.filterSpeckles(ref, 0, 5, 2)
+    np.testing.assert_array_equal(ours, ref)
+    ours2 = ce.filter_speckles(disp, -1, 20, 2)
+    ref2 = disp.copy()
+    cv2.filterSpeckles(ref2, -1, 20, 2)
+    np.testing.assert_array_equal(ours2, ref2)
+
+
+def test_flo_round_trip(tmp_path, rng):
+    flow = rng.normal(0, 3, (12, 17, 2)).astype(np.float32)
+    path = str(tmp_path / "t.flo")
+    assert ce.write_optical_flow(path, flow)
+    back = ce.read_optical_flow(path)
+    np.testing.assert_array_equal(back, flow)
+    ref = cv2.readOpticalFlow(path)
+    np.testing.assert_array_equal(ref, flow)
+    cv2.writeOpticalFlow(str(tmp_path / "c.flo"), flow)
+    np.testing.assert_array_equal(
+        ce.read_optical_flow(str(tmp_path / "c.flo")), flow)
+
+
+def test_init_camera_matrix(rng):
+    # render synthetic planar views through a known camera, recover K
+    from rustcv_tpu.ops import calib
+    k_true = np.array([[610.0, 0, 320], [0, 600.0, 240], [0, 0, 1.0]])
+    board = np.stack(np.meshgrid(np.arange(9) * 0.03,
+                                 np.arange(6) * 0.03), -1).reshape(-1, 2)
+    obj = np.concatenate([board, np.zeros((len(board), 1))], 1)
+    objs, imgs = [], []
+    for v in range(4):
+        rvec = rng.uniform(-0.3, 0.3, 3)
+        tvec = np.array([-0.12, -0.08, rng.uniform(0.5, 0.8)])
+        proj = calib.project_points(obj, rvec, tvec, k_true,
+                                    (0, 0, 0, 0, 0))
+        objs.append(obj)
+        imgs.append(proj)
+    k = ce.init_camera_matrix_2d(objs, imgs, (640, 480))
+    assert abs(k[0, 0] - 610) / 610 < 0.05
+    assert abs(k[1, 1] - 600) / 600 < 0.05
