@@ -1660,6 +1660,8 @@ __all__ = [
     "estimate_translation_2d", "estimate_translation_3d",
     "init_camera_matrix_2d", "stereo_rectify_uncalibrated",
     "filter_speckles", "read_optical_flow", "write_optical_flow",
+    "fit_ellipse_ams", "fit_ellipse_direct",
+    "distance_transform_l2_with_labels", "convert_maps", "draw_marker",
 ]
 
 
@@ -2471,7 +2473,15 @@ def watershed(mat: Mat, markers) -> "np.ndarray":
 
 
 from ..ops.filters import get_structuring_element  # noqa: E402
-from ..ops.shape import fit_ellipse, fit_line  # noqa: E402
+from ..ops.shape import (  # noqa: E402
+    fit_ellipse,
+    fit_ellipse_ams,
+    fit_ellipse_direct,
+    fit_line,
+)
+from ..ops.ccl import distance_transform_l2_with_labels  # noqa: E402
+from ..ops.warp import convert_maps  # noqa: E402
+from ..ops.viz import draw_marker  # noqa: E402
 
 
 def erode_kernel(mat: Mat, kernel) -> Mat:

@@ -512,3 +512,68 @@ def rotated_rectangle_intersection(rect1, rect2):
     if abs(area - min(a1, a2)) < 1e-6 * max(a1, a2, 1.0):
         return 2, pts
     return (1 if area > 0 else 0), pts
+
+
+def _conic_to_ellipse(coeffs, mx: float, my: float):
+    """Conic (A, B, C, D, E, F) around centroid (mx, my) → OpenCV
+    RotatedRect triple ((cx, cy), (major, minor) full axes, angle°)."""
+    A, B, Cc, Dd, E, F = coeffs
+    den = B * B - 4.0 * A * Cc
+    if den >= 0:
+        raise ValueError("fit is not an ellipse")
+    cx = (2.0 * Cc * Dd - B * E) / den
+    cy = (2.0 * A * E - B * Dd) / den
+    dif = np.hypot(A - Cc, B)
+    q = 2.0 * (A * E * E + Cc * Dd * Dd - B * Dd * E + den * F)
+    ax1 = -np.sqrt(max(q * ((A + Cc) + dif), 0.0)) / den
+    ax2 = -np.sqrt(max(q * ((A + Cc) - dif), 0.0)) / den
+    major, minor = max(ax1, ax2), min(ax1, ax2)
+    if abs(B) > 1e-12 * max(abs(A), abs(Cc), 1e-30):
+        ang = (np.degrees(np.arctan2(Cc - A - dif, B)) + 90.0) % 180.0
+    else:
+        ang = 0.0 if A <= Cc else 90.0
+    return ((float(cx + mx), float(cy + my)),
+            (float(2 * major), float(2 * minor)), float(ang))
+
+
+def fit_ellipse_direct(pts: np.ndarray):
+    """OpenCV ``fitEllipseDirect`` role — identical to
+    :func:`fit_ellipse` (which already implements the Halir-Flusser
+    direct method with the 4AC−B²>0 constraint)."""
+    return fit_ellipse(pts)
+
+
+def fit_ellipse_ams(pts: np.ndarray):
+    """OpenCV ``fitEllipseAMS`` role: the Approximate Mean Square
+    (Taubin gradient-weighted) fit — minimize aᵀSa / aᵀNa with
+    N = Σ∇z∇zᵀ, solved as a generalized eigenproblem; the ellipse
+    branch of the solutions is selected."""
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    if len(p) < 5:
+        raise ValueError("fit_ellipse_ams needs at least 5 points")
+    mx, my = p[:, 0].mean(), p[:, 1].mean()
+    x, y = p[:, 0] - mx, p[:, 1] - my
+    z = np.stack([x * x, x * y, y * y, x, y, np.ones_like(x)], 1)
+    s = z.T @ z
+    # gradient of z wrt (x, y): rows are ∂z/∂x and ∂z/∂y per point
+    zx = np.stack([2 * x, y, np.zeros_like(x), np.ones_like(x),
+                   np.zeros_like(x), np.zeros_like(x)], 1)
+    zy = np.stack([np.zeros_like(x), x, 2 * y, np.zeros_like(x),
+                   np.ones_like(x), np.zeros_like(x)], 1)
+    n = zx.T @ zx + zy.T @ zy
+    # generalized eigenproblem S a = λ N a on the nonsingular block
+    evals, evecs = np.linalg.eig(np.linalg.pinv(n) @ s)
+    best = None
+    best_l = np.inf
+    for i in range(6):
+        if abs(evals[i].imag) > 1e-9:
+            continue
+        a = evecs[:, i].real
+        if 4.0 * a[0] * a[2] - a[1] ** 2 <= 1e-14:
+            continue
+        lam = evals[i].real
+        if lam >= 0 and lam < best_l:
+            best, best_l = a, lam
+    if best is None:
+        raise ValueError("no ellipse solution (AMS)")
+    return _conic_to_ellipse(best, mx, my)

@@ -191,3 +191,57 @@ def draw_matches(img1: np.ndarray, kp1, img2: np.ndarray, kp2,
             if 0 <= p[0] < ww and 0 <= p[1] < hh:
                 _paint(canvas, circle_mask(hh, ww, p, 3, 1), pc)
     return canvas
+
+
+_MARKERS = ("cross", "tilted_cross", "star", "diamond", "square",
+            "triangle_up", "triangle_down")
+
+
+def draw_marker(img: np.ndarray, position: Tuple[int, int], color,
+                marker_type: str = "cross", marker_size: int = 20,
+                thickness: int = 1) -> np.ndarray:
+    """OpenCV ``drawMarker``: paint one of the seven marker glyphs
+    (composed from the frozen line strokes). Returns a new array."""
+    out = _as_bgr(img)
+    h, w = out.shape[:2]
+    x, y = int(position[0]), int(position[1])
+    r = marker_size // 2
+
+    def seg(p1, p2):
+        ok, q1, q2 = clip_line((0, 0, w, h), p1, p2)
+        if ok:
+            _paint(out, line_mask(h, w, q1, q2, thickness), color)
+
+    if marker_type == "cross":
+        seg((x - r, y), (x + r, y))
+        seg((x, y - r), (x, y + r))
+    elif marker_type == "tilted_cross":
+        seg((x - r, y - r), (x + r, y + r))
+        seg((x - r, y + r), (x + r, y - r))
+    elif marker_type == "star":
+        seg((x - r, y), (x + r, y))
+        seg((x, y - r), (x, y + r))
+        seg((x - r, y - r), (x + r, y + r))
+        seg((x - r, y + r), (x + r, y - r))
+    elif marker_type == "diamond":
+        seg((x, y - r), (x + r, y))
+        seg((x + r, y), (x, y + r))
+        seg((x, y + r), (x - r, y))
+        seg((x - r, y), (x, y - r))
+    elif marker_type == "square":
+        seg((x - r, y - r), (x + r, y - r))
+        seg((x + r, y - r), (x + r, y + r))
+        seg((x + r, y + r), (x - r, y + r))
+        seg((x - r, y + r), (x - r, y - r))
+    elif marker_type == "triangle_up":
+        seg((x - r, y + r), (x + r, y + r))
+        seg((x + r, y + r), (x, y - r))
+        seg((x, y - r), (x - r, y + r))
+    elif marker_type == "triangle_down":
+        seg((x - r, y - r), (x + r, y - r))
+        seg((x + r, y - r), (x, y + r))
+        seg((x, y + r), (x - r, y - r))
+    else:
+        raise ValueError(f"unknown marker_type {marker_type!r} "
+                         f"(one of {_MARKERS})")
+    return out

@@ -578,3 +578,21 @@ def log_polar(img, center, max_radius: float, inverse: bool = False,
     """Legacy OpenCV ``logPolar`` (semilog radius axis), dst = src size."""
     return warp_polar(img, center, max_radius,
                       (img.shape[0], img.shape[1]), True, inverse, border)
+
+
+def convert_maps(map_x: np.ndarray, map_y: np.ndarray):
+    """OpenCV ``convertMaps`` (CV_16SC2 form): float maps → fixed-point
+    (int16 integer coords (H, W, 2), uint16 5-bit-fraction interpolation
+    index fy·32 + fx). Bit-exact vs cv2 (tests)."""
+    mx = np.asarray(map_x, np.float64)
+    my = np.asarray(map_y, np.float64)
+    sx = np.round(mx * 32.0).astype(np.int64)
+    sy = np.round(my * 32.0).astype(np.int64)
+    ix = sx >> 5
+    iy = sy >> 5
+    fx = (sx & 31).astype(np.uint16)
+    fy = (sy & 31).astype(np.uint16)
+    m1 = np.stack([np.clip(ix, -32768, 32767),
+                   np.clip(iy, -32768, 32767)], axis=-1).astype(np.int16)
+    m2 = (fy * 32 + fx).astype(np.uint16)
+    return m1, m2

@@ -1,0 +1,102 @@
+"""Round-3b misc batch: ellipse fit variants, EDT with labels,
+convertMaps, drawMarker — vs cv2 5.0."""
+
+import numpy as np
+import pytest
+
+from rustcv_tpu.ops import shape, viz, warp
+from rustcv_tpu.ops.ccl import distance_transform_l2_with_labels
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _ellipse_pts(rng, arc=2 * np.pi, noise=0.3):
+    t = rng.uniform(0, arc, 80)
+    a, b, cx, cy, th = 40.0, 22.0, 100.0, 80.0, 0.5
+    x = cx + a * np.cos(t) * np.cos(th) - b * np.sin(t) * np.sin(th)
+    y = cy + a * np.cos(t) * np.sin(th) + b * np.sin(t) * np.cos(th)
+    return (np.stack([x, y], 1)
+            + rng.normal(0, noise, (80, 2))).astype(np.float32)
+
+
+@pytest.mark.parametrize("fit,cvfit", [
+    (shape.fit_ellipse_direct, "fitEllipseDirect"),
+    (shape.fit_ellipse_ams, "fitEllipseAMS"),
+])
+def test_ellipse_variants_vs_cv2(rng, fit, cvfit):
+    pts = _ellipse_pts(rng)
+    (cx, cy), (d1, d2), ang = fit(pts)
+    (rx, ry), (rd1, rd2), rang = getattr(cv2, cvfit)(pts)
+    assert abs(cx - rx) < 0.5 and abs(cy - ry) < 0.5
+    assert abs(max(d1, d2) - max(rd1, rd2)) < 1.0
+    assert abs(min(d1, d2) - min(rd1, rd2)) < 1.0
+    # we return the MAJOR-axis angle; cv2's RotatedRect angle belongs
+    # to its first axis — normalize both to the major axis
+    rmaj = rang if rd1 >= rd2 else (rang + 90.0) % 180.0
+    assert min(abs(ang - rmaj), 180 - abs(ang - rmaj)) < 2.0
+
+
+def test_ellipse_variants_on_arc(rng):
+    # a 140° arc — the case the constrained fits exist for
+    pts = _ellipse_pts(rng, arc=2.4, noise=0.15)
+    for fit in (shape.fit_ellipse_direct, shape.fit_ellipse_ams):
+        (cx, cy), (d1, d2), _ = fit(pts)
+        assert abs(cx - 100) < 6 and abs(cy - 80) < 6
+        assert abs(max(d1, d2) - 80) < 12
+
+
+def test_distance_transform_with_labels():
+    m = np.ones((10, 14), np.uint8)
+    m[2, 3] = 0
+    m[7, 10] = 0
+    m[8, 10] = 0  # two-pixel zero component
+    dist, labels = distance_transform_l2_with_labels(m)
+    # distances: exact L2 vs brute force
+    zs = [(2, 3), (7, 10), (8, 10)]
+    for y in range(10):
+        for x in range(14):
+            d = min(np.hypot(y - zy, x - zx) for zy, zx in zs)
+            assert abs(dist[y, x] - d) < 1e-5
+    # labels partition by nearest zero COMPONENT (two components)
+    assert labels[2, 3] != labels[7, 10]
+    assert labels[7, 10] == labels[8, 10]
+    assert labels[0, 0] == labels[2, 3]
+    assert labels[9, 13] == labels[7, 10]
+    # cross-check the partition against cv2 — NOTE cv2's WithLabels
+    # variant uses the 3×3 chamfer approximation even when asked for
+    # DIST_MASK_PRECISE (measured: 2.1969 where √5 = 2.2360), so the
+    # distances are compared loosely and the partition modulo its
+    # equidistant frontier
+    rd, rl = cv2.distanceTransformWithLabels(
+        m, cv2.DIST_L2, cv2.DIST_MASK_PRECISE,
+        labelType=cv2.DIST_LABEL_CCOMP)
+    np.testing.assert_allclose(dist, rd, atol=0.25)
+    agree = 0
+    for val in np.unique(rl):
+        ours_vals, counts = np.unique(labels[rl == val],
+                                      return_counts=True)
+        agree += counts.max()
+    assert agree / labels.size > 0.95
+
+
+def test_convert_maps_vs_cv2(rng):
+    mx, my = np.meshgrid(np.linspace(0, 9, 10, dtype=np.float32),
+                         np.linspace(0, 7, 8, dtype=np.float32))
+    mx = mx + rng.random((8, 10)).astype(np.float32)
+    my = my * 0.9 + rng.random((8, 10)).astype(np.float32)
+    m1, m2 = warp.convert_maps(mx, my)
+    r1, r2 = cv2.convertMaps(mx, my, cv2.CV_16SC2)
+    np.testing.assert_array_equal(m1, r1)
+    np.testing.assert_array_equal(m2, r2)
+
+
+def test_draw_marker(rng):
+    img = rng.integers(0, 256, (50, 60), np.uint8)
+    gray3 = np.stack([img] * 3, -1)
+    for mt in viz._MARKERS:
+        out = viz.draw_marker(img, (30, 25), (0, 0, 255), mt, 16)
+        changed = (out != gray3).any(-1)
+        assert changed.any(), mt
+        assert (out[changed] == [0, 0, 255]).all(), mt
+    with pytest.raises(ValueError):
+        viz.draw_marker(img, (30, 25), (0, 0, 255), "nope")
