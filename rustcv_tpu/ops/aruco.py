@@ -205,3 +205,176 @@ def estimate_pose_single_markers(corners, marker_length: float, K,
         rvecs.append(calib.rodrigues(rm))
         tvecs.append(t)
     return np.asarray(rvecs), np.asarray(tvecs)
+
+
+# ---------------------------------------------------------------------------
+# Boards (OpenCV ``aruco.GridBoard`` / ``aruco.CharucoBoard`` roles)
+# ---------------------------------------------------------------------------
+
+class GridBoard:
+    """Planar grid of markers (OpenCV ``aruco.GridBoard`` role):
+    ``size`` = (markers_x, markers_y), marker side ``marker_length``,
+    gap ``marker_separation`` (same units). Marker ids are row-major
+    starting at ``first_id``. Object corners per marker follow the
+    detect_markers order (CW from top-left)."""
+
+    def __init__(self, size, marker_length: float,
+                 marker_separation: float, dic: Dictionary,
+                 first_id: int = 0):
+        self.size = (int(size[0]), int(size[1]))
+        self.marker_length = float(marker_length)
+        self.marker_separation = float(marker_separation)
+        self.dic = dic
+        self.ids = np.arange(first_id,
+                             first_id + size[0] * size[1], dtype=np.int32)
+
+    def marker_object_corners(self, marker_id: int) -> np.ndarray:
+        """(4, 3) object-space corners of one marker (z = 0)."""
+        mx, _ = self.size
+        idx = int(marker_id - self.ids[0])
+        gx, gy = idx % mx, idx // mx
+        step = self.marker_length + self.marker_separation
+        x0, y0 = gx * step, gy * step
+        ln = self.marker_length
+        return np.array([[x0, y0, 0], [x0 + ln, y0, 0],
+                         [x0 + ln, y0 + ln, 0], [x0, y0 + ln, 0]],
+                        np.float64)
+
+    def draw(self, cell_px: int = 8, margin_cells: int = 1) -> np.ndarray:
+        """Render the full board → u8 image (white background)."""
+        bits = self.dic.bits
+        mcell = bits + 2
+        sep_px = max(1, int(round(
+            self.marker_separation / self.marker_length * mcell))) \
+            * cell_px
+        mpx = mcell * cell_px
+        mx, my = self.size
+        w = mx * mpx + (mx - 1) * sep_px + 2 * margin_cells * cell_px
+        h = my * mpx + (my - 1) * sep_px + 2 * margin_cells * cell_px
+        img = np.full((h, w), 255, np.uint8)
+        for i, mid in enumerate(self.ids):
+            gx, gy = i % mx, i // mx
+            x0 = margin_cells * cell_px + gx * (mpx + sep_px)
+            y0 = margin_cells * cell_px + gy * (mpx + sep_px)
+            img[y0:y0 + mpx, x0:x0 + mpx] = draw_marker(
+                self.dic, int(mid), cell_px)
+        return img
+
+
+def estimate_pose_board(corners, ids, board: GridBoard, k,
+                        dist=(0, 0, 0, 0, 0)):
+    """OpenCV ``estimatePoseBoard`` role: one rigid pose from ALL
+    detected board markers → (n_used, rvec, tvec). Uses the planar
+    solve_pnp over the stacked 2D-3D correspondences."""
+    from . import calib
+
+    obj, img = [], []
+    id_set = set(int(i) for i in board.ids)
+    for c, i in zip(corners, np.asarray(ids).ravel()):
+        if int(i) in id_set:
+            obj.append(board.marker_object_corners(int(i)))
+            img.append(np.asarray(c, np.float64).reshape(4, 2))
+    if not obj:
+        return 0, None, None
+    obj_all = np.concatenate(obj)
+    img_all = np.concatenate(img)
+    rvec, tvec = calib.solve_pnp(obj_all, img_all,
+                                 np.asarray(k, np.float64), dist)
+    return len(obj), rvec, tvec
+
+
+class CharucoBoard:
+    """Chessboard with ArUco markers in the white squares (OpenCV
+    ``aruco.CharucoBoard`` role). ``size`` = (squares_x, squares_y);
+    chessboard INNER corners are the calibration points, ids row-major
+    over the (squares_x−1)·(squares_y−1) inner lattice."""
+
+    def __init__(self, size, square_length: float, marker_length: float,
+                 dic: Dictionary):
+        self.size = (int(size[0]), int(size[1]))
+        self.square_length = float(square_length)
+        self.marker_length = float(marker_length)
+        self.dic = dic
+        sx, sy = self.size
+        # markers sit in the "white" squares (checkerboard parity 1)
+        self.marker_cells = [(cx, cy) for cy in range(sy)
+                             for cx in range(sx) if (cx + cy) % 2 == 1]
+        self.ids = np.arange(len(self.marker_cells), dtype=np.int32)
+
+    def chessboard_corners(self) -> np.ndarray:
+        """((sx−1)·(sy−1), 3) inner-corner object points, row-major."""
+        sx, sy = self.size
+        s = self.square_length
+        pts = [(x * s, y * s, 0.0) for y in range(1, sy)
+               for x in range(1, sx)]
+        return np.asarray(pts, np.float64)
+
+    def marker_object_corners(self, marker_id: int) -> np.ndarray:
+        cx, cy = self.marker_cells[int(marker_id)]
+        s = self.square_length
+        ln = self.marker_length
+        off = (s - ln) / 2.0
+        x0, y0 = cx * s + off, cy * s + off
+        return np.array([[x0, y0, 0], [x0 + ln, y0, 0],
+                         [x0 + ln, y0 + ln, 0], [x0, y0 + ln, 0]],
+                        np.float64)
+
+    def draw(self, square_px: int = 32) -> np.ndarray:
+        sx, sy = self.size
+        img = np.full((sy * square_px, sx * square_px), 255, np.uint8)
+        for cy in range(sy):
+            for cx in range(sx):
+                if (cx + cy) % 2 == 0:
+                    img[cy * square_px:(cy + 1) * square_px,
+                        cx * square_px:(cx + 1) * square_px] = 0
+        mpx = int(round(self.marker_length / self.square_length
+                        * square_px))
+        bits = self.dic.bits
+        cell = max(1, mpx // (bits + 2))
+        mpx = cell * (bits + 2)
+        off = (square_px - mpx) // 2
+        for mid, (cx, cy) in enumerate(self.marker_cells):
+            patch = draw_marker(self.dic, mid, cell)
+            y0 = cy * square_px + off
+            x0 = cx * square_px + off
+            img[y0:y0 + mpx, x0:x0 + mpx] = patch
+        return img
+
+
+def interpolate_corners_charuco(corners, ids, img, board: CharucoBoard,
+                                k=None, dist=(0, 0, 0, 0, 0)):
+    """OpenCV ``interpolateCornersCharuco`` role: from the detected
+    markers, fit the board→image homography and predict + locally
+    refine every visible chessboard inner corner → (charuco_corners
+    (N, 2) float64, charuco_ids (N,) int32)."""
+    from . import calib
+    from .features import corner_sub_pix
+
+    obj, imgp = [], []
+    for c, i in zip(corners, np.asarray(ids).ravel()):
+        if 0 <= int(i) < len(board.marker_cells):
+            obj.append(board.marker_object_corners(int(i))[:, :2])
+            imgp.append(np.asarray(c, np.float64).reshape(4, 2))
+    if len(obj) < 1:
+        return np.zeros((0, 2)), np.zeros(0, np.int32)
+    from .geometry import find_homography
+
+    h_mat, _ = find_homography(np.concatenate(obj),
+                               np.concatenate(imgp))
+    if h_mat is None:
+        return np.zeros((0, 2)), np.zeros(0, np.int32)
+    cb = board.chessboard_corners()[:, :2]
+    hpts = np.concatenate([cb, np.ones((len(cb), 1))], 1) @ h_mat.T
+    pred = hpts[:, :2] / hpts[:, 2:3]
+    g = np.asarray(img)
+    if g.ndim == 3:
+        g = g[..., 0]
+    hh, ww = g.shape
+    keep = ((pred[:, 0] > 4) & (pred[:, 0] < ww - 5)
+            & (pred[:, 1] > 4) & (pred[:, 1] < hh - 5))
+    pred = pred[keep]
+    ids_out = np.nonzero(keep)[0].astype(np.int32)
+    if len(pred):
+        pred = np.asarray(corner_sub_pix(
+            g, pred.astype(np.float32), win=9), np.float64)
+    return pred, ids_out
