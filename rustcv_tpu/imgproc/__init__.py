@@ -1662,6 +1662,7 @@ __all__ = [
     "filter_speckles", "read_optical_flow", "write_optical_flow",
     "fit_ellipse_ams", "fit_ellipse_direct",
     "distance_transform_l2_with_labels", "convert_maps", "draw_marker",
+    "multi_band_blend", "gain_compensation", "voronoi_seam",
 ]
 
 
@@ -2373,6 +2374,11 @@ from ..ops.core_ops import (  # noqa: E402  (re-exports)
     sv_back_subst,
     sv_decomp,
     vconcat,
+)
+from ..ops.blend import (  # noqa: E402  (re-exports)
+    gain_compensation,
+    multi_band_blend,
+    voronoi_seam,
 )
 from ..ops.calib_ext import (  # noqa: E402  (re-exports)
     calibration_matrix_values,
