@@ -1663,6 +1663,7 @@ __all__ = [
     "fit_ellipse_ams", "fit_ellipse_direct",
     "distance_transform_l2_with_labels", "convert_maps", "draw_marker",
     "multi_band_blend", "gain_compensation", "voronoi_seam",
+    "decolor",
 ]
 
 
@@ -2375,6 +2376,7 @@ from ..ops.core_ops import (  # noqa: E402  (re-exports)
     sv_decomp,
     vconcat,
 )
+from ..ops.decolor import decolor  # noqa: E402
 from ..ops.blend import (  # noqa: E402  (re-exports)
     gain_compensation,
     multi_band_blend,
