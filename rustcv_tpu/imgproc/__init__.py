@@ -1664,6 +1664,8 @@ __all__ = [
     "distance_transform_l2_with_labels", "convert_maps", "draw_marker",
     "multi_band_blend", "gain_compensation", "voronoi_seam",
     "decolor",
+    "save_point_cloud", "load_point_cloud", "depth_to_3d",
+    "find_planes", "triangle_rasterize",
 ]
 
 
@@ -2377,6 +2379,13 @@ from ..ops.core_ops import (  # noqa: E402  (re-exports)
     vconcat,
 )
 from ..ops.decolor import decolor  # noqa: E402
+from ..ops.threed import (  # noqa: E402  (re-exports)
+    depth_to_3d,
+    find_planes,
+    load_point_cloud,
+    save_point_cloud,
+    triangle_rasterize,
+)
 from ..ops.blend import (  # noqa: E402  (re-exports)
     gain_compensation,
     multi_band_blend,
