@@ -1666,6 +1666,7 @@ __all__ = [
     "decolor",
     "save_point_cloud", "load_point_cloud", "depth_to_3d",
     "find_planes", "triangle_rasterize",
+    "IntelligentScissors",
 ]
 
 
@@ -2379,6 +2380,7 @@ from ..ops.core_ops import (  # noqa: E402  (re-exports)
     vconcat,
 )
 from ..ops.decolor import decolor  # noqa: E402
+from ..ops.scissors import IntelligentScissors  # noqa: E402
 from ..ops.threed import (  # noqa: E402  (re-exports)
     depth_to_3d,
     find_planes,
