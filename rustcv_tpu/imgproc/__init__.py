@@ -1667,6 +1667,7 @@ __all__ = [
     "save_point_cloud", "load_point_cloud", "depth_to_3d",
     "find_planes", "triangle_rasterize",
     "IntelligentScissors",
+    "detect_barcodes", "encode_ean13",
 ]
 
 
@@ -2381,6 +2382,8 @@ from ..ops.core_ops import (  # noqa: E402  (re-exports)
 )
 from ..ops.decolor import decolor  # noqa: E402
 from ..ops.scissors import IntelligentScissors  # noqa: E402
+from ..ops.barcode import detect_and_decode as detect_barcodes  # noqa: E402
+from ..ops.barcode import encode_ean13  # noqa: E402
 from ..ops.threed import (  # noqa: E402  (re-exports)
     depth_to_3d,
     find_planes,
