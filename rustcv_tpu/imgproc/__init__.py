@@ -1668,6 +1668,9 @@ __all__ = [
     "find_planes", "triangle_rasterize",
     "IntelligentScissors",
     "detect_barcodes", "encode_ean13",
+    "batch_distance", "div_spectrums", "eigen_non_symmetric",
+    "mat_mul_deriv", "copy_to", "flip_nd", "transpose_nd",
+    "finite_mask", "approx_poly_n",
 ]
 
 
@@ -2447,6 +2450,17 @@ from ..ops.core_ops import (  # noqa: E402  (round-3b batch re-exports)
     sum_elems,
     trace,
 )
+from ..ops.core_ops import (  # noqa: E402  (tail re-exports)
+    batch_distance,
+    copy_to,
+    div_spectrums,
+    eigen_non_symmetric,
+    finite_mask,
+    flip_nd,
+    mat_mul_deriv,
+    transpose_nd,
+)
+from ..ops.shape import approx_poly_n  # noqa: E402
 from ..ops.core_ops import divide_u8 as divide  # noqa: E402
 from ..ops.core_ops import merge_channels as merge  # noqa: E402
 from ..ops.core_ops import multiply_u8 as multiply  # noqa: E402

@@ -779,3 +779,96 @@ def divide_u8(a, b, scale: float = 1.0):
     bf = b.astype(xp.float64 if xp is np else xp.float32)
     out = xp.where(bf != 0, af * scale / xp.where(bf == 0, 1, bf), 0.0)
     return xp.clip(xp.round(out), 0, 255).astype(xp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# round-3b tail (tests/test_core_ops3.py)
+
+def batch_distance(query, train, k: int = 1, norm: str = "l2"
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """OpenCV ``batchDistance`` (crosscheck-free K-NN form): for each
+    query row, the K nearest train rows → (dist (Q, K) f32,
+    idx (Q, K) int32). Norms: l1, l2, hamming (uint8 rows)."""
+    q = np.asarray(query)
+    t = np.asarray(train)
+    if norm == "hamming":
+        x = np.unpackbits(q[:, None, :], axis=2)
+        y = np.unpackbits(t[None, :, :], axis=2)
+        d = (x != y).sum(axis=2).astype(np.float64)
+    elif norm == "l1":
+        d = np.abs(q[:, None, :].astype(np.float64)
+                   - t[None, :, :]).sum(axis=2)
+    elif norm == "l2":
+        diff = q[:, None, :].astype(np.float64) - t[None, :, :]
+        d = np.sqrt((diff * diff).sum(axis=2))
+    else:
+        raise ValueError(f"unknown norm {norm!r}")
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return (np.take_along_axis(d, idx, 1).astype(np.float32),
+            idx.astype(np.int32))
+
+
+def div_spectrums(a, b, conj_b: bool = False):
+    """OpenCV ``divSpectrums`` (complex-array form): elementwise a/b,
+    or a/conj(b) when ``conj_b``."""
+    xp = np if isinstance(a, np.ndarray) else jnp
+    den = (b * xp.conj(b)).real
+    num = a * b if conj_b else a * xp.conj(b)
+    return num / xp.maximum(den, 1e-30)
+
+
+def eigen_non_symmetric(m) -> Tuple[np.ndarray, np.ndarray]:
+    """OpenCV ``eigenNonSymmetric``: real eigenvalues descending,
+    eigenvectors as rows."""
+    w, v = np.linalg.eig(np.asarray(m, np.float64))
+    order = np.argsort(-w.real, kind="stable")
+    return w.real[order], v.real[:, order].T
+
+
+def mat_mul_deriv(a, b) -> Tuple[np.ndarray, np.ndarray]:
+    """OpenCV ``matMulDeriv``: Jacobians of vec(AB) wrt vec(A) and
+    vec(B) (row-major vec, cv2's layout): dAB/dA = I_m ⊗ Bᵀ? — pinned
+    against cv2 numerically in tests: d(AB)_{ij}/dA_{kl} = δ_ik B_lj,
+    d(AB)_{ij}/dB_{kl} = A_ik δ_jl."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    m, n = a.shape
+    n2, p = b.shape
+    d_a = np.zeros((m * p, m * n))
+    d_b = np.zeros((m * p, n * p))
+    for i in range(m):
+        for j in range(p):
+            row = i * p + j
+            d_a[row, i * n:(i + 1) * n] = b[:, j]
+            d_b[row, j::p] = a[i]
+    return d_a, d_b
+
+
+def copy_to(src, mask, dst=None):
+    """OpenCV ``copyTo`` with mask: dst pixels replaced where mask≠0."""
+    xp = np if isinstance(src, np.ndarray) else jnp
+    if dst is None:
+        dst = xp.zeros_like(src)
+    m = mask.astype(bool)
+    if src.ndim == 3 and m.ndim == 2:
+        m = m[..., None]
+    return xp.where(m, src, dst)
+
+
+def flip_nd(m, axis: int):
+    xp = np if isinstance(m, np.ndarray) else jnp
+    return xp.flip(m, axis=axis)
+
+
+def transpose_nd(m, order):
+    xp = np if isinstance(m, np.ndarray) else jnp
+    return xp.transpose(m, axes=tuple(order))
+
+
+def finite_mask(m):
+    """OpenCV ``finiteMask``: u8 255 where all channels finite."""
+    xp = np if isinstance(m, np.ndarray) else jnp
+    ok = xp.isfinite(m)
+    if m.ndim == 3:
+        ok = ok.all(axis=-1)
+    return ok.astype(xp.uint8) * xp.uint8(255)

@@ -577,3 +577,59 @@ def fit_ellipse_ams(pts: np.ndarray):
     if best is None:
         raise ValueError("no ellipse solution (AMS)")
     return _conic_to_ellipse(best, mx, my)
+
+
+def approx_poly_n(pts: np.ndarray, n_sides: int,
+                  ensure_convex: bool = True) -> np.ndarray:
+    """OpenCV ``approxPolyN`` (Low-Ilie 2003 role): reduce a convex
+    polygon to exactly ``n_sides`` vertices by greedily replacing the
+    adjacent-edge pair whose substitution (intersection of the two
+    outer edges) adds the least area. Vertices lie on or outside the
+    hull; the result circumscribes the input."""
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    if ensure_convex:
+        p = np.asarray(convex_hull(p), np.float64)
+    if n_sides < 3:
+        raise ValueError("n_sides must be >= 3")
+    v = list(p)
+    while len(v) > n_sides:
+        best = None
+        best_area = np.inf
+        best_pt = None
+        m = len(v)
+        for i in range(m):
+            # contract edge (i, i+1): intersect edges (i-1,i) and
+            # (i+1,i+2) extended
+            a0, a1 = v[(i - 1) % m], v[i]
+            b0, b1 = v[(i + 1) % m], v[(i + 2) % m]
+            d1 = a1 - a0
+            d2 = b0 - b1
+            den = d1[0] * (-d2[1]) - d1[1] * (-d2[0])
+            if abs(den) < 1e-12:
+                continue
+            # solve a1 + t·d1 = b0 + s·(b1-b0) reversed param
+            rhs = b0 - a1
+            t = (rhs[0] * (-d2[1]) - rhs[1] * (-d2[0])) / den
+            x = a1 + t * d1
+            if t < -1e-9:
+                continue  # intersection behind — not a valid contract
+            # added area = triangle (v[i], x, v[i+1])
+            u = x - v[i]
+            w = v[(i + 1) % m] - v[i]
+            area = abs(u[0] * w[1] - u[1] * w[0]) / 2.0
+            if area < best_area:
+                best, best_area, best_pt = i, area, x
+        if best is None:
+            break
+        m = len(v)
+        i2 = (best + 1) % m
+        out = []
+        for j in range(m):
+            if j == best:
+                out.append(best_pt)
+            elif j == i2:
+                continue
+            else:
+                out.append(v[j])
+        v = out
+    return np.asarray(v, np.float64)

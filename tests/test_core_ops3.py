@@ -1,0 +1,95 @@
+"""Round-3b tail: batchDistance, divSpectrums, eigenNonSymmetric,
+matMulDeriv, copyTo, ND utilities, approxPolyN — vs cv2 5.0."""
+
+import numpy as np
+import pytest
+
+from rustcv_tpu.ops import core_ops as co
+from rustcv_tpu.ops import shape
+
+cv2 = pytest.importorskip("cv2")
+
+
+def test_batch_distance_vs_cv2(rng):
+    q = rng.random((5, 8)).astype(np.float32)
+    t = rng.random((9, 8)).astype(np.float32)
+    d, idx = co.batch_distance(q, t, k=3, norm="l2")
+    rd, ridx = cv2.batchDistance(q, t, cv2.CV_32F, K=3,
+                                 normType=cv2.NORM_L2)
+    np.testing.assert_array_equal(idx, ridx)
+    np.testing.assert_allclose(d, rd, rtol=1e-5)
+    # hamming over packed bytes
+    qb = rng.integers(0, 256, (4, 8), np.uint8)
+    tb = rng.integers(0, 256, (6, 8), np.uint8)
+    d, idx = co.batch_distance(qb, tb, k=1, norm="hamming")
+    rd, ridx = cv2.batchDistance(qb, tb, cv2.CV_32S, K=1,
+                                 normType=cv2.NORM_HAMMING)
+    np.testing.assert_array_equal(idx, ridx)
+    np.testing.assert_array_equal(d.astype(np.int32), rd)
+
+
+def test_div_spectrums_vs_cv2(rng):
+    x = rng.random((6, 8)).astype(np.float32)
+    y = rng.random((6, 8)).astype(np.float32) + 0.2
+    dx = cv2.dft(x, flags=cv2.DFT_COMPLEX_OUTPUT)
+    dy = cv2.dft(y, flags=cv2.DFT_COMPLEX_OUTPUT)
+    zx = dx[..., 0] + 1j * dx[..., 1]
+    zy = dy[..., 0] + 1j * dy[..., 1]
+    ours = co.div_spectrums(zx, zy)
+    ref = cv2.divSpectrums(dx, dy, 0)
+    np.testing.assert_allclose(ours.real, ref[..., 0], atol=1e-4)
+    np.testing.assert_allclose(ours.imag, ref[..., 1], atol=1e-4)
+
+
+def test_eigen_non_symmetric(rng):
+    m = rng.random((5, 5))
+    m = m + 4 * np.eye(5)  # keep eigenvalues real-dominant
+    w, v = co.eigen_non_symmetric(m)
+    rw, rv = cv2.eigenNonSymmetric(m)
+    np.testing.assert_allclose(np.sort(w), np.sort(rw.ravel()),
+                               atol=1e-8)
+    # v rows are eigenvectors: ‖Mvᵀ − wvᵀ‖ small
+    for i in range(5):
+        r = m @ v[i] - w[i] * v[i]
+        assert np.abs(r).max() < 1e-8
+
+
+def test_mat_mul_deriv_vs_cv2(rng):
+    a = rng.random((2, 3))
+    b = rng.random((3, 4))
+    da, db = co.mat_mul_deriv(a, b)
+    rda, rdb = cv2.matMulDeriv(a, b)
+    np.testing.assert_allclose(da, rda, atol=1e-12)
+    np.testing.assert_allclose(db, rdb, atol=1e-12)
+
+
+def test_copy_to_and_nd(rng):
+    src = rng.integers(0, 255, (6, 7, 3), np.uint8)
+    mask = (rng.random((6, 7)) > 0.5).astype(np.uint8)
+    out = co.copy_to(src, mask)
+    ref = cv2.copyTo(src, mask)
+    np.testing.assert_array_equal(out, ref)
+    m3 = rng.random((2, 3, 4))
+    np.testing.assert_array_equal(co.flip_nd(m3, 1), np.flip(m3, 1))
+    np.testing.assert_array_equal(co.transpose_nd(m3, (2, 0, 1)),
+                                  m3.transpose(2, 0, 1))
+    x = np.array([[1.0, np.nan], [np.inf, 3.0]])
+    np.testing.assert_array_equal(co.finite_mask(x),
+                                  [[255, 0], [0, 255]])
+
+
+def test_approx_poly_n(rng):
+    # regular 12-gon → 4 sides circumscribes it
+    t = np.linspace(0, 2 * np.pi, 13)[:-1]
+    poly = np.stack([50 + 20 * np.cos(t), 50 + 20 * np.sin(t)], 1)
+    out = shape.approx_poly_n(poly, 4)
+    assert out.shape == (4, 2)
+    # circumscribing: every original vertex inside (or on) the result
+    ref = cv2.approxPolyN(poly.astype(np.float32), 4).reshape(-1, 2)
+    for q in poly:
+        assert cv2.pointPolygonTest(out.astype(np.float32), tuple(q),
+                                    True) >= -1e-3
+    # area comparable to cv2's result (within 10%)
+    ours_area = cv2.contourArea(out.astype(np.float32))
+    ref_area = cv2.contourArea(ref)
+    assert abs(ours_area - ref_area) < 0.1 * ref_area
