@@ -1670,7 +1670,7 @@ __all__ = [
     "detect_barcodes", "encode_ean13",
     "batch_distance", "div_spectrums", "eigen_non_symmetric",
     "mat_mul_deriv", "copy_to", "flip_nd", "transpose_nd",
-    "finite_mask", "approx_poly_n",
+    "finite_mask", "approx_poly_n", "solve_p3p",
 ]
 
 
@@ -2401,6 +2401,7 @@ from ..ops.blend import (  # noqa: E402  (re-exports)
 )
 from ..ops.calib_ext import (  # noqa: E402  (re-exports)
     calibration_matrix_values,
+    solve_p3p,
     compose_rt,
     decompose_projection_matrix,
     estimate_translation_2d,

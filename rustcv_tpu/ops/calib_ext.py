@@ -243,3 +243,127 @@ def write_optical_flow(path: str, flow: np.ndarray) -> bool:
         fh.write(np.asarray([w, h], np.int32).tobytes())
         fh.write(f.astype(np.float32).tobytes())
     return True
+
+
+def solve_p3p(obj_pts, img_pts, k, dist=(0, 0, 0, 0, 0)):
+    """OpenCV ``solveP3P`` role (Grunert's 3-point pose): → list of
+    (rvec, tvec) solutions (up to 4), reprojection-sorted.
+
+    Derivation (the classical side-length/ray-angle system): with
+    camera-frame depths s₁, s₂u, s₂v along the three unit rays and
+    pairwise angles (α, β, γ), eliminating t = 1/s₁² leaves two conics
+    in (u, v); their v-resultant is a degree ≤ 8 polynomial in u whose
+    real positive roots give candidate depth ratios. Each candidate is
+    completed by the exact 3-point absolute-orientation (Horn) fit."""
+    from .calib import rodrigues, undistort_points
+
+    obj = np.asarray(obj_pts, np.float64).reshape(3, 3)
+    img = np.asarray(img_pts, np.float64).reshape(3, 2)
+    k = np.asarray(k, np.float64)
+    und = undistort_points(img, k, dist)
+    rays = np.concatenate([(und - k[:2, 2]) / np.array(
+        [k[0, 0], k[1, 1]]), np.ones((3, 1))], axis=1)
+    rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+
+    a2 = ((obj[1] - obj[2]) ** 2).sum()
+    b2 = ((obj[0] - obj[2]) ** 2).sum()
+    c2 = ((obj[0] - obj[1]) ** 2).sum()
+    ca = rays[1] @ rays[2]
+    cb = rays[0] @ rays[2]
+    cg = rays[0] @ rays[1]
+
+    # conic coefficients as polynomials in u (low order first)
+    def P(*coeffs):
+        return np.asarray(coeffs, np.float64)  # [c0, c1, c2]
+
+    A1 = P(b2 - a2)
+    B1 = P(2 * a2 * cb, -2 * b2 * ca)
+    C1 = P(-a2, 0, b2)
+    A2 = P(c2)
+    B2 = P(0, -2 * c2 * ca)
+    C2 = P(-a2, 2 * a2 * cg, c2 - a2)
+
+    def pmul(p, q):
+        return np.convolve(p, q)
+
+    def psub(p, q):
+        n = max(len(p), len(q))
+        out = np.zeros(n)
+        out[:len(p)] += p
+        out[:len(q)] -= q
+        return out
+
+    m0 = psub(pmul(A1, C2), pmul(A2, C1))
+    m1 = psub(pmul(A1, B2), pmul(A2, B1))
+    m2 = psub(pmul(B1, C2), pmul(B2, C1))
+    res = psub(pmul(m0, m0), pmul(m1, m2))
+    res = np.trim_zeros(res, "b")
+    if len(res) < 2:
+        return []
+    roots = np.roots(res[::-1])
+    sols = []
+    for u in roots:
+        if abs(u.imag) > 1e-8 or u.real <= 0:
+            continue
+        u = float(u.real)
+        aa = float(np.polyval(A1[::-1], u))
+        bb = float(np.polyval(B1[::-1], u))
+        cc = float(np.polyval(C1[::-1], u))
+        vs = []
+        if abs(aa) > 1e-12:
+            disc = bb * bb - 4 * aa * cc
+            if disc >= 0:
+                r = np.sqrt(disc)
+                vs = [(-bb + r) / (2 * aa), (-bb - r) / (2 * aa)]
+        elif abs(bb) > 1e-12:
+            vs = [-cc / bb]
+        for v in vs:
+            if v <= 0:
+                continue
+            # verify on the second conic
+            e2 = (float(np.polyval(A2[::-1], u)) * v * v
+                  + float(np.polyval(B2[::-1], u)) * v
+                  + float(np.polyval(C2[::-1], u)))
+            if abs(e2) > 1e-6 * max(a2, b2, c2):
+                continue
+            denom = 1 + u * u - 2 * u * cg
+            if denom <= 0:
+                continue
+            s1 = np.sqrt(c2 / denom)
+            cam = np.stack([s1 * rays[0], s1 * u * rays[1],
+                            s1 * v * rays[2]])
+            rt = _absolute_orientation_3pt(obj, cam)
+            if rt is not None:
+                sols.append(rt)
+    # dedupe + sort by reprojection error
+    uniq = []
+    for rvec, tvec in sols:
+        if not any(np.allclose(rvec, r2, atol=1e-6)
+                   and np.allclose(tvec, t2, atol=1e-6)
+                   for r2, t2 in uniq):
+            uniq.append((rvec, tvec))
+
+    def reproj_err(rt):
+        from .calib import project_points
+
+        proj = project_points(obj, rt[0], rt[1], k, dist)
+        return float(np.abs(proj - img).max())
+
+    return sorted(uniq, key=reproj_err)
+
+
+def _absolute_orientation_3pt(obj: np.ndarray, cam: np.ndarray):
+    """Exact rigid fit cam = R·obj + t for 3 correspondences (Horn
+    via SVD of the cross-covariance) → (rvec, tvec) or None."""
+    from .calib import rodrigues
+
+    co = obj.mean(0)
+    cc = cam.mean(0)
+    h = (obj - co).T @ (cam - cc)
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+    if np.linalg.det(r) < 0:
+        return None
+    t = cc - r @ co
+    return rodrigues(r), t

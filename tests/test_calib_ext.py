@@ -132,3 +132,30 @@ def test_init_camera_matrix(rng):
     k = ce.init_camera_matrix_2d(objs, imgs, (640, 480))
     assert abs(k[0, 0] - 610) / 610 < 0.05
     assert abs(k[1, 1] - 600) / 600 < 0.05
+
+
+def test_solve_p3p(rng):
+    from rustcv_tpu.ops import calib
+
+    k = np.array([[520.0, 0, 320], [0, 510.0, 240], [0, 0, 1.0]])
+    obj = np.array([[0.0, 0, 0], [0.12, 0.02, 0], [0.03, 0.1, 0.05]])
+    rvec = np.array([0.2, -0.15, 0.1])
+    tvec = np.array([-0.05, 0.02, 0.6])
+    img = calib.project_points(obj, rvec, tvec, k, (0, 0, 0, 0, 0))
+    sols = ce.solve_p3p(obj, img, k)
+    assert 1 <= len(sols) <= 4
+    # the true pose is among the solutions (best by reprojection)
+    rv, tv = sols[0]
+    np.testing.assert_allclose(rv, rvec, atol=1e-6)
+    np.testing.assert_allclose(tv, tvec, atol=1e-6)
+    # cross-check: each of OUR solutions appears in cv2's solution set
+    # (all P3P solutions reproject the 3 points exactly — the
+    # ambiguity is inherent, so compare as SETS)
+    n, rvecs, tvecs = cv2.solveP3P(obj, img.reshape(-1, 1, 2), k,
+                                   np.zeros(5), flags=cv2.SOLVEPNP_P3P)
+    if n:
+        refs = [(rvecs[i].ravel(), tvecs[i].ravel()) for i in range(n)]
+        for orv, otv in sols:
+            assert any(np.allclose(orv, rr, atol=1e-3)
+                       and np.allclose(otv, tt, atol=1e-3)
+                       for rr, tt in refs), orv
