@@ -1671,6 +1671,7 @@ __all__ = [
     "batch_distance", "div_spectrums", "eigen_non_symmetric",
     "mat_mul_deriv", "copy_to", "flip_nd", "transpose_nd",
     "finite_mask", "approx_poly_n", "solve_p3p",
+    "fast_nl_means_denoising_multi",
 ]
 
 
@@ -2628,3 +2629,28 @@ def detect_blobs(mat: Mat, params=None):
     g = _gray_of_mat(mat)
     p = params if params is not None else _blob.BlobParams()
     return _blob.detect_blobs(np.asarray(g), p)
+
+
+def fast_nl_means_denoising_multi(frames, img_index: int,
+                                  temporal_window: int, h: float = 10.0,
+                                  template: int = 7, search: int = 21):
+    """Temporal NL-means (OpenCV ``fastNlMeansDenoisingMulti`` role):
+    denoise one frame of a u8 gray stack using a temporal window of
+    neighbors. Device-resident stacks run the scanned jitted twin
+    (ops/nlmeans.py)."""
+    import numpy as np
+
+    from ..ops import nlmeans as _nl
+
+    if any(getattr(m, "is_on_device", False) for m in frames):
+        import jax.numpy as jnp
+
+        stack = jnp.stack([m.device() for m in frames])
+        return np.asarray(_nl.nl_means_multi(
+            stack, img_index, temporal_window, h=h, template=template,
+            search=search))
+    arrays = np.stack([m.to_numpy() if hasattr(m, "to_numpy")
+                       else np.asarray(m) for m in frames])
+    return _nl.nl_means_multi_numpy(arrays, img_index, temporal_window,
+                                    h=h, template=template,
+                                    search=search)

@@ -119,3 +119,88 @@ def nl_means_colored(bgr: jax.Array, h: float = 10.0, h_color: float = 10.0,
     a = nl_means(lab[..., 1], h_color, template, search)
     b = nl_means(lab[..., 2], h_color, template, search)
     return lab_to_bgr(jnp.stack([ell, a, b], axis=-1))
+
+
+def nl_means_multi_numpy(frames: np.ndarray, img_index: int,
+                         temporal_window: int, h: float = 10.0,
+                         template: int = 7, search: int = 21
+                         ) -> np.ndarray:
+    """Oracle for the temporal variant (OpenCV
+    ``fastNlMeansDenoisingMulti`` role): denoise ``frames[img_index]``
+    with patches drawn from the ``temporal_window`` frames centred on
+    it — the SAME spec as nl_means_numpy with the search set extended
+    across time (the reference frame's own s=0 keeps weight 1)."""
+    if temporal_window % 2 == 0:
+        raise ValueError("temporal_window must be odd")
+    half = temporal_window // 2
+    if not (half <= img_index < len(frames) - half):
+        raise ValueError("temporal window leaves the stack")
+    hh, ww = frames[img_index].shape
+    sr, tr = search // 2, template // 2
+    pad = sr + tr
+    base_p = np.pad(frames[img_index].astype(np.float64), pad,
+                    mode="edge")
+    base = base_p[sr:sr + hh + 2 * tr, sr:sr + ww + 2 * tr]
+    n_templ = template * template
+    inv = 1.0 / (h * h * n_templ)
+    num = np.zeros((hh, ww))
+    den = np.zeros((hh, ww))
+    for f in range(img_index - half, img_index + half + 1):
+        pf = np.pad(frames[f].astype(np.float64), pad, mode="edge")
+        for sy in range(-sr, sr + 1):
+            for sx in range(-sr, sr + 1):
+                shifted = pf[sr + sy:sr + sy + hh + 2 * tr,
+                             sr + sx:sr + sx + ww + 2 * tr]
+                d2 = (base - shifted) ** 2
+                acc = np.zeros((hh, ww))
+                for ty in range(template):
+                    for tx in range(template):
+                        acc += d2[ty:ty + hh, tx:tx + ww]
+                w = np.exp(-acc * inv)
+                num += w * shifted[tr:tr + hh, tr:tr + ww]
+                den += w
+    return np.clip(np.floor(num / den + 0.5), 0, 255).astype(np.uint8)
+
+
+@partial(jax.jit, static_argnames=("img_index", "temporal_window", "h",
+                                   "template", "search"))
+def nl_means_multi(frames: jax.Array, img_index: int,
+                   temporal_window: int, h: float = 10.0,
+                   template: int = 7, search: int = 21) -> jax.Array:
+    """Device twin — (T, H, W) u8 stack; one scan over
+    (frame, offset) pairs."""
+    from .filters import _taps
+
+    half = temporal_window // 2
+    hh, ww = frames.shape[1], frames.shape[2]
+    sr, tr = search // 2, template // 2
+    pad = sr + tr
+    sub = frames[img_index - half:img_index + half + 1]
+    p = jnp.pad(sub.astype(jnp.float32),
+                ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    base = p[half, sr:sr + hh + 2 * tr, sr:sr + ww + 2 * tr]
+    n_templ = template * template
+    inv = jnp.float32(1.0 / (h * h * n_templ))
+    ones = (1,) * template
+
+    fy, oy, ox = jnp.meshgrid(jnp.arange(temporal_window),
+                              jnp.arange(search), jnp.arange(search),
+                              indexing="ij")
+    offs = jnp.stack([fy.ravel(), oy.ravel(), ox.ravel()], axis=-1)
+
+    def step(carry, s):
+        num, den = carry
+        shifted = lax.dynamic_slice(
+            p, (s[0], s[1], s[2]),
+            (1, hh + 2 * tr, ww + 2 * tr))[0]
+        d2 = (base - shifted) * (base - shifted)
+        acc = _taps(_taps(d2, -1, ones, tr), -2, ones, tr)[
+            tr:tr + hh, tr:tr + ww]
+        w = jnp.exp(-acc * inv)
+        num = num + w * shifted[tr:tr + hh, tr:tr + ww]
+        den = den + w
+        return (num, den), None
+
+    zero = jnp.zeros((hh, ww), jnp.float32)
+    (num, den), _ = lax.scan(step, (zero, zero), offs)
+    return jnp.clip(jnp.floor(num / den + 0.5), 0, 255).astype(jnp.uint8)

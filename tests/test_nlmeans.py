@@ -56,3 +56,57 @@ class TestDeviceTwin:
         before = np.mean((noisy.astype(float) - clean) ** 2)
         after = np.mean((out.astype(float) - clean) ** 2)
         assert after < before * 0.6
+
+
+from rustcv_tpu.ops.nlmeans import (  # noqa: E402
+    nl_means_multi,
+    nl_means_multi_numpy,
+    nl_means_numpy,
+)
+
+try:
+    import pytest  # noqa: F811
+    import jax.numpy as jnp  # noqa: F811
+except ImportError:
+    pass
+
+
+class TestMulti:
+    """Temporal NL-means (fastNlMeansDenoisingMulti role)."""
+
+    @staticmethod
+    def _stack(rng, n=5):
+        clean = np.zeros((40, 48), np.uint8)
+        clean[10:30, 12:36] = 170
+        clean[:, :8] = 80
+        frames = np.stack([
+            np.clip(clean.astype(float)
+                    + rng.normal(0, 20, clean.shape), 0,
+                    255).astype(np.uint8) for _ in range(n)])
+        return clean, frames
+
+    def test_beats_single_frame(self, rng):
+        clean, frames = self._stack(rng)
+        single = nl_means_numpy(frames[2], h=15.0, template=5,
+                                search=11)
+        multi = nl_means_multi_numpy(frames, 2, 5, h=15.0, template=5,
+                                     search=11)
+        err_s = np.abs(single.astype(float) - clean).mean()
+        err_m = np.abs(multi.astype(float) - clean).mean()
+        assert err_m < 0.9 * err_s, (err_s, err_m)
+
+    def test_device_matches_oracle(self, rng, jax_cpu):
+        _, frames = self._stack(rng)
+        ours = nl_means_multi_numpy(frames, 2, 3, h=12.0, template=5,
+                                    search=9)
+        dev = np.asarray(nl_means_multi(jnp.asarray(frames), 2, 3,
+                                        h=12.0, template=5, search=9))
+        d = np.abs(ours.astype(int) - dev.astype(int))
+        assert d.max() <= 1
+
+    def test_window_validation(self, rng):
+        _, frames = self._stack(rng)
+        with pytest.raises(ValueError):
+            nl_means_multi_numpy(frames, 0, 5)
+        with pytest.raises(ValueError):
+            nl_means_multi_numpy(frames, 2, 4)
