@@ -552,6 +552,23 @@ def good_features_to_track(mat: Mat, max_corners: int = 256, **kw):
     return coords[:, ::-1].astype(np.float32)
 
 
+def good_features_to_track_with_quality(mat: Mat, max_corners: int = 256,
+                                        **kw):
+    """OpenCV ``goodFeaturesToTrackWithQuality`` role → (points
+    float32 [K, 2] (x, y), quality float32 [K] — the fixed-point
+    Harris response at each corner)."""
+    import numpy as np
+
+    pts = good_features_to_track(mat, max_corners=max_corners, **kw)
+    gray = _gray_of_mat(mat)
+    g = np.asarray(gray)
+    resp = golden.harris_response_i32(
+        g, k_num=int(round(kw.get("k", 0.04) * 1024)))
+    xs = pts[:, 0].astype(np.int64)
+    ys = pts[:, 1].astype(np.int64)
+    return pts, resp[ys, xs].astype(np.float32)
+
+
 def calc_optical_flow_pyr_lk(
     prev: Mat, nxt: Mat, pts, win: int = 21, levels: int = 3, iters: int = 10
 ):
@@ -1672,6 +1689,7 @@ __all__ = [
     "mat_mul_deriv", "copy_to", "flip_nd", "transpose_nd",
     "finite_mask", "approx_poly_n", "solve_p3p",
     "fast_nl_means_denoising_multi",
+    "good_features_to_track_with_quality", "solve_pnp_refine",
 ]
 
 
@@ -2654,3 +2672,20 @@ def fast_nl_means_denoising_multi(frames, img_index: int,
     return _nl.nl_means_multi_numpy(arrays, img_index, temporal_window,
                                     h=h, template=template,
                                     search=search)
+
+
+def solve_pnp_refine(obj_pts, img_pts, k, dist, rvec, tvec,
+                     iterations: int = 20):
+    """OpenCV ``solvePnPRefineLM``/``VVS`` role: Gauss-Newton
+    refinement of an existing pose through the full distortion model
+    (the same minimizer solve_pnp ends with; ops/calib.py)."""
+    import numpy as np
+
+    from ..ops import calib as _calib
+
+    return _calib.refine_pose(
+        np.asarray(obj_pts, np.float64).reshape(-1, 3),
+        np.asarray(img_pts, np.float64).reshape(-1, 2),
+        np.asarray(k, np.float64), dist,
+        np.asarray(rvec, np.float64).ravel(),
+        np.asarray(tvec, np.float64).ravel(), iterations)

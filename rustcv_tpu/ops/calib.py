@@ -243,12 +243,24 @@ def solve_pnp(
             t = -t
     rvec = rodrigues(R)
     tvec = t.copy()
+    return refine_pose(obj, img, K, dist, rvec, tvec, iterations)
 
-    # --- Gauss-Newton on the full (distorted) projection ---------------
+
+def refine_pose(obj: np.ndarray, img: np.ndarray, K: np.ndarray, dist,
+                rvec: np.ndarray, tvec: np.ndarray,
+                iterations: int = 20) -> Tuple[np.ndarray, np.ndarray]:
+    """Gauss-Newton pose refinement through the full distortion model
+    (OpenCV ``solvePnPRefineLM`` role; the minimizer solve_pnp ends
+    with, factored for standalone use)."""
+    obj = np.asarray(obj, np.float64).reshape(-1, 3)
+    img = np.asarray(img, np.float64).reshape(-1, 2)
+    n = len(obj)
+
     def residual(r, tv):
         return (project_points(obj, r, tv, K, dist) - img).reshape(-1)
 
-    params = np.concatenate([rvec, tvec])
+    params = np.concatenate([np.asarray(rvec, np.float64).ravel(),
+                             np.asarray(tvec, np.float64).ravel()])
     eps = 1e-6
     for _ in range(iterations):
         r0 = residual(params[:3], params[3:])

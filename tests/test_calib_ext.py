@@ -159,3 +159,29 @@ def test_solve_p3p(rng):
             assert any(np.allclose(orv, rr, atol=1e-3)
                        and np.allclose(otv, tt, atol=1e-3)
                        for rr, tt in refs), orv
+
+
+def test_solve_pnp_refine_and_gftt_quality(rng):
+    import rustcv_tpu.imgproc as ip
+    from rustcv_tpu.core.mat import Mat
+    from rustcv_tpu.ops import calib
+
+    k = np.array([[520.0, 0, 320], [0, 510.0, 240], [0, 0, 1.0]])
+    obj = rng.uniform(-0.2, 0.2, (8, 3))
+    rvec = np.array([0.1, -0.2, 0.05])
+    tvec = np.array([0.02, -0.05, 0.8])
+    img = calib.project_points(obj, rvec, tvec, k, (0, 0, 0, 0, 0))
+    rv0 = rvec + rng.normal(0, 0.02, 3)
+    tv0 = tvec + rng.normal(0, 0.01, 3)
+    rv, tv = ip.solve_pnp_refine(obj, img, k, (0, 0, 0, 0, 0), rv0, tv0)
+    np.testing.assert_allclose(rv, rvec, atol=1e-8)
+    np.testing.assert_allclose(tv, tvec, atol=1e-8)
+
+    gray = np.zeros((64, 96), np.uint8)
+    gray[20:44, 30:66] = 200
+    pts, quality = ip.good_features_to_track_with_quality(
+        Mat.from_array(gray), max_corners=8)
+    assert len(pts) == len(quality) > 0
+    assert (quality > 0).all()
+    # qualities are descending (points are ranked by response)
+    assert (np.diff(quality) <= 0).all()
