@@ -1690,6 +1690,7 @@ __all__ = [
     "finite_mask", "approx_poly_n", "solve_p3p",
     "fast_nl_means_denoising_multi",
     "good_features_to_track_with_quality", "solve_pnp_refine",
+    "ghough_detect_guil",
 ]
 
 
@@ -2488,6 +2489,7 @@ from ..ops.core_ops import transpose_mat as transpose  # noqa: E402
 from ..ops.ghough import (  # noqa: E402  (re-exports)
     build_r_table,
     ghough_detect,
+    ghough_detect_guil,
 )
 from ..ops.slic import slic_superpixels  # noqa: E402
 from ..ops.varref import variational_refine  # noqa: E402

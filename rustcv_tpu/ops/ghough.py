@@ -148,3 +148,74 @@ def ghough_detect(gray, r_table: np.ndarray, votes_threshold: int,
     order = np.argsort(-votes, kind="stable")
     pos = np.stack([xs[order], ys[order]], axis=1).astype(np.float32)
     return pos, votes[order].astype(np.int32)
+
+
+def ghough_detect_guil(gray, r_table: np.ndarray, votes_threshold: int,
+                       angles=np.deg2rad(np.arange(-40, 41, 10)),
+                       scales=(0.8, 1.0, 1.25), levels: int = 64,
+                       canny_low: int = 40, canny_high: int = 90
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray]:
+    """Rotation/scale-aware variant (OpenCV
+    ``createGeneralizedHoughGuil`` role): vote each (angle, scale)
+    hypothesis with the transformed R-table (displacements rotated and
+    scaled, orientation bins shifted by the same angle), keep the
+    best-scoring hypothesis per accumulator peak → (positions (N, 2)
+    float32 (x, y), votes (N,), angles_rad (N,), scales (N,)),
+    strongest first."""
+    g = np.asarray(gray)
+    h, w = g.shape
+    edges = canny(g, canny_low, canny_high) > 0
+    bins = _orientations(g, levels)
+    ys, xs = np.nonzero(edges)
+    bs = bins[ys, xs]
+
+    best_votes = np.zeros((h, w), np.int32)
+    best_ang = np.zeros((h, w), np.float64)
+    best_scl = np.ones((h, w), np.float64)
+    tbl = np.asarray(r_table, np.int64)
+    for ang in np.atleast_1d(angles):
+        ca, sa = np.cos(ang), np.sin(ang)
+        bshift = int(np.round(ang / (2.0 * np.pi / levels)))
+        for scl in scales:
+            acc = np.zeros((h, w), np.int32)
+            for b, dy, dx in tbl:
+                # rotate the displacement by ang, scale by scl
+                rdx = scl * (ca * dx - sa * dy)
+                rdy = scl * (sa * dx + ca * dy)
+                # ±1 orientation-bin tolerance absorbs the angle-grid
+                # quantization (10° grid vs 5.6° bins)
+                dbin = (bs - (b + bshift)) % levels
+                sel = (dbin <= 1) | (dbin >= levels - 1)
+                vy = ys[sel] + int(np.round(rdy))
+                vx = xs[sel] + int(np.round(rdx))
+                ok = (vy >= 0) & (vy < h) & (vx >= 0) & (vx < w)
+                np.add.at(acc, (vy[ok], vx[ok]), 1)
+            # 3×3 vote smoothing before hypothesis competition
+            pa = np.pad(acc, 1)
+            sm = sum(pa[dy:dy + h, dx:dx + w]
+                     for dy in range(3) for dx in range(3))
+            better = sm > best_votes
+            best_votes = np.where(better, sm, best_votes)
+            best_ang = np.where(better, ang, best_ang)
+            best_scl = np.where(better, scl, best_scl)
+
+    # peak extraction (same tie-safe 3×3 NMS as the Ballard path)
+    p = np.pad(best_votes, 1)
+    is_peak = np.ones((h, w), bool)
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 1 and dx == 1:
+                continue
+            neigh = p[dy:dy + h, dx:dx + w]
+            if (dy, dx) < (1, 1):
+                is_peak &= best_votes >= neigh
+            else:
+                is_peak &= best_votes > neigh
+    is_peak &= best_votes >= votes_threshold
+    py, px = np.nonzero(is_peak)
+    votes = best_votes[py, px]
+    order = np.argsort(-votes, kind="stable")
+    return (np.stack([px[order], py[order]], 1).astype(np.float32),
+            votes[order].astype(np.int32),
+            best_ang[py, px][order], best_scl[py, px][order])

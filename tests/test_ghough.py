@@ -80,3 +80,25 @@ def test_vs_cv2(setup):
     for px, py in pos:
         assert any(abs(px - rx) <= 1 and abs(py - ry) <= 1
                    for rx, ry in ref), (px, py)
+
+
+def test_guil_rotation_scale(setup):
+    t, table, _ = setup
+    # plant a rotated + scaled instance
+    angle_deg, scale = 20.0, 1.25
+    m = cv2.getRotationMatrix2D((16, 16), -angle_deg, scale)
+    warped = cv2.warpAffine(t, m, (48, 48), borderValue=40)
+    scene = np.full((120, 150), 40, np.uint8)
+    scene[30:78, 50:98] = warped
+    pos, votes, angs, scls = ghough.ghough_detect_guil(
+        scene, table, votes_threshold=len(table) // 2,
+        angles=np.deg2rad(np.arange(-40, 41, 10)),
+        scales=(0.8, 1.0, 1.25))
+    assert len(pos) >= 1
+    # best detection near the planted centre (warp keeps centre at
+    # template centre (16,16) → scene (66, 46))
+    px, py = pos[0]
+    assert abs(px - 66) <= 3 and abs(py - 46) <= 3, pos[0]
+    # recovered hypothesis: the planted rotation and scale
+    assert abs(np.degrees(angs[0]) - angle_deg) <= 10.1
+    assert abs(scls[0] - scale) < 0.25
