@@ -1690,7 +1690,7 @@ __all__ = [
     "finite_mask", "approx_poly_n", "solve_p3p",
     "fast_nl_means_denoising_multi",
     "good_features_to_track_with_quality", "solve_pnp_refine",
-    "ghough_detect_guil",
+    "ghough_detect_guil", "tonemap_mantiuk",
 ]
 
 
@@ -2691,3 +2691,13 @@ def solve_pnp_refine(obj_pts, img_pts, k, dist, rvec, tvec,
         np.asarray(k, np.float64), dist,
         np.asarray(rvec, np.float64).ravel(),
         np.asarray(tvec, np.float64).ravel(), iterations)
+
+
+def tonemap_mantiuk(hdr_img, gamma: float = 1.0, scale: float = 0.7,
+                    saturation: float = 1.0):
+    """Mantiuk gradient-domain tonemap (OpenCV ``TonemapMantiuk``
+    role): contrast scaling in the log-luminance gradient field +
+    exact DCT Poisson reintegration (ops/hdr.py)."""
+    from ..ops import hdr as _hdr
+
+    return _hdr.tonemap_mantiuk_numpy(hdr_img, gamma, scale, saturation)

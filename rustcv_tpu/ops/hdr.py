@@ -435,3 +435,62 @@ def tonemap_drago_numpy(hdr: np.ndarray, gamma: float = 1.0,
     if gamma != 1.0:
         out = out ** (1.0 / gamma)
     return out.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Mantiuk tonemap (round 3b): gradient-domain contrast compression
+# ---------------------------------------------------------------------------
+
+def _poisson_dct(div: np.ndarray) -> np.ndarray:
+    """Solve ∇²u = div with Neumann BC exactly via DCT-II (the
+    transform module's basis — two matmuls each way)."""
+    from .transform import dct_numpy, idct
+
+    h, w = div.shape
+    d = dct_numpy(div)
+    iy = np.arange(h)[:, None]
+    ix = np.arange(w)[None, :]
+    lam = (2.0 * np.cos(np.pi * iy / h) - 2.0
+           + 2.0 * np.cos(np.pi * ix / w) - 2.0)
+    lam[0, 0] = 1.0  # gauge: the DC term is free (mean fixed below)
+    u = d / lam
+    u[0, 0] = 0.0
+    return idct(u)
+
+
+def tonemap_mantiuk_numpy(hdr: np.ndarray, gamma: float = 1.0,
+                          scale: float = 0.7,
+                          saturation: float = 1.0) -> np.ndarray:
+    """Mantiuk'06-role gradient-domain tonemap (OpenCV
+    ``TonemapMantiuk``): scale log-luminance contrasts by the contrast
+    scale factor (``g' = scale·g`` — measured to track cv2's transduced
+    pyramid far better than power compression: corr 0.95 vs 0.75 at the
+    0.7 default) and reintegrate exactly with the DCT Poisson solver;
+    per-channel ratios with ``saturation``, min-max normalize, display
+    gamma. Output float32 [0, 1]; correlation ≥0.9 with cv2 pinned in
+    tests (the discretizations differ)."""
+    img = np.asarray(hdr, np.float64)
+    gray = np.maximum(img[..., 0] * 0.299 + img[..., 1] * 0.587
+                      + img[..., 2] * 0.114, 1e-9)
+    loglum = np.log10(gray)
+    gx = np.zeros_like(loglum)
+    gy = np.zeros_like(loglum)
+    gx[:, :-1] = loglum[:, 1:] - loglum[:, :-1]
+    gy[:-1, :] = loglum[1:, :] - loglum[:-1, :]
+    cx = scale * gx
+    cy = scale * gy
+    div = np.zeros_like(loglum)
+    div[:, 0] += cx[:, 0]
+    div[:, 1:] += cx[:, 1:] - cx[:, :-1]
+    div[0, :] += cy[0, :]
+    div[1:, :] += cy[1:, :] - cy[:-1, :]
+    new_log = _poisson_dct(div)
+    new_log += loglum.mean() - new_log.mean()
+    new_lum = 10.0 ** new_log
+    ratio = np.power(img / gray[..., None], saturation)
+    out = ratio * new_lum[..., None]
+    mn, mx = out.min(), out.max()
+    out = (out - mn) / max(mx - mn, 1e-12)
+    if gamma != 1.0:
+        out = out ** (1.0 / gamma)
+    return out.astype(np.float32)

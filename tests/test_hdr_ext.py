@@ -118,3 +118,20 @@ def test_tonemap_drago_vs_cv2(rng):
         assert fin.mean() > 0.99
         assert np.abs(ours - ref)[fin].mean() < 0.01, (gamma, bias)
         assert 0.0 <= ours.min() and ours.max() <= 1.0
+
+
+def test_tonemap_mantiuk_vs_cv2(rng):
+    base = rng.random((32, 40, 3)).astype(np.float64) ** 2
+    hdr_img = (base * np.logspace(0, 2.5, 40)[None, :, None]).astype(
+        np.float32) + 0.01
+    ours = hdr.tonemap_mantiuk_numpy(hdr_img, 1.0, 0.7, 1.0)
+    ref = cv2.createTonemapMantiuk(1.0, 0.7, 1.0).process(hdr_img)
+    fin = np.isfinite(ref)
+    corr = np.corrcoef(ours[fin].ravel(), ref[fin].ravel())[0, 1]
+    assert corr > 0.9, corr
+    assert 0.0 <= ours.min() and ours.max() <= 1.0
+    # dynamic range genuinely compressed: shadows get more code values
+    lin = (hdr_img - hdr_img.min()) / (hdr_img.max() - hdr_img.min())
+    dark_ours = (ours < 0.02).mean()
+    dark_lin = (lin < 0.02).mean()
+    assert dark_ours < dark_lin
