@@ -108,3 +108,43 @@ def imwrite(path: str, mat: Mat) -> bool:
 
 
 __all__ = ["imread", "imwrite", "imencode", "imdecode"]
+
+
+def imreadmulti(path: str):
+    """Multi-page read (OpenCV ``imreadmulti`` role): every frame of a
+    multi-page TIFF / animated GIF → list of Mats (PIL backend)."""
+    import numpy as np
+    from PIL import Image, ImageSequence
+
+    out = []
+    with Image.open(path) as img:
+        for frame in ImageSequence.Iterator(img):
+            rgb = np.asarray(frame.convert("RGB"))
+            out.append(Mat.from_array(rgb[..., ::-1].copy()))
+    return out
+
+
+def imcount(path: str) -> int:
+    """OpenCV ``imcount`` role: number of pages/frames in the file."""
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return int(getattr(img, "n_frames", 1))
+
+
+def imwritemulti(path: str, mats) -> bool:
+    """Multi-page write (OpenCV ``imwritemulti`` role): TIFF multipage
+    or animated GIF depending on the extension."""
+    import numpy as np
+    from PIL import Image
+
+    frames = []
+    for m in mats:
+        a = m.to_numpy() if hasattr(m, "to_numpy") else np.asarray(m)
+        if a.ndim == 3:
+            a = a[..., ::-1]  # BGR → RGB
+        frames.append(Image.fromarray(a))
+    if not frames:
+        return False
+    frames[0].save(path, save_all=True, append_images=frames[1:])
+    return True

@@ -213,3 +213,36 @@ class TestPairwisePackedFormats:
                 np.asarray(r.outputs["filtered"])[i], want_f, err_msg=f"{fmt} filt {i}"
             )
         eng.close()
+
+
+class TestMultiPage:
+    """imreadmulti / imwritemulti / imcount (PIL multi-page backend)."""
+
+    def test_tiff_round_trip(self, tmp_path, rng):
+        from rustcv_tpu import imgcodecs
+        from rustcv_tpu.core.mat import Mat
+
+        frames = [rng.integers(0, 256, (24, 32, 3), np.uint8)
+                  for _ in range(4)]
+        path = str(tmp_path / "m.tiff")
+        assert imgcodecs.imwritemulti(path,
+                                      [Mat.from_array(f) for f in frames])
+        assert imgcodecs.imcount(path) == 4
+        back = imgcodecs.imreadmulti(path)
+        assert len(back) == 4
+        for f, m in zip(frames, back):
+            np.testing.assert_array_equal(m.to_numpy(), f)
+
+    def test_cv2_reads_ours(self, tmp_path, rng):
+        cv2 = pytest.importorskip("cv2")
+        from rustcv_tpu import imgcodecs
+        from rustcv_tpu.core.mat import Mat
+
+        frames = [rng.integers(0, 256, (16, 20, 3), np.uint8)
+                  for _ in range(3)]
+        path = str(tmp_path / "x.tiff")
+        imgcodecs.imwritemulti(path, [Mat.from_array(f) for f in frames])
+        ok, pages = cv2.imreadmulti(path)
+        assert ok and len(pages) == 3
+        for f, p in zip(frames, pages):
+            np.testing.assert_array_equal(p, f)
