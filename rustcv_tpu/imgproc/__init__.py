@@ -1691,6 +1691,7 @@ __all__ = [
     "fast_nl_means_denoising_multi",
     "good_features_to_track_with_quality", "solve_pnp_refine",
     "ghough_detect_guil", "tonemap_mantiuk",
+    "register_depth", "warp_frame", "rescale_depth",
 ]
 
 
@@ -2411,8 +2412,11 @@ from ..ops.threed import (  # noqa: E402  (re-exports)
     depth_to_3d,
     find_planes,
     load_point_cloud,
+    register_depth,
+    rescale_depth,
     save_point_cloud,
     triangle_rasterize,
+    warp_frame,
 )
 from ..ops.blend import (  # noqa: E402  (re-exports)
     gain_compensation,

@@ -247,3 +247,83 @@ def triangle_rasterize(vertices: jax.Array, indices: jax.Array,
     (color, depth), _ = jax.lax.scan(step, (color0, depth0),
                                      (tri_v, tri_c))
     return color, depth
+
+
+def register_depth(k_depth, k_rgb, rt, depth: np.ndarray,
+                   out_size: Tuple[int, int],
+                   dilate: bool = False) -> np.ndarray:
+    """OpenCV ``registerDepth`` role: reproject the depth camera's
+    cloud into the RGB camera → (h, w) depth (zeros where no data;
+    z-buffered on collisions). ``out_size`` = (width, height)."""
+    kd = np.asarray(k_depth, np.float64)
+    kr = np.asarray(k_rgb, np.float64)
+    rt = np.asarray(rt, np.float64)
+    r, t = rt[:3, :3], rt[:3, 3]
+    w, h = out_size
+    pts = depth_to_3d(depth, kd).reshape(-1, 3).astype(np.float64)
+    valid = pts[:, 2] > 0
+    pts = pts[valid]
+    cam = pts @ r.T + t
+    front = cam[:, 2] > 1e-9
+    cam = cam[front]
+    proj = cam @ kr.T
+    u = np.round(proj[:, 0] / proj[:, 2]).astype(np.int64)
+    v = np.round(proj[:, 1] / proj[:, 2]).astype(np.int64)
+    ok = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    out = np.full((h, w), np.inf)
+    np.minimum.at(out, (v[ok], u[ok]), cam[ok, 2])
+    out = np.where(np.isinf(out), 0.0, out)
+    if dilate:
+        p = np.pad(out, 1, mode="constant")
+        stacks = np.stack([p[dy:dy + h, dx:dx + w]
+                           for dy in range(3) for dx in range(3)])
+        stacks = np.where(stacks == 0, np.inf, stacks)
+        filled = stacks.min(axis=0)
+        out = np.where(out == 0, np.where(np.isinf(filled), 0.0,
+                                          filled), out)
+    return out.astype(np.float32)
+
+
+def warp_frame(depth: np.ndarray, image: Optional[np.ndarray], rt,
+               k) -> Tuple[np.ndarray, Optional[np.ndarray],
+                           np.ndarray]:
+    """OpenCV ``warpFrame`` role: reproject an RGB-D frame through a
+    rigid transform and render it back onto the same camera →
+    (warped_depth f32 (zeros = empty), warped_image, valid mask u8)."""
+    k = np.asarray(k, np.float64)
+    rt = np.asarray(rt, np.float64)
+    r, t = rt[:3, :3], rt[:3, 3]
+    h, w = np.asarray(depth).shape
+    pts = depth_to_3d(depth, k).reshape(-1, 3).astype(np.float64)
+    valid = pts[:, 2] > 0
+    cam = pts @ r.T + t
+    proj = cam @ k.T
+    front = valid & (cam[:, 2] > 1e-9)
+    u = np.round(np.where(front, proj[:, 0] / np.where(
+        front, proj[:, 2], 1.0), -1)).astype(np.int64)
+    v = np.round(np.where(front, proj[:, 1] / np.where(
+        front, proj[:, 2], 1.0), -1)).astype(np.int64)
+    ok = front & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    zbuf = np.full((h, w), np.inf)
+    np.minimum.at(zbuf, (v[ok], u[ok]), cam[ok, 2])
+    wdepth = np.where(np.isinf(zbuf), 0.0, zbuf).astype(np.float32)
+    wimage = None
+    if image is not None:
+        img = np.asarray(image)
+        flat = img.reshape(h * w, -1)
+        wimage = np.zeros_like(img).reshape(h * w, -1)
+        idx = np.nonzero(ok)[0]
+        # paint winners only (those matching the z-buffer)
+        winners = np.isclose(cam[idx, 2], zbuf[v[idx], u[idx]])
+        tgt = v[idx[winners]] * w + u[idx[winners]]
+        wimage[tgt] = flat[idx[winners]]
+        wimage = wimage.reshape(img.shape)
+    wmask = (wdepth > 0).astype(np.uint8) * 255
+    return wdepth, wimage, wmask
+
+
+def rescale_depth(depth: np.ndarray, factor: float) -> np.ndarray:
+    """OpenCV ``rescaleDepth`` role: scale depth values (e.g. mm→m),
+    mapping invalid (0/NaN) to 0."""
+    d = np.asarray(depth, np.float64) * factor
+    return np.where(np.isfinite(d) & (d > 0), d, 0.0).astype(np.float32)

@@ -100,3 +100,45 @@ def test_triangle_rasterize_device_matches(jax_cpu):
     assert (cover_np != cover_dev).mean() < 0.03
     np.testing.assert_allclose(d_dev[both], d_np[both], atol=1e-3)
     np.testing.assert_allclose(c_dev[both], c_np[both], atol=1.0)
+
+
+def test_register_depth_vs_cv2(rng):
+    kd = np.array([[200.0, 0, 40], [0, 200.0, 30], [0, 0, 1.0]])
+    kr = np.array([[220.0, 0, 42], [0, 220.0, 32], [0, 0, 1.0]])
+    depth = (rng.random((60, 80)).astype(np.float32) * 0 + 2.0)
+    depth[20:40, 20:50] = 1.5
+    rt = np.eye(4)
+    rt[:3, 3] = [0.05, 0.0, 0.0]
+    ours = threed.register_depth(kd, kr, rt, depth, (80, 60))
+    ref = cv2.registerDepth(kd, kr, np.zeros(5), rt, depth, (80, 60))
+    both = (ours > 0) & (ref > 0)
+    assert both.mean() > 0.7
+    np.testing.assert_allclose(ours[both], ref[both], atol=0.02)
+
+
+def test_warp_frame_identity_and_shift(rng):
+    k = np.array([[150.0, 0, 30], [0, 150.0, 25], [0, 0, 1.0]])
+    depth = np.full((50, 60), 2.0, np.float32)
+    img = rng.integers(0, 256, (50, 60, 3), np.uint8)
+    # identity transform reproduces the frame
+    wd, wi, wm = threed.warp_frame(depth, img, np.eye(4), k)
+    assert (wm > 0).mean() > 0.99
+    np.testing.assert_allclose(wd[wm > 0], 2.0, atol=1e-5)
+    np.testing.assert_array_equal(wi[wm > 0], img[wm > 0])
+    # translating along +x shifts content by fx·tx/z px — pick tx for
+    # an exact integer shift (fractional shifts leave splat holes)
+    shift = 8
+    rt = np.eye(4)
+    rt[0, 3] = shift * 2.0 / 150.0
+    wd2, wi2, wm2 = threed.warp_frame(depth, img, rt, k)
+    inner = (wm2[10:-10, 10 + shift:-10] > 0)
+    assert inner.mean() > 0.99
+    np.testing.assert_array_equal(
+        wi2[10:-10, 10 + shift:-10][inner],
+        img[10:-10, 10:-10 - shift][inner])
+
+
+def test_rescale_depth():
+    d = np.array([[1000.0, 0.0], [np.nan, 2500.0]], np.float32)
+    out = threed.rescale_depth(d, 0.001)
+    np.testing.assert_allclose(out, [[1.0, 0.0], [0.0, 2.5]])
