@@ -240,6 +240,48 @@ def main(width: int = 160, height: int = 120) -> int:
     fused = imgproc.merge_mertens([mat, mat, mat])
     ok("merge_mertens", fused.shape)
 
+    # --- round-3b wing: core utils, superpixels, boards, barcodes, 3d ----
+    border = imgproc.copy_make_border(lft, 4, 4, 4, 4, "reflect101")
+    ok("copy_make_border", border.shape)
+
+    mag, ang = imgproc.cart_to_polar(
+        np.float32(lft[1:, :-1]) - np.float32(lft[:-1, :-1]),
+        np.float32(lft[:-1, 1:]) - np.float32(lft[:-1, :-1]),
+        angle_in_degrees=True)
+    ok("cart_to_polar", f"|mag|max {mag.max():.0f}")
+
+    labels, n_sp = imgproc.slic_superpixels(bgr, region_size=20,
+                                            num_iterations=3)
+    ok("slic_superpixels", f"{n_sp} superpixels")
+
+    resp = imgproc.corner_min_eigen_val(lft)
+    ok("corner_min_eigen_val", f"peak {np.asarray(resp).max():.4f}")
+
+    den3 = imgproc.denoise_tvl1([lft, lft, lft], lam=1.0, niters=10)
+    ok("denoise_tvl1", den3.shape)
+
+    from rustcv_tpu.ops import barcode as _bc
+
+    strip = _bc.draw_barcode(_bc.encode_ean13("590123412345"), 3, 40)
+    codes = imgproc.detect_barcodes(strip)
+    ok("detect_barcodes", codes[0] if codes else "none")
+
+    board = _aruco.GridBoard((3, 2), 0.04, 0.02, dic)
+    ok("aruco GridBoard", board.draw(cell_px=6).shape)
+
+    verts = np.array([[8.0, 8.0, 1.0], [56.0, 12.0, 1.0],
+                      [20.0, 40.0, 1.0]], np.float32)
+    colr, dep = imgproc.triangle_rasterize(
+        verts, np.array([[0, 1, 2]], np.int32),
+        np.array([[255, 0, 0]] * 3, np.float32), width, height)
+    ok("triangle_rasterize",
+       f"{int(np.isfinite(np.asarray(dep)).sum())} px covered")
+
+    tool = imgproc.IntelligentScissors().apply_image(lft)
+    tool.build_map((5, 5))
+    path = tool.get_contour((width - 5, height - 5))
+    ok("IntelligentScissors", f"{len(path)} path px")
+
     print(f"vision tour: {steps} stages OK")
     return steps
 
