@@ -1692,6 +1692,7 @@ __all__ = [
     "good_features_to_track_with_quality", "solve_pnp_refine",
     "ghough_detect_guil", "tonemap_mantiuk",
     "register_depth", "warp_frame", "rescale_depth",
+    "estimate_chessboard_sharpness",
 ]
 
 
@@ -2436,6 +2437,9 @@ from ..ops.calib_ext import (  # noqa: E402  (re-exports)
     sampson_distance,
     stereo_rectify_uncalibrated,
     write_optical_flow,
+)
+from ..ops.chessboard import (  # noqa: E402
+    estimate_chessboard_sharpness,
 )
 from ..ops.circles_grid import (  # noqa: E402  (re-exports)
     circles_grid_object_points,

@@ -276,3 +276,75 @@ def find_chessboard_corners(
     return False, np.zeros((0, 2), np.float64)
 
 
+
+
+def estimate_chessboard_sharpness(gray: np.ndarray, pattern_size,
+                                  corners: np.ndarray,
+                                  rise_distance: float = 0.8
+                                  ) -> Tuple[float, float, float]:
+    """OpenCV ``estimateChessboardSharpness`` role: average 10→90%
+    rise width of the black/white edge profiles between neighboring
+    inner corners → (sharpness_px, avg_min, avg_max). Lower = sharper;
+    grows with defocus/motion blur (tests pin the monotonicity and a
+    ≤2× envelope vs cv2)."""
+    g = np.asarray(gray, np.float64)
+    if g.ndim == 3:
+        g = g[..., 0]
+    h, w = g.shape
+    cols, rows = pattern_size
+    grid = np.asarray(corners, np.float64).reshape(rows, cols, 2)
+
+    def sample(p):
+        x = np.clip(p[..., 0], 0, w - 1.001)
+        y = np.clip(p[..., 1], 0, h - 1.001)
+        x0 = np.floor(x).astype(np.int64)
+        y0 = np.floor(y).astype(np.int64)
+        fx = x - x0
+        fy = y - y0
+        return (g[y0, x0] * (1 - fx) * (1 - fy)
+                + g[y0, x0 + 1] * fx * (1 - fy)
+                + g[y0 + 1, x0] * (1 - fx) * fy
+                + g[y0 + 1, x0 + 1] * fx * fy)
+
+    widths, mins, maxs = [], [], []
+    ts = np.linspace(-3.0, 3.0, 25)
+    pairs = []
+    for r in range(rows):
+        for c in range(cols - 1):
+            pairs.append((grid[r, c], grid[r, c + 1]))
+    for c in range(cols):
+        for r in range(rows - 1):
+            pairs.append((grid[r, c], grid[r + 1, c]))
+    for a, b in pairs:
+        mid = (a + b) / 2.0
+        d = b - a
+        nrm = np.hypot(d[0], d[1])
+        if nrm < 1e-9:
+            continue
+        # the grid edge runs ALONG the corner pair; the black→white
+        # transition is crossed PERPENDICULAR to it at the midpoint
+        u = np.array([-d[1], d[0]]) / nrm
+        pts = mid[None, :] + ts[:, None] * u[None, :]
+        if (pts[:, 0].min() < 1 or pts[:, 0].max() > w - 2
+                or pts[:, 1].min() < 1 or pts[:, 1].max() > h - 2):
+            continue
+        prof = sample(pts)
+        lo, hi = prof.min(), prof.max()
+        if hi - lo < 16:
+            continue
+        t10 = lo + 0.1 * (hi - lo)
+        t90 = lo + 0.9 * (hi - lo)
+        inside = (prof > t10) & (prof < t90)
+        # rise width = span of samples inside the transition band
+        idx = np.nonzero(inside)[0]
+        if len(idx) == 0:
+            width = 0.0
+        else:
+            width = (ts[idx[-1]] - ts[idx[0]]) + (ts[1] - ts[0])
+        widths.append(width)
+        mins.append(lo)
+        maxs.append(hi)
+    if not widths:
+        return 0.0, 0.0, 0.0
+    return (float(np.mean(widths)), float(np.mean(mins)),
+            float(np.mean(maxs)))

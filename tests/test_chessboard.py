@@ -203,3 +203,56 @@ class TestFacade:
         ip.draw_chessboard_corners(mat, PATTERN, corners, found)
         out = mat.to_numpy()
         assert (out != bgr).any()  # something was drawn
+
+
+class TestSharpness:
+    """estimateChessboardSharpness role."""
+
+    @staticmethod
+    def _board(blur_sigma):
+        import cv2 as _cv2
+
+        img = np.full((300, 380), 220, np.uint8)
+        sq = 30
+        for r in range(8):
+            for c in range(10):
+                v = 220 if (r + c) % 2 == 0 else 35
+                img[30 + r * sq:30 + (r + 1) * sq,
+                    40 + c * sq:40 + (c + 1) * sq] = v
+        if blur_sigma > 0:
+            k = int(blur_sigma * 6) | 1
+            img = _cv2.GaussianBlur(img, (k, k), blur_sigma)
+        return img
+
+    def test_blur_increases_width(self):
+        from rustcv_tpu.ops.chessboard import (
+            estimate_chessboard_sharpness,
+            find_chessboard_corners,
+        )
+
+        vals = []
+        for sigma in (0.6, 2.0):
+            img = self._board(sigma)
+            found, corners = find_chessboard_corners(img, (9, 7))
+            assert found
+            s, lo, hi = estimate_chessboard_sharpness(img, (9, 7),
+                                                      corners)
+            assert hi > lo
+            vals.append(s)
+        assert vals[1] > 1.3 * vals[0], vals
+
+    def test_vs_cv2(self):
+        cv2 = pytest.importorskip("cv2")
+        from rustcv_tpu.ops.chessboard import (
+            estimate_chessboard_sharpness,
+            find_chessboard_corners,
+        )
+
+        img = self._board(1.2)
+        found, corners = find_chessboard_corners(img, (9, 7))
+        assert found
+        ours = estimate_chessboard_sharpness(img, (9, 7), corners)[0]
+        ref = cv2.estimateChessboardSharpness(
+            img, (9, 7), corners.reshape(-1, 1, 2).astype(np.float32))
+        ref_s = float(np.asarray(ref[0]).ravel()[0])
+        assert 0.5 * ref_s <= ours <= 2.0 * ref_s, (ours, ref_s)
