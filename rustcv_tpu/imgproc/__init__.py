@@ -1692,7 +1692,7 @@ __all__ = [
     "good_features_to_track_with_quality", "solve_pnp_refine",
     "ghough_detect_guil", "tonemap_mantiuk",
     "register_depth", "warp_frame", "rescale_depth",
-    "estimate_chessboard_sharpness",
+    "estimate_chessboard_sharpness", "calibrate_camera_extended",
 ]
 
 
@@ -2425,6 +2425,7 @@ from ..ops.blend import (  # noqa: E402  (re-exports)
     voronoi_seam,
 )
 from ..ops.calib_ext import (  # noqa: E402  (re-exports)
+    calibrate_camera_extended,
     calibration_matrix_values,
     solve_p3p,
     compose_rt,

@@ -367,3 +367,68 @@ def _absolute_orientation_3pt(obj: np.ndarray, cam: np.ndarray):
         return None
     t = cc - r @ co
     return rodrigues(r), t
+
+
+def calibrate_camera_extended(obj_points, img_points, image_size,
+                              iterations: int = 30):
+    """OpenCV ``calibrateCameraExtended`` role: Zhang calibration plus
+    uncertainty — → (rms, K, dist, rvecs, tvecs,
+    stddev_intrinsics (9,), per_view_errors (V,)).
+
+    Std deviations come from the Gauss-Newton covariance at the
+    optimum: σ_p = √(diag((JᵀJ)⁻¹)·σ²) with σ² = RSS/(2N − P), J the
+    numeric Jacobian over [fx, fy, cx, cy, k1, k2, p1, p2, k3] and all
+    extrinsics (the extrinsic block is marginalized by including it in
+    J)."""
+    from .calib import calibrate_camera, project_points
+
+    rms, k, dist, rvecs, tvecs = calibrate_camera(
+        list(obj_points), list(img_points), image_size, iterations)
+    views = len(rvecs)
+    dist = np.asarray(dist, np.float64).ravel()
+
+    def pack():
+        p = [k[0, 0], k[1, 1], k[0, 2], k[1, 2], *dist[:5]]
+        for r, t in zip(rvecs, tvecs):
+            p.extend(r)
+            p.extend(t)
+        return np.asarray(p, np.float64)
+
+    def residual(p):
+        kk = np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1.0]])
+        dd = p[4:9]
+        out = []
+        for v in range(views):
+            base = 9 + 6 * v
+            proj = project_points(np.asarray(obj_points[v], np.float64),
+                                  p[base:base + 3], p[base + 3:base + 6],
+                                  kk, dd)
+            out.append((proj - np.asarray(img_points[v],
+                                          np.float64)).ravel())
+        return np.concatenate(out)
+
+    p0 = pack()
+    r0 = residual(p0)
+    n_res = len(r0)
+    n_par = len(p0)
+    jac = np.zeros((n_res, n_par))
+    eps = 1e-6
+    for j in range(n_par):
+        p2 = p0.copy()
+        p2[j] += eps
+        jac[:, j] = (residual(p2) - r0) / eps
+    dof = max(n_res - n_par, 1)
+    sigma2 = float(r0 @ r0) / dof
+    try:
+        cov = np.linalg.inv(jac.T @ jac + 1e-12 * np.eye(n_par))
+        std = np.sqrt(np.maximum(np.diag(cov)[:9], 0.0) * sigma2)
+    except np.linalg.LinAlgError:
+        std = np.full(9, np.nan)
+
+    per_view = np.zeros(views)
+    for v in range(views):
+        proj = project_points(np.asarray(obj_points[v], np.float64),
+                              rvecs[v], tvecs[v], k, dist)
+        d = proj - np.asarray(img_points[v], np.float64)
+        per_view[v] = np.sqrt((d ** 2).sum(axis=1).mean())
+    return rms, k, dist, rvecs, tvecs, std, per_view

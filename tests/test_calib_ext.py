@@ -185,3 +185,31 @@ def test_solve_pnp_refine_and_gftt_quality(rng):
     assert (quality > 0).all()
     # qualities are descending (points are ranked by response)
     assert (np.diff(quality) <= 0).all()
+
+
+def test_calibrate_camera_extended(rng):
+    from rustcv_tpu.ops import calib
+
+    k_true = np.array([[610.0, 0, 320], [0, 600.0, 240], [0, 0, 1.0]])
+    dist_true = (-0.1, 0.05, 0.0, 0.0, 0.0)
+    board = np.stack(np.meshgrid(np.arange(9) * 0.03,
+                                 np.arange(6) * 0.03), -1).reshape(-1, 2)
+    obj = np.concatenate([board, np.zeros((len(board), 1))], 1)
+    objs, imgs = [], []
+    for v in range(5):
+        rvec = rng.uniform(-0.3, 0.3, 3)
+        tvec = np.array([-0.12, -0.08, rng.uniform(0.5, 0.8)])
+        proj = calib.project_points(obj, rvec, tvec, k_true, dist_true)
+        proj = proj + rng.normal(0, 0.1, proj.shape)
+        objs.append(obj)
+        imgs.append(proj)
+    rms, k, dist, rvecs, tvecs, std, per_view = \
+        ce.calibrate_camera_extended(objs, imgs, (640, 480))
+    assert rms < 0.2
+    assert len(per_view) == 5 and np.allclose(per_view.mean(), rms,
+                                              atol=0.05)
+    # stddevs: positive, small relative to the parameters
+    assert std.shape == (9,)
+    assert (std[:2] > 0).all() and (std[:2] < 10).all()
+    # recovered focal within 3 stddevs-ish of truth (sanity)
+    assert abs(k[0, 0] - 610) < max(5 * std[0], 3.0)
