@@ -1693,6 +1693,7 @@ __all__ = [
     "ghough_detect_guil", "tonemap_mantiuk",
     "register_depth", "warp_frame", "rescale_depth",
     "estimate_chessboard_sharpness", "calibrate_camera_extended",
+    "phase_correlate_iterative",
 ]
 
 
@@ -2438,6 +2439,9 @@ from ..ops.calib_ext import (  # noqa: E402  (re-exports)
     sampson_distance,
     stereo_rectify_uncalibrated,
     write_optical_flow,
+)
+from ..ops.registration import (  # noqa: E402
+    phase_correlate_iterative,
 )
 from ..ops.chessboard import (  # noqa: E402
     estimate_chessboard_sharpness,

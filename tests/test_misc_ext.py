@@ -100,3 +100,24 @@ def test_draw_marker(rng):
         assert (out[changed] == [0, 0, 255]).all(), mt
     with pytest.raises(ValueError):
         viz.draw_marker(img, (30, 25), (0, 0, 255), "nope")
+
+
+def test_phase_correlate_iterative(rng):
+    from rustcv_tpu.ops.registration import (
+        phase_correlate_iterative,
+        phase_correlate_numpy,
+    )
+
+    base = cv2.GaussianBlur(rng.random((96, 128)).astype(np.float32),
+                            (7, 7), 2.0)
+    true = np.array([3.3, -1.7])
+    m = np.float32([[1, 0, true[0]], [0, 1, true[1]]])
+    moved = cv2.warpAffine(base, m, (128, 96))
+    s1, _ = phase_correlate_numpy(base.astype(np.float64),
+                                  moved.astype(np.float64))
+    s2, resp = phase_correlate_iterative(base, moved)
+    err1 = np.hypot(*(s1 - true))
+    err2 = np.hypot(*(s2 - true))
+    assert err2 < err1, (err1, err2)  # refinement helps
+    assert err2 < 0.2
+    assert resp > 0.1
