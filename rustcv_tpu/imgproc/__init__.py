@@ -1694,6 +1694,8 @@ __all__ = [
     "register_depth", "warp_frame", "rescale_depth",
     "estimate_chessboard_sharpness", "calibrate_camera_extended",
     "phase_correlate_iterative",
+    "integral2", "integral3", "threshold_with_mask",
+    "color_correction_matrix", "apply_ccm",
 ]
 
 
@@ -2485,10 +2487,15 @@ from ..ops.core_ops import (  # noqa: E402  (round-3b batch re-exports)
     trace,
 )
 from ..ops.core_ops import (  # noqa: E402  (tail re-exports)
+    apply_ccm,
     batch_distance,
+    color_correction_matrix,
     copy_to,
     div_spectrums,
     eigen_non_symmetric,
+    integral2,
+    integral3,
+    threshold_with_mask,
     finite_mask,
     flip_nd,
     mat_mul_deriv,

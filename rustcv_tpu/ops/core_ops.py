@@ -872,3 +872,81 @@ def finite_mask(m):
     if m.ndim == 3:
         ok = ok.all(axis=-1)
     return ok.astype(xp.uint8) * xp.uint8(255)
+
+
+def integral2(src) -> Tuple[np.ndarray, np.ndarray]:
+    """OpenCV ``integral2``: (sum int64 (H+1, W+1), sqsum float64)."""
+    a = np.asarray(src, np.float64)
+    h, w = a.shape
+    s = np.zeros((h + 1, w + 1), np.int64)
+    sq = np.zeros((h + 1, w + 1), np.float64)
+    s[1:, 1:] = np.cumsum(np.cumsum(a, 0), 1).astype(np.int64)
+    sq[1:, 1:] = np.cumsum(np.cumsum(a * a, 0), 1)
+    return s, sq
+
+
+def integral3(src) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """OpenCV ``integral3``: (sum, sqsum, tilted). The tilted (45°)
+    sum follows cv2's definition (pinned by brute force in tests):
+    ``tilted(Y, X) = Σ_{y<Y} Σ_{|x−(X−1)| ≤ Y−1−y} I(y, x)``."""
+    s, sq = integral2(src)
+    a = np.asarray(src, np.int64)
+    h, w = a.shape
+    # the diagonal-union recurrence T(Y,X) = T(Y-1,X-1) + T(Y-1,X+1)
+    # − T(Y-2,X) + I(Y-1,X-1) + I(Y-2,X-1) holds on the INFINITE
+    # zero-padded plane; run it on extended columns and slice
+    off = h + 1
+    ww = w + 1 + 2 * off
+    t = np.zeros((h + 1, ww), np.int64)
+    ax = np.zeros((h, ww), np.int64)
+    ax[:, off + 1:off + 1 + w] = a  # I(y, x) at column off+1+x
+    for yy in range(1, h + 1):
+        row = (np.roll(t[yy - 1], 1) + np.roll(t[yy - 1], -1)
+               - (t[yy - 2] if yy >= 2 else 0)
+               + ax[yy - 1]
+               + (ax[yy - 2] if yy >= 2 else 0))
+        row[0] = row[-1] = 0
+        t[yy] = row
+    return s, sq, t[:, off:off + w + 1]
+
+
+def threshold_with_mask(src, mask, thresh: float, maxval: float,
+                        inv: bool = False):
+    """OpenCV ``thresholdWithMask``: threshold only where mask≠0,
+    pass source pixels through elsewhere."""
+    xp = np if isinstance(src, np.ndarray) else jnp
+    above = src.astype(xp.float64 if xp is np else xp.float32) > thresh
+    if inv:
+        above = ~above
+    thr = xp.where(above, maxval, 0)
+    out = xp.where(mask.astype(bool), thr, src)
+    return out.astype(src.dtype)
+
+
+def color_correction_matrix(src_colors, ref_colors,
+                            affine: bool = True) -> np.ndarray:
+    """Color-correction-matrix fit (OpenCV ``ccm`` module role): least
+    squares M mapping measured patch colors onto reference colors in
+    linear RGB — (3, 4) with offset when ``affine`` else (3, 3)."""
+    s = np.asarray(src_colors, np.float64).reshape(-1, 3)
+    r = np.asarray(ref_colors, np.float64).reshape(-1, 3)
+    if affine:
+        s = np.concatenate([s, np.ones((len(s), 1))], 1)
+    m, *_ = np.linalg.lstsq(s, r, rcond=None)
+    return m.T
+
+
+def apply_ccm(img, ccm) -> np.ndarray:
+    """Apply a (3, 3) or (3, 4) CCM to an (H, W, 3) image ([0,1] or
+    u8 — u8 saturates back)."""
+    m = np.asarray(ccm, np.float64)
+    a = np.asarray(img)
+    was_u8 = a.dtype == np.uint8
+    x = a.astype(np.float64) / (255.0 if was_u8 else 1.0)
+    flat = x.reshape(-1, 3)
+    if m.shape[1] == 4:
+        flat = np.concatenate([flat, np.ones((len(flat), 1))], 1)
+    out = (flat @ m.T).reshape(a.shape)
+    if was_u8:
+        return np.clip(np.rint(out * 255.0), 0, 255).astype(np.uint8)
+    return out

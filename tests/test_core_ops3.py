@@ -93,3 +93,41 @@ def test_approx_poly_n(rng):
     ours_area = cv2.contourArea(out.astype(np.float32))
     ref_area = cv2.contourArea(ref)
     assert abs(ours_area - ref_area) < 0.1 * ref_area
+
+
+def test_integral23_vs_cv2(rng):
+    a = rng.integers(0, 256, (13, 17), np.uint8)
+    s, sq = co.integral2(a)
+    rs, rsq = cv2.integral2(a)
+    np.testing.assert_array_equal(s, rs)
+    np.testing.assert_allclose(sq, rsq)
+    s, sq, t = co.integral3(a)
+    rs, rsq, rt = cv2.integral3(a)
+    np.testing.assert_array_equal(t, rt)
+
+
+def test_threshold_with_mask(rng):
+    img = rng.integers(0, 256, (8, 9), np.uint8)
+    mask = (rng.random((8, 9)) > 0.5).astype(np.uint8)
+    ours = co.threshold_with_mask(img, mask, 100, 255)
+    ref = img.copy()
+    cv2.thresholdWithMask(img, ref, mask, 100, 255, cv2.THRESH_BINARY)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_ccm_recovers_cast(rng):
+    # synthetic color cast: known affine transform of patch colors
+    true_m = np.array([[0.9, 0.1, 0.0, 0.02],
+                       [0.05, 0.8, 0.1, -0.01],
+                       [0.0, 0.15, 0.85, 0.03]])
+    ref = rng.random((24, 3))
+    src = np.concatenate([ref, np.ones((24, 1))], 1) @ true_m.T
+    m = co.color_correction_matrix(src, ref, affine=True)
+    # applying the fitted CCM inverts the cast
+    img = (src.reshape(4, 6, 3)).astype(np.float64)
+    out = co.apply_ccm(img, m)
+    np.testing.assert_allclose(out.reshape(-1, 3), ref, atol=1e-10)
+    # u8 path saturates
+    u8 = np.clip(img * 255, 0, 255).astype(np.uint8)
+    out8 = co.apply_ccm(u8, m)
+    assert out8.dtype == np.uint8
