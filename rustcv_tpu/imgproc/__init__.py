@@ -1695,7 +1695,7 @@ __all__ = [
     "estimate_chessboard_sharpness", "calibrate_camera_extended",
     "phase_correlate_iterative",
     "integral2", "integral3", "threshold_with_mask",
-    "color_correction_matrix", "apply_ccm",
+    "color_correction_matrix", "apply_ccm", "register_cameras",
 ]
 
 
@@ -2430,6 +2430,7 @@ from ..ops.blend import (  # noqa: E402  (re-exports)
 from ..ops.calib_ext import (  # noqa: E402  (re-exports)
     calibrate_camera_extended,
     calibration_matrix_values,
+    register_cameras,
     solve_p3p,
     compose_rt,
     decompose_projection_matrix,

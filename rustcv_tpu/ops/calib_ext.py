@@ -432,3 +432,74 @@ def calibrate_camera_extended(obj_points, img_points, image_size,
         d = proj - np.asarray(img_points[v], np.float64)
         per_view[v] = np.sqrt((d ** 2).sum(axis=1).mean())
     return rms, k, dist, rvecs, tvecs, std, per_view
+
+
+def register_cameras(obj_points, img_points1, img_points2, k1, dist1,
+                     k2, dist2, iterations: int = 20
+                     ) -> Tuple[float, np.ndarray, np.ndarray]:
+    """OpenCV ``registerCameras`` role: rigid transform (R, t) from
+    camera-1 frame to camera-2 frame given views of shared targets and
+    KNOWN intrinsics → (rms_px, rvec, tvec). Per-view PnP poses give
+    R_rel = R₂R₁ᵀ candidates; the chordal-mean rotation + mean
+    translation seed a Gauss-Newton refinement of the joint
+    reprojection error in camera 2."""
+    from .calib import project_points, rodrigues, solve_pnp
+
+    k1 = np.asarray(k1, np.float64)
+    k2 = np.asarray(k2, np.float64)
+    views = len(obj_points)
+    poses1, poses2 = [], []
+    for v in range(views):
+        poses1.append(solve_pnp(obj_points[v], img_points1[v], k1,
+                                dist1))
+        poses2.append(solve_pnp(obj_points[v], img_points2[v], k2,
+                                dist2))
+    rels = []
+    trs = []
+    for (r1, t1), (r2, t2) in zip(poses1, poses2):
+        m1 = rodrigues(r1)
+        m2 = rodrigues(r2)
+        rrel = m2 @ m1.T
+        rels.append(rrel)
+        trs.append(t2 - rrel @ t1)
+    # chordal mean rotation: SVD-project the averaged matrix
+    mavg = np.mean(rels, axis=0)
+    u, _, vt = np.linalg.svd(mavg)
+    rmean = u @ np.diag([1, 1, np.sign(np.linalg.det(u @ vt))]) @ vt
+    rvec = rodrigues(rmean)
+    tvec = np.mean(trs, axis=0)
+
+    def residual(p):
+        rr = rodrigues(p[:3])
+        tt = p[3:]
+        out = []
+        for v in range(views):
+            r1m = rodrigues(poses1[v][0])
+            rv2 = rodrigues(rr @ r1m)
+            tv2 = rr @ poses1[v][1] + tt
+            proj = project_points(np.asarray(obj_points[v], np.float64),
+                                  rv2, tv2, k2, dist2)
+            out.append((proj - np.asarray(img_points2[v],
+                                          np.float64)).ravel())
+        return np.concatenate(out)
+
+    params = np.concatenate([rvec, tvec])
+    eps = 1e-7
+    for _ in range(iterations):
+        r0 = residual(params)
+        jac = np.zeros((len(r0), 6))
+        for j in range(6):
+            p2 = params.copy()
+            p2[j] += eps
+            jac[:, j] = (residual(p2) - r0) / eps
+        try:
+            step = np.linalg.solve(jac.T @ jac + 1e-10 * np.eye(6),
+                                   -jac.T @ r0)
+        except np.linalg.LinAlgError:
+            break
+        params = params + step
+        if np.linalg.norm(step) < 1e-12:
+            break
+    r0 = residual(params)
+    rms = float(np.sqrt((r0 ** 2).reshape(-1, 2).sum(1).mean()))
+    return rms, params[:3].copy(), params[3:].copy()

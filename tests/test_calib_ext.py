@@ -213,3 +213,34 @@ def test_calibrate_camera_extended(rng):
     assert (std[:2] > 0).all() and (std[:2] < 10).all()
     # recovered focal within 3 stddevs-ish of truth (sanity)
     assert abs(k[0, 0] - 610) < max(5 * std[0], 3.0)
+
+
+def test_register_cameras(rng):
+    from rustcv_tpu.ops import calib
+
+    k1 = np.array([[520.0, 0, 320], [0, 510.0, 240], [0, 0, 1.0]])
+    k2 = np.array([[480.0, 0, 300], [0, 470.0, 230], [0, 0, 1.0]])
+    r_true = np.array([0.05, 0.3, -0.02])
+    t_true = np.array([-0.2, 0.01, 0.05])
+    rm = calib.rodrigues(r_true)
+    board = np.stack(np.meshgrid(np.arange(7) * 0.04,
+                                 np.arange(5) * 0.04), -1).reshape(-1, 2)
+    obj = np.concatenate([board, np.zeros((len(board), 1))], 1)
+    objs, im1, im2 = [], [], []
+    for v in range(4):
+        rv = rng.uniform(-0.2, 0.2, 3)
+        tv = np.array([-0.12, -0.08, rng.uniform(0.6, 0.9)])
+        p1 = calib.project_points(obj, rv, tv, k1, (0, 0, 0, 0, 0))
+        rv2 = calib.rodrigues(rm @ calib.rodrigues(rv))
+        tv2 = rm @ tv + t_true
+        p2 = calib.project_points(obj, rv2, tv2, k2, (0, 0, 0, 0, 0))
+        noise = rng.normal(0, 0.05, p1.shape)
+        objs.append(obj)
+        im1.append(p1 + noise)
+        im2.append(p2 + rng.normal(0, 0.05, p2.shape))
+    rms, rv, tv = ce.register_cameras(objs, im1, im2, k1,
+                                      (0, 0, 0, 0, 0), k2,
+                                      (0, 0, 0, 0, 0))
+    assert rms < 0.15
+    np.testing.assert_allclose(rv, r_true, atol=2e-3)
+    np.testing.assert_allclose(tv, t_true, atol=2e-3)
