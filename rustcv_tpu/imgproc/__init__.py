@@ -1696,6 +1696,7 @@ __all__ = [
     "phase_correlate_iterative",
     "integral2", "integral3", "threshold_with_mask",
     "color_correction_matrix", "apply_ccm", "register_cameras",
+    "solve_pnp_generic",
 ]
 
 
@@ -2431,6 +2432,7 @@ from ..ops.calib_ext import (  # noqa: E402  (re-exports)
     calibrate_camera_extended,
     calibration_matrix_values,
     register_cameras,
+    solve_pnp_generic,
     solve_p3p,
     compose_rt,
     decompose_projection_matrix,

@@ -503,3 +503,23 @@ def register_cameras(obj_points, img_points1, img_points2, k1, dist1,
     r0 = residual(params)
     rms = float(np.sqrt((r0 ** 2).reshape(-1, 2).sum(1).mean()))
     return rms, params[:3].copy(), params[3:].copy()
+
+
+def solve_pnp_generic(obj_pts, img_pts, k, dist=(0, 0, 0, 0, 0)):
+    """OpenCV ``solvePnPGeneric`` role: all candidate poses with their
+    reprojection errors → (n, [(rvec, tvec)...], errors). Three points
+    route to P3P (multi-solution); ≥4 to the ITERATIVE solver."""
+    from .calib import project_points, solve_pnp
+
+    obj = np.asarray(obj_pts, np.float64).reshape(-1, 3)
+    img = np.asarray(img_pts, np.float64).reshape(-1, 2)
+    if len(obj) == 3:
+        sols = solve_p3p(obj, img, k, dist)
+    else:
+        sols = [solve_pnp(obj, img, np.asarray(k, np.float64), dist)]
+    errs = []
+    for rv, tv in sols:
+        proj = project_points(obj, rv, tv, np.asarray(k, np.float64),
+                              dist)
+        errs.append(float(np.sqrt(((proj - img) ** 2).sum(1).mean())))
+    return len(sols), sols, np.asarray(errs)

@@ -244,3 +244,19 @@ def test_register_cameras(rng):
     assert rms < 0.15
     np.testing.assert_allclose(rv, r_true, atol=2e-3)
     np.testing.assert_allclose(tv, t_true, atol=2e-3)
+
+
+def test_solve_pnp_generic(rng):
+    from rustcv_tpu.ops import calib
+
+    k = np.array([[520.0, 0, 320], [0, 510.0, 240], [0, 0, 1.0]])
+    obj = rng.uniform(-0.2, 0.2, (6, 3))
+    rvec = np.array([0.1, -0.2, 0.05])
+    tvec = np.array([0.02, -0.05, 0.8])
+    img = calib.project_points(obj, rvec, tvec, k, (0, 0, 0, 0, 0))
+    n, sols, errs = ce.solve_pnp_generic(obj, img, k)
+    assert n == 1 and errs[0] < 1e-6
+    np.testing.assert_allclose(sols[0][0], rvec, atol=1e-6)
+    # 3-point route returns the multi-solution P3P set
+    n3, sols3, errs3 = ce.solve_pnp_generic(obj[:3], img[:3], k)
+    assert n3 >= 1 and (errs3 < 1e-6).all()
