@@ -1696,7 +1696,9 @@ __all__ = [
     "phase_correlate_iterative",
     "integral2", "integral3", "threshold_with_mask",
     "color_correction_matrix", "apply_ccm", "register_cameras",
-    "solve_pnp_generic",
+    "solve_pnp_generic", "draw_frame_axes",
+    "filter_homography_decomp_by_visible_refpoints",
+    "save_mesh", "load_mesh", "kmeans",
 ]
 
 
@@ -2417,8 +2419,10 @@ from ..ops.threed import (  # noqa: E402  (re-exports)
     depth_to_3d,
     find_planes,
     load_point_cloud,
+    load_mesh,
     register_depth,
     rescale_depth,
+    save_mesh,
     save_point_cloud,
     triangle_rasterize,
     warp_frame,
@@ -2431,6 +2435,8 @@ from ..ops.blend import (  # noqa: E402  (re-exports)
 from ..ops.calib_ext import (  # noqa: E402  (re-exports)
     calibrate_camera_extended,
     calibration_matrix_values,
+    draw_frame_axes,
+    filter_homography_decomp_by_visible_refpoints,
     register_cameras,
     solve_pnp_generic,
     solve_p3p,
@@ -2724,3 +2730,17 @@ def tonemap_mantiuk(hdr_img, gamma: float = 1.0, scale: float = 0.7,
     from ..ops import hdr as _hdr
 
     return _hdr.tonemap_mantiuk_numpy(hdr_img, gamma, scale, saturation)
+
+
+def kmeans(data, k: int, iters: int = 10):
+    """Generic k-means (OpenCV ``kmeans`` role): (N, D) float data →
+    (compactness, labels (N,), centers (K, D)). Deterministic k-means++
+    init (ops/kmeans.py); device path for jax arrays."""
+    import numpy as np
+
+    from ..ops import kmeans as _km
+
+    centers, labels, inertia = _km.kmeans(
+        np.asarray(data, np.float32), k, iters=iters)
+    return (float(np.asarray(inertia)), np.asarray(labels),
+            np.asarray(centers))

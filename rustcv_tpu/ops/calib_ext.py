@@ -523,3 +523,52 @@ def solve_pnp_generic(obj_pts, img_pts, k, dist=(0, 0, 0, 0, 0)):
                               dist)
         errs.append(float(np.sqrt(((proj - img) ** 2).sum(1).mean())))
     return len(sols), sols, np.asarray(errs)
+
+
+def draw_frame_axes(img: np.ndarray, k, dist, rvec, tvec,
+                    length: float, thickness: int = 2) -> np.ndarray:
+    """OpenCV ``drawFrameAxes``: paint the pose's XYZ axes (X red,
+    Y green, Z blue — cv2's colors) → new BGR image."""
+    from .calib import project_points
+    from .golden import line_mask
+
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = np.stack([a] * 3, axis=-1)
+    out = a.astype(np.uint8).copy()
+    h, w = out.shape[:2]
+    obj = np.array([[0.0, 0, 0], [length, 0, 0], [0, length, 0],
+                    [0, 0, length]])
+    proj = project_points(obj, np.asarray(rvec, np.float64).ravel(),
+                          np.asarray(tvec, np.float64).ravel(),
+                          np.asarray(k, np.float64), dist)
+    o = tuple(int(round(v)) for v in proj[0])
+    for i, color in ((1, (0, 0, 255)), (2, (0, 255, 0)),
+                     (3, (255, 0, 0))):
+        p = tuple(int(round(v)) for v in proj[i])
+        from .viz import clip_line
+
+        ok, q1, q2 = clip_line((0, 0, w, h), o, p)
+        if ok:
+            out[line_mask(h, w, q1, q2, thickness) > 0] = color
+    return out
+
+
+def filter_homography_decomp_by_visible_refpoints(
+        rotations, normals, before_pts, after_pts,
+        pointwise_mask=None) -> np.ndarray:
+    """OpenCV ``filterHomographyDecompByVisibleRefpoints`` role: keep
+    the decomposition indices whose plane normal keeps every reference
+    point in front of both cameras (positive depth side) → int32
+    indices of surviving solutions."""
+    bp = np.asarray(before_pts, np.float64).reshape(-1, 2)
+    keep = []
+    for i, (r, n) in enumerate(zip(rotations, normals)):
+        m = np.concatenate([bp, np.ones((len(bp), 1))], axis=1)
+        if pointwise_mask is not None:
+            m = m[np.asarray(pointwise_mask).ravel().astype(bool)]
+        # visibility: nᵀx > 0 for normalized image points x (the plane
+        # faces the first camera at every observation)
+        if (m @ np.asarray(n, np.float64).ravel() > 0).all():
+            keep.append(i)
+    return np.asarray(keep, np.int32)

@@ -327,3 +327,41 @@ def rescale_depth(depth: np.ndarray, factor: float) -> np.ndarray:
     mapping invalid (0/NaN) to 0."""
     d = np.asarray(depth, np.float64) * factor
     return np.where(np.isfinite(d) & (d > 0), d, 0.0).astype(np.float32)
+
+
+def save_mesh(path: str, vertices: np.ndarray,
+              faces: np.ndarray) -> None:
+    """ascii PLY with faces (OpenCV ``saveMesh`` role)."""
+    v = np.asarray(vertices, np.float32).reshape(-1, 3)
+    f = np.asarray(faces, np.int64).reshape(-1, 3)
+    with open(path, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\ncomment created by rustcv_tpu\n"
+                 f"element vertex {len(v)}\nproperty float x\n"
+                 "property float y\nproperty float z\n"
+                 f"element face {len(f)}\n"
+                 "property list uchar int vertex_indices\nend_header\n")
+        for x, y, z in v:
+            fh.write(f"{x:.9g} {y:.9g} {z:.9g}\n")
+        for a, b, c in f:
+            fh.write(f"3 {a} {b} {c}\n")
+
+
+def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """→ (vertices (N, 3) f32, faces (M, 3) int32) from ascii PLY."""
+    with open(path) as fh:
+        n_v = n_f = 0
+        while True:
+            line = fh.readline().strip()
+            if line.startswith("element vertex"):
+                n_v = int(line.split()[-1])
+            elif line.startswith("element face"):
+                n_f = int(line.split()[-1])
+            elif line == "end_header":
+                break
+        verts = np.array([[float(x) for x in fh.readline().split()[:3]]
+                          for _ in range(n_v)], np.float32)
+        faces = []
+        for _ in range(n_f):
+            vals = fh.readline().split()
+            faces.append([int(vals[1]), int(vals[2]), int(vals[3])])
+    return verts, np.asarray(faces, np.int32)

@@ -260,3 +260,38 @@ def test_solve_pnp_generic(rng):
     # 3-point route returns the multi-solution P3P set
     n3, sols3, errs3 = ce.solve_pnp_generic(obj[:3], img[:3], k)
     assert n3 >= 1 and (errs3 < 1e-6).all()
+
+
+def test_draw_frame_axes(rng):
+    img = rng.integers(0, 100, (120, 160), np.uint8)
+    k = np.array([[150.0, 0, 80], [0, 150.0, 60], [0, 0, 1.0]])
+    out = ce.draw_frame_axes(img, k, (0, 0, 0, 0, 0),
+                             (0.1, -0.2, 0.0), (0.0, 0.0, 0.5), 0.1)
+    assert out.shape == (120, 160, 3)
+    # the three axis colors appear
+    for color in ((0, 0, 255), (0, 255, 0), (255, 0, 0)):
+        assert (out == color).all(-1).any(), color
+    ref = cv2.drawFrameAxes(
+        np.stack([img] * 3, -1).copy(), k, np.zeros(5),
+        np.array([0.1, -0.2, 0.0]), np.array([0.0, 0.0, 0.5]), 0.1)
+    # painted regions overlap substantially with cv2's
+    ours_painted = (out != np.stack([img] * 3, -1)).any(-1)
+    ref_painted = (ref != np.stack([img] * 3, -1)).any(-1)
+    inter = (ours_painted & ref_painted).sum()
+    assert inter > 0.4 * min(ours_painted.sum(), ref_painted.sum())
+
+
+def test_mesh_round_trip(tmp_path, rng):
+    from rustcv_tpu.ops import threed
+
+    v = rng.random((8, 3)).astype(np.float32)
+    f = np.array([[0, 1, 2], [2, 3, 4], [4, 5, 6]], np.int32)
+    path = str(tmp_path / "m.ply")
+    threed.save_mesh(path, v, f)
+    v2, f2 = threed.load_mesh(path)
+    np.testing.assert_allclose(v2, v, rtol=1e-6)
+    np.testing.assert_array_equal(f2, f)
+    # cv2 loads our mesh
+    res = cv2.loadMesh(path)
+    cv_v = res[0].reshape(-1, 3)
+    np.testing.assert_allclose(cv_v, v, rtol=1e-6)

@@ -42,8 +42,11 @@ def test_div_spectrums_vs_cv2(rng):
 
 
 def test_eigen_non_symmetric(rng):
-    m = rng.random((5, 5))
-    m = m + 4 * np.eye(5)  # keep eigenvalues real-dominant
+    # construct a matrix with GUARANTEED real spectrum: A D A^-1
+    local = np.random.default_rng(42)
+    a = local.random((5, 5)) + np.eye(5)
+    d = np.diag(local.random(5) * 3 + 1)
+    m = a @ d @ np.linalg.inv(a)
     w, v = co.eigen_non_symmetric(m)
     rw, rv = cv2.eigenNonSymmetric(m)
     np.testing.assert_allclose(np.sort(w), np.sort(rw.ravel()),
