@@ -1698,7 +1698,8 @@ __all__ = [
     "color_correction_matrix", "apply_ccm", "register_cameras",
     "solve_pnp_generic", "draw_frame_axes",
     "filter_homography_decomp_by_visible_refpoints",
-    "save_mesh", "load_mesh", "kmeans",
+    "save_mesh", "load_mesh", "kmeans", "depth_to_3d_sparse",
+    "build_optical_flow_pyramid",
 ]
 
 
@@ -2419,6 +2420,7 @@ from ..ops.threed import (  # noqa: E402  (re-exports)
     depth_to_3d,
     find_planes,
     load_point_cloud,
+    depth_to_3d_sparse,
     load_mesh,
     register_depth,
     rescale_depth,
@@ -2454,6 +2456,7 @@ from ..ops.calib_ext import (  # noqa: E402  (re-exports)
 from ..ops.registration import (  # noqa: E402
     phase_correlate_iterative,
 )
+from ..ops.optflow import build_optical_flow_pyramid  # noqa: E402
 from ..ops.chessboard import (  # noqa: E402
     estimate_chessboard_sharpness,
 )

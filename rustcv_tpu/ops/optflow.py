@@ -255,3 +255,14 @@ def calc_optical_flow_pyr_lk_numpy(
             ok_all[i] &= bool(ok) and (bool(inb) or lvl > 0)
             g[i] = 2.0 * (g[i] + v) if lvl > 0 else g[i] + v
     return (pts + g).astype(np.float64), ok_all
+
+
+def build_optical_flow_pyramid(gray: np.ndarray, levels: int = 3):
+    """OpenCV ``buildOpticalFlowPyramid`` role: the Gaussian pyramid
+    the LK tracker consumes → list of (H/2^l, W/2^l) u8 images."""
+    from .golden import pyr_down
+
+    out = [np.asarray(gray)]
+    for _ in range(levels - 1):
+        out.append(pyr_down(out[-1]))
+    return out

@@ -365,3 +365,15 @@ def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
             vals = fh.readline().split()
             faces.append([int(vals[1]), int(vals[2]), int(vals[3])])
     return verts, np.asarray(faces, np.int32)
+
+
+def depth_to_3d_sparse(points: np.ndarray, depths: np.ndarray,
+                       k) -> np.ndarray:
+    """OpenCV ``depthTo3dSparse`` role: (N, 2) pixel coords + their
+    depths → (N, 3) camera-frame points."""
+    p = np.asarray(points, np.float64).reshape(-1, 2)
+    d = np.asarray(depths, np.float64).ravel()
+    k = np.asarray(k, np.float64)
+    x = (p[:, 0] - k[0, 2]) * d / k[0, 0]
+    y = (p[:, 1] - k[1, 2]) * d / k[1, 1]
+    return np.stack([x, y, d], axis=1).astype(np.float32)

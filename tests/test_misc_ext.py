@@ -23,8 +23,8 @@ def _ellipse_pts(rng, arc=2 * np.pi, noise=0.3):
     (shape.fit_ellipse_direct, "fitEllipseDirect"),
     (shape.fit_ellipse_ams, "fitEllipseAMS"),
 ])
-def test_ellipse_variants_vs_cv2(rng, fit, cvfit):
-    pts = _ellipse_pts(rng)
+def test_ellipse_variants_vs_cv2(fit, cvfit):
+    pts = _ellipse_pts(np.random.default_rng(3))
     (cx, cy), (d1, d2), ang = fit(pts)
     (rx, ry), (rd1, rd2), rang = getattr(cv2, cvfit)(pts)
     assert abs(cx - rx) < 0.5 and abs(cy - ry) < 0.5
@@ -36,9 +36,9 @@ def test_ellipse_variants_vs_cv2(rng, fit, cvfit):
     assert min(abs(ang - rmaj), 180 - abs(ang - rmaj)) < 2.0
 
 
-def test_ellipse_variants_on_arc(rng):
+def test_ellipse_variants_on_arc():
     # a 140° arc — the case the constrained fits exist for
-    pts = _ellipse_pts(rng, arc=2.4, noise=0.15)
+    pts = _ellipse_pts(np.random.default_rng(3), arc=2.4, noise=0.15)
     for fit in (shape.fit_ellipse_direct, shape.fit_ellipse_ams):
         (cx, cy), (d1, d2), _ = fit(pts)
         assert abs(cx - 100) < 6 and abs(cy - 80) < 6
@@ -121,3 +121,12 @@ def test_phase_correlate_iterative(rng):
     assert err2 < err1, (err1, err2)  # refinement helps
     assert err2 < 0.2
     assert resp > 0.1
+
+
+def test_build_optical_flow_pyramid(rng):
+    from rustcv_tpu.ops.optflow import build_optical_flow_pyramid
+
+    g = rng.integers(0, 256, (64, 96), np.uint8)
+    pyr = build_optical_flow_pyramid(g, levels=3)
+    assert len(pyr) == 3
+    assert pyr[0].shape == (64, 96) and pyr[2].shape == (16, 24)

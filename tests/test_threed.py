@@ -142,3 +142,14 @@ def test_rescale_depth():
     d = np.array([[1000.0, 0.0], [np.nan, 2500.0]], np.float32)
     out = threed.rescale_depth(d, 0.001)
     np.testing.assert_allclose(out, [[1.0, 0.0], [0.0, 2.5]])
+
+
+def test_depth_to_3d_sparse(rng):
+    k = np.array([[300.0, 0, 8], [0, 280.0, 6], [0, 0, 1.0]])
+    depth = (rng.random((12, 16)).astype(np.float32) * 3 + 0.5)
+    pts = np.array([[3, 4], [10, 2], [15, 11]], np.float64)
+    d = depth[pts[:, 1].astype(int), pts[:, 0].astype(int)]
+    sparse = threed.depth_to_3d_sparse(pts, d, k)
+    dense = threed.depth_to_3d(depth, k)
+    for i, (x, y) in enumerate(pts.astype(int)):
+        np.testing.assert_allclose(sparse[i], dense[y, x], rtol=1e-6)
