@@ -1699,7 +1699,7 @@ __all__ = [
     "solve_pnp_generic", "draw_frame_axes",
     "filter_homography_decomp_by_visible_refpoints",
     "save_mesh", "load_mesh", "kmeans", "depth_to_3d_sparse",
-    "build_optical_flow_pyramid",
+    "build_optical_flow_pyramid", "solve_lp",
 ]
 
 
@@ -2507,6 +2507,7 @@ from ..ops.core_ops import (  # noqa: E402  (tail re-exports)
     eigen_non_symmetric,
     integral2,
     integral3,
+    solve_lp,
     threshold_with_mask,
     finite_mask,
     flip_nd,

@@ -950,3 +950,96 @@ def apply_ccm(img, ccm) -> np.ndarray:
     if was_u8:
         return np.clip(np.rint(out * 255.0), 0, 255).astype(np.uint8)
     return out
+
+
+SOLVELP_SINGLE = 0
+SOLVELP_MULTI = 1
+SOLVELP_UNBOUNDED = -2
+SOLVELP_UNFEASIBLE = -1
+
+
+def solve_lp(func, constraints) -> Tuple[int, np.ndarray]:
+    """OpenCV ``solveLP``: maximize cᵀx subject to A·x ≤ b, x ≥ 0
+    (``constraints`` rows are [a..., b]) via the two-phase dense
+    simplex with Bland's rule → (status, x). Status codes mirror
+    cv2's: 0 single optimum, 1 multiple, −1 unfeasible, −2 unbounded."""
+    c = np.asarray(func, np.float64).ravel()
+    con = np.asarray(constraints, np.float64).reshape(-1, len(c) + 1)
+    a = con[:, :-1]
+    b = con[:, -1].copy()
+    m, n = a.shape
+
+    # standard form with slacks; phase 1 handles negative b rows
+    # tableau: rows = constraints, cols = [x | slack | rhs]
+    tab = np.zeros((m, n + m + 1))
+    tab[:, :n] = a
+    tab[:, n:n + m] = np.eye(m)
+    tab[:, -1] = b
+    basis = list(range(n, n + m))
+    neg = b < 0
+    if neg.any():
+        # phase 1: add artificials for the negated rows
+        art_rows = np.nonzero(neg)[0]
+        tab[neg] = -tab[neg]
+        n_art = len(art_rows)
+        tab = np.concatenate(
+            [tab[:, :-1], np.zeros((m, n_art)), tab[:, -1:]], axis=1)
+        for i, r in enumerate(art_rows):
+            tab[r, n + m + i] = 1.0
+            basis[r] = n + m + i
+        obj = np.zeros(tab.shape[1])
+        for r in art_rows:
+            obj -= tab[r]
+        status = _simplex(tab, basis, obj)
+        if status == SOLVELP_UNBOUNDED or -obj[-1] > 1e-9:
+            return SOLVELP_UNFEASIBLE, np.zeros(n)
+        tab = np.concatenate([tab[:, :n + m], tab[:, -1:]], axis=1)
+        if any(v >= n + m for v in basis):
+            return SOLVELP_UNFEASIBLE, np.zeros(n)
+
+    obj = np.zeros(tab.shape[1])
+    obj[:n] = c
+    for i, bv in enumerate(basis):
+        if obj[bv] != 0:
+            obj = obj - obj[bv] * tab[i]
+    status = _simplex(tab, basis, obj)
+    if status == SOLVELP_UNBOUNDED:
+        return SOLVELP_UNBOUNDED, np.zeros(n)
+    x = np.zeros(n)
+    for i, bv in enumerate(basis):
+        if bv < n:
+            x[bv] = tab[i, -1]
+    # multiple optima: a non-basic structural/slack column with zero
+    # reduced cost that could enter
+    nonbasic = [j for j in range(tab.shape[1] - 1) if j not in basis]
+    multi = any(abs(obj[j]) < 1e-9 and (tab[:, j] > 1e-9).any()
+                for j in nonbasic)
+    return (SOLVELP_MULTI if multi else SOLVELP_SINGLE), x
+
+
+def _simplex(tab, basis, obj) -> int:
+    """In-place simplex (maximization, Bland's rule); obj holds the
+    negated reduced costs row (we maximize: enter while any > 0)."""
+    for _ in range(2000):
+        enter = -1
+        for j in range(tab.shape[1] - 1):
+            if obj[j] > 1e-9:
+                enter = j
+                break
+        if enter < 0:
+            return SOLVELP_SINGLE
+        ratios = np.where(tab[:, enter] > 1e-9,
+                          tab[:, -1] / np.where(tab[:, enter] > 1e-9,
+                                                tab[:, enter], 1.0),
+                          np.inf)
+        leave = int(np.argmin(ratios))
+        if not np.isfinite(ratios[leave]):
+            return SOLVELP_UNBOUNDED
+        piv = tab[leave, enter]
+        tab[leave] /= piv
+        for r in range(tab.shape[0]):
+            if r != leave and abs(tab[r, enter]) > 1e-12:
+                tab[r] -= tab[r, enter] * tab[leave]
+        obj -= obj[enter] * tab[leave]
+        basis[leave] = enter
+    return SOLVELP_SINGLE

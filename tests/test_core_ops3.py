@@ -134,3 +134,22 @@ def test_ccm_recovers_cast(rng):
     u8 = np.clip(img * 255, 0, 255).astype(np.uint8)
     out8 = co.apply_ccm(u8, m)
     assert out8.dtype == np.uint8
+
+
+def test_solve_lp_vs_cv2():
+    cases = [
+        (np.array([3.0, 1.0]), np.array([[1., 1., 4.], [1., 0., 2.]])),
+        (np.array([1.0, 0.0]), np.array([[0., 1., 4.]])),   # unbounded
+        (np.array([1.0, 0.0]), np.array([[1., 0., -1.]])),  # unfeasible
+        (np.array([2.0, 3.0, 1.0]),
+         np.array([[1., 1., 1., 10.], [2., 1., 0., 8.],
+                   [0., 1., 3., 9.]])),
+        (np.array([1.0, 1.0]), np.array([[1., 1., 5.]])),   # multi
+    ]
+    for c, con in cases:
+        s, x = co.solve_lp(c, con)
+        ref = cv2.solveLP(c, con)
+        assert s == ref[0], (c, s, ref[0])
+        if ref[0] >= 0:
+            np.testing.assert_allclose(x, np.asarray(ref[1]).ravel(),
+                                       atol=1e-9)
