@@ -1700,6 +1700,7 @@ __all__ = [
     "filter_homography_decomp_by_visible_refpoints",
     "save_mesh", "load_mesh", "kmeans", "depth_to_3d_sparse",
     "build_optical_flow_pyramid", "solve_lp",
+    "KnnIndex", "radius_search",
 ]
 
 
@@ -2457,6 +2458,7 @@ from ..ops.registration import (  # noqa: E402
     phase_correlate_iterative,
 )
 from ..ops.optflow import build_optical_flow_pyramid  # noqa: E402
+from ..ops.knn_index import KnnIndex, radius_search  # noqa: E402
 from ..ops.chessboard import (  # noqa: E402
     estimate_chessboard_sharpness,
 )

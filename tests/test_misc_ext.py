@@ -130,3 +130,25 @@ def test_build_optical_flow_pyramid(rng):
     pyr = build_optical_flow_pyramid(g, levels=3)
     assert len(pyr) == 3
     assert pyr[0].shape == (64, 96) and pyr[2].shape == (16, 24)
+
+
+def test_knn_index_exact(rng):
+    from rustcv_tpu.ops import core_ops as co
+    from rustcv_tpu.ops.knn_index import KnnIndex, radius_search
+
+    data = rng.normal(0, 1, (300, 8)).astype(np.float32)
+    queries = rng.normal(0, 1, (20, 8)).astype(np.float32)
+    index = KnnIndex(data)
+    idx, d2 = index.knn_search(queries, k=4)
+    # exactness vs brute force
+    bd, bidx = co.batch_distance(queries, data, k=4, norm="l2")
+    np.testing.assert_array_equal(idx, bidx)
+    np.testing.assert_allclose(np.sqrt(d2), bd, rtol=1e-5)
+    # cv2 flann agreement (exact data, kdtree algorithm)
+    fl = cv2.flann_Index(data, dict(algorithm=1, trees=4))
+    fidx, fd = fl.knnSearch(queries, 4, params=dict(checks=64))
+    agree = (fidx == idx).mean()
+    assert agree > 0.9, agree  # FLANN is approximate; ours is exact
+    # radius search
+    ids, dd = radius_search(index, queries[0], radius=float(d2[0, 2]))
+    assert len(ids) >= 3 and (dd <= d2[0, 2] + 1e-6).all()
