@@ -1701,6 +1701,7 @@ __all__ = [
     "save_mesh", "load_mesh", "kmeans", "depth_to_3d_sparse",
     "build_optical_flow_pyramid", "solve_lp",
     "KnnIndex", "radius_search",
+    "border_interpolate", "rectangle_intersection_area",
 ]
 
 
@@ -2510,6 +2511,8 @@ from ..ops.core_ops import (  # noqa: E402  (tail re-exports)
     integral2,
     integral3,
     solve_lp,
+    border_interpolate,
+    rectangle_intersection_area,
     threshold_with_mask,
     finite_mask,
     flip_nd,

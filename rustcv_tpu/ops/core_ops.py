@@ -1043,3 +1043,38 @@ def _simplex(tab, basis, obj) -> int:
         obj -= obj[enter] * tab[leave]
         basis[leave] = enter
     return SOLVELP_SINGLE
+
+
+def border_interpolate(p: int, length: int,
+                       border_type: str = "reflect101") -> int:
+    """OpenCV ``borderInterpolate``: map an out-of-range coordinate to
+    the in-range donor index under the border rule (constant → −1)."""
+    if 0 <= p < length:
+        return p
+    if border_type == "constant":
+        return -1
+    if border_type == "replicate":
+        return 0 if p < 0 else length - 1
+    if border_type == "wrap":
+        return p % length
+    if border_type in ("reflect", "reflect101", "reflect_101",
+                       "default"):
+        refl = border_type == "reflect"  # mirror INCLUDING the edge
+        # iterate the fold (cv2 does the same loop)
+        while not (0 <= p < length):
+            if p < 0:
+                p = -p - 1 if refl else -p
+            else:
+                p = 2 * length - p - (1 if refl else 2)
+        return p
+    raise ValueError(f"unknown border_type {border_type!r}")
+
+
+def rectangle_intersection_area(rect1, rect2) -> float:
+    """OpenCV ``rectangleIntersectionArea`` for axis-aligned
+    (x, y, w, h) float rects."""
+    x1, y1, w1, h1 = (float(v) for v in rect1)
+    x2, y2, w2, h2 = (float(v) for v in rect2)
+    iw = min(x1 + w1, x2 + w2) - max(x1, x2)
+    ih = min(y1 + h1, y2 + h2) - max(y1, y2)
+    return max(iw, 0.0) * max(ih, 0.0)

@@ -153,3 +153,24 @@ def test_solve_lp_vs_cv2():
         if ref[0] >= 0:
             np.testing.assert_allclose(x, np.asarray(ref[1]).ravel(),
                                        atol=1e-9)
+
+
+def test_border_interpolate_vs_cv2():
+    for bt, cvb in [("reflect101", cv2.BORDER_REFLECT_101),
+                    ("reflect", cv2.BORDER_REFLECT),
+                    ("replicate", cv2.BORDER_REPLICATE),
+                    ("wrap", cv2.BORDER_WRAP)]:
+        for p in (-7, -3, -1, 0, 5, 9, 10, 14, 23):
+            assert co.border_interpolate(p, 10, bt) == \
+                cv2.borderInterpolate(p, 10, cvb), (bt, p)
+    assert co.border_interpolate(-1, 10, "constant") == -1
+
+
+def test_rectangle_intersection_area():
+    assert co.rectangle_intersection_area((0, 0, 4, 4),
+                                          (2, 2, 4, 4)) == 4.0
+    assert co.rectangle_intersection_area((0, 0, 2, 2),
+                                          (3, 3, 2, 2)) == 0.0
+    np.testing.assert_allclose(
+        co.rectangle_intersection_area((0., 0., 4., 4.), (2., 2., 4., 4.)),
+        cv2.rectangleIntersectionArea((0., 0., 4., 4.), (2., 2., 4., 4.)))
