@@ -1702,7 +1702,7 @@ __all__ = [
     "build_optical_flow_pyramid", "solve_lp",
     "KnnIndex", "radius_search",
     "border_interpolate", "rectangle_intersection_area",
-    "Subdiv2D",
+    "Subdiv2D", "rgbd_normals",
 ]
 
 
@@ -2427,6 +2427,7 @@ from ..ops.threed import (  # noqa: E402  (re-exports)
     load_mesh,
     register_depth,
     rescale_depth,
+    rgbd_normals,
     save_mesh,
     save_point_cloud,
     triangle_rasterize,

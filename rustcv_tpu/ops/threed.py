@@ -377,3 +377,41 @@ def depth_to_3d_sparse(points: np.ndarray, depths: np.ndarray,
     x = (p[:, 0] - k[0, 2]) * d / k[0, 0]
     y = (p[:, 1] - k[1, 2]) * d / k[1, 1]
     return np.stack([x, y, d], axis=1).astype(np.float32)
+
+
+def rgbd_normals_numpy(points3d: np.ndarray) -> np.ndarray:
+    """Oracle — unit normals of an organized cloud (OpenCV
+    ``RgbdNormals`` role, cross-product flavor): n = normalize(
+    (P(y,x+1)−P(y,x−1)) × (P(y+1,x)−P(y−1,x))), oriented toward the
+    camera (n·p < 0); border rows/cols copy their neighbor."""
+    p = np.asarray(points3d, np.float64)
+    dx = np.zeros_like(p)
+    dy = np.zeros_like(p)
+    dx[:, 1:-1] = p[:, 2:] - p[:, :-2]
+    dy[1:-1, :] = p[2:, :] - p[:-2, :]
+    n = np.cross(dx, dy)
+    nn = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / np.maximum(nn, 1e-12)
+    flip = (n * p).sum(-1, keepdims=True) > 0
+    n = np.where(flip, -n, n)
+    n[0] = n[1]
+    n[-1] = n[-2]
+    n[:, 0] = n[:, 1]
+    n[:, -1] = n[:, -2]
+    return n.astype(np.float32)
+
+
+@jax.jit
+def rgbd_normals(points3d: jax.Array) -> jax.Array:
+    """Device twin — pure shifted-view elementwise math."""
+    p = points3d.astype(jnp.float32)
+    dx = jnp.pad(p[:, 2:] - p[:, :-2], ((0, 0), (1, 1), (0, 0)))
+    dy = jnp.pad(p[2:, :] - p[:-2, :], ((1, 1), (0, 0), (0, 0)))
+    n = jnp.cross(dx, dy)
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(nn, 1e-12)
+    flip = (n * p).sum(-1, keepdims=True) > 0
+    n = jnp.where(flip, -n, n)
+    n = n.at[0].set(n[1]).at[-1].set(n[-2])
+    n = n.at[:, 0].set(n[:, 1]).at[:, -1].set(n[:, -2])
+    return n

@@ -153,3 +153,22 @@ def test_depth_to_3d_sparse(rng):
     dense = threed.depth_to_3d(depth, k)
     for i, (x, y) in enumerate(pts.astype(int)):
         np.testing.assert_allclose(sparse[i], dense[y, x], rtol=1e-6)
+
+
+def test_rgbd_normals(jax_cpu):
+    # a known slanted plane: z = 1 + 0.1x' through the camera model
+    k = np.array([[100.0, 0, 30], [0, 100.0, 25], [0, 0, 1.0]])
+    vs, us = np.mgrid[0:50, 0:60].astype(np.float64)
+    # plane x + 10z = 10 → z = 10/(10 + (u-cx)/fx·...) — build from
+    # geometry: point = z·K⁻¹u with x + 10z = 10
+    xn = (us - 30) / 100.0
+    z = 10.0 / (xn + 10.0)
+    pts = threed.depth_to_3d(z.astype(np.float32), k)
+    n = threed.rgbd_normals_numpy(pts)
+    true_n = np.array([1.0, 0.0, 10.0])
+    true_n = -true_n / np.linalg.norm(true_n)  # toward camera (nz<0)
+    err = np.abs(n[5:-5, 5:-5] - true_n).max()
+    assert err < 1e-3, err
+    dev = np.asarray(threed.rgbd_normals(pts))
+    np.testing.assert_allclose(dev[2:-2, 2:-2], n[2:-2, 2:-2],
+                               atol=1e-4)
