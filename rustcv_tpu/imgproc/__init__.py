@@ -1702,7 +1702,7 @@ __all__ = [
     "build_optical_flow_pyramid", "solve_lp",
     "KnnIndex", "radius_search",
     "border_interpolate", "rectangle_intersection_area",
-    "Subdiv2D", "rgbd_normals",
+    "Subdiv2D", "rgbd_normals", "RotationWarper",
 ]
 
 
@@ -2463,6 +2463,7 @@ from ..ops.registration import (  # noqa: E402
 from ..ops.optflow import build_optical_flow_pyramid  # noqa: E402
 from ..ops.knn_index import KnnIndex, radius_search  # noqa: E402
 from ..ops.subdiv import Subdiv2D  # noqa: E402
+from ..ops.rotwarp import RotationWarper  # noqa: E402
 from ..ops.chessboard import (  # noqa: E402
     estimate_chessboard_sharpness,
 )
