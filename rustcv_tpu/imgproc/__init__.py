@@ -1702,7 +1702,7 @@ __all__ = [
     "build_optical_flow_pyramid", "solve_lp",
     "KnnIndex", "radius_search",
     "border_interpolate", "rectangle_intersection_area",
-    "Subdiv2D", "rgbd_normals", "RotationWarper",
+    "Subdiv2D", "rgbd_normals", "RotationWarper", "rgbd_odometry",
 ]
 
 
@@ -2464,6 +2464,7 @@ from ..ops.optflow import build_optical_flow_pyramid  # noqa: E402
 from ..ops.knn_index import KnnIndex, radius_search  # noqa: E402
 from ..ops.subdiv import Subdiv2D  # noqa: E402
 from ..ops.rotwarp import RotationWarper  # noqa: E402
+from ..ops.odometry import rgbd_odometry  # noqa: E402
 from ..ops.chessboard import (  # noqa: E402
     estimate_chessboard_sharpness,
 )
