@@ -1703,6 +1703,7 @@ __all__ = [
     "KnnIndex", "radius_search",
     "border_interpolate", "rectangle_intersection_area",
     "Subdiv2D", "rgbd_normals", "RotationWarper", "rgbd_odometry",
+    "TsdfVolume",
 ]
 
 
@@ -2465,6 +2466,7 @@ from ..ops.knn_index import KnnIndex, radius_search  # noqa: E402
 from ..ops.subdiv import Subdiv2D  # noqa: E402
 from ..ops.rotwarp import RotationWarper  # noqa: E402
 from ..ops.odometry import rgbd_odometry  # noqa: E402
+from ..ops.tsdf import TsdfVolume  # noqa: E402
 from ..ops.chessboard import (  # noqa: E402
     estimate_chessboard_sharpness,
 )
