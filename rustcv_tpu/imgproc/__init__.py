@@ -1703,7 +1703,7 @@ __all__ = [
     "KnnIndex", "radius_search",
     "border_interpolate", "rectangle_intersection_area",
     "Subdiv2D", "rgbd_normals", "RotationWarper", "rgbd_odometry",
-    "TsdfVolume",
+    "TsdfVolume", "affine_detect_and_compute",
 ]
 
 
@@ -1755,10 +1755,12 @@ def stereo_sgbm(left: Mat, right: Mat, num_disparities: int = 64,
 
 
 def calc_optical_flow_dis(prev: Mat, nxt: Mat, finest_scale: int = 1,
-                          iters: int = 8):
+                          iters: int = 8, refine: bool = False):
     """DIS dense optical flow (OpenCV ``DISOpticalFlow`` role): patch
     inverse search + inverse-residual densification over a pyramid —
     vmapped shared-fraction patch solves on device (ops/disflow.py).
+    ``refine=True`` runs the Brox variational polish afterwards
+    (ops/varref.py — OpenCV's DIS presets do the same internally).
     Returns float32 flow [H, W, 2] (u, v) with I1(x+u) ~= I0(x)."""
     import numpy as np
 
@@ -1767,9 +1769,16 @@ def calc_optical_flow_dis(prev: Mat, nxt: Mat, finest_scale: int = 1,
     g0 = _gray_of_mat(prev)
     g1 = _gray_of_mat(nxt)
     if prev.is_on_device:
-        return np.asarray(_dis.dis_flow(g0, g1, finest_scale, iters))
-    return _dis.dis_flow_numpy(np.asarray(g0), np.asarray(g1),
-                               finest_scale, iters)
+        flow = np.asarray(_dis.dis_flow(g0, g1, finest_scale, iters))
+    else:
+        flow = _dis.dis_flow_numpy(np.asarray(g0), np.asarray(g1),
+                                   finest_scale, iters)
+    if refine:
+        from ..ops import varref as _vr
+
+        flow = _vr.variational_refine_numpy(
+            np.asarray(g0), np.asarray(g1), flow).astype(np.float32)
+    return flow
 
 
 def calc_optical_flow_farneback(
@@ -2467,6 +2476,7 @@ from ..ops.subdiv import Subdiv2D  # noqa: E402
 from ..ops.rotwarp import RotationWarper  # noqa: E402
 from ..ops.odometry import rgbd_odometry  # noqa: E402
 from ..ops.tsdf import TsdfVolume  # noqa: E402
+from ..ops.asift import affine_detect_and_compute  # noqa: E402
 from ..ops.chessboard import (  # noqa: E402
     estimate_chessboard_sharpness,
 )

@@ -221,3 +221,11 @@ def test_spatial_parallel_example(jax_cpu):
     from examples.spatial_parallel import main
 
     main()  # asserts bit-exactness internally on the 8-device mesh
+
+
+def test_rgbd_fusion_example(jax_cpu, capsys):
+    from examples.rgbd_fusion import main
+
+    assert main() == 0
+    out = capsys.readouterr().out
+    assert "PASS" in out and "surface:" in out

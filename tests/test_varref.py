@@ -18,9 +18,11 @@ def pair(rng):
     base = cv2.GaussianBlur(base, (5, 5), 1.5)
     m = np.float32([[1, 0, 1.5], [0, 1, -1.0]])
     i1 = cv2.warpAffine(base, m, (90, 70))
+    # I1(x) = I0(x − (1.5, −1)); with the I1(x+u) = I0(x) convention
+    # the true flow is (+1.5, −1.0) — verified photometrically
     true_flow = np.zeros((70, 90, 2), np.float32)
-    true_flow[..., 0] = -1.5
-    true_flow[..., 1] = 1.0
+    true_flow[..., 0] = 1.5
+    true_flow[..., 1] = -1.0
     return base, i1, true_flow
 
 
@@ -67,3 +69,14 @@ def test_zero_flow_stays_reasonable(pair):
     z = np.zeros((70, 90, 2), np.float32)
     out = varref.variational_refine_numpy(i0, i0, z)
     assert np.abs(out).max() < 0.1  # identical frames → no motion
+
+
+def test_dis_facade_refine(pair, rng):
+    import rustcv_tpu.imgproc as ip
+    from rustcv_tpu.core.mat import Mat
+
+    i0, i1, tf = pair
+    flow = ip.calc_optical_flow_dis(Mat.from_array(i0),
+                                    Mat.from_array(i1), refine=True)
+    assert flow.shape == tf.shape and flow.dtype == np.float32
+    assert _epe(flow, tf) < 0.5
