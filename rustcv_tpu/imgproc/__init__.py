@@ -1703,7 +1703,7 @@ __all__ = [
     "KnnIndex", "radius_search",
     "border_interpolate", "rectangle_intersection_area",
     "Subdiv2D", "rgbd_normals", "RotationWarper", "rgbd_odometry",
-    "TsdfVolume", "affine_detect_and_compute",
+    "TsdfVolume", "affine_detect_and_compute", "build_mst",
 ]
 
 
@@ -2529,6 +2529,7 @@ from ..ops.core_ops import (  # noqa: E402  (tail re-exports)
     integral3,
     solve_lp,
     border_interpolate,
+    build_mst,
     rectangle_intersection_area,
     threshold_with_mask,
     finite_mask,

@@ -1078,3 +1078,43 @@ def rectangle_intersection_area(rect1, rect2) -> float:
     iw = min(x1 + w1, x2 + w2) - max(x1, x2)
     ih = min(y1 + h1, y2 + h2) - max(y1, y2)
     return max(iw, 0.0) * max(ih, 0.0)
+
+
+def build_mst(num_nodes: int, edges
+              ) -> Tuple[bool, np.ndarray]:
+    """OpenCV ``buildMST`` role (Kruskal): edges are (src, dst, weight)
+    rows; self-loops ignored, parallel edges keep the lightest,
+    negative weights fine → (ok, (N-1, 3) MST edges ascending by
+    weight). ok=False when the graph is disconnected or inputs are
+    invalid."""
+    e = np.asarray(edges, np.float64).reshape(-1, 3)
+    n = int(num_nodes)
+    if n <= 0:
+        return False, np.zeros((0, 3))
+    best = {}
+    for s, d, w in e:
+        si, di = int(s), int(d)
+        if si == di:
+            continue
+        if not (0 <= si < n and 0 <= di < n):
+            return False, np.zeros((0, 3))
+        key = (min(si, di), max(si, di))
+        if key not in best or w < best[key]:
+            best[key] = w
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    out = []
+    for (s, d), w in sorted(best.items(), key=lambda kv: kv[1]):
+        ra, rb = find(s), find(d)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((s, d, w))
+    if len(out) != n - 1:
+        return False, np.zeros((0, 3))
+    return True, np.asarray(sorted(out, key=lambda t: t[2]), np.float64)

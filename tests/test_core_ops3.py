@@ -174,3 +174,20 @@ def test_rectangle_intersection_area():
     np.testing.assert_allclose(
         co.rectangle_intersection_area((0., 0., 4., 4.), (2., 2., 4., 4.)),
         cv2.rectangleIntersectionArea((0., 0., 4., 4.), (2., 2., 4., 4.)))
+
+
+def test_build_mst():
+    edges = [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 5.0), (2, 3, 0.5),
+             (3, 3, -9.0),            # self-loop ignored
+             (0, 1, 7.0)]             # parallel edge, heavier — ignored
+    ok, mst = co.build_mst(4, edges)
+    assert ok
+    assert len(mst) == 3
+    np.testing.assert_allclose(sorted(mst[:, 2]), [0.5, 1.0, 2.0])
+    # disconnected
+    ok2, _ = co.build_mst(4, [(0, 1, 1.0), (2, 3, 1.0)])
+    assert not ok2
+    # negative weights fine
+    ok3, mst3 = co.build_mst(3, [(0, 1, -2.0), (1, 2, -1.0),
+                                 (0, 2, -5.0)])
+    assert ok3 and mst3[:, 2].sum() == -7.0
