@@ -1704,6 +1704,7 @@ __all__ = [
     "border_interpolate", "rectangle_intersection_area",
     "Subdiv2D", "rgbd_normals", "RotationWarper", "rgbd_odometry",
     "TsdfVolume", "affine_detect_and_compute", "build_mst",
+    "Octree",
 ]
 
 
@@ -2477,6 +2478,7 @@ from ..ops.rotwarp import RotationWarper  # noqa: E402
 from ..ops.odometry import rgbd_odometry  # noqa: E402
 from ..ops.tsdf import TsdfVolume  # noqa: E402
 from ..ops.asift import affine_detect_and_compute  # noqa: E402
+from ..ops.octree import Octree  # noqa: E402
 from ..ops.chessboard import (  # noqa: E402
     estimate_chessboard_sharpness,
 )

@@ -172,3 +172,28 @@ def test_rgbd_normals(jax_cpu):
     dev = np.asarray(threed.rgbd_normals(pts))
     np.testing.assert_allclose(dev[2:-2, 2:-2], n[2:-2, 2:-2],
                                atol=1e-4)
+
+
+def test_octree_queries(rng):
+    from rustcv_tpu.ops.octree import Octree
+
+    pts = rng.normal(0, 1, (400, 3))
+    tree = Octree(pts, max_points=8)
+    q = np.array([0.1, -0.2, 0.3])
+    # exactness vs brute force
+    d2 = ((pts - q) ** 2).sum(1)
+    order = np.argsort(d2)[:5]
+    idx, dist = tree.k_nearest_neighbours(q, 5)
+    np.testing.assert_array_equal(np.sort(idx), np.sort(order))
+    np.testing.assert_allclose(dist, np.sort(d2)[:5], rtol=1e-12)
+    r = float(np.sqrt(np.sort(d2)[9]))
+    ids, dd = tree.radius_neighbours(q, r + 1e-9)
+    assert len(ids) == 10
+    assert set(ids.tolist()) == set(np.argsort(d2)[:10].tolist())
+    # deletion removes from queries
+    assert tree.delete_point(pts[order[0]])
+    idx2, _ = tree.k_nearest_neighbours(q, 5)
+    assert order[0] not in idx2
+    # bounds
+    assert tree.is_point_in_bounds(pts[0])
+    assert not tree.is_point_in_bounds((99.0, 0, 0))
