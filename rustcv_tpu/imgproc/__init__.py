@@ -1704,7 +1704,7 @@ __all__ = [
     "border_interpolate", "rectangle_intersection_area",
     "Subdiv2D", "rgbd_normals", "RotationWarper", "rgbd_odometry",
     "TsdfVolume", "affine_detect_and_compute", "build_mst",
-    "Octree",
+    "Octree", "detect_color_checker", "color_checker_ccm",
 ]
 
 
@@ -2479,6 +2479,10 @@ from ..ops.odometry import rgbd_odometry  # noqa: E402
 from ..ops.tsdf import TsdfVolume  # noqa: E402
 from ..ops.asift import affine_detect_and_compute  # noqa: E402
 from ..ops.octree import Octree  # noqa: E402
+from ..ops.colorchecker import (  # noqa: E402
+    color_checker_ccm,
+    detect_color_checker,
+)
 from ..ops.chessboard import (  # noqa: E402
     estimate_chessboard_sharpness,
 )
