@@ -1705,6 +1705,7 @@ __all__ = [
     "Subdiv2D", "rgbd_normals", "RotationWarper", "rgbd_odometry",
     "TsdfVolume", "affine_detect_and_compute", "build_mst",
     "Octree", "detect_color_checker", "color_checker_ccm",
+    "cvt_color_two_plane",
 ]
 
 
@@ -2777,3 +2778,20 @@ def kmeans(data, k: int, iters: int = 10):
         np.asarray(data, np.float32), k, iters=iters)
     return (float(np.asarray(inertia)), np.asarray(labels),
             np.asarray(centers))
+
+
+def cvt_color_two_plane(y_plane, uv_plane):
+    """NV12 two-plane → BGR (OpenCV ``cvtColorTwoPlane`` with
+    COLOR_YUV2BGR_NV12 role): separate (H, W) Y and (H/2, W/2, 2) or
+    (H/2, W) interleaved UV planes, via the frozen BT.601 NV12 kernel
+    (ops/golden.py)."""
+    import numpy as np
+
+    from ..ops import golden as _golden
+
+    y = np.asarray(y_plane)
+    uv = np.asarray(uv_plane)
+    h, w = y.shape
+    buf = np.concatenate([y.reshape(-1), uv.reshape(-1)]).astype(
+        np.uint8)
+    return _golden.nv12_to_bgr(buf, w, h)

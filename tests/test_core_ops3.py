@@ -191,3 +191,21 @@ def test_build_mst():
     ok3, mst3 = co.build_mst(3, [(0, 1, -2.0), (1, 2, -1.0),
                                  (0, 2, -5.0)])
     assert ok3 and mst3[:, 2].sum() == -7.0
+
+
+def test_cvt_color_two_plane(rng):
+    import rustcv_tpu.imgproc as ip
+
+    y = rng.integers(0, 256, (24, 32), np.uint8)
+    uv = rng.integers(0, 256, (12, 16, 2), np.uint8)
+    ours = ip.cvt_color_two_plane(y, uv)
+    ref = cv2.cvtColorTwoPlane(y, uv, cv2.COLOR_YUV2BGR_NV12)
+    # our NV12 kernel keeps the REFERENCE's frozen BT.601 integer spec
+    # (decode.rs parity — the project's fidelity contract) and nearest
+    # 2x2 chroma; cv2 rounds/upsamples differently: agreement is
+    # sub-LSB on average with bounded outliers at saturation
+    d = np.abs(ours.astype(float) - ref.astype(float))
+    assert d.mean() < 1.0 and d.max() <= 32, (d.mean(), d.max())
+    corr = np.corrcoef(ours.ravel().astype(float),
+                       ref.ravel().astype(float))[0, 1]
+    assert corr > 0.995
