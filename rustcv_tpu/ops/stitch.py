@@ -70,10 +70,14 @@ def _corners(h: int, w: int, hmat: np.ndarray) -> np.ndarray:
 
 
 def stitch(images: Sequence[np.ndarray], grays: Sequence[np.ndarray] = None,
-           min_matches: int = 12, return_offset: bool = False):
+           min_matches: int = 12, return_offset: bool = False,
+           blend: str = "feather"):
     """Stitch ≥ 2 images (u8 (H, W[, C]), same channel count) into one
     panorama anchored at the first image. ``grays`` optionally supplies
-    registration planes (defaults to channel 0)."""
+    registration planes (defaults to channel 0). ``blend``:
+    ``feather`` (default, device-capable) or ``multiband`` (host —
+    Brown-Lowe gain compensation + Voronoi seams + Laplacian-pyramid
+    blending from ops/blend.py, OpenCV detail-pipeline style)."""
     if len(images) < 2:
         raise ValueError("stitch needs at least 2 images")
     imgs = [np.asarray(im) for im in images]
@@ -107,7 +111,9 @@ def stitch(images: Sequence[np.ndarray], grays: Sequence[np.ndarray] = None,
 
     use_device = any(not isinstance(im, np.ndarray) for im in images)
     nch = 1 if imgs[0].ndim == 2 else imgs[0].shape[-1]
-    if use_device:
+    if blend == "multiband":
+        out = _composite_multiband(imgs, hs, t, out_h, out_w)
+    elif use_device:
         out = _composite_device(imgs, hs, t, out_h, out_w)
     else:
         acc = np.zeros((out_h, out_w, nch))
@@ -129,6 +135,44 @@ def stitch(images: Sequence[np.ndarray], grays: Sequence[np.ndarray] = None,
     if return_offset:
         return out, (-x0, -y0)   # anchor image origin inside the canvas
     return out
+
+
+def _composite_multiband(imgs, hs, t, out_h: int, out_w: int):
+    """Host detail-pipeline composite: warp + validity masks → gain
+    compensation → sequential Voronoi-seam multi-band blending."""
+    from .blend import gain_compensation, multi_band_blend_numpy, \
+        voronoi_seam
+
+    warped = []
+    masks = []
+    for im, hmat in zip(imgs, hs):
+        ih, iw = im.shape[:2]
+        m = t @ hmat
+        src3 = im if im.ndim == 3 else im[..., None]
+        wim = warp.warp_perspective_numpy(src3, m, (out_w, out_h))
+        ones = np.full((ih, iw), 255, np.uint8)
+        wmask = warp.warp_perspective_numpy(ones, m,
+                                            (out_w, out_h)) > 128
+        warped.append(wim)
+        masks.append(wmask)
+    gains = gain_compensation(warped, masks)
+    warped = [np.clip(np.rint(w.astype(np.float64) * g), 0,
+                      255).astype(np.uint8)
+              for w, g in zip(warped, gains)]
+    acc = warped[0]
+    acc_mask = masks[0]
+    for wim, wmask in zip(warped[1:], masks[1:]):
+        keep_acc, keep_new = voronoi_seam(acc_mask, wmask)
+        # blend mask: 1 keeps acc; fill non-union area from whichever
+        # side is valid so pyramid borders don't bleed black
+        union = acc_mask | wmask
+        m1 = np.where(keep_acc, 1.0, 0.0)
+        a_src = np.where(acc_mask[..., None], acc, wim)
+        b_src = np.where(wmask[..., None], wim, acc)
+        blended = multi_band_blend_numpy(a_src, b_src, m1, n_bands=4)
+        acc = np.where(union[..., None], blended, 0).astype(np.uint8)
+        acc_mask = union
+    return acc[..., 0] if imgs[0].ndim == 2 else acc
 
 
 def _composite_device(imgs, hs, t, out_h: int, out_w: int):

@@ -84,3 +84,48 @@ class TestStitch:
         # weights) — bounded difference
         diff = np.abs(host.astype(int) - dev.astype(int))
         assert np.mean(diff) < 1.5 and np.percentile(diff, 99) <= 4
+
+
+class TestMultibandBlend:
+    """stitch(blend='multiband'): exposure-mismatched crops fuse
+    without a hard seam."""
+
+    @staticmethod
+    def _crops():
+        rng = np.random.default_rng(9)
+        scene = rng.integers(40, 200, (120, 260, 3)).astype(np.float64)
+        import cv2 as _cv2
+
+        scene = np.stack([_cv2.GaussianBlur(
+            scene[..., c].astype(np.float32), (5, 5), 1.2)
+            for c in range(3)], -1).astype(np.float64)
+        # add plenty of trackable structure (corners of varied size)
+        for _ in range(150):
+            y, x = rng.integers(8, 112), rng.integers(8, 252)
+            s = rng.integers(2, 6)
+            scene[y - s:y + s, x - s:x + s] = rng.integers(0, 255, 3)
+        left = np.clip(scene[:, :150] * 1.2, 0, 255).astype(np.uint8)
+        right = np.clip(scene[:, 110:] * 0.85, 0, 255).astype(np.uint8)
+        return scene, left, right
+
+    def test_smoother_than_feather(self):
+        from rustcv_tpu.ops import stitch as st
+
+        scene, left, right = self._crops()
+        pano_f, off = st.stitch([left, right], return_offset=True)
+        pano_m, off_m = st.stitch([left, right], return_offset=True,
+                                  blend="multiband")
+        assert pano_m.shape[1] >= 250
+        # column-mean jumps (seams) must be smaller under multiband
+        def worst_jump(p):
+            colmean = p.astype(float).mean(axis=(0, 2))
+            inner = colmean[20:-20]
+            return np.abs(np.diff(inner)).max()
+
+        assert worst_jump(pano_m) <= worst_jump(pano_f) + 1e-9
+        # the gain compensation pulls the two exposures together
+        lm = pano_m[:, 40:80].astype(float).mean()
+        rm = pano_m[:, -80:-40].astype(float).mean()
+        lf = pano_f[:, 40:80].astype(float).mean()
+        rf = pano_f[:, -80:-40].astype(float).mean()
+        assert abs(lm - rm) < abs(lf - rf) + 1e-9
