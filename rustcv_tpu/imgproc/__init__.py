@@ -2075,7 +2075,9 @@ def create_background_subtractor_mog2(k: int = 4, **kw):
     """Per-pixel Gaussian-mixture background model (OpenCV
     ``createBackgroundSubtractorMOG2`` role) — all-elementwise device
     update, model stays on device between frames (ops/bgsub.py).
-    ``kw`` forwards to MOG2Params (alpha, var_threshold, ratio, ...)."""
+    ``kw`` forwards to MOG2Params (alpha, var_threshold, ratio, ...);
+    ``detect_shadows=True`` marks chromatic shadows 127 like OpenCV
+    (Prati brightness-ratio test, ``shadow_tau`` threshold)."""
     from ..ops.bgsub import BackgroundSubtractorMOG2
 
     return BackgroundSubtractorMOG2(k=k, **kw)

@@ -121,10 +121,13 @@ class BackgroundSubtractorMOG2:
     """Stateful convenience wrapper (OpenCV-style ``apply``): feeds frames
     through :func:`mog2_step`, keeping the model on device."""
 
-    def __init__(self, k: int = 4, **kw):
+    def __init__(self, k: int = 4, detect_shadows: bool = False,
+                 shadow_tau: float = 0.5, **kw):
         self._k = k
         self._params = MOG2Params(**kw)
         self._state = None
+        self._detect_shadows = detect_shadows
+        self._shadow_tau = shadow_tau
 
     def apply(self, frame) -> np.ndarray:
         f = jnp.asarray(frame)
@@ -134,8 +137,15 @@ class BackgroundSubtractorMOG2:
             raise ValueError(
                 f"frame shape {f.shape} != model shape "
                 f"{self._state[1].shape[1:]} (create a new subtractor)")
+        prev_state = self._state
         self._state, fg = mog2_step(self._state, f, self._params)
-        return np.asarray(fg)
+        if not self._detect_shadows:
+            return np.asarray(fg)
+        sh = shadow_mask(prev_state, f, fg, tau=self._shadow_tau)
+        out = jnp.where(sh, jnp.uint8(127),
+                        jnp.where(fg.astype(bool), jnp.uint8(255),
+                                  jnp.uint8(0)))
+        return np.asarray(out)
 
     @property
     def background(self) -> np.ndarray:
@@ -198,3 +208,33 @@ def mog2_step_numpy(state, frame: np.ndarray,
                 var[worst, yy, xx] = p.var_init
             w[:, yy, xx] /= w[:, yy, xx].sum()
     return (w, mean, var), fg
+
+
+@partial(jax.jit, static_argnames=("tau",))
+def shadow_mask(state, frame: jax.Array, fg: jax.Array,
+                tau: float = 0.5) -> jax.Array:
+    """Shadow detection on foreground pixels (OpenCV MOG2's
+    ``detectShadows`` role, Prati-style chromatic test): with B the
+    top-weight background mean, brightness ratio r = (x·B)/(B·B); the
+    pixel is SHADOW when τ ≤ r < 1 and its chromatic residual
+    ‖x − r·B‖² is within the matched variance gate. → bool (H, W)."""
+    w, mean, var = state
+    top = jnp.argmax(w, axis=0)
+    if mean.ndim == 4:
+        b = jnp.take_along_axis(mean, top[None, ..., None], 0)[0]
+        x = frame.astype(jnp.float32)
+        num = (x * b).sum(-1)
+        den = jnp.maximum((b * b).sum(-1), 1e-6)
+        r = num / den
+        resid = ((x - r[..., None] * b) ** 2).sum(-1)
+        nch = x.shape[-1]
+    else:
+        b = jnp.take_along_axis(mean, top[None], 0)[0]
+        x = frame.astype(jnp.float32)
+        r = x / jnp.maximum(b, 1e-6)
+        resid = jnp.zeros_like(x)
+        nch = 1
+    v = jnp.take_along_axis(var, top[None], 0)[0]
+    gate = MOG2Params().var_threshold * v * nch
+    return (fg.astype(bool) & (r >= tau) & (r < 1.0)
+            & (resid <= gate))

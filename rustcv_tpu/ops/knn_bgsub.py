@@ -19,7 +19,7 @@ documented divergence that keeps device/oracle bit-agreement):
   ``clock mod N`` is overwritten with x IF the pixel was background,
   or always after ``n_fg_max`` consecutive foreground frames (absorbs
   scene changes; counter resets on background) — then clock += 1;
-- shadows are not modeled (OpenCV's shadow detection is an HSV
+- shadows are not modeled here (MOG2's detect_shadows covers the role; OpenCV's KNN shadow detection is an HSV
   heuristic bolted on either subtractor; compose with bgr_to_hsv if
   needed).
 """

@@ -111,3 +111,38 @@ class TestMOG2:
     def test_background_before_apply_raises(self, jax_cpu):
         with pytest.raises(RuntimeError, match="apply"):
             bgsub.BackgroundSubtractorMOG2().background
+
+
+class TestShadows:
+    def test_shadow_marked_127(self, jax_cpu):
+        from rustcv_tpu.ops.bgsub import BackgroundSubtractorMOG2
+
+        rng = np.random.default_rng(3)
+        bg = rng.integers(90, 200, (40, 50, 3)).astype(np.uint8)
+        sub = BackgroundSubtractorMOG2(detect_shadows=True)
+        for _ in range(30):
+            noisy = np.clip(bg.astype(float)
+                            + rng.normal(0, 2, bg.shape), 0,
+                            255).astype(np.uint8)
+            out = sub.apply(noisy)
+        frame = bg.astype(float).copy()
+        frame[10:20, 10:20] *= 0.6          # photometric shadow
+        frame[25:35, 30:42] = [200, 30, 30]  # a real object (chroma)
+        out = sub.apply(np.clip(frame, 0, 255).astype(np.uint8))
+        shadow_region = out[12:18, 12:18]
+        object_region = out[27:33, 32:40]
+        still_bg = out[2:8, 2:8]
+        assert (shadow_region == 127).mean() > 0.7
+        assert (object_region == 255).mean() > 0.7
+        assert (still_bg == 0).mean() > 0.9
+
+    def test_shadows_off_binary(self, jax_cpu):
+        from rustcv_tpu.ops.bgsub import BackgroundSubtractorMOG2
+
+        rng = np.random.default_rng(3)
+        bg = rng.integers(90, 200, (20, 24, 3)).astype(np.uint8)
+        sub = BackgroundSubtractorMOG2()
+        for _ in range(10):
+            sub.apply(bg)
+        out = sub.apply(bg)
+        assert set(np.unique(np.asarray(out)).tolist()) <= {0, 1, 255}
