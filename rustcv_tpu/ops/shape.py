@@ -241,20 +241,57 @@ def min_enclosing_circle(pts: np.ndarray) -> Tuple[Tuple[float, float], float]:
     return ((float(ctr[0]), float(ctr[1])), float(r))
 
 
-def fit_line(pts: np.ndarray) -> Tuple[float, float, float, float]:
-    """Total-least-squares line fit (OpenCV ``fitLine`` DIST_L2 role):
-    (vx, vy, x0, y0) — unit direction + a point on the line (the
-    centroid). Direction sign: vx >= 0 (vy >= 0 when vx == 0)."""
+def fit_line(pts: np.ndarray, dist_type: str = "l2",
+             iters: int = 20) -> Tuple[float, float, float, float]:
+    """Line fit (OpenCV ``fitLine`` role): (vx, vy, x0, y0) — unit
+    direction + a point on the line. ``dist_type``: ``l2`` (exact
+    total least squares) or the robust M-estimators ``l1`` / ``l12`` /
+    ``fair`` / ``welsch`` / ``huber`` solved by IRLS over the weighted
+    TLS fit (OpenCV's scheme). Direction sign: vx >= 0 (vy >= 0 when
+    vx == 0)."""
     p = np.asarray(pts, np.float64).reshape(-1, 2)
     if len(p) < 2:
         raise ValueError("fit_line needs at least 2 points")
-    c = p.mean(axis=0)
-    q = p - c
-    cov = q.T @ q
-    evals, evecs = np.linalg.eigh(cov)
-    v = evecs[:, int(np.argmax(evals))]
-    if v[0] < 0 or (v[0] == 0 and v[1] < 0):
-        v = -v
+
+    def wfit(wgt):
+        wsum = wgt.sum()
+        c = (p * wgt[:, None]).sum(0) / wsum
+        q = (p - c) * np.sqrt(wgt)[:, None]
+        cov = q.T @ q
+        evals, evecs = np.linalg.eigh(cov)
+        v = evecs[:, int(np.argmax(evals))]
+        if v[0] < 0 or (v[0] == 0 and v[1] < 0):
+            v = -v
+        return v, c
+
+    wgt = np.ones(len(p))
+    v, c = wfit(wgt)
+    if dist_type == "l2":
+        return (float(v[0]), float(v[1]), float(c[0]), float(c[1]))
+    for _ in range(iters):
+        d = np.abs((p[:, 0] - c[0]) * (-v[1]) + (p[:, 1] - c[1]) * v[0])
+        scale = max(np.median(d) * 1.4826, 1e-9)
+        r = d / scale
+        if dist_type == "l1":
+            wgt = 1.0 / np.maximum(r, 1e-6)
+        elif dist_type == "l12":
+            wgt = 1.0 / np.sqrt(np.maximum(1.0 + r * r / 2.0, 1e-12))
+        elif dist_type == "fair":
+            cc = 1.3998
+            wgt = 1.0 / (1.0 + r / cc)
+        elif dist_type == "welsch":
+            cc = 2.9846
+            wgt = np.exp(-(r / cc) ** 2)
+        elif dist_type == "huber":
+            cc = 1.345
+            wgt = np.where(r < cc, 1.0, cc / np.maximum(r, 1e-9))
+        else:
+            raise ValueError(f"unknown dist_type {dist_type!r}")
+        v_new, c_new = wfit(wgt)
+        if np.abs(v_new - v).max() < 1e-12:
+            v, c = v_new, c_new
+            break
+        v, c = v_new, c_new
     return (float(v[0]), float(v[1]), float(c[0]), float(c[1]))
 
 

@@ -152,3 +152,27 @@ def test_knn_index_exact(rng):
     # radius search
     ids, dd = radius_search(index, queries[0], radius=float(d2[0, 2]))
     assert len(ids) >= 3 and (dd <= d2[0, 2] + 1e-6).all()
+
+
+def test_fit_line_robust_vs_outliers():
+    from rustcv_tpu.ops.shape import fit_line
+
+    rng = np.random.default_rng(4)
+    t = np.linspace(0, 50, 60)
+    pts = np.stack([t, 0.5 * t + 3], 1) + rng.normal(0, 0.2, (60, 2))
+    pts_out = np.concatenate([pts, [[10, 60], [20, 70], [30, 80]]])
+    vx, vy, x0, y0 = fit_line(pts_out, "l2")
+    slope_l2 = vy / vx
+    vx, vy, x0, y0 = fit_line(pts_out, "huber")
+    slope_h = vy / vx
+    assert abs(slope_h - 0.5) < 0.02
+    assert abs(slope_h - 0.5) < abs(slope_l2 - 0.5)
+    # cross-check vs cv2's robust fit
+    ref = cv2.fitLine(pts_out.astype(np.float32), cv2.DIST_HUBER,
+                      0, 0.01, 0.01).ravel()
+    ref_slope = ref[1] / ref[0]
+    assert abs(slope_h - ref_slope) < 0.03
+    # welsch / l1 / fair also reject the outliers
+    for dt in ("welsch", "l1", "fair", "l12"):
+        vx, vy, _, _ = fit_line(pts_out, dt)
+        assert abs(vy / vx - 0.5) < 0.04, dt
