@@ -229,3 +229,11 @@ def test_rgbd_fusion_example(jax_cpu, capsys):
     assert main() == 0
     out = capsys.readouterr().out
     assert "PASS" in out and "surface:" in out
+
+
+def test_color_calibration_example(jax_cpu, capsys):
+    from examples.color_calibration import main
+
+    assert main() == 0
+    out = capsys.readouterr().out
+    assert "PASS" in out and "patch error" in out
