@@ -1705,7 +1705,7 @@ __all__ = [
     "Subdiv2D", "rgbd_normals", "RotationWarper", "rgbd_odometry",
     "TsdfVolume", "affine_detect_and_compute", "build_mst",
     "Octree", "detect_color_checker", "color_checker_ccm",
-    "cvt_color_two_plane",
+    "cvt_color_two_plane", "solve_pnp_epnp",
 ]
 
 
@@ -2458,6 +2458,7 @@ from ..ops.calib_ext import (  # noqa: E402  (re-exports)
     draw_frame_axes,
     filter_homography_decomp_by_visible_refpoints,
     register_cameras,
+    solve_pnp_epnp,
     solve_pnp_generic,
     solve_p3p,
     compose_rt,

@@ -572,3 +572,113 @@ def filter_homography_decomp_by_visible_refpoints(
         if (m @ np.asarray(n, np.float64).ravel() > 0).all():
             keep.append(i)
     return np.asarray(keep, np.int32)
+
+
+def solve_pnp_epnp(obj_pts, img_pts, k, dist=(0, 0, 0, 0, 0)
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """EPnP (Lepetit 2009; OpenCV ``SOLVEPNP_EPNP`` role): O(n)
+    closed-form pose from ≥4 points. Control points = centroid + PCA
+    axes; each image point gives 2 rows of M over the 12 control-point
+    camera coordinates; candidate solutions from the N=1..3 null-space
+    combinations (betas via the distance-constraint system), best by
+    reprojection, finished with one Gauss-Newton polish."""
+    from .calib import project_points, refine_pose, undistort_points
+
+    obj = np.asarray(obj_pts, np.float64).reshape(-1, 3)
+    img = np.asarray(img_pts, np.float64).reshape(-1, 2)
+    n = len(obj)
+    if n < 4:
+        raise ValueError("EPnP needs >= 4 points")
+    k = np.asarray(k, np.float64)
+    und = undistort_points(img, k, dist)
+
+    # control points: centroid + principal directions
+    c0 = obj.mean(0)
+    q = obj - c0
+    cov = q.T @ q / n
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    scale = np.sqrt(np.maximum(evals, 1e-12))
+    cws = [c0] + [c0 + scale[i] * evecs[:, i] for i in range(3)]
+    cws = np.asarray(cws)
+
+    # barycentric coordinates (alphas): solve [cw;1] alphas = [p;1]
+    cmat = np.vstack([cws.T, np.ones(4)])
+    pmat = np.vstack([obj.T, np.ones(n)])
+    alphas = np.linalg.solve(cmat, pmat).T  # (n, 4)
+
+    fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+    m = np.zeros((2 * n, 12))
+    for i in range(n):
+        u, v = und[i]
+        for j in range(4):
+            a = alphas[i, j]
+            m[2 * i, 3 * j:3 * j + 3] = [a * fx, 0, a * (cx - u)]
+            m[2 * i + 1, 3 * j:3 * j + 3] = [0, a * fy, a * (cy - v)]
+    _, _, vt = np.linalg.svd(m)
+    kernel = vt[-4:][::-1]  # v1 = smallest singular vector first
+
+    # pairwise distances of the world control points
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    dw = np.array([np.linalg.norm(cws[a] - cws[b]) for a, b in pairs])
+
+    def cam_points(betas):
+        ccs = sum(b * kernel[i].reshape(4, 3)
+                  for i, b in enumerate(betas))
+        pc = alphas @ ccs
+        # enforce positive depth
+        if pc[:, 2].sum() < 0:
+            pc = -pc
+        return pc
+
+    def solve_beta_n1():
+        v1 = kernel[0].reshape(4, 3)
+        dc = np.array([np.linalg.norm(v1[a] - v1[b])
+                       for a, b in pairs])
+        return [float((dc @ dw) / max(dc @ dc, 1e-12)), 0.0, 0.0]
+
+    def solve_beta_n2():
+        # unknowns b11, b12, b22 from 6 distance equations
+        v1 = kernel[0].reshape(4, 3)
+        v2 = kernel[1].reshape(4, 3)
+        rows = []
+        for a, b in pairs:
+            d1 = v1[a] - v1[b]
+            d2 = v2[a] - v2[b]
+            rows.append([d1 @ d1, 2 * (d1 @ d2), d2 @ d2])
+        sol, *_ = np.linalg.lstsq(np.asarray(rows), dw ** 2,
+                                  rcond=None)
+        b11 = max(sol[0], 0.0)
+        b1 = np.sqrt(b11)
+        b2 = (np.sign(sol[1]) * np.sqrt(max(sol[2], 0.0))
+              if b11 > 1e-12 else np.sqrt(max(sol[2], 0.0)))
+        return [float(b1), float(b2), 0.0]
+
+    best = None
+    best_err = np.inf
+    for betas in (solve_beta_n1(), solve_beta_n2()):
+        pc = cam_points(betas)
+        rvec, tvec = _absolute_orientation_npt(obj, pc)
+        proj = project_points(obj, rvec, tvec, k, dist)
+        err = float(np.abs(proj - img).mean())
+        if err < best_err:
+            best, best_err = (rvec, tvec), err
+    rvec, tvec = refine_pose(obj, img, k, dist, best[0], best[1],
+                             iterations=10)
+    return rvec, tvec
+
+
+def _absolute_orientation_npt(obj: np.ndarray, cam: np.ndarray):
+    """Horn rigid fit for N points (allows the EPnP scale to be
+    absorbed: solve with unit scale — betas already carry it)."""
+    from .calib import rodrigues
+
+    co = obj.mean(0)
+    cc = cam.mean(0)
+    h = (obj - co).T @ (cam - cc)
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+    t = cc - r @ co
+    return rodrigues(r), t

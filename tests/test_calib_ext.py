@@ -295,3 +295,21 @@ def test_mesh_round_trip(tmp_path, rng):
     res = cv2.loadMesh(path)
     cv_v = res[0].reshape(-1, 3)
     np.testing.assert_allclose(cv_v, v, rtol=1e-6)
+
+
+def test_solve_pnp_epnp(rng):
+    from rustcv_tpu.ops import calib
+
+    k = np.array([[520.0, 0, 320], [0, 510.0, 240], [0, 0, 1.0]])
+    obj = rng.uniform(-0.3, 0.3, (10, 3))  # general (non-planar) cloud
+    rvec = np.array([0.3, -0.2, 0.15])
+    tvec = np.array([0.05, -0.02, 1.2])
+    img = calib.project_points(obj, rvec, tvec, k, (0, 0, 0, 0, 0))
+    rv, tv = ce.solve_pnp_epnp(obj, img, k)
+    np.testing.assert_allclose(rv, rvec, atol=1e-6)
+    np.testing.assert_allclose(tv, tvec, atol=1e-6)
+    # noisy observations stay close
+    img_n = img + rng.normal(0, 0.3, img.shape)
+    rv, tv = ce.solve_pnp_epnp(obj, img_n, k)
+    np.testing.assert_allclose(rv, rvec, atol=2e-2)
+    np.testing.assert_allclose(tv, tvec, atol=2e-2)
