@@ -1706,6 +1706,7 @@ __all__ = [
     "TsdfVolume", "affine_detect_and_compute", "build_mst",
     "Octree", "detect_color_checker", "color_checker_ccm",
     "cvt_color_two_plane", "solve_pnp_epnp",
+    "get_rect_sub_pix", "get_text_size",
 ]
 
 
@@ -2483,6 +2484,8 @@ from ..ops.odometry import rgbd_odometry  # noqa: E402
 from ..ops.tsdf import TsdfVolume  # noqa: E402
 from ..ops.asift import affine_detect_and_compute  # noqa: E402
 from ..ops.octree import Octree  # noqa: E402
+from ..ops.core_ops import get_rect_sub_pix  # noqa: E402
+from ..ops.text import get_text_size  # noqa: E402
 from ..ops.colorchecker import (  # noqa: E402
     color_checker_ccm,
     detect_color_checker,

@@ -1118,3 +1118,34 @@ def build_mst(num_nodes: int, edges
     if len(out) != n - 1:
         return False, np.zeros((0, 3))
     return True, np.asarray(sorted(out, key=lambda t: t[2]), np.float64)
+
+
+def get_rect_sub_pix(img, patch_size, center):
+    """OpenCV ``getRectSubPix``: bilinear sub-pixel patch extraction
+    (replicate border) → u8 (h, w[, C])."""
+    a = np.asarray(img)
+    w, h = int(patch_size[0]), int(patch_size[1])
+    cx, cy = float(center[0]), float(center[1])
+    x0 = cx - (w - 1) / 2.0
+    y0 = cy - (h - 1) / 2.0
+    xs = x0 + np.arange(w)
+    ys = y0 + np.arange(h)
+    gx, gy = np.meshgrid(xs, ys)
+    ih, iw = a.shape[:2]
+    gx = np.clip(gx, 0, iw - 1.000001)
+    gy = np.clip(gy, 0, ih - 1.000001)
+    xi = np.floor(gx).astype(np.int64)
+    yi = np.floor(gy).astype(np.int64)
+    fx = gx - xi
+    fy = gy - yi
+    if a.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    out = (a[yi, xi] * (1 - fx) * (1 - fy)
+           + a[yi, np.minimum(xi + 1, iw - 1)] * fx * (1 - fy)
+           + a[np.minimum(yi + 1, ih - 1), xi] * (1 - fx) * fy
+           + a[np.minimum(yi + 1, ih - 1),
+               np.minimum(xi + 1, iw - 1)] * fx * fy)
+    if a.dtype == np.uint8:
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out.astype(a.dtype)

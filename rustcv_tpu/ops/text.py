@@ -89,3 +89,19 @@ def put_text_host(img_view: np.ndarray, text: str, org_xy: Tuple[int, int], font
 
     mask, dx, dy = rasterize(text, font_scale)
     golden.blend_mask(img_view, mask, org_xy[0] + dx, org_xy[1] + dy, color_bgr)
+
+
+def get_text_size(text: str, font_scale: float
+                  ) -> Tuple[Tuple[int, int], int]:
+    """OpenCV ``getTextSize`` role for the vendored font:
+    ((width, height above baseline), baseline descent) — the box
+    ``put_text`` will cover for the same scale."""
+    from PIL import Image, ImageDraw
+
+    px_size = max(1, round(font_scale * 20.0))
+    font = _load_font(px_size)
+    ascent, descent = font.getmetrics()
+    probe = Image.new("L", (1, 1))
+    d = ImageDraw.Draw(probe)
+    bbox = d.textbbox((0, 0), text, font=font)
+    return (max(1, bbox[2] - bbox[0]), ascent), descent

@@ -209,3 +209,22 @@ def test_cvt_color_two_plane(rng):
     corr = np.corrcoef(ours.ravel().astype(float),
                        ref.ravel().astype(float))[0, 1]
     assert corr > 0.995
+
+
+def test_get_rect_sub_pix_vs_cv2(rng):
+    a = rng.integers(0, 256, (30, 40), np.uint8)
+    for center in ((10.0, 10.0), (12.3, 7.8), (0.4, 0.2), (39.0, 29.0)):
+        ours = co.get_rect_sub_pix(a, (5, 4), center)
+        ref = cv2.getRectSubPix(a, (5, 4), center)
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_get_text_size():
+    import rustcv_tpu.imgproc as ip
+
+    (w, h), baseline = ip.get_text_size("hello", 1.0)
+    assert w > 20 and h > 8 and baseline >= 1
+    (w2, _), _ = ip.get_text_size("hello world", 1.0)
+    assert w2 > w
+    (w3, h3), _ = ip.get_text_size("hello", 2.0)
+    assert w3 > w and h3 > h
