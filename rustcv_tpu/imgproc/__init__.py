@@ -1706,7 +1706,9 @@ __all__ = [
     "TsdfVolume", "affine_detect_and_compute", "build_mst",
     "Octree", "detect_color_checker", "color_checker_ccm",
     "cvt_color_two_plane", "solve_pnp_epnp",
-    "get_rect_sub_pix", "get_text_size",
+    "get_rect_sub_pix", "get_text_size", "check_range",
+    "init_inverse_rectification_map", "find_transform_ecc_multiscale",
+    "fast_nl_means_denoising_colored_multi",
 ]
 
 
@@ -2484,7 +2486,11 @@ from ..ops.odometry import rgbd_odometry  # noqa: E402
 from ..ops.tsdf import TsdfVolume  # noqa: E402
 from ..ops.asift import affine_detect_and_compute  # noqa: E402
 from ..ops.octree import Octree  # noqa: E402
-from ..ops.core_ops import get_rect_sub_pix  # noqa: E402
+from ..ops.core_ops import check_range, get_rect_sub_pix  # noqa: E402
+from ..ops.calib_ext import (  # noqa: E402
+    init_inverse_rectification_map,
+)
+from ..ops.ecc import find_transform_ecc_multiscale  # noqa: E402
 from ..ops.text import get_text_size  # noqa: E402
 from ..ops.colorchecker import (  # noqa: E402
     color_checker_ccm,
@@ -2801,3 +2807,23 @@ def cvt_color_two_plane(y_plane, uv_plane):
     buf = np.concatenate([y.reshape(-1), uv.reshape(-1)]).astype(
         np.uint8)
     return _golden.nv12_to_bgr(buf, w, h)
+
+
+def fast_nl_means_denoising_colored_multi(frames, img_index: int,
+                                          temporal_window: int,
+                                          h: float = 10.0,
+                                          h_color: float = 10.0,
+                                          template: int = 7,
+                                          search: int = 21):
+    """Colored temporal NL-means (OpenCV
+    ``fastNlMeansDenoisingColoredMulti`` role): Lab split over the
+    temporal spec (ops/nlmeans.py)."""
+    import numpy as np
+
+    from ..ops import nlmeans as _nl
+
+    arrays = np.stack([m.to_numpy() if hasattr(m, "to_numpy")
+                       else np.asarray(m) for m in frames])
+    return _nl.nl_means_colored_multi_numpy(
+        arrays, img_index, temporal_window, h=h, h_color=h_color,
+        template=template, search=search)

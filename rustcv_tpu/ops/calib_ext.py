@@ -682,3 +682,26 @@ def _absolute_orientation_npt(obj: np.ndarray, cam: np.ndarray):
     r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
     t = cc - r @ co
     return rodrigues(r), t
+
+
+def init_inverse_rectification_map(k, dist, new_k,
+                                   size: Tuple[int, int]
+                                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """OpenCV ``initInverseRectificationMap`` role: maps DISTORTED
+    pixel coordinates to their RECTIFIED positions (the inverse
+    direction of initUndistortRectifyMap) → (map_x, map_y) float32
+    (h, w). size = (width, height)."""
+    from .calib import undistort_points
+
+    w, h = size
+    k = np.asarray(k, np.float64)
+    nk = k if new_k is None else np.asarray(new_k, np.float64)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    pts = np.stack([xs.ravel(), ys.ravel()], 1)
+    und = undistort_points(pts, k, dist)
+    # re-project through the NEW camera matrix
+    xn = (und[:, 0] - k[0, 2]) / k[0, 0]
+    yn = (und[:, 1] - k[1, 2]) / k[1, 1]
+    mx = (nk[0, 0] * xn + nk[0, 2]).reshape(h, w)
+    my = (nk[1, 1] * yn + nk[1, 2]).reshape(h, w)
+    return mx.astype(np.float32), my.astype(np.float32)

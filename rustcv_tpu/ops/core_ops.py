@@ -1149,3 +1149,15 @@ def get_rect_sub_pix(img, patch_size, center):
     if a.dtype == np.uint8:
         return np.clip(np.rint(out), 0, 255).astype(np.uint8)
     return out.astype(a.dtype)
+
+
+def check_range(m, min_val: float = -np.inf, max_val: float = np.inf
+                ) -> Tuple[bool, Optional[Tuple[int, ...]]]:
+    """OpenCV ``checkRange``: all elements finite and within
+    [min_val, max_val) → (ok, position of the first bad element)."""
+    a = np.asarray(m, np.float64)
+    bad = ~np.isfinite(a) | (a < min_val) | (a >= max_val)
+    if not bad.any():
+        return True, None
+    pos = np.unravel_index(int(np.argmax(bad)), a.shape)
+    return False, tuple(int(v) for v in pos)

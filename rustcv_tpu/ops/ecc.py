@@ -325,3 +325,38 @@ def find_transform_ecc(
                        jnp.asarray(p0, jnp.float32), motion,
                        int(iterations), float(eps))
     return float(rho), _warp_of(motion, np.asarray(p, np.float64))
+
+
+def find_transform_ecc_multiscale(template, image, motion: str = "affine",
+                                  levels: int = 3, iterations: int = 30,
+                                  eps: float = 1e-6
+                                  ) -> Tuple[float, np.ndarray]:
+    """Coarse-to-fine ECC (OpenCV ``findTransformECCMultiScale`` role):
+    solve on a pyramid, upscaling the warp's translation part between
+    levels — converges for displacements far beyond the single-scale
+    basin. → (rho, warp)."""
+    from .golden import pyr_down
+
+    t = np.asarray(template)
+    im = np.asarray(image)
+    pyr_t = [t]
+    pyr_i = [im]
+    for _ in range(levels - 1):
+        pyr_t.append(pyr_down(pyr_t[-1]))
+        pyr_i.append(pyr_down(pyr_i[-1]))
+    warp = None
+    rho = 0.0
+    for lvl in range(levels - 1, -1, -1):
+        if warp is not None:
+            warp = warp.copy()
+            if warp.shape == (3, 3):
+                warp[0, 2] *= 2.0
+                warp[1, 2] *= 2.0
+                warp[2, 0] /= 2.0
+                warp[2, 1] /= 2.0
+            else:
+                warp[:, 2] *= 2.0
+        rho, warp = find_transform_ecc_numpy(
+            pyr_t[lvl], pyr_i[lvl], motion=motion, warp=warp,
+            iterations=iterations, eps=eps)
+    return rho, warp

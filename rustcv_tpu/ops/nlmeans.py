@@ -204,3 +204,23 @@ def nl_means_multi(frames: jax.Array, img_index: int,
     zero = jnp.zeros((hh, ww), jnp.float32)
     (num, den), _ = lax.scan(step, (zero, zero), offs)
     return jnp.clip(jnp.floor(num / den + 0.5), 0, 255).astype(jnp.uint8)
+
+
+def nl_means_colored_multi_numpy(frames: np.ndarray, img_index: int,
+                                 temporal_window: int, h: float = 10.0,
+                                 h_color: float = 10.0,
+                                 template: int = 7, search: int = 21
+                                 ) -> np.ndarray:
+    """Colored temporal variant (OpenCV
+    ``fastNlMeansDenoisingColoredMulti`` role): Lab split — L denoised
+    with the temporal spec at ``h``, a/b at ``h_color`` (OpenCV's
+    decomposition, as in the single-frame colored path)."""
+    from .golden import bgr_to_lab, lab_to_bgr
+
+    labs = np.stack([bgr_to_lab(np.asarray(f)) for f in frames])
+    out = np.zeros_like(labs[img_index])
+    for c, hh_ in ((0, h), (1, h_color), (2, h_color)):
+        out[..., c] = nl_means_multi_numpy(
+            labs[..., c], img_index, temporal_window, h=hh_,
+            template=template, search=search)
+    return lab_to_bgr(out)

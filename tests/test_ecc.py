@@ -139,3 +139,29 @@ class TestSemantics:
         with pytest.raises(ValueError):
             ecc.find_transform_ecc_numpy(np.zeros((8, 8)),
                                          np.zeros((8, 8)), "similarity")
+
+
+def test_multiscale_large_shift():
+    import cv2 as _cv2
+
+    from rustcv_tpu.ops.ecc import (
+        find_transform_ecc_multiscale,
+        find_transform_ecc_numpy,
+    )
+
+    rng = np.random.default_rng(5)
+    base = _cv2.GaussianBlur(
+        rng.integers(0, 256, (120, 160)).astype(np.uint8), (7, 7), 2.0)
+    m = np.float32([[1, 0, 14.0], [0, 1, -9.0]])
+    moved = _cv2.warpAffine(base, m, (160, 120))
+    # single-scale ECC can't bridge a 14px shift from identity
+    rho1, w1 = find_transform_ecc_numpy(base, moved, "translation",
+                                        iterations=40)
+    rho2, w2 = find_transform_ecc_multiscale(base, moved, "translation",
+                                             levels=4, iterations=40)
+    # rho is depressed by the warp's zero-filled 14px border band; the
+    # recovered SHIFT is the real check
+    assert rho2 > 0.85
+    np.testing.assert_allclose([w2[0, 2], w2[1, 2]], [14.0, -9.0],
+                               atol=0.2)
+    assert rho2 >= rho1 - 1e-9

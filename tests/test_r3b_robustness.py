@@ -76,3 +76,51 @@ def test_knn_index_k_exceeds_n(rng):
     data = rng.normal(0, 1, (3, 4))
     idx, d = KnnIndex(data).knn_search(rng.normal(0, 1, (2, 4)), k=10)
     assert idx.shape == (2, 3)
+
+
+def test_nl_means_colored_multi(rng):
+    from rustcv_tpu.ops.nlmeans import nl_means_colored_multi_numpy
+
+    clean = np.zeros((32, 36, 3), np.uint8)
+    clean[8:24, 10:28] = (40, 160, 90)
+    clean[:, :8] = (120, 60, 200)
+    frames = np.stack([
+        np.clip(clean.astype(float) + rng.normal(0, 18, clean.shape),
+                0, 255).astype(np.uint8) for _ in range(3)])
+    out = nl_means_colored_multi_numpy(frames, 1, 3, h=14.0,
+                                       template=5, search=9)
+    err_in = np.abs(frames[1].astype(float) - clean).mean()
+    err_out = np.abs(out.astype(float) - clean).mean()
+    assert err_out < 0.6 * err_in, (err_in, err_out)
+
+
+def test_check_range():
+    from rustcv_tpu.ops.core_ops import check_range
+
+    ok, pos = check_range(np.array([[1.0, 2.0], [3.0, 4.0]]), 0, 5)
+    assert ok and pos is None
+    ok, pos = check_range(np.array([[1.0, np.nan], [3.0, 4.0]]))
+    assert not ok and pos == (0, 1)
+    ok, pos = check_range(np.array([1.0, 9.0]), 0, 5)
+    assert not ok and pos == (1,)
+    ref = cv2.checkRange(np.array([[1.0, 2.0]]), quiet=True,
+                         minVal=0, maxVal=5)
+    assert ref[0] is True
+
+
+def test_init_inverse_rectification_map():
+    from rustcv_tpu.ops.calib import init_undistort_rectify_map
+    from rustcv_tpu.ops.calib_ext import init_inverse_rectification_map
+
+    k = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1.0]])
+    dist = (-0.15, 0.05, 0.0, 0.0, 0.0)
+    fwd_x, fwd_y = init_undistort_rectify_map(k, dist, None, (320, 240))
+    inv_x, inv_y = init_inverse_rectification_map(k, dist, None,
+                                                  (320, 240))
+    # composition is identity away from the border: follow a rectified
+    # pixel to its distorted source and back
+    for (y, x) in ((120, 160), (80, 100), (150, 220)):
+        sx, sy = fwd_x[y, x], fwd_y[y, x]
+        rx = inv_x[int(round(sy)), int(round(sx))]
+        ry = inv_y[int(round(sy)), int(round(sx))]
+        assert abs(rx - x) < 1.0 and abs(ry - y) < 1.0, (x, y, rx, ry)
