@@ -1759,18 +1759,27 @@ def stereo_sgbm(left: Mat, right: Mat, num_disparities: int = 64,
     return np.asarray(disp), np.asarray(valid)
 
 
+_DIS_PRESETS = {"ultrafast": (2, 5, False), "fast": (2, 8, False),
+                "medium": (1, 12, True)}
+
+
 def calc_optical_flow_dis(prev: Mat, nxt: Mat, finest_scale: int = 1,
-                          iters: int = 8, refine: bool = False):
+                          iters: int = 8, refine: bool = False,
+                          preset: str = None):
     """DIS dense optical flow (OpenCV ``DISOpticalFlow`` role): patch
     inverse search + inverse-residual densification over a pyramid —
     vmapped shared-fraction patch solves on device (ops/disflow.py).
     ``refine=True`` runs the Brox variational polish afterwards
     (ops/varref.py — OpenCV's DIS presets do the same internally).
+    ``preset`` ("ultrafast"/"fast"/"medium", OpenCV's DIS presets)
+    overrides the scale/iteration/refinement knobs.
     Returns float32 flow [H, W, 2] (u, v) with I1(x+u) ~= I0(x)."""
     import numpy as np
 
     from ..ops import disflow as _dis
 
+    if preset is not None:
+        finest_scale, iters, refine = _DIS_PRESETS[preset]
     g0 = _gray_of_mat(prev)
     g1 = _gray_of_mat(nxt)
     if prev.is_on_device:

@@ -80,3 +80,20 @@ def test_dis_facade_refine(pair, rng):
                                     Mat.from_array(i1), refine=True)
     assert flow.shape == tf.shape and flow.dtype == np.float32
     assert _epe(flow, tf) < 0.5
+
+
+def test_dis_presets(pair):
+    import rustcv_tpu.imgproc as ip
+    from rustcv_tpu.core.mat import Mat
+
+    i0, i1, tf = pair
+    # the coarse presets run their finest level at 1/4 resolution —
+    # accuracy on this small 70x90 frame is accordingly loose
+    for preset, bound in (("ultrafast", 4.0), ("fast", 4.0),
+                          ("medium", 0.8)):
+        flow = ip.calc_optical_flow_dis(Mat.from_array(i0),
+                                        Mat.from_array(i1),
+                                        preset=preset)
+        assert flow.shape == tf.shape
+        assert np.isfinite(flow).all()
+        assert _epe(flow, tf) < bound, preset
