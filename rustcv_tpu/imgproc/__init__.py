@@ -1708,7 +1708,7 @@ __all__ = [
     "cvt_color_two_plane", "solve_pnp_epnp",
     "get_rect_sub_pix", "get_text_size", "check_range",
     "init_inverse_rectification_map", "find_transform_ecc_multiscale",
-    "fast_nl_means_denoising_colored_multi",
+    "fast_nl_means_denoising_colored_multi", "ScaleEstimator",
 ]
 
 
@@ -2500,6 +2500,7 @@ from ..ops.calib_ext import (  # noqa: E402
     init_inverse_rectification_map,
 )
 from ..ops.ecc import find_transform_ecc_multiscale  # noqa: E402
+from ..ops.dsst_scale import ScaleEstimator  # noqa: E402
 from ..ops.text import get_text_size  # noqa: E402
 from ..ops.colorchecker import (  # noqa: E402
     color_checker_ccm,
