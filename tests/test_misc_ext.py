@@ -176,3 +176,21 @@ def test_fit_line_robust_vs_outliers():
     for dt in ("welsch", "l1", "fair", "l12"):
         vx, vy, _, _ = fit_line(pts_out, dt)
         assert abs(vy / vx - 0.5) < 0.04, dt
+
+
+def test_min_enclosing_triangle_vs_cv2():
+    from rustcv_tpu.ops.shape import min_enclosing_triangle
+
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        pts = rng.normal(0, 10, (12, 2)).astype(np.float32) + 50
+        area, tri = min_enclosing_triangle(pts)
+        ref_area, ref_tri = cv2.minEnclosingTriangle(
+            pts.reshape(-1, 1, 2))
+        assert area <= float(ref_area) * (1 + 1e-5), (area, ref_area)
+        assert area >= float(ref_area) * (1 - 1e-5)
+        # containment of every input point
+        for q in pts:
+            assert cv2.pointPolygonTest(
+                tri.astype(np.float32), (float(q[0]), float(q[1])),
+                True) >= -1e-3
