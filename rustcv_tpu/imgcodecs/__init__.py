@@ -148,3 +148,42 @@ def imwritemulti(path: str, mats) -> bool:
         return False
     frames[0].save(path, save_all=True, append_images=frames[1:])
     return True
+
+
+def imread_with_metadata(path: str):
+    """Metadata-aware read (OpenCV ``imreadWithMetadata`` role):
+    → (Mat, dict) with PNG text chunks / EXIF tag ids (PIL backend)."""
+    import numpy as np
+    from PIL import Image
+
+    with Image.open(path) as img:
+        meta = {str(k): str(v) for k, v in (img.info or {}).items()
+                if isinstance(v, (str, int, float))}
+        try:
+            exif = img.getexif()
+            for k, v in exif.items():
+                meta[f"exif:{k}"] = str(v)
+        except Exception:
+            pass
+        rgb = np.asarray(img.convert("RGB"))
+    return Mat.from_array(rgb[..., ::-1].copy()), meta
+
+
+def imwrite_with_metadata(path: str, mat, metadata: dict) -> bool:
+    """Metadata-aware write (OpenCV ``imwriteWithMetadata`` role):
+    PNG text chunks (PNG) or quality-style kwargs passthrough."""
+    import numpy as np
+    from PIL import Image, PngImagePlugin
+
+    a = mat.to_numpy() if hasattr(mat, "to_numpy") else np.asarray(mat)
+    if a.ndim == 3:
+        a = a[..., ::-1]
+    img = Image.fromarray(a)
+    if path.lower().endswith(".png"):
+        info = PngImagePlugin.PngInfo()
+        for k, v in (metadata or {}).items():
+            info.add_text(str(k), str(v))
+        img.save(path, pnginfo=info)
+    else:
+        img.save(path)
+    return True

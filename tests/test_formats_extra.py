@@ -246,3 +246,18 @@ class TestMultiPage:
         assert ok and len(pages) == 3
         for f, p in zip(frames, pages):
             np.testing.assert_array_equal(p, f)
+
+
+def test_metadata_round_trip(tmp_path, rng):
+    from rustcv_tpu import imgcodecs
+    from rustcv_tpu.core.mat import Mat
+
+    frame = rng.integers(0, 256, (16, 20, 3), np.uint8)
+    path = str(tmp_path / "m.png")
+    assert imgcodecs.imwrite_with_metadata(
+        path, Mat.from_array(frame),
+        {"camera": "sim0", "exposure_us": "1250"})
+    mat, meta = imgcodecs.imread_with_metadata(path)
+    np.testing.assert_array_equal(mat.to_numpy(), frame)
+    assert meta.get("camera") == "sim0"
+    assert meta.get("exposure_us") == "1250"
