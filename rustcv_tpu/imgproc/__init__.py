@@ -2346,6 +2346,27 @@ def find_chessboard_corners(mat, pattern_size, refine: bool = True):
     return _find(gray, pattern_size, refine=refine)
 
 
+def find_chessboard_corners_sb(mat, pattern_size,
+                               normalize: bool = False,
+                               refine: bool = True):
+    """Sector-based chessboard detection (OpenCV
+    ``findChessboardCornersSB`` role; frozen spec in
+    ops/chessboard_sb.py — corner-likelihood convolutions on device +
+    host lattice growth). Same canonical ordering contract as
+    :func:`find_chessboard_corners`; more robust under blur/low
+    contrast. ``normalize`` = CALIB_CB_NORMALIZE_IMAGE role."""
+    import numpy as np
+
+    from ..ops.chessboard_sb import find_chessboard_corners_sb as _find
+
+    if isinstance(mat, Mat):
+        gray = np.asarray(_gray_of_mat(mat))
+    else:
+        a = np.asarray(mat)
+        gray = golden.bgr_to_gray(a) if a.ndim == 3 else a
+    return _find(gray, pattern_size, normalize=normalize, refine=refine)
+
+
 def draw_chessboard_corners(mat: Mat, pattern_size, corners,
                             found: bool) -> None:
     """Overlay detected corners in place (OpenCV
