@@ -1709,6 +1709,7 @@ __all__ = [
     "get_rect_sub_pix", "get_text_size", "check_range",
     "init_inverse_rectification_map", "find_transform_ecc_multiscale",
     "fast_nl_means_denoising_colored_multi", "ScaleEstimator",
+    "min_enclosing_convex_polygon",
     "min_enclosing_triangle",
 ]
 
@@ -2588,7 +2589,11 @@ from ..ops.core_ops import (  # noqa: E402  (tail re-exports)
     mat_mul_deriv,
     transpose_nd,
 )
-from ..ops.shape import approx_poly_n, min_enclosing_triangle  # noqa: E402
+from ..ops.shape import (  # noqa: E402
+    approx_poly_n,
+    min_enclosing_convex_polygon,
+    min_enclosing_triangle,
+)
 from ..ops.core_ops import divide_u8 as divide  # noqa: E402
 from ..ops.core_ops import merge_channels as merge  # noqa: E402
 from ..ops.core_ops import multiply_u8 as multiply  # noqa: E402

@@ -794,3 +794,165 @@ def min_enclosing_triangle(pts: np.ndarray) -> Tuple[float, np.ndarray]:
     if best is None:
         raise ValueError("no enclosing triangle found")
     return float(best_a), best
+
+
+def min_enclosing_convex_polygon(pts: np.ndarray, k: int
+                                 ) -> Tuple[float, np.ndarray]:
+    """Minimum-area enclosing convex k-gon (OpenCV
+    ``minEnclosingConvexPolygon`` role, Aggarwal–Chang–Yap problem) →
+    (area, polygon (m, 2) float64), m = min(k, hull size).
+
+    Exact flush-edge optimum + local midpoint refinement:
+    1. k = 3 delegates to :func:`min_enclosing_triangle` (exact
+       O'Rourke enumeration; cv2 5.0 SEGFAULTS on k = 3).
+    2. hull size ≤ k: the hull itself is the minimum (area = hull
+       area; extra vertices would be collinear).
+    3. Otherwise a vectorized cyclic DP over hull-edge supporting
+       lines finds the optimal ALL-FLUSH k-gon exactly (states =
+       consecutive chosen-edge pairs, cost = shoelace triple terms,
+       O(n⁴k) — hulls are small), then coordinate descent rotates
+       each side to its midpoint-touching stationary line (reflect
+       the previous side's line through the pivot vertex, intersect
+       with the next side's line) wherever that stays a supporting
+       line and shrinks the area — the non-flush optimality structure
+       of this problem family.
+
+    NOTE on the cv2 oracle: OpenCV 5.0's implementation returns
+    NON-ENCLOSING polygons for some k = 4 inputs (points up to ~100 px
+    outside, areas ~13% above this function's enclosing optimum) and
+    segfaults on k = 3; the tests therefore pin containment always,
+    area ≤ cv2's wherever cv2's own output is valid, and agreement
+    with a brute-force flush enumeration on small hulls."""
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    if k < 3:
+        raise ValueError("k must be >= 3")
+    if k == 3:
+        return min_enclosing_triangle(p)
+    hull = np.asarray(convex_hull(p), np.float64)
+    n = len(hull)
+    if n < 3:
+        raise ValueError("need at least 3 non-collinear points")
+    if n <= k:
+        return contour_area(hull), hull.copy()
+
+    nxt = np.roll(hull, -1, axis=0)
+    dirs = nxt - hull
+    sgn = np.sign(np.sum(hull[:, 0] * nxt[:, 1] - nxt[:, 0] * hull[:, 1]))
+    ang = np.arctan2(dirs[:, 1], dirs[:, 0])
+
+    # pairwise supporting-line intersections; valid iff the oriented
+    # turning angle between the two edge directions is in (0, pi)
+    ipt = np.full((n, n, 2), np.nan)
+    valid = np.zeros((n, n), bool)
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            g = (sgn * (ang[j] - ang[i])) % (2 * np.pi)
+            if not (1e-12 < g < np.pi - 1e-12):
+                continue
+            den = dirs[i, 0] * dirs[j, 1] - dirs[i, 1] * dirs[j, 0]
+            if abs(den) < 1e-12:
+                continue
+            t = ((hull[j, 0] - hull[i, 0]) * dirs[j, 1]
+                 - (hull[j, 1] - hull[i, 1]) * dirs[j, 0]) / den
+            ipt[i, j] = hull[i] + t * dirs[i]
+            valid[i, j] = True
+
+    # T[p, c, x] = oriented shoelace term cross(I[p,c], I[c,x])
+    big = 1e30
+    tx = np.nan_to_num(ipt[:, :, 0], nan=big)
+    ty = np.nan_to_num(ipt[:, :, 1], nan=big)
+    T = sgn * (tx[:, :, None] * ty[None, :, :]
+               - ty[:, :, None] * tx[None, :, :])
+    T[~valid, :] = np.inf
+    T[:, ~valid] = np.inf
+    ordmask = np.tril(np.ones((n, n), bool))      # x <= c forbidden
+
+    best_total = np.inf
+    best_chain = None
+    for c0 in range(0, n - k + 1):
+        for c1 in range(c0 + 1, n - k + 2):
+            if not valid[c0, c1]:
+                continue
+            dp = np.full((n, n), np.inf)
+            dp[c0, c1] = 0.0
+            parents = []
+            dead = False
+            for _ in range(k - 2):
+                m = dp[:, :, None] + T            # (p, c, x)
+                am = np.argmin(m, axis=0)         # (c, x)
+                dp = np.take_along_axis(m, am[None], axis=0)[0]
+                dp[ordmask] = np.inf
+                parents.append(am)
+                if not np.isfinite(dp).any():
+                    dead = True
+                    break
+            if dead:
+                continue
+            tot = dp + T[:, :, c0] + T[:, c0, c1][None, :]
+            pc = np.unravel_index(np.argmin(tot), tot.shape)
+            if tot[pc] < best_total:
+                best_total = tot[pc]
+                best_chain = (parents, int(pc[0]), int(pc[1]))
+    if best_chain is None or not np.isfinite(best_total):
+        raise ValueError("no enclosing k-gon found")
+    parents, pf, cf = best_chain
+    # walk back: dp had a single finite seed (c0, c1), so the trace
+    # necessarily ends there — chain = [c0, c1, ..., c_{k-1}]
+    chain = [pf, cf]
+    for s in range(k - 3, -1, -1):
+        chain.insert(0, int(parents[s][chain[0], chain[1]]))
+    verts = np.array([ipt[chain[j], chain[(j + 1) % k]]
+                      for j in range(k)])
+
+    def shoelace(v):
+        return 0.5 * abs(float(np.sum(
+            v[:, 0] * np.roll(v[:, 1], -1) - np.roll(v[:, 0], -1)
+            * v[:, 1])))
+
+    def supports(a, b):
+        """All hull points on the inner side of line (a→b)."""
+        d = b - a
+        s = sgn * (d[0] * (hull[:, 1] - a[1]) - d[1] * (hull[:, 0] - a[0]))
+        scale = max(1.0, float(np.abs(s).max()))
+        return float(s.min()) >= -1e-9 * scale
+
+    def is_convex(v):
+        d = np.roll(v, -1, axis=0) - v
+        c = d[:, 0] * np.roll(d[:, 1], -1) - d[:, 1] * np.roll(d[:, 0], -1)
+        return bool((sgn * c > 0).all())
+
+    def line_inter(a1, a2, b1, b2):
+        d1, d2 = a2 - a1, b2 - b1
+        den = d1[0] * d2[1] - d1[1] * d2[0]
+        if abs(den) < 1e-12:
+            return None
+        t = ((b1[0] - a1[0]) * d2[1] - (b1[1] - a1[1]) * d2[0]) / den
+        return a1 + t * d1
+
+    # midpoint coordinate descent (non-flush refinement)
+    area = shoelace(verts)
+    for _ in range(60):
+        improved = False
+        for j in range(k):
+            jm, jp = (j - 1) % k, (j + 1) % k
+            a_prev, b_prev = verts[jm], verts[j]       # line of edge j-1
+            a_next, b_next = verts[jp], verts[(j + 2) % k]
+            for v in hull:
+                # reflect the previous line through v, meet the next
+                q = line_inter(2 * v - a_prev, 2 * v - b_prev,
+                               a_next, b_next)
+                if q is None:
+                    continue
+                p1 = 2 * v - q                         # on the prev line
+                cand = verts.copy()
+                cand[j], cand[jp] = p1, q
+                if not supports(p1, q) or not is_convex(cand):
+                    continue
+                ar = shoelace(cand)
+                if ar < area - 1e-12 * max(1.0, area):
+                    verts, area, improved = cand, ar, True
+        if not improved:
+            break
+    return float(area), verts
