@@ -1,0 +1,1729 @@
+"""Drop-in OpenCV-compatible facade over rustcv_tpu.
+
+``import rustcv_tpu.cv2 as cv2`` gives cv2's camelCase API — int enum
+constants, ndarray in / ndarray out, cv2 return conventions — running on
+the TPU-native implementations underneath (`rustcv_tpu.imgproc` et al.).
+Parity is asserted call-for-call against real OpenCV 5.0 in
+``tests/test_cv2_shim.py``; ops whose frozen specs are bit-exact vs cv2
+(see tests/test_opencv_parity.py) stay bit-exact through this layer.
+
+Coverage policy: the high-traffic cv2 surface is wrapped 1:1; exotic
+argument combinations our facade does not model raise ``ValueError`` /
+``NotImplementedError`` with the supported alternatives named, never
+silently diverge.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ._constants import *  # noqa: F401,F403
+from . import _constants as _C
+from ..core.mat import Mat
+from .. import imgproc as _ip
+from .. import imgcodecs as _icodec
+from .. import highgui as _hg
+from ..imgproc import Point as _Point, Rect as _Rect, Scalar as _Scalar
+
+__version__ = "5.0-rustcv_tpu"
+
+
+# ---------------------------------------------------------------- helpers
+
+def _m(a) -> Mat:
+    """ndarray (H,W) / (H,W,C) or Mat -> Mat."""
+    if isinstance(a, Mat):
+        return a
+    arr = np.ascontiguousarray(a)
+    return Mat.from_array(arr)
+
+
+def _o(x, ref=None):
+    """Mat/array -> ndarray with cv2 shape conventions (gray is 2-D)."""
+    if isinstance(x, Mat):
+        x = x.to_numpy()
+    x = np.asarray(x)
+    if x.ndim == 3 and x.shape[2] == 1:
+        x = x[:, :, 0]
+    return x
+
+
+def _color(c):
+    if np.isscalar(c):
+        return _Scalar.all(int(c))
+    c = tuple(int(v) for v in np.atleast_1d(np.asarray(c, dtype=np.float64)))
+    c = (c + (0, 0, 0))[:3]
+    return _Scalar(*c)
+
+
+def _pad_run_crop(src, pad, fn, borderType=4, value=0):
+    """cv2-exact borders for stencil ops: pad with cv2's border rule,
+    run our (replicate-border) op, crop the pad ring back off."""
+    a = np.asarray(src)
+    name = _BORDER_NAMES.get(int(borderType) & 15, "reflect101")
+    padded = np.asarray(_ip.copy_make_border(a, pad, pad, pad, pad,
+                                             name, value))
+    out = np.asarray(fn(padded))
+    return out[pad:out.shape[0] - pad, pad:out.shape[1] - pad]
+
+
+def _pt(p):
+    return _Point(int(round(p[0])), int(round(p[1])))
+
+
+def _inplace(img, fn):
+    """Run a Mat-mutating drawing op and write the result back into img."""
+    m = _m(img)
+    fn(m)
+    out = _o(m)
+    np.copyto(img, out.reshape(img.shape))
+    return img
+
+
+def _sat(arr, ddepth, src_dtype):
+    """Convert an exact int/float result to the requested cv2 ddepth."""
+    if ddepth in (-1, None):
+        dt = src_dtype
+    else:
+        dt = {_C.CV_8U: np.uint8, _C.CV_8S: np.int8, _C.CV_16U: np.uint16,
+              _C.CV_16S: np.int16, _C.CV_32S: np.int32,
+              _C.CV_32F: np.float32, _C.CV_64F: np.float64}[ddepth]
+    if np.issubdtype(dt, np.integer):
+        info = np.iinfo(dt)
+        return np.clip(np.rint(arr), info.min, info.max).astype(dt)
+    return np.asarray(arr, dtype=dt)
+
+
+# ------------------------------------------------------------- color
+
+_CVT_DIRECT = {}
+
+
+def _rev3(a):
+    return a[..., ::-1] if a.ndim == 3 else a
+
+
+def cvtColor(src, code, dst=None, dstCn=0):
+    a = np.asarray(src)
+    C = _C
+    if code in (C.COLOR_BGR2RGB,):  # == RGB2BGR
+        out = a[..., ::-1].copy()
+    elif code in (C.COLOR_BGR2BGRA,):  # == RGB2RGBA
+        alpha = np.full(a.shape[:2] + (1,), 255, a.dtype)
+        out = np.concatenate([a, alpha], axis=-1)
+    elif code in (C.COLOR_BGRA2BGR,):  # == RGBA2RGB
+        out = a[..., :3].copy()
+    elif code in (C.COLOR_BGR2GRAY, C.COLOR_RGB2GRAY,
+                  C.COLOR_BGRA2GRAY, C.COLOR_RGBA2GRAY):
+        x = a[..., :3]
+        if code in (C.COLOR_RGB2GRAY, C.COLOR_RGBA2GRAY):
+            x = x[..., ::-1]
+        out = _o(_ip.cvt_gray(_m(x)))
+    elif code in (C.COLOR_GRAY2BGR, C.COLOR_GRAY2RGB):
+        out = np.repeat(a[..., None] if a.ndim == 2 else a, 3, axis=-1)
+    elif code in (C.COLOR_GRAY2BGRA,):
+        g = a if a.ndim == 2 else a[..., 0]
+        out = np.stack([g, g, g, np.full_like(g, 255)], axis=-1)
+    elif code in (C.COLOR_BGR2HSV, C.COLOR_RGB2HSV):
+        x = _rev3(a) if code == C.COLOR_RGB2HSV else a
+        out = _o(_ip.cvt_hsv(_m(x)))
+    elif code in (C.COLOR_HSV2BGR, C.COLOR_HSV2RGB):
+        out = _o(_ip.cvt_hsv_to_bgr(_m(a)))
+        if code == C.COLOR_HSV2RGB:
+            out = out[..., ::-1].copy()
+    elif code in (C.COLOR_BGR2Lab, C.COLOR_RGB2Lab):
+        x = _rev3(a) if code == C.COLOR_RGB2Lab else a
+        out = _o(_ip.cvt_lab(_m(x)))
+    elif code in (C.COLOR_Lab2BGR, C.COLOR_Lab2RGB):
+        out = _o(_ip.cvt_lab_to_bgr(_m(a)))
+        if code == C.COLOR_Lab2RGB:
+            out = out[..., ::-1].copy()
+    elif code in (C.COLOR_BGR2YCrCb, C.COLOR_RGB2YCrCb):
+        x = _rev3(a) if code == C.COLOR_RGB2YCrCb else a
+        out = _o(_ip.cvt_ycrcb(_m(x)))
+    elif code in (C.COLOR_YCrCb2BGR, C.COLOR_YCrCb2RGB):
+        out = _o(_ip.cvt_ycrcb_to_bgr(_m(a)))
+        if code == C.COLOR_YCrCb2RGB:
+            out = out[..., ::-1].copy()
+    else:
+        raise NotImplementedError(f"cvtColor code {code} not wrapped yet")
+    if dst is not None:
+        np.copyto(dst, out)
+        return dst
+    return out
+
+
+def cvtColorTwoPlane(src1, src2, code, dst=None):
+    out = _o(_ip.cvt_color_two_plane(_m(src1), _m(src2), code))
+    return out
+
+
+def demosaicing(src, code, dst=None, dstCn=0):
+    raise NotImplementedError("use rustcv_tpu.ops.color bayer kernels")
+
+
+# ------------------------------------------------------------- threshold
+
+_THRESH_NAMES = {0: "binary", 1: "binary_inv", 2: "trunc",
+                 3: "tozero", 4: "tozero_inv"}
+
+
+def _otsu_thresh(a):
+    # cv2 getThreshVal_Otsu_8u: maximize between-class variance,
+    # first (lowest) maximizer wins.
+    hist = np.bincount(a.ravel(), minlength=256).astype(np.float64)
+    total = a.size
+    mu_t = np.dot(np.arange(256), hist) / total
+    w = np.cumsum(hist) / total
+    mu = np.cumsum(np.arange(256) * hist) / total
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma = (mu_t * w - mu) ** 2 / (w * (1.0 - w))
+    sigma[~np.isfinite(sigma)] = 0.0
+    return float(np.argmax(sigma))
+
+
+def threshold(src, thresh, maxval, type, dst=None):
+    a = np.asarray(src)
+    flags = int(type)
+    base = flags & 7
+    if flags & _C.THRESH_OTSU:
+        thresh = _otsu_thresh(a)
+    elif flags & _C.THRESH_TRIANGLE:
+        raise NotImplementedError("THRESH_TRIANGLE")
+    name = _THRESH_NAMES[base]
+    out = _o(_ip.threshold(_m(a), int(thresh), int(maxval), type=name))
+    return float(thresh), out
+
+
+def adaptiveThreshold(src, maxValue, adaptiveMethod, thresholdType,
+                      blockSize, C, dst=None):
+    method = "mean" if adaptiveMethod == _C.ADAPTIVE_THRESH_MEAN_C else "gaussian"
+    inv = thresholdType == _C.THRESH_BINARY_INV
+    return _o(_ip.adaptive_threshold(_m(src), int(maxValue), method,
+                                     int(blockSize), C, inv))
+
+
+def inRange(src, lowerb, upperb, dst=None):
+    return _o(_ip.in_range(_m(src), np.asarray(lowerb).ravel(),
+                           np.asarray(upperb).ravel()))
+
+
+# ------------------------------------------------------------- geometry
+
+_INTER_NAMES = {0: "nearest", 1: "bilinear", 2: "cubic", 3: "area"}
+
+
+def resize(src, dsize, dst=None, fx=0, fy=0, interpolation=1):
+    a = np.asarray(src)
+    if dsize is None or tuple(dsize) == (0, 0):
+        w = int(round(a.shape[1] * fx))
+        h = int(round(a.shape[0] * fy))
+    else:
+        w, h = int(dsize[0]), int(dsize[1])
+    if int(interpolation) & 7 == _C.INTER_NEAREST:
+        # cv2's INTER_NEAREST is floor(dst * scale), not half-pixel-center
+        sh, sw = a.shape[:2]
+        # cv2 rounds ifx as 1/(dst/src) — one ulp below src/dst; keep
+        # its exact double sequence so tap indices match bit-for-bit
+        ifx, ify = 1.0 / (w / sw), 1.0 / (h / sh)
+        xi = np.minimum(np.floor(np.arange(w) * ifx).astype(np.int64),
+                        sw - 1)
+        yi = np.minimum(np.floor(np.arange(h) * ify).astype(np.int64),
+                        sh - 1)
+        return np.ascontiguousarray(a[yi[:, None], xi[None, :]])
+    name = _INTER_NAMES.get(int(interpolation) & 7)
+    if name is None:
+        raise NotImplementedError(f"interpolation {interpolation}")
+    return _o(_ip.resize(_m(a), w, h, interpolation=name))
+
+
+def flip(src, flipCode, dst=None):
+    return _o(_ip.flip(_m(src), int(flipCode)))
+
+
+def flipND(src, axis, dst=None):
+    return _o(_ip.flip_nd(np.asarray(src), int(axis)))
+
+
+def rotate(src, rotateCode, dst=None):
+    a = np.asarray(src)
+    if rotateCode == _C.ROTATE_90_CLOCKWISE:
+        return np.ascontiguousarray(np.rot90(a, k=-1))
+    if rotateCode == _C.ROTATE_180:
+        return np.ascontiguousarray(np.rot90(a, k=2))
+    if rotateCode == _C.ROTATE_90_COUNTERCLOCKWISE:
+        return np.ascontiguousarray(np.rot90(a, k=1))
+    raise ValueError(f"bad rotateCode {rotateCode}")
+
+
+_BORDER_NAMES = {0: "constant", 1: "replicate", 2: "reflect",
+                 3: "wrap", 4: "reflect101"}
+
+
+def warpAffine(src, M, dsize, dst=None, flags=1, borderMode=0,
+               borderValue=0):
+    mode = _INTER_NAMES.get(int(flags) & 7, "bilinear")
+    border = _BORDER_NAMES.get(int(borderMode), "constant")
+    M = np.asarray(M, dtype=np.float64)
+    if int(flags) & _C.WARP_INVERSE_MAP:
+        M = _ip.invert_affine_transform(M)
+    return _o(_ip.warp_affine(_m(src), M, (int(dsize[0]), int(dsize[1])),
+                              mode=mode, border=border))
+
+
+def warpPerspective(src, M, dsize, dst=None, flags=1, borderMode=0,
+                    borderValue=0):
+    mode = _INTER_NAMES.get(int(flags) & 7, "bilinear")
+    border = _BORDER_NAMES.get(int(borderMode), "constant")
+    M = np.asarray(M, dtype=np.float64)
+    if int(flags) & _C.WARP_INVERSE_MAP:
+        M = np.linalg.inv(M)
+    return _o(_ip.warp_perspective(_m(src), M, (int(dsize[0]), int(dsize[1])),
+                                   mode=mode, border=border))
+
+
+def getRotationMatrix2D(center, angle, scale):
+    return np.asarray(_ip.get_rotation_matrix_2d(
+        (float(center[0]), float(center[1])), float(angle), float(scale)),
+        dtype=np.float64)
+
+
+def getAffineTransform(src, dst):
+    return np.asarray(_ip.get_affine_transform(
+        np.asarray(src, np.float64).reshape(3, 2),
+        np.asarray(dst, np.float64).reshape(3, 2)), dtype=np.float64)
+
+
+def getPerspectiveTransform(src, dst, solveMethod=0):
+    return np.asarray(_ip.get_perspective_transform(
+        np.asarray(src, np.float64).reshape(4, 2),
+        np.asarray(dst, np.float64).reshape(4, 2)), dtype=np.float64)
+
+
+def invertAffineTransform(M, iM=None):
+    return np.asarray(_ip.invert_affine_transform(np.asarray(M, np.float64)))
+
+
+def remap(src, map1, map2, interpolation=1, dst=None, borderMode=0,
+          borderValue=0):
+    if int(interpolation) & 7 != 1:
+        raise NotImplementedError("remap supports INTER_LINEAR")
+    border = _BORDER_NAMES.get(int(borderMode), "constant")
+    return _o(_ip.remap(_m(src), np.asarray(map1), np.asarray(map2),
+                        border=border))
+
+
+def convertMaps(map1, map2, dstmap1type, nninterpolation=False):
+    return _ip.convert_maps(np.asarray(map1), np.asarray(map2),
+                            dstmap1type, nninterpolation)
+
+
+def warpPolar(src, dsize, center, maxRadius, flags):
+    a = np.asarray(src)
+    log = bool(int(flags) & _C.WARP_POLAR_LOG)
+    inverse = bool(int(flags) & _C.WARP_INVERSE_MAP)
+    return _o(_ip.warp_polar(_m(a), (int(dsize[0]), int(dsize[1])),
+                             (float(center[0]), float(center[1])),
+                             float(maxRadius), log=log, inverse=inverse))
+
+
+# ------------------------------------------------------------- filters
+
+def GaussianBlur(src, ksize, sigmaX, dst=None, sigmaY=0, borderType=4):
+    kx, ky = int(ksize[0]), int(ksize[1])
+    if kx == 0 and ky == 0:
+        kx = ky = (int(round(sigmaX * 3 * 2 + 1)) | 1)
+    if kx != ky:
+        raise NotImplementedError("anisotropic Gaussian ksize")
+    if sigmaY not in (0, sigmaX):
+        raise NotImplementedError("sigmaY != sigmaX")
+    sigma = float(sigmaX) if sigmaX > 0 else -1.0
+    return _pad_run_crop(
+        src, kx // 2,
+        lambda p: _o(_ip.gaussian_blur(_m(p), kx, sigma)), borderType)
+
+
+def blur(src, ksize, dst=None, anchor=(-1, -1), borderType=4):
+    from ..ops import core_ops as _co
+    return _o(_co.blur(np.asarray(src), (int(ksize[0]), int(ksize[1]))))
+
+
+def boxFilter(src, ddepth, ksize, dst=None, anchor=(-1, -1),
+              normalize=True, borderType=4):
+    from ..ops import core_ops as _co
+    out = _co.box_filter(np.asarray(src), (int(ksize[0]), int(ksize[1])),
+                         normalize=bool(normalize))
+    return _sat(out, ddepth, np.asarray(src).dtype)
+
+
+def sqrBoxFilter(src, ddepth, ksize, dst=None, anchor=(-1, -1),
+                 normalize=True, borderType=4):
+    out = _ip.sqr_box_filter(np.asarray(src), (int(ksize[0]), int(ksize[1])),
+                             normalize=bool(normalize))
+    return _sat(out, ddepth, np.float32)
+
+
+def medianBlur(src, ksize, dst=None):
+    return _o(_ip.median_blur(_m(src), int(ksize)))
+
+
+def bilateralFilter(src, d, sigmaColor, sigmaSpace, dst=None, borderType=4):
+    return _o(_ip.bilateral_filter(_m(src), int(sigmaColor)))
+
+
+def filter2D(src, ddepth, kernel, dst=None, anchor=(-1, -1), delta=0,
+             borderType=4):
+    k = np.asarray(kernel, np.float64)
+    pad = builtins_max(k.shape) // 2
+    out = _pad_run_crop(src, pad, lambda p: _o(_ip.filter2d(_m(p), k)),
+                        borderType)
+    if delta:
+        out = _sat(out.astype(np.float64) + delta, ddepth,
+                   np.asarray(src).dtype)
+    return out
+
+
+def sepFilter2D(src, ddepth, kernelX, kernelY, dst=None, anchor=(-1, -1),
+                delta=0, borderType=4):
+    kx = np.asarray(kernelX).ravel()
+    ky = np.asarray(kernelY).ravel()
+    pad = builtins_max(len(kx), len(ky)) // 2
+    return _pad_run_crop(src, pad,
+                         lambda p: _o(_ip.sep_filter_2d(_m(p), kx, ky)),
+                         borderType)
+
+
+def Sobel(src, ddepth, dx, dy, dst=None, ksize=3, scale=1, delta=0,
+          borderType=4):
+    out = _pad_run_crop(
+        src, int(ksize) // 2,
+        lambda p: _ip.sobel(_m(p), int(dx), int(dy), int(ksize)),
+        borderType).astype(np.float64)
+    return _sat(out * scale + delta, ddepth, np.asarray(src).dtype)
+
+
+def Scharr(src, ddepth, dx, dy, dst=None, scale=1, delta=0, borderType=4):
+    out = _pad_run_crop(src, 1,
+                        lambda p: _ip.scharr(_m(p), int(dx), int(dy)),
+                        borderType).astype(np.float64)
+    return _sat(out * scale + delta, ddepth, np.asarray(src).dtype)
+
+
+def Laplacian(src, ddepth, dst=None, ksize=1, scale=1, delta=0,
+              borderType=4):
+    if ksize not in (1, 3):
+        raise NotImplementedError("Laplacian ksize in (1, 3)")
+    out = _pad_run_crop(src, 1, lambda p: np.asarray(_ip.laplacian(_m(p))),
+                        borderType).astype(np.float64)
+    return _sat(out * scale + delta, ddepth, np.asarray(src).dtype)
+
+
+def spatialGradient(src, dx=None, dy=None, ksize=3, borderType=4):
+    gx, gy = _ip.spatial_gradient(np.asarray(src), int(ksize))
+    return np.asarray(gx, np.int16), np.asarray(gy, np.int16)
+
+
+def Canny(image, threshold1, threshold2, edges=None, apertureSize=3,
+          L2gradient=False):
+    # our spec fuses a 5x5 Gaussian prefilter, so its gradient magnitudes
+    # sit at 1/1.6 of cv2's raw-Sobel scale (measured at contrasts
+    # 29/100/255); map user thresholds into our scale so cv2-tuned
+    # values keep selecting the same edges
+    return _o(_ip.canny(_m(image), int(round(threshold1 / 1.6)),
+                        int(round(threshold2 / 1.6))))
+
+
+def erode(src, kernel, dst=None, anchor=(-1, -1), iterations=1,
+          borderType=0, borderValue=None):
+    return _morph_iter(_ip.erode_kernel, src, kernel, iterations)
+
+
+def dilate(src, kernel, dst=None, anchor=(-1, -1), iterations=1,
+           borderType=0, borderValue=None):
+    return _morph_iter(_ip.dilate_kernel, src, kernel, iterations)
+
+
+def _morph_iter(fn, src, kernel, iterations):
+    if kernel is None:
+        kernel = np.ones((3, 3), np.uint8)
+    m = _m(src)
+    for _ in range(max(1, int(iterations))):
+        m = fn(m, np.asarray(kernel))
+    return _o(m)
+
+
+_MORPH_NAMES = {2: "open", 3: "close", 4: "gradient", 5: "tophat",
+                6: "blackhat"}
+
+
+def morphologyEx(src, op, kernel, dst=None, anchor=(-1, -1), iterations=1,
+                 borderType=0, borderValue=None):
+    op = int(op)
+    if op == _C.MORPH_ERODE:
+        return erode(src, kernel, iterations=iterations)
+    if op == _C.MORPH_DILATE:
+        return dilate(src, kernel, iterations=iterations)
+    k = np.asarray(kernel) if kernel is not None else np.ones((3, 3), np.uint8)
+    if op not in _MORPH_NAMES:
+        raise NotImplementedError(f"morphologyEx op {op}")
+    # square all-ones kernels ride the fused device path
+    if (k.ndim == 2 and k.shape[0] == k.shape[1] and np.all(k != 0)
+            and iterations == 1):
+        return _o(_ip.morphology_ex(_m(src), _MORPH_NAMES[op], k.shape[0]))
+    a = np.asarray(src)
+    er = lambda x: erode(x, k)
+    di = lambda x: dilate(x, k)
+    if op == _C.MORPH_OPEN:
+        return di(er(a))
+    if op == _C.MORPH_CLOSE:
+        return er(di(a))
+    if op == _C.MORPH_GRADIENT:
+        return subtract(di(a), er(a))
+    if op == _C.MORPH_TOPHAT:
+        return subtract(a, di(er(a)))
+    return subtract(er(di(a)), a)  # blackhat
+
+
+def getStructuringElement(shape, ksize, anchor=(-1, -1)):
+    names = {_C.MORPH_RECT: "rect", _C.MORPH_CROSS: "cross",
+             _C.MORPH_ELLIPSE: "ellipse"}
+    kw, kh = int(ksize[0]), int(ksize[1])
+    if kw != kh:
+        raise NotImplementedError("non-square structuring element")
+    return np.asarray(_ip.get_structuring_element(names[int(shape)], kw),
+                      dtype=np.uint8)
+
+
+_SMALL_GAUSSIAN_TAB = {
+    1: [1.0],
+    3: [0.25, 0.5, 0.25],
+    5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+    7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+}
+
+
+def getGaussianKernel(ksize, sigma, ktype=6):
+    # cv2's exact algorithm: fixed binomial tables for small auto-sigma
+    # kernels, the 0.3*((n-1)/2 - 1) + 0.8 formula otherwise.
+    n = int(ksize)
+    if sigma <= 0 and n in _SMALL_GAUSSIAN_TAB:
+        k = np.asarray(_SMALL_GAUSSIAN_TAB[n], np.float64)
+    else:
+        s = float(sigma) if sigma > 0 else 0.3 * ((n - 1) * 0.5 - 1) + 0.8
+        x = np.arange(n, dtype=np.float64) - (n - 1) * 0.5
+        k = np.exp(-(x * x) / (2.0 * s * s))
+        k /= k.sum()
+        if sigma <= 0:
+            # cv2's auto-sigma path quantizes to 1/256ths, folding the
+            # rounding residue into the center tap
+            q = np.rint(k * 256.0)
+            q[n // 2] += 256.0 - q.sum()
+            k = q / 256.0
+    k = k.reshape(-1, 1)
+    return k.astype(np.float32) if ktype == _C.CV_32F else k
+
+
+def getGaborKernel(ksize, sigma, theta, lambd, gamma, psi=np.pi * 0.5,
+                   ktype=6):
+    k = _ip.get_gabor_kernel((int(ksize[0]), int(ksize[1])), sigma, theta,
+                             lambd, gamma, psi)
+    return np.asarray(k, np.float32 if ktype == _C.CV_32F else np.float64)
+
+
+def stackBlur(src, ksize, dst=None):
+    raise NotImplementedError("use GaussianBlur / blur")
+
+
+def pyrDown(src, dst=None, dstsize=None, borderType=4):
+    return _o(_ip.pyr_down(_m(src)))
+
+
+def pyrUp(src, dst=None, dstsize=None, borderType=4):
+    return _o(_ip.pyr_up(_m(src)))
+
+
+def buildOpticalFlowPyramid(img, winSize, maxLevel, **kw):
+    return _ip.build_optical_flow_pyramid(np.asarray(img),
+                                          (int(winSize[0]), int(winSize[1])),
+                                          int(maxLevel))
+
+
+def copyMakeBorder(src, top, bottom, left, right, borderType, dst=None,
+                   value=0):
+    name = _BORDER_NAMES.get(int(borderType) & 15, "constant")
+    return _o(_ip.copy_make_border(np.asarray(src), int(top), int(bottom),
+                                   int(left), int(right), name, value))
+
+
+def borderInterpolate(p, len_, borderType):
+    return int(_ip.border_interpolate(int(p), int(len_),
+                                      _BORDER_NAMES[int(borderType) & 15]))
+
+
+# ------------------------------------------------------------- histograms
+
+def equalizeHist(src, dst=None):
+    return _o(_ip.equalize_hist(_m(src)))
+
+
+class CLAHE:
+    """cv2.CLAHE role over the device `imgproc.clahe` op."""
+
+    def __init__(self, clipLimit=40.0, tileGridSize=(8, 8)):
+        self._clip = clipLimit
+        self._grid = tuple(int(v) for v in tileGridSize)
+
+    def apply(self, src, dst=None):
+        return _o(_ip.clahe(_m(src), int(self._clip), self._grid))
+
+    def setClipLimit(self, v):
+        self._clip = v
+
+    def getClipLimit(self):
+        return self._clip
+
+    def setTilesGridSize(self, sz):
+        self._grid = tuple(int(v) for v in sz)
+
+    def getTilesGridSize(self):
+        return self._grid
+
+
+def createCLAHE(clipLimit=40.0, tileGridSize=(8, 8)):
+    return CLAHE(clipLimit, tileGridSize)
+
+
+def calcHist(images, channels, mask, histSize, ranges, hist=None,
+             accumulate=False):
+    img = np.asarray(images[0])
+    ch = channels[0] if channels else 0
+    plane = img if img.ndim == 2 else img[..., ch]
+    n = int(histSize[0])
+    lo, hi = (float(ranges[0]), float(ranges[1])) if ranges else (0.0, 256.0)
+    if (plane.dtype == np.uint8 and n == 256 and (lo, hi) == (0.0, 256.0)
+            and mask is None):
+        # cv2 5.0 returns histograms 1-D
+        return np.asarray(_ip.calc_hist(_m(plane)), np.float32)
+    vals = plane[mask.astype(bool)] if mask is not None else plane.ravel()
+    idx = np.floor((vals.astype(np.float64) - lo) * (n / (hi - lo)))
+    idx = idx[(idx >= 0) & (idx < n)].astype(np.int64)
+    return np.bincount(idx, minlength=n).astype(np.float32)
+
+
+_HISTCMP_NAMES = {0: "correl", 1: "chisqr", 2: "intersect",
+                  3: "bhattacharyya", 4: "chisqr_alt", 5: "kl_div"}
+
+
+def compareHist(H1, H2, method):
+    from ..ops import core_ops as _co
+    return float(_co.compare_hist(np.asarray(H1).ravel(),
+                                  np.asarray(H2).ravel(),
+                                  _HISTCMP_NAMES[int(method)]))
+
+
+def calcBackProject(images, channels, hist, ranges, scale=1):
+    img = np.asarray(images[0])
+    ch = channels[0] if channels else 0
+    plane = img if img.ndim == 2 else img[..., ch]
+    return _o(_ip.back_project(_m(plane), np.asarray(hist).ravel(),
+                               (float(ranges[0]), float(ranges[1])),
+                               float(scale)))
+
+
+def createHanningWindow(winSize, type=5):
+    from ..ops import core_ops as _co
+    w = _co.create_hanning_window((int(winSize[1]), int(winSize[0])))
+    return np.asarray(w, np.float32 if type == _C.CV_32F else np.float64)
+
+
+# ------------------------------------------------------------- core array
+
+def _np2(a, b, op):
+    return op(np.asarray(a), np.asarray(b))
+
+
+def add(src1, src2, dst=None, mask=None, dtype=-1):
+    return _o(_ip.add(_m(src1), _m(src2)))
+
+
+def subtract(src1, src2, dst=None, mask=None, dtype=-1):
+    return _o(_ip.subtract(_m(src1), _m(src2)))
+
+
+def multiply(src1, src2, dst=None, scale=1, dtype=-1):
+    return _o(_ip.multiply(_m(src1), _m(src2), scale) if scale != 1
+              else _ip.multiply(_m(src1), _m(src2)))
+
+
+def divide(src1, src2, dst=None, scale=1, dtype=-1):
+    return _o(_ip.divide(_m(src1), _m(src2)))
+
+
+def absdiff(src1, src2, dst=None):
+    return _o(_ip.absdiff(_m(src1), _m(src2)))
+
+
+def addWeighted(src1, alpha, src2, beta, gamma, dst=None, dtype=-1):
+    return _o(_ip.add_weighted(_m(src1), float(alpha), _m(src2),
+                               float(beta), float(gamma)))
+
+
+def scaleAdd(src1, alpha, src2, dst=None):
+    return _o(_ip.scale_add(np.asarray(src1), float(alpha),
+                            np.asarray(src2)))
+
+
+def bitwise_and(src1, src2, dst=None, mask=None):
+    return _o(_ip.bitwise_and(_m(src1), _m(src2)))
+
+
+def bitwise_or(src1, src2, dst=None, mask=None):
+    return _o(_ip.bitwise_or(_m(src1), _m(src2)))
+
+
+def bitwise_xor(src1, src2, dst=None, mask=None):
+    return _o(_ip.bitwise_xor(_m(src1), _m(src2)))
+
+
+def bitwise_not(src, dst=None, mask=None):
+    return _o(_ip.bitwise_not(_m(src)))
+
+
+def min(src1, src2, dst=None):  # noqa: A001 - cv2 API name
+    return _np2(src1, src2, np.minimum)
+
+
+def max(src1, src2, dst=None):  # noqa: A001 - cv2 API name
+    return _np2(src1, src2, np.maximum)
+
+
+def mean(src, mask=None):
+    a = np.asarray(src, np.float64)
+    if mask is not None:
+        sel = np.asarray(mask).astype(bool)
+        a = a[sel]
+        mu = a.mean(axis=0) if a.ndim > 1 else a.mean()
+    else:
+        mu = a.mean(axis=(0, 1)) if a.ndim == 3 else a.mean()
+    mu = np.atleast_1d(mu)
+    return tuple(np.concatenate([mu, np.zeros(4 - len(mu))]))
+
+
+def meanStdDev(src, mean=None, stddev=None, mask=None):
+    a = np.asarray(src, np.float64)
+    if a.ndim == 2:
+        a = a[..., None]
+    if mask is not None:
+        a = a[np.asarray(mask).astype(bool)]
+        mu = a.mean(axis=0)
+        sd = a.std(axis=0)
+    else:
+        mu = a.mean(axis=(0, 1))
+        sd = a.std(axis=(0, 1))
+    return mu.reshape(-1, 1), sd.reshape(-1, 1)
+
+
+def minMaxLoc(src, mask=None):
+    a = np.asarray(src)
+    if mask is not None:
+        masked = np.where(np.asarray(mask).astype(bool), a.astype(np.float64),
+                          np.nan)
+        mn = np.nanmin(masked)
+        mx = np.nanmax(masked)
+        mnl = np.unravel_index(np.nanargmin(masked), a.shape)
+        mxl = np.unravel_index(np.nanargmax(masked), a.shape)
+        return float(mn), float(mx), (int(mnl[1]), int(mnl[0])), \
+            (int(mxl[1]), int(mxl[0]))
+    return _ip.min_max_loc(a)
+
+
+def norm(src1, src2=None, normType=4, mask=None):
+    a = np.asarray(src1, np.float64)
+    if src2 is not None:
+        a = a - np.asarray(src2, np.float64)
+    nt = int(normType) & 7
+    if nt == _C.NORM_INF:
+        return float(np.abs(a).max())
+    if nt == _C.NORM_L1:
+        return float(np.abs(a).sum())
+    return float(np.sqrt((a * a).sum()))
+
+
+def countNonZero(src):
+    return int(_ip.count_non_zero(_m(src)))
+
+
+def hasNonZero(src):
+    return bool(_ip.has_non_zero(_m(src)))
+
+
+def findNonZero(src, idx=None):
+    # cv2 5.0 returns (N, 2) int32 (x, y) in raster order
+    return np.asarray(_ip.find_non_zero(np.asarray(src)), np.int32)
+
+
+def split(m):
+    a = np.asarray(m)
+    if a.ndim == 2:
+        return (a.copy(),)
+    return tuple(np.ascontiguousarray(a[..., i]) for i in range(a.shape[2]))
+
+
+def merge(mv, dst=None):
+    return np.ascontiguousarray(np.stack([np.asarray(c) for c in mv],
+                                         axis=-1))
+
+
+def hconcat(src):
+    return np.ascontiguousarray(np.concatenate([np.asarray(s) for s in src],
+                                               axis=1))
+
+
+def vconcat(src):
+    return np.ascontiguousarray(np.concatenate([np.asarray(s) for s in src],
+                                               axis=0))
+
+
+def transpose(src, dst=None):
+    a = np.asarray(src)
+    if a.ndim == 2:
+        return np.ascontiguousarray(a.T)
+    return np.ascontiguousarray(np.swapaxes(a, 0, 1))
+
+
+def transposeND(src, order, dst=None):
+    return np.ascontiguousarray(np.transpose(np.asarray(src), order))
+
+
+def repeat(src, ny, nx, dst=None):
+    return _o(_ip.repeat(np.asarray(src), int(ny), int(nx)))
+
+
+def convertScaleAbs(src, dst=None, alpha=1, beta=0):
+    return _o(_ip.convert_scale_abs(_m(src), float(alpha), float(beta)))
+
+
+def LUT(src, lut, dst=None):
+    return _o(_ip.lut(_m(src), np.asarray(lut).ravel()))
+
+
+def normalize(src, dst=None, alpha=1, beta=0, norm_type=4, dtype=-1,
+              mask=None):
+    names = {_C.NORM_MINMAX: "minmax", _C.NORM_INF: "inf",
+             _C.NORM_L1: "l1", _C.NORM_L2: "l2"}
+    nm = names[int(norm_type)]
+    if nm == "minmax":
+        out = _o(_ip.normalize(_m(src), float(builtins_min(alpha, beta)),
+                               float(builtins_max(alpha, beta)), nm))
+    else:
+        out = _o(_ip.normalize(_m(src), float(alpha), 0.0, nm))
+    if dst is not None:
+        np.copyto(dst, out.reshape(np.asarray(dst).shape))
+        return dst
+    return out
+
+
+import builtins as _builtins  # noqa: E402
+builtins_min = _builtins.min
+builtins_max = _builtins.max
+
+
+def integral(src, sum=None, sdepth=-1):
+    return np.asarray(_ip.integral(_m(src)), np.int32)
+
+
+def integral2(src, **kw):
+    s, sq = _ip.integral2(_o(np.asarray(src)))
+    return np.asarray(s, np.int32), np.asarray(sq, np.float64)
+
+
+def integral3(src, **kw):
+    s, sq, t = _ip.integral3(_o(np.asarray(src)))
+    return np.asarray(s, np.int32), np.asarray(sq, np.float64), \
+        np.asarray(t, np.int32)
+
+
+def magnitude(x, y, magnitude=None):
+    return np.asarray(_ip.magnitude(np.asarray(x), np.asarray(y)))
+
+
+def phase(x, y, angle=None, angleInDegrees=False):
+    return np.asarray(_ip.phase(np.asarray(x), np.asarray(y),
+                                bool(angleInDegrees)))
+
+
+def cartToPolar(x, y, magnitude=None, angle=None, angleInDegrees=False):
+    m, a = _ip.cart_to_polar(np.asarray(x), np.asarray(y),
+                             bool(angleInDegrees))
+    return np.asarray(m), np.asarray(a)
+
+
+def polarToCart(magnitude, angle, x=None, y=None, angleInDegrees=False):
+    xx, yy = _ip.polar_to_cart(np.asarray(magnitude), np.asarray(angle),
+                               bool(angleInDegrees))
+    return np.asarray(xx), np.asarray(yy)
+
+
+def fastAtan2(y, x):
+    return float(_ip.fast_atan2(float(y), float(x)))
+
+
+def cubeRoot(val):
+    return float(_ip.cube_root(float(val)))
+
+
+def exp(src, dst=None):
+    return np.exp(np.asarray(src))
+
+
+def log(src, dst=None):
+    return np.log(np.asarray(src))
+
+
+def sqrt(src, dst=None):
+    return np.sqrt(np.asarray(src))
+
+
+def pow(src, power, dst=None):  # noqa: A001 - cv2 API name
+    return np.power(np.asarray(src), power)
+
+
+def compare(src1, src2, cmpop):
+    from ..ops import core_ops as _co
+    names = {0: "eq", 1: "gt", 2: "ge", 3: "lt", 4: "le", 5: "ne"}
+    return np.asarray(_co.compare(np.asarray(src1), np.asarray(src2),
+                                  names[int(cmpop)]))
+
+
+def gemm(src1, src2, alpha, src3, beta, dst=None, flags=0):
+    from ..ops import core_ops as _co
+    return np.asarray(_co.gemm(np.asarray(src1), np.asarray(src2),
+                               float(alpha), src3, float(beta), int(flags)))
+
+
+def PSNR(src1, src2, R=255.0):
+    return float(_ip.psnr(_m(src1), _m(src2)))
+
+
+def reduce(src, dim, rtype, dst=None, dtype=-1):
+    return np.asarray(_ip.reduce(np.asarray(src), int(dim), int(rtype)))
+
+
+def reduceArgMax(src, axis, lastIndex=False):
+    return np.asarray(_ip.reduce_arg_max(np.asarray(src), int(axis),
+                                         bool(lastIndex)))
+
+
+def reduceArgMin(src, axis, lastIndex=False):
+    return np.asarray(_ip.reduce_arg_min(np.asarray(src), int(axis),
+                                         bool(lastIndex)))
+
+
+def sortIdx(src, flags):
+    return np.asarray(_ip.sort_idx(np.asarray(src), int(flags)))
+
+
+def sort(src, flags, dst=None):
+    return np.asarray(_ip.sort(np.asarray(src), int(flags)))
+
+
+def setIdentity(mtx, s=1):
+    out = np.asarray(_ip.set_identity(np.asarray(mtx), s))
+    np.copyto(mtx, out)
+    return mtx
+
+
+def completeSymm(m, lowerToUpper=False):
+    from ..ops import core_ops as _co
+    out = np.asarray(_co.complete_symm(np.asarray(m), bool(lowerToUpper)))
+    np.copyto(m, out)
+    return m
+
+
+def determinant(mtx):
+    return float(_ip.determinant(np.asarray(mtx)))
+
+
+def trace(mtx):
+    t = _ip.trace(np.asarray(mtx))
+    return (float(t), 0.0, 0.0, 0.0)
+
+
+def invert(src, dst=None, flags=0):
+    ok, inv = _ip.invert(np.asarray(src, np.float64))
+    return ok, np.asarray(inv)
+
+
+def solve(src1, src2, dst=None, flags=0):
+    ok, x = _ip.solve(np.asarray(src1, np.float64),
+                      np.asarray(src2, np.float64))
+    return ok, np.asarray(x)
+
+
+def eigen(src, eigenvalues=None, eigenvectors=None):
+    from ..ops import core_ops as _co
+    ok, w, v = _co.eigen(np.asarray(src, np.float64))
+    return ok, np.asarray(w).reshape(-1, 1), np.asarray(v)
+
+
+def eigenNonSymmetric(src, eigenvalues=None, eigenvectors=None):
+    from ..ops import core_ops as _co
+    w, v = _co.eigen_non_symmetric(np.asarray(src, np.float64))
+    return np.asarray(w).reshape(-1, 1), np.asarray(v)
+
+
+def SVDecomp(src, w=None, u=None, vt=None, flags=0):
+    w_, u_, vt_ = _ip.sv_decomp(np.asarray(src, np.float64))
+    return np.asarray(w_).reshape(-1, 1), np.asarray(u_), np.asarray(vt_)
+
+
+def SVBackSubst(w, u, vt, rhs, dst=None):
+    return np.asarray(_ip.sv_back_subst(np.asarray(w).ravel(),
+                                        np.asarray(u), np.asarray(vt),
+                                        np.asarray(rhs)))
+
+
+def PCACompute(data, mean, eigenvectors=None, maxComponents=0):
+    mu, vecs = _ip.pca_compute(np.asarray(data, np.float64),
+                               int(maxComponents) or None)
+    return np.asarray(mu).reshape(1, -1), np.asarray(vecs)
+
+
+def PCAProject(data, mean, eigenvectors, result=None):
+    return np.asarray(_ip.pca_project(np.asarray(data),
+                                      np.asarray(mean).ravel(),
+                                      np.asarray(eigenvectors)))
+
+
+def PCABackProject(data, mean, eigenvectors, result=None):
+    return np.asarray(_ip.pca_back_project(np.asarray(data),
+                                           np.asarray(mean).ravel(),
+                                           np.asarray(eigenvectors)))
+
+
+def Mahalanobis(v1, v2, icovar):
+    return float(_ip.mahalanobis(np.asarray(v1).ravel(),
+                                 np.asarray(v2).ravel(),
+                                 np.asarray(icovar)))
+
+
+def calcCovarMatrix(samples, mean, flags, ctype=6):
+    from ..ops import core_ops as _co
+    cov, mu = _co.calc_covar_matrix(np.asarray(samples, np.float64),
+                                    int(flags))
+    return np.asarray(cov), np.asarray(mu)
+
+
+def mulTransposed(src, aTa, dst=None, delta=None, scale=1, dtype=-1):
+    return np.asarray(_ip.mul_transposed(np.asarray(src, np.float64),
+                                         bool(aTa), delta, float(scale)))
+
+
+def mixChannels(src, dst, fromTo):
+    out = _ip.mix_channels([np.asarray(s) for s in src],
+                           [np.asarray(d) for d in dst],
+                           list(int(v) for v in fromTo))
+    for d, o in zip(dst, out):
+        np.copyto(d, o)
+    return dst
+
+
+def extractChannel(src, coi, dst=None):
+    return np.asarray(_ip.extract_channel(np.asarray(src), int(coi)))
+
+
+def insertChannel(src, dst, coi):
+    out = np.asarray(_ip.insert_channel(np.asarray(src), np.asarray(dst),
+                                        int(coi)))
+    np.copyto(dst, out)
+    return dst
+
+
+def copyTo(src, mask, dst=None):
+    out = _ip.copy_to(np.asarray(src), np.asarray(mask),
+                      None if dst is None else np.asarray(dst))
+    out = np.asarray(out)
+    if dst is not None:
+        np.copyto(dst, out)
+        return dst
+    return out
+
+
+def convertFp16(src, dst=None):
+    a = np.asarray(src)
+    return a.astype(np.float16) if a.dtype != np.float16 \
+        else a.astype(np.float32)
+
+
+def checkRange(a, quiet=True, minVal=-1e308, maxVal=1e308):
+    ok, pos = _ip.check_range(np.asarray(a), float(minVal), float(maxVal))
+    if not ok and not quiet:
+        raise ValueError(f"checkRange failed at {pos}")
+    return bool(ok)
+
+
+def patchNaNs(a, val=0):
+    out = np.asarray(_ip.patch_nans(np.asarray(a), float(val)))
+    np.copyto(a, out)
+    return a
+
+
+def finiteMask(img, mask=None):
+    return np.asarray(_ip.finite_mask(np.asarray(img)))
+
+
+_the_rng = _ip.RNG()
+
+
+def theRNG():
+    return _the_rng
+
+
+def setRNGSeed(seed):
+    global _the_rng
+    _the_rng = _ip.RNG(int(seed))
+
+
+def randu(dst, low, high):
+    out = _the_rng.randu(np.asarray(dst).shape, low, high,
+                         dtype=np.asarray(dst).dtype)
+    np.copyto(dst, out)
+    return dst
+
+
+def randn(dst, mean, stddev):
+    out = _the_rng.randn(np.asarray(dst).shape, mean, stddev,
+                         dtype=np.asarray(dst).dtype)
+    np.copyto(dst, out)
+    return dst
+
+
+def randShuffle(dst, iterFactor=1.0, rng=None):
+    out = _ip.rand_shuffle(np.asarray(dst), float(iterFactor))
+    np.copyto(dst, out)
+    return dst
+
+
+def kmeans(data, K, bestLabels, criteria, attempts, flags, centers=None):
+    compactness, labels, ctrs = _ip.kmeans(np.asarray(data, np.float32),
+                                           int(K))
+    return float(compactness), np.asarray(labels, np.int32).reshape(-1, 1), \
+        np.asarray(ctrs, np.float32)
+
+
+# ------------------------------------------------------------- dft family
+
+def dft(src, dst=None, flags=0, nonzeroRows=0):
+    if int(flags) & _C.DFT_INVERSE:
+        return idft(src, flags=int(flags) & ~_C.DFT_INVERSE)
+    if flags:
+        raise NotImplementedError(f"dft flags {flags}")
+    return np.asarray(_ip.dft(np.asarray(src)))
+
+
+def idft(src, dst=None, flags=0, nonzeroRows=0):
+    return np.asarray(_ip.idft(np.asarray(src)))
+
+
+def dct(src, dst=None, flags=0):
+    if int(flags) & _C.DCT_INVERSE:
+        return idct(src)
+    return np.asarray(_ip.dct(np.asarray(src)))
+
+
+def idct(src, dst=None, flags=0):
+    return np.asarray(_ip.idct(np.asarray(src)))
+
+
+def mulSpectrums(a, b, flags, conjB=False):
+    return np.asarray(_ip.mul_spectrums(np.asarray(a), np.asarray(b),
+                                        conj_b=bool(conjB)))
+
+
+def divSpectrums(a, b, flags, conjB=False):
+    return np.asarray(_ip.div_spectrums(np.asarray(a), np.asarray(b),
+                                        conj_b=bool(conjB)))
+
+
+def getOptimalDFTSize(vecsize):
+    return int(_ip.get_optimal_dft_size(int(vecsize)))
+
+
+def phaseCorrelate(src1, src2, window=None, response=None):
+    from ..ops import registration as _reg
+    shift, resp = _reg.phase_correlate_numpy(
+        np.asarray(src1, np.float32), np.asarray(src2, np.float32),
+        window is not None)
+    dx, dy = np.asarray(shift).ravel()[:2]
+    return (float(dx), float(dy)), float(resp)
+
+
+# ------------------------------------------------------------- contours
+
+def findContours(image, mode, method, contours=None, hierarchy=None,
+                 offset=(0, 0)):
+    if int(mode) != _C.RETR_EXTERNAL:
+        raise NotImplementedError("findContours supports RETR_EXTERNAL")
+    cts = _ip.find_contours(_m(image))
+    out = []
+    for c in cts:
+        c = np.asarray(c, np.int32)
+        if int(method) != _C.CHAIN_APPROX_NONE:
+            c = _compress_chain(c)
+        if offset != (0, 0):
+            c = c + np.asarray(offset, np.int32)
+        out.append(c.reshape(-1, 1, 2))
+    n = len(out)
+    hier = np.full((1, n, 4), -1, np.int32)
+    for i in range(n):
+        hier[0, i, 0] = i + 1 if i + 1 < n else -1
+        hier[0, i, 1] = i - 1
+    return tuple(out), hier
+
+
+def _compress_chain(c):
+    """CHAIN_APPROX_SIMPLE: drop interior points of straight runs."""
+    if len(c) <= 2:
+        return c
+    d = np.diff(np.vstack([c, c[:1]]), axis=0)
+    keep = np.ones(len(c), bool)
+    prev = np.roll(d, 1, axis=0)
+    keep = ~np.all(d == prev, axis=1)
+    keep[0] = True
+    return c[keep]
+
+
+def drawContours(image, contours, contourIdx, color, thickness=1,
+                 lineType=8, hierarchy=None, maxLevel=2**31 - 1,
+                 offset=(0, 0)):
+    cts = [np.asarray(c).reshape(-1, 2) for c in contours]
+    return _inplace(image, lambda m: _ip.draw_contours(
+        m, cts, int(contourIdx), _color(color), int(thickness)))
+
+
+def contourArea(contour, oriented=False):
+    return float(_ip.contour_area(np.asarray(contour).reshape(-1, 2),
+                                  bool(oriented)))
+
+
+def arcLength(curve, closed):
+    return float(_ip.arc_length(np.asarray(curve).reshape(-1, 2),
+                                bool(closed)))
+
+
+def approxPolyDP(curve, epsilon, closed):
+    out = _ip.approx_poly_dp(np.asarray(curve).reshape(-1, 2),
+                             float(epsilon), bool(closed))
+    return np.asarray(out).reshape(-1, 1, 2)
+
+
+def approxPolyN(curve, nsides, epsilon_percentage=-1.0,
+                ensure_convex=True):
+    out = _ip.approx_poly_n(np.asarray(curve).reshape(-1, 2), int(nsides),
+                            float(epsilon_percentage), bool(ensure_convex))
+    return np.asarray(out).reshape(-1, 1, 2)
+
+
+def convexHull(points, hull=None, clockwise=False, returnPoints=True):
+    pts = np.asarray(points).reshape(-1, 2)
+    if returnPoints:
+        out = _ip.convex_hull(pts, bool(clockwise))
+        return np.asarray(out).reshape(-1, 1, 2)
+    idx = _ip.convex_hull_indices(pts, bool(clockwise))
+    return np.asarray(idx, np.int32).reshape(-1, 1)
+
+
+def convexityDefects(contour, convexhull, convexityDefects=None):
+    out = _ip.convexity_defects(np.asarray(contour).reshape(-1, 2),
+                                np.asarray(convexhull).ravel())
+    return np.asarray(out, np.int32).reshape(-1, 1, 4)
+
+
+def isContourConvex(contour):
+    return bool(_ip.is_contour_convex(np.asarray(contour).reshape(-1, 2)))
+
+
+def boundingRect(array):
+    a = np.asarray(array)
+    if a.dtype == np.uint8 and a.ndim == 2:
+        a = np.argwhere(a)[:, ::-1]
+    return tuple(int(v) for v in _ip.bounding_rect(a.reshape(-1, 2)))
+
+
+def minAreaRect(points):
+    # ours: (w, h, angle in [0, 90)); cv2 5.0: (h, w, angle - 90)
+    (cx, cy), (w, h), ang = _ip.min_area_rect(
+        np.asarray(points).reshape(-1, 2).astype(np.float32))
+    return ((float(cx), float(cy)), (float(h), float(w)),
+            float(ang) - 90.0)
+
+
+def boxPoints(box, points=None):
+    (cx, cy), (w, h), ang = box
+    # cv2's formula: b = cos(angle)*0.5, a = sin(angle)*0.5 over (w, h)
+    th = np.deg2rad(ang)
+    b, a = np.cos(th) * 0.5, np.sin(th) * 0.5
+    p0 = (cx - a * h - b * w, cy + b * h - a * w)
+    p1 = (cx + a * h - b * w, cy - b * h - a * w)
+    p2 = (2 * cx - p0[0], 2 * cy - p0[1])
+    p3 = (2 * cx - p1[0], 2 * cy - p1[1])
+    return np.asarray([p0, p1, p2, p3], np.float32)
+
+
+def minEnclosingCircle(points):
+    (cx, cy), r = _ip.min_enclosing_circle(
+        np.asarray(points).reshape(-1, 2).astype(np.float32))
+    return (float(cx), float(cy)), float(r)
+
+
+def minEnclosingTriangle(points, triangle=None):
+    area, tri = _ip.min_enclosing_triangle(
+        np.asarray(points).reshape(-1, 2).astype(np.float64))
+    return float(area), np.asarray(tri, np.float32).reshape(3, 1, 2)
+
+
+def fitEllipse(points):
+    return _ip.fit_ellipse(np.asarray(points).reshape(-1, 2))
+
+
+def fitEllipseAMS(points):
+    return _ip.fit_ellipse_ams(np.asarray(points).reshape(-1, 2))
+
+
+def fitEllipseDirect(points):
+    return _ip.fit_ellipse_direct(np.asarray(points).reshape(-1, 2))
+
+
+def fitLine(points, distType, param, reps, aeps, line=None):
+    names = {_C.DIST_L2: "l2", _C.DIST_L1: "l1", _C.DIST_L12: "l12",
+             _C.DIST_FAIR: "fair", _C.DIST_WELSCH: "welsch",
+             _C.DIST_HUBER: "huber"}
+    out = _ip.fit_line(np.asarray(points).reshape(-1, 2),
+                       dist_type=names[int(distType)])
+    return np.asarray(out, np.float32).reshape(-1, 1)
+
+
+def moments(array, binaryImage=False):
+    a = np.asarray(array)
+    if a.ndim == 3:
+        a = a[:, :, 0]
+    if a.dtype != np.uint8 or binaryImage:
+        a = (a != 0).astype(np.float64) if binaryImage \
+            else a.astype(np.float64)
+    a = a.astype(np.float64)
+    h, w = a.shape
+    x = np.arange(w, dtype=np.float64)
+    y = np.arange(h, dtype=np.float64)
+    d = {}
+    for p in range(4):
+        for q in range(4 - p):
+            d[f"m{p}{q}"] = float(((x[None, :] ** p) * (y[:, None] ** q)
+                                   * a).sum())
+    m00 = d["m00"]
+    cx = d["m10"] / m00 if m00 else 0.0
+    cy = d["m01"] / m00 if m00 else 0.0
+    for p in range(4):
+        for q in range(4 - p):
+            if p + q < 2:
+                continue
+            mu = (((x[None, :] - cx) ** p) * ((y[:, None] - cy) ** q)
+                  * a).sum()
+            d[f"mu{p}{q}"] = float(mu)
+    for key in ("mu20", "mu11", "mu02", "mu30", "mu21", "mu12", "mu03"):
+        p, q = int(key[2]), int(key[3])
+        denom = m00 ** (1 + (p + q) / 2.0) if m00 else 1.0
+        d["nu" + key[2:]] = d[key] / denom if m00 else 0.0
+    return d
+
+
+def HuMoments(m, hu=None):
+    if isinstance(m, dict):
+        nu = [m["nu20"], m["nu11"], m["nu02"], m["nu30"], m["nu21"],
+              m["nu12"], m["nu03"]]
+    else:
+        nu = list(np.asarray(m).ravel())
+    n20, n11, n02, n30, n21, n12, n03 = nu
+    h = np.zeros(7)
+    h[0] = n20 + n02
+    h[1] = (n20 - n02) ** 2 + 4 * n11 ** 2
+    h[2] = (n30 - 3 * n12) ** 2 + (3 * n21 - n03) ** 2
+    h[3] = (n30 + n12) ** 2 + (n21 + n03) ** 2
+    h[4] = (n30 - 3 * n12) * (n30 + n12) * ((n30 + n12) ** 2
+           - 3 * (n21 + n03) ** 2) + (3 * n21 - n03) * (n21 + n03) \
+           * (3 * (n30 + n12) ** 2 - (n21 + n03) ** 2)
+    h[5] = (n20 - n02) * ((n30 + n12) ** 2 - (n21 + n03) ** 2) \
+           + 4 * n11 * (n30 + n12) * (n21 + n03)
+    h[6] = (3 * n21 - n03) * (n30 + n12) * ((n30 + n12) ** 2
+           - 3 * (n21 + n03) ** 2) - (n30 - 3 * n12) * (n21 + n03) \
+           * (3 * (n30 + n12) ** 2 - (n21 + n03) ** 2)
+    return h.reshape(7, 1)
+
+
+def matchShapes(contour1, contour2, method, parameter=0):
+    a, b = np.asarray(contour1), np.asarray(contour2)
+    if a.ndim == 2 and a.dtype == np.uint8:
+        return float(_ip.match_shapes(_m(a), _m(b)))
+    # contour input: Hu-moment distance from polygon moments
+    def hu_of(c):
+        img = np.zeros((int(c.reshape(-1, 2)[:, 1].max()) + 3,
+                        int(c.reshape(-1, 2)[:, 0].max()) + 3), np.uint8)
+        fillPoly(img, [c.reshape(-1, 1, 2).astype(np.int32)], 255)
+        return HuMoments(moments(img)).ravel()
+    h1, h2 = hu_of(a), hu_of(b)
+    eps = 1e-5
+    s1 = np.sign(h1) * np.log10(np.abs(h1) + 1e-300)
+    s2 = np.sign(h2) * np.log10(np.abs(h2) + 1e-300)
+    sel = (np.abs(h1) > eps) & (np.abs(h2) > eps)
+    m = int(method)
+    if m == 1:
+        return float(np.abs(1 / s1[sel] - 1 / s2[sel]).sum())
+    if m == 2:
+        return float(np.abs(s1[sel] - s2[sel]).sum())
+    return float(np.abs((s1[sel] - s2[sel]) / s1[sel]).max()) if sel.any() \
+        else 0.0
+
+
+def pointPolygonTest(contour, pt, measureDist):
+    return float(_ip.point_polygon_test(
+        np.asarray(contour).reshape(-1, 2),
+        (float(pt[0]), float(pt[1])), bool(measureDist)))
+
+
+def intersectConvexConvex(p1, p2, p12=None, handleNested=True):
+    area, poly = _ip.intersect_convex_convex(
+        np.asarray(p1).reshape(-1, 2), np.asarray(p2).reshape(-1, 2))
+    return float(area), np.asarray(poly, np.float32).reshape(-1, 1, 2)
+
+
+def rotatedRectangleIntersection(rect1, rect2, intersectingRegion=None):
+    code, pts = _ip.rotated_rectangle_intersection(rect1, rect2)
+    return int(code), np.asarray(pts, np.float32).reshape(-1, 1, 2)
+
+
+# ---------------------------------------------------------- segmentation
+
+def _merge_8conn(lab):
+    """Upgrade our 4-connected labels to cv2's default 8-connectivity:
+    union-find over diagonal label adjacencies, then relabel compactly
+    in raster order of first appearance (cv2's label order)."""
+    lab = np.asarray(lab, np.int64)
+    nmax = int(lab.max()) + 1
+    parent = np.arange(nmax, dtype=np.int64)
+
+    def find_many(x):
+        while True:
+            p = parent[x]
+            pp = parent[p]
+            if np.array_equal(p, pp):
+                return p
+            parent[x] = pp
+
+    pairs = []
+    a, b = lab[:-1, :-1], lab[1:, 1:]
+    sel = (a > 0) & (b > 0) & (a != b)
+    pairs.append(np.stack([a[sel], b[sel]], axis=1))
+    a, b = lab[:-1, 1:], lab[1:, :-1]
+    sel = (a > 0) & (b > 0) & (a != b)
+    pairs.append(np.stack([a[sel], b[sel]], axis=1))
+    for x, y in np.unique(np.concatenate(pairs), axis=0):
+        rx, ry = int(find_many(np.asarray([x]))[0]), \
+            int(find_many(np.asarray([y]))[0])
+        if rx != ry:
+            parent[builtins_max(rx, ry)] = builtins_min(rx, ry)
+    roots = find_many(np.arange(nmax))
+    merged = roots[lab]
+    # compact relabel, raster order of first appearance (bg stays 0)
+    flat = merged.ravel()
+    first = np.full(nmax, np.iinfo(np.int64).max)
+    np.minimum.at(first, flat, np.arange(flat.size))
+    present = np.unique(flat)
+    present = present[present > 0]
+    order = present[np.argsort(first[present], kind="stable")]
+    remap_t = np.zeros(nmax, np.int64)
+    remap_t[order] = np.arange(1, len(order) + 1)
+    return remap_t[merged].astype(np.int32)
+
+
+def _cc_stats(lab):
+    n = int(lab.max()) + 1
+    flat = lab.ravel()
+    h, w = lab.shape
+    ys, xs = np.divmod(np.arange(flat.size), w)
+    stats = np.zeros((n, 5), np.int32)
+    area = np.bincount(flat, minlength=n)
+    xmin = np.full(n, w)
+    np.minimum.at(xmin, flat, xs)
+    xmax = np.zeros(n, np.int64)
+    np.maximum.at(xmax, flat, xs)
+    ymin = np.full(n, h)
+    np.minimum.at(ymin, flat, ys)
+    ymax = np.zeros(n, np.int64)
+    np.maximum.at(ymax, flat, ys)
+    stats[:, _C.CC_STAT_LEFT] = xmin
+    stats[:, _C.CC_STAT_TOP] = ymin
+    stats[:, _C.CC_STAT_WIDTH] = xmax - xmin + 1
+    stats[:, _C.CC_STAT_HEIGHT] = ymax - ymin + 1
+    stats[:, _C.CC_STAT_AREA] = area
+    sx = np.bincount(flat, weights=xs, minlength=n)
+    sy = np.bincount(flat, weights=ys, minlength=n)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cents = np.stack([sx / area, sy / area], axis=1)
+    return stats, cents
+
+
+def connectedComponents(image, labels=None, connectivity=8, ltype=4):
+    n, lab, stats, cents = _ip.connected_components_with_stats(_m(image))
+    lab = np.asarray(lab, np.int32)
+    if int(connectivity) == 8:
+        lab = _merge_8conn(lab)
+    return int(lab.max()) + 1, lab
+
+
+def connectedComponentsWithStats(image, labels=None, stats=None,
+                                 centroids=None, connectivity=8, ltype=4):
+    n, lab, stats_, cents = _ip.connected_components_with_stats(_m(image))
+    lab = np.asarray(lab, np.int32)
+    if int(connectivity) == 8:
+        lab = _merge_8conn(lab)
+        stats_, cents = _cc_stats(lab)
+    return int(lab.max()) + 1, lab, np.asarray(stats_, np.int32), \
+        np.asarray(cents, np.float64)
+
+
+def distanceTransform(src, distanceType, maskSize, dst=None, dstType=5):
+    return np.asarray(_ip.distance_transform(_m(src)), np.float32)
+
+
+def distanceTransformWithLabels(src, distanceType, maskSize, **kw):
+    d, lab = _ip.distance_transform_l2_with_labels(_m(src))
+    return np.asarray(d, np.float32), np.asarray(lab, np.int32)
+
+
+def watershed(image, markers):
+    out = _ip.watershed(_m(image), np.asarray(markers, np.int32))
+    np.copyto(markers, out)
+    return markers
+
+
+def grabCut(img, mask, rect, bgdModel, fgdModel, iterCount, mode=0):
+    if mode == _C.GC_INIT_WITH_RECT:
+        out_mask = _ip.grab_cut(_m(img), rect=rect, iter_count=iterCount)
+    else:
+        out_mask = _ip.grab_cut(_m(img), mask=np.asarray(mask),
+                                iter_count=iterCount)
+    if isinstance(out_mask, tuple):
+        out_mask = out_mask[0]
+    np.copyto(mask, np.asarray(out_mask, np.uint8))
+    return mask, bgdModel, fgdModel
+
+
+def floodFill(image, mask, seedPoint, newVal, loDiff=0, upDiff=0, flags=4):
+    lo = int(np.atleast_1d(loDiff)[0])
+    up = int(np.atleast_1d(upDiff)[0])
+    nv = int(np.atleast_1d(newVal)[0])
+    m = _m(image)
+    res = _ip.flood_fill(m, (int(seedPoint[0]), int(seedPoint[1])), nv,
+                         lo, up)
+    filled, count, rect = res if isinstance(res, tuple) else (res, 0, None)
+    out = _o(filled if isinstance(filled, Mat) else m)
+    np.copyto(image, out.reshape(image.shape))
+    return int(count), image, mask, rect
+
+
+def pyrMeanShiftFiltering(src, sp, sr, dst=None, maxLevel=1, termcrit=None):
+    return _o(_ip.pyr_mean_shift_filtering(_m(src), float(sp), float(sr),
+                                           max_level=int(maxLevel)))
+
+
+# ------------------------------------------------------------- features
+
+def cornerHarris(src, blockSize, ksize, k, dst=None, borderType=4):
+    from ..ops import features as _feat
+    import jax.numpy as jnp
+    g = np.asarray(src)
+    resp = _feat.harris_response(jnp.asarray(g.astype(np.uint8)), float(k))
+    return np.asarray(resp, np.float32)
+
+
+def cornerMinEigenVal(src, blockSize, dst=None, ksize=3, borderType=4):
+    return np.asarray(_ip.corner_min_eigen_val(np.asarray(src),
+                                               int(blockSize), int(ksize)),
+                      np.float32)
+
+
+def cornerEigenValsAndVecs(src, blockSize, ksize, dst=None, borderType=4):
+    return np.asarray(_ip.corner_eigen_vals_and_vecs(np.asarray(src),
+                                                     int(blockSize),
+                                                     int(ksize)), np.float32)
+
+
+def preCornerDetect(src, ksize, dst=None, borderType=4):
+    return np.asarray(_ip.pre_corner_detect(np.asarray(src), int(ksize)),
+                      np.float32)
+
+
+def goodFeaturesToTrack(image, maxCorners, qualityLevel, minDistance,
+                        corners=None, mask=None, blockSize=3,
+                        useHarrisDetector=False, k=0.04):
+    pts = _ip.good_features_to_track(
+        _m(image), int(maxCorners), k=float(k),
+        threshold_rel=float(qualityLevel),
+        nms_radius=builtins_max(1, int(minDistance)))
+    return np.asarray(pts, np.float32).reshape(-1, 1, 2)
+
+
+def cornerSubPix(image, corners, winSize, zeroZone, criteria):
+    pts = np.asarray(corners, np.float32).reshape(-1, 2)
+    out = _ip.corner_sub_pix(_m(image), pts, win=int(winSize[0]) * 2 + 1)
+    return np.asarray(out, np.float32).reshape(-1, 1, 2)
+
+
+# ------------------------------------------------------------- hough
+
+def HoughLines(image, rho, theta, threshold, lines=None, srn=0, stn=0,
+               min_theta=0, max_theta=np.pi):
+    n_thetas = int(round(np.pi / theta))
+    out = _ip.hough_lines(_m(image), int(threshold), n_thetas=n_thetas)
+    return np.asarray(out, np.float32).reshape(-1, 1, 2)
+
+
+def HoughLinesP(image, rho, theta, threshold, lines=None, minLineLength=0,
+                maxLineGap=0):
+    out = _ip.hough_lines_p(_m(image), int(threshold),
+                            min_line_length=float(minLineLength),
+                            max_line_gap=float(maxLineGap))
+    return np.asarray(out, np.int32).reshape(-1, 1, 4)
+
+
+def HoughCircles(image, method, dp, minDist, circles=None, param1=100,
+                 param2=100, minRadius=0, maxRadius=0):
+    out = _ip.hough_circles(_m(image), dp=int(dp), min_dist=float(minDist),
+                            min_radius=int(minRadius),
+                            max_radius=int(maxRadius),
+                            edge_threshold=int(param1),
+                            vote_threshold=int(param2))
+    return np.asarray(out, np.float32).reshape(1, -1, 3)
+
+
+# ------------------------------------------------------------- template
+
+_TM_NAMES = {0: "sqdiff", 1: "sqdiff_normed", 2: "ccorr",
+             3: "ccorr_normed", 4: "ccoeff", 5: "ccoeff_normed"}
+
+
+def matchTemplate(image, templ, method, result=None, mask=None):
+    return np.asarray(_ip.match_template(_m(image), _m(templ),
+                                         _TM_NAMES[int(method)]),
+                      np.float32)
+
+
+# ------------------------------------------------------------- drawing
+
+def line(img, pt1, pt2, color, thickness=1, lineType=8, shift=0):
+    return _inplace(img, lambda m: _ip.line(m, _pt(pt1), _pt(pt2),
+                                            _color(color), int(thickness)))
+
+
+def arrowedLine(img, pt1, pt2, color, thickness=1, line_type=8, shift=0,
+                tipLength=0.1):
+    return _inplace(img, lambda m: _ip.arrowed_line(
+        m, _pt(pt1), _pt(pt2), _color(color), int(thickness),
+        float(tipLength)))
+
+
+def rectangle(img, pt1, pt2=None, color=None, thickness=1, lineType=8,
+              shift=0):
+    if pt2 is None or (color is None and not np.isscalar(color)):
+        # rectangle(img, rect, color, ...) overload
+        raise TypeError("use rectangle(img, pt1, pt2, color)")
+    x1, y1 = int(pt1[0]), int(pt1[1])
+    x2, y2 = int(pt2[0]), int(pt2[1])
+    x1, x2 = builtins_min(x1, x2), builtins_max(x1, x2)
+    y1, y2 = builtins_min(y1, y2), builtins_max(y1, y2)
+    if int(thickness) < 0:  # FILLED (pt2 inclusive, like cv2)
+        h, w = img.shape[:2]
+        c = np.asarray(_color(color).bgr
+                       if img.ndim == 3 else [_color(color).bgr[0]],
+                       img.dtype)
+        img[builtins_max(y1, 0):builtins_min(y2 + 1, h),
+            builtins_max(x1, 0):builtins_min(x2 + 1, w)] = \
+            c if img.ndim == 3 else c[0]
+        return img
+    r = _Rect(x1, y1, x2 - x1 + 1, y2 - y1 + 1)
+    return _inplace(img, lambda m: _ip.rectangle(m, r, _color(color),
+                                                 int(thickness)))
+
+
+def circle(img, center, radius, color, thickness=1, lineType=8, shift=0):
+    return _inplace(img, lambda m: _ip.circle(m, _pt(center), int(radius),
+                                              _color(color),
+                                              int(thickness)))
+
+
+def ellipse(img, center, axes, angle, startAngle=0, endAngle=360,
+            color=None, thickness=1, lineType=8, shift=0):
+    if (startAngle, endAngle) != (0, 360):
+        raise NotImplementedError("partial elliptic arcs")
+    return _inplace(img, lambda m: _ip.ellipse(
+        m, _pt(center), (int(axes[0]), int(axes[1])), float(angle),
+        _color(color), int(thickness)))
+
+
+def ellipse2Poly(center, axes, angle, arcStart, arcEnd, delta):
+    out = _ip.ellipse2poly((int(center[0]), int(center[1])),
+                           (int(axes[0]), int(axes[1])), int(angle),
+                           int(arcStart), int(arcEnd), int(delta))
+    return np.asarray(out, np.int32)
+
+
+def polylines(img, pts, isClosed, color, thickness=1, lineType=8, shift=0):
+    arrs = [np.asarray(p).reshape(-1, 2) for p in pts]
+    return _inplace(img, lambda m: _ip.polylines(
+        m, arrs, _color(color), int(thickness), bool(isClosed)))
+
+
+def fillPoly(img, pts, color, lineType=8, shift=0, offset=(0, 0)):
+    arrs = [np.asarray(p).reshape(-1, 2) for p in pts]
+    return _inplace(img, lambda m: _ip.fill_poly(m, arrs, _color(color)))
+
+
+def fillConvexPoly(img, points, color, lineType=8, shift=0):
+    return fillPoly(img, [points], color)
+
+
+def putText(img, text, org, fontFace, fontScale, color, thickness=1,
+            lineType=8, bottomLeftOrigin=False):
+    return _inplace(img, lambda m: _ip.put_text(
+        m, str(text), _pt(org), float(fontScale), _color(color)))
+
+
+def getTextSize(text, fontFace, fontScale, thickness):
+    (w, h), base = _ip.get_text_size(str(text), float(fontScale))
+    return (int(w), int(h)), int(base)
+
+
+def drawMarker(img, position, color, markerType=0, markerSize=20,
+               thickness=1, line_type=8):
+    names = {0: "cross", 1: "tilted_cross", 2: "star", 3: "diamond",
+             4: "square", 5: "triangle_up", 6: "triangle_down"}
+    out = _ip.draw_marker(np.asarray(img),
+                          (int(position[0]), int(position[1])),
+                          tuple(np.atleast_1d(color).tolist()),
+                          names[int(markerType)], int(markerSize),
+                          int(thickness))
+    np.copyto(img, out)
+    return img
+
+
+def clipLine(imgRect, pt1, pt2):
+    return _ip.clip_line(tuple(int(v) for v in imgRect),
+                         (int(pt1[0]), int(pt1[1])),
+                         (int(pt2[0]), int(pt2[1])))
+
+
+def applyColorMap(src, colormap, dst=None):
+    names = {_C.COLORMAP_JET: "jet", _C.COLORMAP_HOT: "hot",
+             _C.COLORMAP_BONE: "bone", _C.COLORMAP_TURBO: "turbo",
+             _C.COLORMAP_VIRIDIS: "viridis"}
+    if int(colormap) not in names:
+        raise NotImplementedError(f"colormap {colormap}")
+    return _o(_ip.apply_color_map(_m(src), names[int(colormap)]))

@@ -1,0 +1,739 @@
+"""Call-for-call parity of the drop-in shim (`rustcv_tpu.cv2`) vs real cv2.
+
+Each test runs the IDENTICAL call on OpenCV 5.0 and on the shim and
+compares with the op's documented tolerance (bit-exact families per
+tests/test_opencv_parity.py stay bit-exact through the shim; float ops
+use allclose; detector ops compare structurally)."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+cv = pytest.importorskip("cv2")
+import rustcv_tpu.cv2 as rcv  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def img():
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 256, (72, 96, 3), np.uint8)
+    a[20:40, 30:60] = (200, 40, 90)
+    return a
+
+
+@pytest.fixture(scope="module")
+def gray(img):
+    return cv.cvtColor(img, cv.COLOR_BGR2GRAY)
+
+
+@pytest.fixture(scope="module")
+def mask(gray):
+    return cv.threshold(gray, 120, 255, cv.THRESH_BINARY)[1]
+
+
+@pytest.fixture(scope="module")
+def shapes_mask():
+    m = np.zeros((72, 96), np.uint8)
+    m[8:30, 10:40] = 255
+    m[40:64, 50:80] = 255
+    m[10:26, 60:76] = 255
+    return m
+
+
+@pytest.fixture(scope="module")
+def smooth(img):
+    return cv.GaussianBlur(img, (7, 7), 2.0)
+
+
+def same(a, b, tol=0):
+    a, b = np.asarray(a), np.asarray(b)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    if tol == 0:
+        np.testing.assert_array_equal(a, b)
+    else:
+        diff = np.abs(a.astype(np.float64) - b.astype(np.float64))
+        assert diff.max() <= tol, diff.max()
+
+
+def test_constants_match_cv2():
+    import rustcv_tpu.cv2._constants as C
+    checked = 0
+    for n in dir(C):
+        if n.startswith("_"):
+            continue
+        v = getattr(C, n)
+        if isinstance(v, (int, float)) and hasattr(cv, n):
+            assert getattr(cv, n) == v, n
+            checked += 1
+    assert checked > 900
+
+
+# ---------------------------------------------------------------- color
+
+@pytest.mark.parametrize("code", [
+    "COLOR_BGR2RGB", "COLOR_BGR2BGRA", "COLOR_BGR2YCrCb",
+])
+def test_cvtcolor_bit_exact(img, code):
+    c = getattr(cv, code)
+    same(cv.cvtColor(img, c), rcv.cvtColor(img, c))
+
+
+@pytest.mark.parametrize("code", ["COLOR_BGR2GRAY", "COLOR_RGB2GRAY"])
+def test_cvtcolor_gray_lsb(img, code):
+    c = getattr(cv, code)
+    same(cv.cvtColor(img, c), rcv.cvtColor(img, c), tol=1)
+
+
+@pytest.mark.parametrize("code,tol", [
+    ("COLOR_BGR2HSV", 2), ("COLOR_BGR2Lab", 2),
+])
+def test_cvtcolor_lsb(img, code, tol):
+    c = getattr(cv, code)
+    a, b = cv.cvtColor(img, c), rcv.cvtColor(img, c)
+    # hue wraps at 180
+    d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    if "HSV" in code:
+        d[..., 0] = np.minimum(d[..., 0], 180 - d[..., 0])
+    assert d.max() <= tol
+
+
+def test_cvtcolor_gray2bgr(gray):
+    same(cv.cvtColor(gray, cv.COLOR_GRAY2BGR),
+         rcv.cvtColor(gray, cv.COLOR_GRAY2BGR))
+
+
+# ---------------------------------------------------------------- threshold
+
+@pytest.mark.parametrize("t", ["THRESH_BINARY", "THRESH_BINARY_INV",
+                               "THRESH_TRUNC", "THRESH_TOZERO",
+                               "THRESH_TOZERO_INV"])
+def test_threshold(gray, t):
+    tt = getattr(cv, t)
+    r1, d1 = cv.threshold(gray, 117, 255, tt)
+    r2, d2 = rcv.threshold(gray, 117, 255, tt)
+    assert r1 == r2
+    same(d1, d2)
+
+
+def test_threshold_otsu(gray):
+    r1, d1 = cv.threshold(gray, 0, 255, cv.THRESH_BINARY + cv.THRESH_OTSU)
+    r2, d2 = rcv.threshold(gray, 0, 255, cv.THRESH_BINARY + cv.THRESH_OTSU)
+    assert r1 == r2
+    same(d1, d2)
+
+
+def test_adaptive_threshold(gray):
+    a = cv.adaptiveThreshold(gray, 255, cv.ADAPTIVE_THRESH_MEAN_C,
+                             cv.THRESH_BINARY, 11, 2)
+    b = rcv.adaptiveThreshold(gray, 255, cv.ADAPTIVE_THRESH_MEAN_C,
+                              cv.THRESH_BINARY, 11, 2)
+    same(a, b)
+    # gaussian weighting kernel is a documented convention delta
+    a = cv.adaptiveThreshold(gray, 255, cv.ADAPTIVE_THRESH_GAUSSIAN_C,
+                             cv.THRESH_BINARY, 11, 2)
+    b = rcv.adaptiveThreshold(gray, 255, cv.ADAPTIVE_THRESH_GAUSSIAN_C,
+                              cv.THRESH_BINARY, 11, 2)
+    assert (a != b).mean() < 0.12
+
+
+def test_in_range(img):
+    lo, hi = (40, 20, 10), (220, 200, 180)
+    same(cv.inRange(img, lo, hi), rcv.inRange(img, lo, hi))
+
+
+# ---------------------------------------------------------------- geometry
+
+def test_resize_linear(img):
+    same(cv.resize(img, (48, 36)), rcv.resize(img, (48, 36)))
+
+
+def test_resize_nearest(img):
+    a = cv.resize(img, (48, 36), interpolation=cv.INTER_NEAREST)
+    b = rcv.resize(img, (48, 36), interpolation=cv.INTER_NEAREST)
+    same(a, b)
+    a = cv.resize(img, (130, 100), interpolation=cv.INTER_NEAREST)
+    b = rcv.resize(img, (130, 100), interpolation=cv.INTER_NEAREST)
+    same(a, b)
+
+
+def test_resize_fx_fy(img):
+    same(cv.resize(img, None, fx=0.5, fy=0.5),
+         rcv.resize(img, None, fx=0.5, fy=0.5))
+
+
+def test_flip_rotate(img):
+    for c in (0, 1, -1):
+        same(cv.flip(img, c), rcv.flip(img, c))
+    for rc in (cv.ROTATE_90_CLOCKWISE, cv.ROTATE_180,
+               cv.ROTATE_90_COUNTERCLOCKWISE):
+        same(cv.rotate(img, rc), rcv.rotate(img, rc))
+
+
+def test_warp_affine(smooth):
+    # 11-bit vs cv2 5-bit interp fixed point: compare on smooth content
+    M = cv.getRotationMatrix2D((48, 36), 15, 0.9)
+    M2 = rcv.getRotationMatrix2D((48, 36), 15, 0.9)
+    np.testing.assert_allclose(M, M2, atol=1e-12)
+    a = cv.warpAffine(smooth, M, (96, 72))
+    b = rcv.warpAffine(smooth, M, (96, 72))
+    # out-of-range band: ours clamps, cv2 blends toward the constant
+    # border (documented convention delta) -> compare fully-covered px
+    Mi = cv.invertAffineTransform(M)
+    xs, ys = np.meshgrid(np.arange(96), np.arange(72))
+    sx = Mi[0, 0] * xs + Mi[0, 1] * ys + Mi[0, 2]
+    sy = Mi[1, 0] * xs + Mi[1, 1] * ys + Mi[1, 2]
+    valid = (sx >= 2) & (sx <= 93) & (sy >= 2) & (sy <= 69)
+    d = np.abs(a.astype(int) - b.astype(int)).max(axis=2)
+    assert d[valid].max() <= 3
+
+
+def test_warp_affine_translate(img):
+    M = np.array([[1.0, 0, 5], [0, 1, 3]])
+    same(cv.warpAffine(img, M, (96, 72)), rcv.warpAffine(img, M, (96, 72)))
+
+
+def test_perspective_transforms():
+    src = np.float32([[0, 0], [95, 0], [95, 71], [0, 71]])
+    dst = np.float32([[5, 3], [90, 2], [88, 70], [2, 68]])
+    a = cv.getPerspectiveTransform(src, dst)
+    b = rcv.getPerspectiveTransform(src, dst)
+    np.testing.assert_allclose(a, b, atol=1e-9)
+    src3 = np.float32([[0, 0], [95, 0], [0, 71]])
+    dst3 = np.float32([[5, 3], [90, 2], [2, 68]])
+    np.testing.assert_allclose(cv.getAffineTransform(src3, dst3),
+                               rcv.getAffineTransform(src3, dst3),
+                               atol=1e-9)
+
+
+def test_invert_affine():
+    M = np.array([[0.9, 0.1, 3.0], [-0.2, 1.1, -4.0]])
+    np.testing.assert_allclose(cv.invertAffineTransform(M),
+                               rcv.invertAffineTransform(M), atol=1e-12)
+
+
+def test_remap(img):
+    img = cv.GaussianBlur(img, (7, 7), 2.0)
+    h, w = img.shape[:2]
+    mx, my = np.meshgrid(np.arange(w, dtype=np.float32) * 0.9 + 2,
+                         np.arange(h, dtype=np.float32) * 0.95 + 1)
+    a = cv.remap(img, mx, my, cv.INTER_LINEAR)
+    b = rcv.remap(img, mx, my, cv.INTER_LINEAR)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+# ---------------------------------------------------------------- filters
+
+def test_gaussian_blur(img):
+    same(cv.GaussianBlur(img, (5, 5), 0), rcv.GaussianBlur(img, (5, 5), 0))
+
+
+def test_blur_box(img):
+    same(cv.blur(img, (3, 3)), rcv.blur(img, (3, 3)))
+    same(cv.boxFilter(img, -1, (5, 5)), rcv.boxFilter(img, -1, (5, 5)))
+
+
+def test_median(gray):
+    same(cv.medianBlur(gray, 3), rcv.medianBlur(gray, 3))
+    same(cv.medianBlur(gray, 5), rcv.medianBlur(gray, 5))
+
+
+def test_filter2d(gray):
+    k = np.array([[0, -1, 0], [-1, 5, -1], [0, -1, 0]], np.float32)
+    same(cv.filter2D(gray, -1, k), rcv.filter2D(gray, -1, k))
+
+
+def test_sep_filter2d(gray):
+    kx = np.array([1, 2, 1], np.float32) / 4
+    same(cv.sepFilter2D(gray, -1, kx, kx), rcv.sepFilter2D(gray, -1, kx, kx))
+
+
+@pytest.mark.parametrize("dd", ["CV_16S", "CV_32F", "CV_64F"])
+def test_sobel_scharr_laplacian(gray, dd):
+    d = getattr(cv, dd)
+    same(cv.Sobel(gray, d, 1, 0), rcv.Sobel(gray, d, 1, 0))
+    same(cv.Sobel(gray, d, 0, 1, ksize=5), rcv.Sobel(gray, d, 0, 1, ksize=5))
+    same(cv.Scharr(gray, d, 1, 0), rcv.Scharr(gray, d, 1, 0))
+    same(cv.Laplacian(gray, d), rcv.Laplacian(gray, d))
+
+
+def test_sobel_scale_delta(gray):
+    same(cv.Sobel(gray, cv.CV_32F, 1, 0, scale=0.25, delta=10),
+         rcv.Sobel(gray, cv.CV_32F, 1, 0, scale=0.25, delta=10))
+
+
+def test_spatial_gradient(gray):
+    a1, a2 = cv.spatialGradient(gray)
+    b1, b2 = rcv.spatialGradient(gray)
+    same(a1, b1)
+    same(a2, b2)
+
+
+def test_morphology(mask):
+    k = cv.getStructuringElement(cv.MORPH_ELLIPSE, (5, 5))
+    k2 = rcv.getStructuringElement(cv.MORPH_ELLIPSE, (5, 5))
+    same(k, k2)
+    same(cv.erode(mask, k), rcv.erode(mask, k))
+    same(cv.dilate(mask, k, iterations=2), rcv.dilate(mask, k, iterations=2))
+    for op in (cv.MORPH_OPEN, cv.MORPH_CLOSE, cv.MORPH_GRADIENT,
+               cv.MORPH_TOPHAT, cv.MORPH_BLACKHAT):
+        same(cv.morphologyEx(mask, op, k), rcv.morphologyEx(mask, op, k))
+
+
+def test_pyr(img):
+    a, b = cv.pyrDown(img), rcv.pyrDown(img)
+    same(a[1:-1, 1:-1], b[1:-1, 1:-1])
+    a, b = cv.pyrUp(img), rcv.pyrUp(img)
+    same(a[2:-2, 2:-2], b[2:-2, 2:-2])
+
+
+def test_copy_make_border(gray):
+    for bt in (cv.BORDER_CONSTANT, cv.BORDER_REPLICATE, cv.BORDER_REFLECT,
+               cv.BORDER_WRAP, cv.BORDER_REFLECT101):
+        a = cv.copyMakeBorder(gray, 2, 3, 4, 5, bt, value=7)
+        b = rcv.copyMakeBorder(gray, 2, 3, 4, 5, bt, value=7)
+        same(a, b)
+
+
+def test_border_interpolate():
+    for bt in (cv.BORDER_REPLICATE, cv.BORDER_REFLECT, cv.BORDER_WRAP,
+               cv.BORDER_REFLECT101):
+        for p in (-3, -1, 0, 5, 9, 12):
+            assert cv.borderInterpolate(p, 10, bt) == \
+                rcv.borderInterpolate(p, 10, bt)
+
+
+def test_get_gaussian_kernel():
+    for n, s in [(5, -1), (3, 0), (7, 1.5), (9, -1), (11, 2.5)]:
+        np.testing.assert_allclose(cv.getGaussianKernel(n, s),
+                                   rcv.getGaussianKernel(n, s), atol=1e-9)
+
+
+# ---------------------------------------------------------------- hist
+
+def test_equalize_hist(gray):
+    same(cv.equalizeHist(gray), rcv.equalizeHist(gray))
+
+
+def test_calc_hist(gray):
+    a = cv.calcHist([gray], [0], None, [256], [0, 256])
+    b = rcv.calcHist([gray], [0], None, [256], [0, 256])
+    same(a.ravel(), np.asarray(b).ravel())
+    a = cv.calcHist([gray], [0], None, [32], [0, 256])
+    b = rcv.calcHist([gray], [0], None, [32], [0, 256])
+    same(a.ravel(), np.asarray(b).ravel())
+
+
+def test_compare_hist(gray, mask):
+    h1 = cv.calcHist([gray], [0], None, [64], [0, 256])
+    h2 = cv.calcHist([mask], [0], None, [64], [0, 256])
+    for m in (cv.HISTCMP_CORREL, cv.HISTCMP_CHISQR, cv.HISTCMP_INTERSECT,
+              cv.HISTCMP_BHATTACHARYYA):
+        assert abs(cv.compareHist(h1, h2, m) - rcv.compareHist(h1, h2, m)) \
+            < 1e-6
+
+
+def test_clahe(gray):
+    a = cv.createCLAHE(clipLimit=40, tileGridSize=(8, 8)).apply(gray)
+    b = rcv.createCLAHE(clipLimit=40, tileGridSize=(8, 8)).apply(gray)
+    # role parity (frozen exact-integer spec, not cv2's tile LUT
+    # interpolation): same contrast enhancement, small mean deviation
+    d = np.abs(a.astype(int) - np.asarray(b).astype(int))
+    assert d.mean() < 12
+    assert np.asarray(b).std() > gray.std()
+
+
+# ---------------------------------------------------------------- core
+
+def test_arith(img, gray):
+    g3 = cv.cvtColor(gray, cv.COLOR_GRAY2BGR)
+    same(cv.add(img, g3), rcv.add(img, g3))
+    same(cv.subtract(img, g3), rcv.subtract(img, g3))
+    same(cv.absdiff(img, g3), rcv.absdiff(img, g3))
+    same(cv.addWeighted(img, 0.7, g3, 0.3, 5),
+         rcv.addWeighted(img, 0.7, g3, 0.3, 5), tol=1)
+    same(cv.bitwise_and(img, g3), rcv.bitwise_and(img, g3))
+    same(cv.bitwise_not(img), rcv.bitwise_not(img))
+    same(cv.min(img, g3), rcv.min(img, g3))
+    same(cv.max(img, g3), rcv.max(img, g3))
+
+
+def test_stats(img, gray, mask):
+    np.testing.assert_allclose(cv.mean(img), rcv.mean(img), atol=1e-9)
+    m1, s1 = cv.meanStdDev(img)
+    m2, s2 = rcv.meanStdDev(img)
+    np.testing.assert_allclose(m1, m2, atol=1e-9)
+    np.testing.assert_allclose(s1, s2, atol=1e-9)
+    assert cv.minMaxLoc(gray) == rcv.minMaxLoc(gray)
+    assert cv.countNonZero(mask) == rcv.countNonZero(mask)
+    assert cv.hasNonZero(mask) == rcv.hasNonZero(mask)
+    for nt in (cv.NORM_L1, cv.NORM_L2, cv.NORM_INF):
+        np.testing.assert_allclose(cv.norm(gray.astype(np.float32), normType=nt),
+                                   rcv.norm(gray.astype(np.float32), normType=nt),
+                                   rtol=1e-12)
+
+
+def test_find_non_zero(mask):
+    same(cv.findNonZero(mask), rcv.findNonZero(mask))
+
+
+def test_split_merge(img):
+    a = cv.split(img)
+    b = rcv.split(img)
+    for x, y in zip(a, b):
+        same(x, y)
+    same(cv.merge(a), rcv.merge(list(a)))
+
+
+def test_concat_transpose(gray):
+    same(cv.hconcat([gray, gray]), rcv.hconcat([gray, gray]))
+    same(cv.vconcat([gray, gray]), rcv.vconcat([gray, gray]))
+    same(cv.transpose(gray), rcv.transpose(gray))
+
+
+def test_convert_scale_abs(gray):
+    same(cv.convertScaleAbs(gray, alpha=1.5, beta=-20),
+         rcv.convertScaleAbs(gray, alpha=1.5, beta=-20))
+
+
+def test_lut(img):
+    table = np.clip(np.arange(256) * 1.2, 0, 255).astype(np.uint8)
+    same(cv.LUT(img, table), rcv.LUT(img, table))
+
+
+def test_normalize_minmax(gray):
+    a = cv.normalize(gray, None, alpha=0, beta=255,
+                     norm_type=cv.NORM_MINMAX)
+    b = rcv.normalize(gray, None, alpha=0, beta=255,
+                      norm_type=cv.NORM_MINMAX)
+    same(a, b, tol=1)
+
+
+def test_integral(gray):
+    same(cv.integral(gray), rcv.integral(gray))
+    a1, a2 = cv.integral2(gray)
+    b1, b2 = rcv.integral2(gray)
+    same(a1, b1)
+    same(a2, b2)
+
+
+def test_cart_polar():
+    x = np.linspace(-3, 3, 32).astype(np.float32)
+    y = np.linspace(2, -2, 32).astype(np.float32)
+    m1, a1 = cv.cartToPolar(x, y)
+    m2, a2 = rcv.cartToPolar(x, y)
+    np.testing.assert_allclose(m1.ravel(), np.asarray(m2).ravel(), rtol=1e-5)
+    np.testing.assert_allclose(a1.ravel(), np.asarray(a2).ravel(), atol=2e-3)
+    assert abs(cv.fastAtan2(1.0, 2.0) - rcv.fastAtan2(1.0, 2.0)) < 1e-4
+    assert abs(cv.cubeRoot(27.0) - rcv.cubeRoot(27.0)) < 1e-6
+
+
+def test_psnr(img, gray):
+    g3 = cv.cvtColor(gray, cv.COLOR_GRAY2BGR)
+    assert abs(cv.PSNR(img, g3) - rcv.PSNR(img, g3)) < 1e-6
+
+
+def test_linalg():
+    A = np.array([[4.0, 1.0], [1.0, 3.0]])
+    b = np.array([[1.0], [2.0]])
+    ok1, x1 = cv.solve(A, b)
+    ok2, x2 = rcv.solve(A, b)
+    assert ok1 == ok2
+    np.testing.assert_allclose(x1, x2, atol=1e-12)
+    ok1, i1 = cv.invert(A)
+    ok2, i2 = rcv.invert(A)
+    np.testing.assert_allclose(i1, i2, atol=1e-12)
+    assert abs(cv.determinant(A) - rcv.determinant(A)) < 1e-12
+    w1, u1, vt1 = cv.SVDecomp(A)
+    w2, u2, vt2 = rcv.SVDecomp(A)
+    np.testing.assert_allclose(w1, w2, atol=1e-10)
+
+
+def test_dft_idct(gray):
+    f = gray.astype(np.float32)
+    np.testing.assert_allclose(cv.dct(f), rcv.dct(f), atol=1e-2)
+    np.testing.assert_allclose(cv.idct(cv.dct(f)), rcv.idct(rcv.dct(f)),
+                               atol=1e-2)
+    assert cv.getOptimalDFTSize(97) == rcv.getOptimalDFTSize(97)
+
+
+def test_rng_bit_exact():
+    cv.setRNGSeed(12345)
+    a = np.empty((3, 7), np.int32)
+    cv.randu(a, 0, 1000)
+    rcv.setRNGSeed(12345)
+    b = np.empty((3, 7), np.int32)
+    rcv.randu(b, 0, 1000)
+    same(a, b)
+
+
+def test_kmeans():
+    rng = np.random.RandomState(3)
+    data = np.vstack([rng.randn(40, 2) + (0, 0),
+                      rng.randn(40, 2) + (8, 8)]).astype(np.float32)
+    crit = (cv.TERM_CRITERIA_EPS + cv.TERM_CRITERIA_MAX_ITER, 20, 0.5)
+    _, l2, c2 = rcv.kmeans(data, 2, None, crit, 3, cv.KMEANS_PP_CENTERS)
+    assert sorted(np.asarray(c2).mean(axis=1).round(0).tolist()) == [0, 8]
+
+
+# ---------------------------------------------------------------- contours
+
+def test_find_contours_and_props(shapes_mask):
+    mask = shapes_mask
+    a, _ = cv.findContours(mask, cv.RETR_EXTERNAL, cv.CHAIN_APPROX_NONE)
+    b, hier = rcv.findContours(mask, cv.RETR_EXTERNAL, cv.CHAIN_APPROX_NONE)
+    assert len(a) == len(b)
+    key = lambda c: tuple(c.reshape(-1, 2).min(axis=0))
+    for ca, cb in zip(sorted(a, key=key), sorted(b, key=key)):
+        sa = set(map(tuple, ca.reshape(-1, 2)))
+        sb = set(map(tuple, cb.reshape(-1, 2)))
+        assert sa == sb
+        assert abs(cv.contourArea(ca) - rcv.contourArea(cb)) < 1e-9
+        assert cv.boundingRect(ca) == rcv.boundingRect(cb)
+
+
+def test_contour_geometry():
+    pts = np.array([[10, 10], [60, 12], [55, 50], [30, 60], [8, 40]],
+                   np.int32).reshape(-1, 1, 2)
+    assert abs(cv.contourArea(pts) - rcv.contourArea(pts)) < 1e-6
+    assert abs(cv.arcLength(pts, True) - rcv.arcLength(pts, True)) < 1e-4
+    h1 = cv.convexHull(pts)
+    h2 = rcv.convexHull(pts)
+    assert set(map(tuple, h1.reshape(-1, 2))) == \
+        set(map(tuple, h2.reshape(-1, 2)))
+    assert cv.isContourConvex(h1) == rcv.isContourConvex(h2)
+    assert cv.pointPolygonTest(pts, (30, 30), False) == \
+        rcv.pointPolygonTest(pts, (30, 30), False)
+    (c1, r1) = cv.minEnclosingCircle(pts)
+    (c2, r2) = rcv.minEnclosingCircle(pts)
+    assert abs(r1 - r2) < 1e-3
+    rr1 = cv.minAreaRect(pts)
+    rr2 = rcv.minAreaRect(pts)
+    np.testing.assert_allclose(rr1[0], rr2[0], atol=1e-3)
+    np.testing.assert_allclose(rr1[1], rr2[1], atol=1e-3)
+    assert abs(rr1[2] - rr2[2]) < 1e-3
+    b1 = cv.boxPoints(rr1)
+    b2 = rcv.boxPoints(rr2)
+    np.testing.assert_allclose(np.sort(b1, axis=0), np.sort(b2, axis=0),
+                               atol=1e-2)
+
+
+def test_approx_poly(shapes_mask):
+    mask = shapes_mask
+    cts, _ = cv.findContours(mask, cv.RETR_EXTERNAL, cv.CHAIN_APPROX_NONE)
+    c = builtins_max_by_len(cts)
+    a = cv.approxPolyDP(c, 2.0, True)
+    b = rcv.approxPolyDP(c, 2.0, True)
+    assert set(map(tuple, a.reshape(-1, 2))) == \
+        set(map(tuple, b.reshape(-1, 2)))
+
+
+def builtins_max_by_len(cts):
+    return sorted(cts, key=len)[-1]
+
+
+def test_moments_hu(mask):
+    m1 = cv.moments(mask)
+    m2 = rcv.moments(mask)
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(cv.HuMoments(m1), rcv.HuMoments(m2),
+                               rtol=1e-9)
+
+
+def test_fit_ellipse():
+    t = np.linspace(0, 2 * np.pi, 40)
+    pts = np.stack([40 + 20 * np.cos(t), 36 + 10 * np.sin(t)],
+                   axis=1).astype(np.float32)
+    (c1, a1, g1) = cv.fitEllipse(pts)
+    (c2, a2, g2) = rcv.fitEllipse(pts)
+    np.testing.assert_allclose(c1, c2, atol=0.1)
+    np.testing.assert_allclose(sorted(a1), sorted(np.asarray(a2)), atol=0.5)
+
+
+def test_fit_line():
+    pts = np.array([[i, 2 * i + 1] for i in range(20)], np.float32)
+    l1 = cv.fitLine(pts, cv.DIST_L2, 0, 0.01, 0.01)
+    l2 = rcv.fitLine(pts, cv.DIST_L2, 0, 0.01, 0.01)
+    d1 = l1[:2].ravel() / np.linalg.norm(l1[:2])
+    d2 = np.asarray(l2)[:2].ravel() / np.linalg.norm(np.asarray(l2)[:2])
+    assert abs(abs(np.dot(d1, d2)) - 1) < 1e-6
+
+
+# ------------------------------------------------------------ segmentation
+
+def test_connected_components(mask):
+    n1, l1 = cv.connectedComponents(mask)
+    n2, l2 = rcv.connectedComponents(mask)
+    same(l1, l2)
+    assert n1 == n2
+    # labels may permute; compare partition structure
+    for lab in range(n1):
+        sel = l1 == lab
+        vals = np.unique(np.asarray(l2)[sel])
+        assert len(vals) == 1
+    n1, l1, s1, c1 = cv.connectedComponentsWithStats(mask)
+    n2, l2, s2, c2 = rcv.connectedComponentsWithStats(mask)
+    assert n1 == n2
+    rows1 = set(map(tuple, s1.tolist()))
+    rows2 = set(map(tuple, np.asarray(s2).tolist()))
+    assert rows1 == rows2
+
+
+def test_distance_transform(mask):
+    a = cv.distanceTransform(mask, cv.DIST_L2, 3)
+    b = rcv.distanceTransform(mask, cv.DIST_L2, 3)
+    # ours is exact L2; cv2 maskSize=3 is a chamfer approximation
+    assert np.abs(a - b).max() < 1.0
+
+
+def test_match_template(gray):
+    t = gray[10:34, 18:48].copy()
+    for m in (cv.TM_SQDIFF, cv.TM_CCORR_NORMED, cv.TM_CCOEFF_NORMED):
+        a = cv.matchTemplate(gray, t, m)
+        b = np.asarray(rcv.matchTemplate(gray, t, m))
+        assert a.shape == b.shape
+        if m == cv.TM_SQDIFF:
+            # exact-zero plateau can tie; require value equivalence
+            peak = np.unravel_index(np.argmin(a), a.shape)
+            assert b[peak] <= b.min() + 1e-3
+        else:
+            # value-equivalent peaks (cv2's own float error can move
+            # its argmax within the exact-match plateau)
+            pa = np.unravel_index(np.argmax(a), a.shape)
+            pb = np.unravel_index(np.argmax(b), b.shape)
+            assert b[pa] >= b.max() - 1e-4 and a[pb] >= a.max() - 1e-4
+            # zero-variance windows (the uniform block) are degenerate
+            # for the *_NORMED family; compare the well-posed 99%
+            assert np.percentile(np.abs(a - b), 99) < 1e-4
+
+
+# ---------------------------------------------------------------- features
+
+def test_good_features(gray):
+    a = cv.goodFeaturesToTrack(gray, 20, 0.05, 5, useHarrisDetector=True)
+    b = rcv.goodFeaturesToTrack(gray, 20, 0.05, 5, useHarrisDetector=True)
+    assert b.shape[1:] == (1, 2)
+    # NMS conventions differ (greedy euclidean vs square radius);
+    # require substantial overlap of the top-20 harris corners
+    sa = set(map(tuple, a.reshape(-1, 2).round(0).tolist()))
+    sb = set(map(tuple, np.asarray(b).reshape(-1, 2).round(0).tolist()))
+    assert len(sa & sb) >= 4
+
+
+def test_corner_min_eigen(gray):
+    same(cv.cornerMinEigenVal(gray, 3), rcv.cornerMinEigenVal(gray, 3),
+         tol=1e-6)
+
+
+def test_hough_lines():
+    im = np.zeros((80, 80), np.uint8)
+    cv.line(im, (10, 10), (70, 10), 255, 1)
+    cv.line(im, (20, 5), (20, 75), 255, 1)
+    a = cv.HoughLines(im, 1, np.pi / 180, 40)
+    b = rcv.HoughLines(im, 1, np.pi / 180, 40)
+    assert b is not None and len(b) >= 2
+    thetas_b = sorted(np.asarray(b).reshape(-1, 2)[:, 1].round(2).tolist())[:2]
+    assert any(abs(t - 0.0) < 0.1 for t in thetas_b)
+    assert any(abs(t - np.pi / 2) < 0.1 for t in thetas_b)
+
+
+def test_hough_lines_p():
+    im = np.zeros((80, 80), np.uint8)
+    cv.line(im, (10, 40), (70, 40), 255, 1)
+    b = rcv.HoughLinesP(im, 1, np.pi / 180, 30, minLineLength=30,
+                        maxLineGap=3)
+    assert b.shape[1:] == (1, 4) and len(b) >= 1
+    x1, y1, x2, y2 = np.asarray(b)[0, 0]
+    assert abs(int(y1) - 40) <= 1 and abs(int(y2) - 40) <= 1
+
+
+# ---------------------------------------------------------------- drawing
+
+def test_drawing_inplace(img):
+    a = img.copy()
+    b = img.copy()
+    cv.line(a, (5, 5), (80, 60), (0, 255, 0), 2)
+    rcv.line(b, (5, 5), (80, 60), (0, 255, 0), 2)
+    assert (a != img).any() and (b != img).any()
+    da = (a != img).any(axis=2)
+    db = (b != img).any(axis=2)
+    inter = (da & db).sum()
+    assert inter / builtins_max(da.sum(), db.sum()) > 0.6
+
+    a = img.copy()
+    b = img.copy()
+    cv.rectangle(a, (10, 10), (50, 40), (0, 0, 255), 1)
+    rcv.rectangle(b, (10, 10), (50, 40), (0, 0, 255), 1)
+    same(a, b)
+
+    a = img.copy()
+    b = img.copy()
+    cv.circle(a, (48, 36), 20, (255, 0, 0), -1)
+    rcv.circle(b, (48, 36), 20, (255, 0, 0), -1)
+    da = (a != img).any(axis=2)
+    db = (b != img).any(axis=2)
+    assert (da & db).sum() / builtins_max(da.sum(), db.sum()) > 0.9
+
+
+def builtins_max(*a):
+    import builtins
+    return builtins.max(*a)
+
+
+def test_fill_poly(img):
+    pts = np.array([[10, 10], [60, 15], [50, 55], [15, 50]], np.int32)
+    a = img.copy()
+    b = img.copy()
+    cv.fillPoly(a, [pts.reshape(-1, 1, 2)], (0, 255, 255))
+    rcv.fillPoly(b, [pts.reshape(-1, 1, 2)], (0, 255, 255))
+    da = (a != img).any(axis=2)
+    db = (b != img).any(axis=2)
+    assert (da & db).sum() / builtins_max(da.sum(), db.sum()) > 0.9
+
+
+def test_put_text(img):
+    b = img.copy()
+    rcv.putText(b, "hi", (5, 30), cv.FONT_HERSHEY_SIMPLEX, 1.0,
+                (255, 255, 255))
+    assert (b != img).any()
+    (w, h), base = rcv.getTextSize("hi", cv.FONT_HERSHEY_SIMPLEX, 1.0, 1)
+    assert w > 0 and h > 0
+
+
+def test_clip_line():
+    assert cv.clipLine((0, 0, 50, 50), (-10, 10), (70, 10)) == \
+        rcv.clipLine((0, 0, 50, 50), (-10, 10), (70, 10))
+
+
+# ---------------------------------------------------------------- misc
+
+def test_phase_correlate():
+    rng = np.random.RandomState(5)
+    base = rng.rand(64, 64).astype(np.float32)
+    shifted = np.roll(base, (3, 5), axis=(0, 1))
+    (dx1, dy1), _ = cv.phaseCorrelate(base, shifted)
+    (dx2, dy2), _ = rcv.phaseCorrelate(base, shifted)
+    assert abs(abs(dx1) - abs(dx2)) < 0.3 and abs(abs(dy1) - abs(dy2)) < 0.3
+
+
+def test_apply_color_map(gray):
+    b = rcv.applyColorMap(gray, cv.COLORMAP_JET)
+    assert b.shape == gray.shape + (3,)
+
+
+def test_rectangle_filled(img):
+    a = img.copy()
+    b = img.copy()
+    cv.rectangle(a, (10, 12), (50, 40), (7, 8, 9), -1)
+    rcv.rectangle(b, (10, 12), (50, 40), (7, 8, 9), -1)
+    same(a, b)
+
+
+def test_canny_threshold_scale():
+    im = np.zeros((120, 160), np.uint8)
+    cv.circle(im, (120, 40), 18, 29, -1)  # low-contrast disk
+    g5 = cv.GaussianBlur(im, (5, 5), 0)
+    a = cv.Canny(g5, 40, 90)
+    b = rcv.Canny(g5, 40, 90)
+    # same thresholds select the same structure (convention-tolerant)
+    assert (np.asarray(b) > 0).sum() > 0.5 * (a > 0).sum()
