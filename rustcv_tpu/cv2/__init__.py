@@ -1727,3 +1727,40 @@ def applyColorMap(src, colormap, dst=None):
     if int(colormap) not in names:
         raise NotImplementedError(f"colormap {colormap}")
     return _o(_ip.apply_color_map(_m(src), names[int(colormap)]))
+
+
+# ---------------------------------------------------------- class APIs
+
+from ._classes import (  # noqa: E402,F401
+    KeyPoint, DMatch, SIFT, ORB, AKAZE, FastFeatureDetector,
+    SIFT_create, ORB_create, AKAZE_create, FastFeatureDetector_create,
+    BFMatcher, drawKeypoints, drawMatches,
+    calcOpticalFlowFarneback, calcOpticalFlowPyrLK,
+    BackgroundSubtractorMOG2, BackgroundSubtractorKNN,
+    createBackgroundSubtractorMOG2, createBackgroundSubtractorKNN,
+    meanShift, CamShift, KalmanFilter,
+    TrackerKCF, TrackerCSRT, TrackerMIL, TrackerMOSSE,
+    TrackerKCF_create, TrackerCSRT_create, TrackerMIL_create,
+    TrackerMOSSE_create,
+    Rodrigues, solvePnP, solvePnPRansac, projectPoints, findHomography,
+    findFundamentalMat, findEssentialMat, recoverPose, calibrateCamera,
+    undistort, undistortPoints, initUndistortRectifyMap,
+    getOptimalNewCameraMatrix, stereoRectify, triangulatePoints,
+    estimateAffine2D, estimateAffinePartial2D, perspectiveTransform,
+    transform, findChessboardCorners, findChessboardCornersSB,
+    drawChessboardCorners, drawFrameAxes, decomposeHomographyMat,
+    decomposeEssentialMat, computeCorrespondEpilines,
+    StereoSGBM, StereoBM, StereoSGBM_create, StereoBM_create,
+    fastNlMeansDenoising, fastNlMeansDenoisingColored, inpaint,
+    seamlessClone, colorChange, illuminationChange, textureFlattening,
+    detailEnhance, stylization, pencilSketch, edgePreservingFilter,
+    decolor, createMergeMertens, createMergeDebevec, createMergeRobertson,
+    createCalibrateDebevec, createCalibrateRobertson, createTonemap,
+    createTonemapDrago, createTonemapMantiuk, createTonemapReinhard,
+    createAlignMTB, denoise_TVL1,
+    QRCodeDetector, HOGDescriptor, CascadeClassifier,
+    imread, imwrite, imencode, imdecode, imshow, waitKey, waitKeyEx,
+    pollKey, destroyWindow, destroyAllWindows, namedWindow, moveWindow,
+    resizeWindow, setWindowTitle, getWindowProperty, VideoCapture,
+)
+from . import aruco  # noqa: E402,F401

