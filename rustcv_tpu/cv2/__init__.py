@@ -181,6 +181,37 @@ def _otsu_thresh(a):
     return float(np.argmax(sigma))
 
 
+def _triangle_thresh(a):
+    # cv2 getThreshVal_Triangle_8u (Zack): longest perpendicular from
+    # the peak→far-bound chord to the histogram, on the longer side
+    # (histogram flipped if the peak is nearer the left bound).
+    hist = np.bincount(a.ravel(), minlength=256).astype(np.int64)
+    nz = np.flatnonzero(hist)
+    if nz.size == 0:
+        return 0.0
+    left = max(int(nz[0]) - 1, 0)
+    right = min(int(nz[-1]) + 1, 255)
+    max_ind = int(np.argmax(hist))
+    peak = int(hist[max_ind])
+    flipped = (max_ind - left) < (right - max_ind)
+    if flipped:
+        hist = hist[::-1]
+        left = 255 - right
+        max_ind = 255 - max_ind
+    thresh = left
+    if left != max_ind:
+        i = np.arange(left + 1, max_ind + 1, dtype=np.int64)
+        dist = peak * i + (left - max_ind) * hist[i]
+        # strict > keeps the FIRST maximizer, matching the C loop
+        thresh = int(i[np.argmax(dist)])
+        if int(dist.max()) <= 0:
+            thresh = left
+        thresh -= 1
+    if flipped:
+        thresh = 255 - thresh
+    return float(thresh)
+
+
 def threshold(src, thresh, maxval, type, dst=None):
     a = np.asarray(src)
     flags = int(type)
@@ -188,7 +219,7 @@ def threshold(src, thresh, maxval, type, dst=None):
     if flags & _C.THRESH_OTSU:
         thresh = _otsu_thresh(a)
     elif flags & _C.THRESH_TRIANGLE:
-        raise NotImplementedError("THRESH_TRIANGLE")
+        thresh = _triangle_thresh(a)
     name = _THRESH_NAMES[base]
     out = _o(_ip.threshold(_m(a), int(thresh), int(maxval), type=name))
     return float(thresh), out
@@ -305,11 +336,22 @@ def invertAffineTransform(M, iM=None):
 
 def remap(src, map1, map2, interpolation=1, dst=None, borderMode=0,
           borderValue=0):
-    if int(interpolation) & 7 != 1:
-        raise NotImplementedError("remap supports INTER_LINEAR")
+    from ..ops import warp as _warp
+
+    interp = int(interpolation) & 7
     border = _BORDER_NAMES.get(int(borderMode), "constant")
-    return _o(_ip.remap(_m(src), np.asarray(map1), np.asarray(map2),
-                        border=border))
+    mx, my = np.asarray(map1), np.asarray(map2)
+    if interp == _C.INTER_LINEAR:
+        return _o(_ip.remap(_m(src), mx, my, border=border))
+    a = np.asarray(src)
+    if interp == _C.INTER_NEAREST:
+        # bit-exact vs cv2 (tests/test_cv2_shim.py::test_remap_modes)
+        return _o(_warp.remap_nearest_numpy(a, mx, my, border,
+                                            borderValue))
+    if interp == _C.INTER_CUBIC:
+        # cv2 5's float bicubic path, bit-exact (same test)
+        return _o(_warp.remap_cubic_numpy(a, mx, my, border, borderValue))
+    raise NotImplementedError(f"remap interpolation {interpolation}")
 
 
 def convertMaps(map1, map2, dstmap1type, nninterpolation=False):
@@ -330,16 +372,29 @@ def warpPolar(src, dsize, center, maxRadius, flags):
 
 def GaussianBlur(src, ksize, sigmaX, dst=None, sigmaY=0, borderType=4):
     kx, ky = int(ksize[0]), int(ksize[1])
-    if kx == 0 and ky == 0:
-        kx = ky = (int(round(sigmaX * 3 * 2 + 1)) | 1)
-    if kx != ky:
-        raise NotImplementedError("anisotropic Gaussian ksize")
-    if sigmaY not in (0, sigmaX):
-        raise NotImplementedError("sigmaY != sigmaX")
-    sigma = float(sigmaX) if sigmaX > 0 else -1.0
-    return _pad_run_crop(
-        src, kx // 2,
-        lambda p: _o(_ip.gaussian_blur(_m(p), kx, sigma)), borderType)
+    sx = float(sigmaX)
+    sy = float(sigmaY) if sigmaY not in (0, 0.0) else sx
+    if kx == 0:
+        kx = int(round(sx * 3 * 2 + 1)) | 1
+    if ky == 0:
+        ky = int(round(sy * 3 * 2 + 1)) | 1
+    if kx == ky and sy == sx:
+        sigma = sx if sx > 0 else -1.0
+        return _pad_run_crop(
+            src, kx // 2,
+            lambda p: _o(_ip.gaussian_blur(_m(p), kx, sigma)), borderType)
+    # Anisotropic (rectangular ksize and/or sigmaY != sigmaX): exact
+    # float64 separable correlation with cv2's per-axis kernels.
+    gx = np.asarray(_ip.get_gaussian_kernel(kx, sx if sx > 0 else -1.0),
+                    np.float64).ravel()
+    gy = np.asarray(_ip.get_gaussian_kernel(ky, sy if sy > 0 else -1.0),
+                    np.float64).ravel()
+    a = np.asarray(src)
+    pad = builtins_max(kx, ky) // 2
+    out = _pad_run_crop(src, pad,
+                        lambda p: _correlate_f64(p, np.outer(gy, gx)),
+                        borderType)
+    return _sat(out, -1, a.dtype)
 
 
 def blur(src, ksize, dst=None, anchor=(-1, -1), borderType=4):
@@ -370,26 +425,50 @@ def bilateralFilter(src, d, sigmaColor, sigmaSpace, dst=None, borderType=4):
     return _o(_ip.bilateral_filter(_m(src), int(sigmaColor)))
 
 
+def _correlate_f64(p, k):
+    """Exact float64 correlation with replicate border (the caller's
+    _pad_run_crop ring already carries the requested cv2 border)."""
+    kh, kw = k.shape
+    ry, rx = kh // 2, kw // 2
+    h, w = p.shape[:2]
+    pp = np.pad(p.astype(np.float64),
+                ((ry, ry), (rx, rx)) + ((0, 0),) * (p.ndim - 2),
+                mode="edge")
+    acc = np.zeros(p.shape, np.float64)
+    for dy in range(kh):
+        for dx in range(kw):
+            acc += k[dy, dx] * pp[dy:dy + h, dx:dx + w]
+    return acc
+
+
 def filter2D(src, ddepth, kernel, dst=None, anchor=(-1, -1), delta=0,
              borderType=4):
     k = np.asarray(kernel, np.float64)
     pad = builtins_max(k.shape) // 2
-    out = _pad_run_crop(src, pad, lambda p: _o(_ip.filter2d(_m(p), k)),
-                        borderType)
-    if delta:
-        out = _sat(out.astype(np.float64) + delta, ddepth,
-                   np.asarray(src).dtype)
-    return out
+    a = np.asarray(src)
+    u8_out = ddepth in (-1, None, _C.CV_8U) and a.dtype == np.uint8
+    if u8_out and not delta:
+        return _pad_run_crop(src, pad, lambda p: _o(_ip.filter2d(_m(p), k)),
+                             borderType)
+    out = _pad_run_crop(src, pad, lambda p: _correlate_f64(p, k), borderType)
+    return _sat(out + delta, ddepth, a.dtype)
 
 
 def sepFilter2D(src, ddepth, kernelX, kernelY, dst=None, anchor=(-1, -1),
                 delta=0, borderType=4):
-    kx = np.asarray(kernelX).ravel()
-    ky = np.asarray(kernelY).ravel()
+    kx = np.asarray(kernelX, np.float64).ravel()
+    ky = np.asarray(kernelY, np.float64).ravel()
     pad = builtins_max(len(kx), len(ky)) // 2
-    return _pad_run_crop(src, pad,
-                         lambda p: _o(_ip.sep_filter_2d(_m(p), kx, ky)),
-                         borderType)
+    a = np.asarray(src)
+    u8_out = ddepth in (-1, None, _C.CV_8U) and a.dtype == np.uint8
+    if u8_out and not delta:
+        return _pad_run_crop(src, pad,
+                             lambda p: _o(_ip.sep_filter_2d(_m(p), kx, ky)),
+                             borderType)
+    out = _pad_run_crop(src, pad,
+                        lambda p: _correlate_f64(p, np.outer(ky, kx)),
+                        borderType)
+    return _sat(out + delta, ddepth, a.dtype)
 
 
 def Sobel(src, ddepth, dx, dy, dst=None, ksize=3, scale=1, delta=0,
@@ -1161,9 +1240,36 @@ def phaseCorrelate(src1, src2, window=None, response=None):
 
 def findContours(image, mode, method, contours=None, hierarchy=None,
                  offset=(0, 0)):
-    if int(mode) != _C.RETR_EXTERNAL:
-        raise NotImplementedError("findContours supports RETR_EXTERNAL")
-    cts = _ip.find_contours(_m(image))
+    """All four retrieval modes over ops/ccl.find_contours_tree (8-conn
+    foreground / 4-conn holes, cv2-matching point order — cross-checked
+    against cv2 5.0 in tests/test_contour_tree.py)."""
+    from ..ops import ccl as _ccl
+
+    arr = image.to_numpy() if isinstance(image, Mat) else np.asarray(image)
+    cts, hier_tree, kinds = _ccl.find_contours_tree(arr)
+    mode = int(mode)
+    if mode == _C.RETR_EXTERNAL:
+        keep = [i for i, k in enumerate(kinds)
+                if k == "outer" and hier_tree[i, 3] == -1]
+        cts = [cts[i] for i in keep]
+        parent = np.full(len(cts), -1, np.int32)
+        hier = _ccl.hierarchy_from_parents(parent)
+    elif mode == _C.RETR_LIST:
+        parent = np.full(len(cts), -1, np.int32)
+        hier = _ccl.hierarchy_from_parents(parent)
+    elif mode == _C.RETR_CCOMP:
+        # Two-level semantics: every OUTER boundary is top level (even if
+        # nested inside another component's hole); each hole is a child of
+        # its component's outer boundary.
+        parent = np.full(len(cts), -1, np.int32)
+        for i, k in enumerate(kinds):
+            if k == "hole":
+                parent[i] = hier_tree[i, 3]
+        hier = _ccl.hierarchy_from_parents(parent)
+    elif mode == _C.RETR_TREE:
+        hier = hier_tree
+    else:
+        raise NotImplementedError(f"findContours mode {mode}")
     out = []
     for c in cts:
         c = np.asarray(c, np.int32)
@@ -1172,12 +1278,9 @@ def findContours(image, mode, method, contours=None, hierarchy=None,
         if offset != (0, 0):
             c = c + np.asarray(offset, np.int32)
         out.append(c.reshape(-1, 1, 2))
-    n = len(out)
-    hier = np.full((1, n, 4), -1, np.int32)
-    for i in range(n):
-        hier[0, i, 0] = i + 1 if i + 1 < n else -1
-        hier[0, i, 1] = i - 1
-    return tuple(out), hier
+    if not out:
+        return (), None
+    return tuple(out), hier.reshape(1, -1, 4)
 
 
 def _compress_chain(c):

@@ -282,7 +282,7 @@ class BackgroundSubtractorMOG2:
             detect_shadows=bool(detectShadows))
 
     def apply(self, image, fgmask=None, learningRate=-1):
-        return np.asarray(self._bs.apply(_m(image)))
+        return np.asarray(self._bs.apply(np.asarray(image)))
 
     def getBackgroundImage(self):
         return np.asarray(self._bs.background)
@@ -294,7 +294,7 @@ class BackgroundSubtractorKNN:
         self._bs = _ip.create_background_subtractor_knn()
 
     def apply(self, image, fgmask=None, learningRate=-1):
-        return np.asarray(self._bs.apply(_m(image)))
+        return np.asarray(self._bs.apply(np.asarray(image)))
 
 
 def createBackgroundSubtractorMOG2(history=500, varThreshold=16,
@@ -322,7 +322,13 @@ def CamShift(probImage, window, criteria):
 
 
 class KalmanFilter:
-    """cv2.KalmanFilter attribute surface over ops/kalman.py."""
+    """cv2.KalmanFilter attribute surface over ops/kalman.py.
+
+    Matrix properties return float32 COPIES (the filter's state lives in
+    float64 inside ops/kalman.py): in-place edits like
+    ``kf.transitionMatrix[0, 2] = dt`` are discarded — read, modify, and
+    assign back (``m = kf.transitionMatrix; m[0, 2] = dt;
+    kf.transitionMatrix = m``)."""
 
     def __init__(self, dynamParams, measureParams, controlParams=0,
                  type=5):
@@ -437,7 +443,7 @@ def solvePnPRansac(objectPoints, imagePoints, cameraMatrix, distCoeffs,
         np.asarray(objectPoints, np.float64).reshape(-1, 3),
         np.asarray(imagePoints, np.float64).reshape(-1, 2),
         np.asarray(cameraMatrix), dist,
-        iterations=int(iterationsCount),
+        iters=int(iterationsCount),
         reproj_threshold=float(reprojectionError))
     ok = r is not None
     inliers = None if inl is None else \

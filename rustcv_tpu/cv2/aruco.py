@@ -47,7 +47,7 @@ def getPredefinedDictionary(dict_id):
     if name not in _cache:
         bits, count = _DICT_SPECS[name]
         _cache[name] = Dictionary(_ar.Dictionary.generate(
-            bits, count, seed=dict_id))
+            n=count, bits=bits, seed=dict_id))
     return _cache[name]
 
 
@@ -67,7 +67,12 @@ class ArucoDetector:
         self._dict = dictionary
 
     def detectMarkers(self, image):
-        corners, ids = _ar.detect_markers(_m(image), self._dict._d)
+        arr = image.to_numpy() if isinstance(image, Mat) else \
+            np.asarray(image)
+        if arr.ndim == 3:
+            arr = arr[..., 0] if arr.shape[2] == 1 else \
+                np.asarray(_m(arr).to_numpy()[..., :3].mean(-1), np.uint8)
+        corners, ids = _ar.detect_markers(arr, self._dict._d)
         cs = tuple(np.asarray(c, np.float32).reshape(1, 4, 2)
                    for c in corners)
         ids_arr = None if len(ids) == 0 else \
@@ -81,8 +86,18 @@ def detectMarkers(image, dictionary, parameters=None):
 
 def generateImageMarker(dictionary, id, sidePixels, img=None,
                         borderBits=1):
-    return np.asarray(_ar.draw_marker(dictionary._d, int(id),
-                                      int(sidePixels)), np.uint8)
+    """sidePixels is the full marker side (cv2 semantics); drawn at the
+    largest integer cell size that fits, then nearest-upsampled to
+    exactly sidePixels like cv2's generateImageMarker."""
+    cells = dictionary._d.bits + 2
+    cell_px = max(1, int(sidePixels) // cells)
+    out = np.asarray(_ar.draw_marker(dictionary._d, int(id), cell_px),
+                     np.uint8)
+    if out.shape[0] != int(sidePixels):
+        idx = (np.arange(int(sidePixels)) * out.shape[0]
+               // int(sidePixels))
+        out = out[np.ix_(idx, idx)]
+    return out
 
 
 def drawDetectedMarkers(image, corners, ids=None,

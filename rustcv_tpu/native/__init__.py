@@ -160,6 +160,11 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.rcv_union_find.argtypes = [
         i32p, ctypes.c_long, i32p, i32p, ctypes.c_long,
     ]
+    lib.rcv_ccl_label8.restype = ctypes.c_long
+    lib.rcv_ccl_label8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.rcv_ccl_label.restype = ctypes.c_long
     lib.rcv_ccl_label.argtypes = [
         u8cp, ctypes.c_long, ctypes.c_long, i32p,
@@ -617,21 +622,22 @@ def jpeg_entropy_encode_packed(
     return out[:n].tobytes()
 
 
-def ccl_label(mask: "np.ndarray") -> tuple:
-    """Two-pass union-find connected components (4-connectivity) over a u8
-    mask: returns ``(count, labels int32 (H, W))``, components numbered
-    1..count by raster-first pixel, background 0. GIL released."""
+def ccl_label(mask: "np.ndarray", connectivity: int = 4) -> tuple:
+    """Two-pass union-find connected components (4- or 8-connectivity)
+    over a u8 mask: returns ``(count, labels int32 (H, W))``, components
+    numbered 1..count by raster-first pixel, background 0. GIL released."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError(f"native library unavailable: {_build_error}")
+    if connectivity not in (4, 8):
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
     m = np.ascontiguousarray(mask, np.uint8)
     if m.ndim != 2:
         raise ValueError(f"ccl_label: 2-D mask required, got {m.shape}")
     labels = np.empty(m.shape, np.int32)
     i32 = ctypes.POINTER(ctypes.c_int32)
-    n = lib.rcv_ccl_label(
-        _u8p(m), m.shape[0], m.shape[1], labels.ctypes.data_as(i32)
-    )
+    fn = lib.rcv_ccl_label8 if connectivity == 8 else lib.rcv_ccl_label
+    n = fn(_u8p(m), m.shape[0], m.shape[1], labels.ctypes.data_as(i32))
     if n < 0:
         raise ValueError(f"ccl_label failed (rc={n})")
     return int(n), labels

@@ -113,4 +113,62 @@ long rcv_ccl_label(const uint8_t* mask, long h, long w, int32_t* labels) {
   return count;
 }
 
+// 8-connectivity variant (OpenCV findContours' foreground connectivity):
+// same two-pass min-root scheme, with up-left / up / up-right / left
+// neighbor unions. Components number 1..count by raster-first pixel.
+long rcv_ccl_label8(const uint8_t* mask, long h, long w, int32_t* labels) {
+  if (!mask || !labels || h <= 0 || w <= 0) return -1;
+  std::vector<int32_t> parent;
+  parent.reserve(1024);
+  const long total = h * w;
+  for (long y = 0; y < h; ++y) {
+    const uint8_t* row = mask + y * w;
+    int32_t* lrow = labels + y * w;
+    const int32_t* urow = lrow - w;
+    for (long x = 0; x < w; ++x) {
+      if (!row[x]) {
+        lrow[x] = -1;
+        continue;
+      }
+      int32_t best = -1;
+      int32_t nbr[4];
+      int nn = 0;
+      if (x > 0 && lrow[x - 1] >= 0) nbr[nn++] = lrow[x - 1];
+      if (y > 0) {
+        if (x > 0 && urow[x - 1] >= 0) nbr[nn++] = urow[x - 1];
+        if (urow[x] >= 0) nbr[nn++] = urow[x];
+        if (x + 1 < w && urow[x + 1] >= 0) nbr[nn++] = urow[x + 1];
+      }
+      if (nn == 0) {
+        int32_t id = (int32_t)parent.size();
+        parent.push_back(id);
+        lrow[x] = id;
+        continue;
+      }
+      best = uf_find(parent.data(), nbr[0]);
+      for (int i = 1; i < nn; ++i) {
+        int32_t r = uf_find(parent.data(), nbr[i]);
+        if (r == best) continue;
+        if (r < best) {
+          parent[best] = r;
+          best = r;
+        } else {
+          parent[r] = best;
+        }
+      }
+      lrow[x] = best;
+    }
+  }
+  std::vector<int32_t> rank(parent.size(), 0);
+  long count = 0;
+  for (long i = 0; i < (long)parent.size(); ++i) {
+    if (uf_find(parent.data(), (int32_t)i) == (int32_t)i)
+      rank[i] = (int32_t)++count;
+  }
+  for (long i = 0; i < total; ++i) {
+    labels[i] = labels[i] < 0 ? 0 : rank[uf_find(parent.data(), labels[i])];
+  }
+  return count;
+}
+
 }  // extern "C"

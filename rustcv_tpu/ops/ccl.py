@@ -58,14 +58,17 @@ def _union_find_host(n: int, ea: np.ndarray, eb: np.ndarray):
     return int(np.unique(roots).size), roots
 
 
-def connected_components(mask, max_rounds: int = 256):
+def connected_components(mask, max_rounds: int = 256, connectivity: int = 4):
     """u8/bool mask (H, W) → (count, labels int32 (H, W)); background 0,
     components 1..count ordered by their minimum flat index (the raster-
     first pixel — a deterministic, content-independent order).
     ``max_rounds`` is kept for API compatibility (the run-graph algorithm
-    is exact in one pass; nothing iterates)."""
+    is exact in one pass; nothing iterates). ``connectivity`` is 4
+    (default) or 8 (OpenCV findContours' foreground connectivity)."""
     from .. import native
 
+    if connectivity not in (4, 8):
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
     m = np.asarray(mask)  # device inputs: ONE u8 fetch (4× less than labels)
     if m.ndim != 2:
         raise ValueError(f"connected_components: 2-D mask required, got {m.shape}")
@@ -75,7 +78,9 @@ def connected_components(mask, max_rounds: int = 256):
         # fixpoint); the vectorized run-graph below is the NumPy fallback.
         # Any nonzero byte is foreground — u8 masks pass through zero-copy.
         mm = m if m.dtype == np.uint8 else (m != 0).astype(np.uint8)
-        return native.ccl_label(mm)
+        return native.ccl_label(mm, connectivity)
+    if connectivity == 8:
+        return _connected_components_8_numpy(m)
     fg = m != 0
     h, w = fg.shape
     labels = np.zeros((h, w), np.int32)
@@ -176,6 +181,40 @@ def flood_fill(
     return out, int(region.sum()), (region * np.uint8(255))
 
 
+def _connected_components_8_numpy(m: np.ndarray):
+    """NumPy fallback for 8-connectivity: the 4-conn run graph plus one
+    edge per diagonally-adjacent pixel pair (deduped) — O(pixels) bool
+    work, then the same min-root union-find."""
+    fg = m != 0
+    h, w = fg.shape
+    labels = np.zeros((h, w), np.int32)
+    if not fg.any():
+        return 0, labels
+    flat = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    rs = fg.copy()
+    rs[:, 1:] &= ~fg[:, :-1]
+    runlab = np.maximum.accumulate(np.where(rs, flat, 0), axis=1)
+    run_starts = flat[rs]
+    nruns = int(run_starts.size)
+    topfg, botfg = fg[:-1], fg[1:]
+    top, bot = runlab[:-1], runlab[1:]
+    pairs = [np.empty((0, 2), np.int64)]
+    tm = topfg & botfg
+    pairs.append(np.stack([top[tm], bot[tm]], 1))
+    tm = topfg[:, :-1] & botfg[:, 1:]       # top-left over bottom-right
+    pairs.append(np.stack([top[:, :-1][tm], bot[:, 1:][tm]], 1))
+    tm = topfg[:, 1:] & botfg[:, :-1]       # top-right over bottom-left
+    pairs.append(np.stack([top[:, 1:][tm], bot[:, :-1][tm]], 1))
+    e = np.unique(np.concatenate(pairs, 0), axis=0)
+    ia = np.searchsorted(run_starts, e[:, 0]).astype(np.int32)
+    ib = np.searchsorted(run_starts, e[:, 1]).astype(np.int32)
+    count, root = _union_find_host(nruns, ia, ib)
+    roots = np.unique(root)
+    comp_of_run = (np.searchsorted(roots, root) + 1).astype(np.int32)
+    labels[fg] = comp_of_run[np.searchsorted(run_starts, runlab[fg])]
+    return int(count), labels
+
+
 _MOORE = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
 
 
@@ -236,6 +275,143 @@ def find_contours(mask, max_rounds: int = 256):
             contour.pop()  # off-cycle initial state duplicated the start
         contours.append(np.asarray(contour, np.int32))
     return contours
+
+
+def _trace_ccw(labels: np.ndarray, comp: int, start, backtrack):
+    """OpenCV-direction Moore trace: counterclockwise neighbor scan from
+    the backtrack direction (cv2's outer contours walk down the left edge
+    first — verified against cv2 5.0). Terminates on the first repeated
+    (cur, backtrack) state, like :func:`find_contours`'s tracer."""
+    h, w = labels.shape
+
+    def fg(y, x):
+        return 0 <= y < h and 0 <= x < w and labels[y, x] == comp
+
+    cur, prev = start, backtrack
+    seen = set()
+    contour = []
+    while (cur, prev) not in seen:
+        seen.add((cur, prev))
+        contour.append((cur[1], cur[0]))
+        pi = _MOORE.index((prev[0] - cur[0], prev[1] - cur[1]))
+        nxt = None
+        for k in range(1, 9):
+            dy, dx = _MOORE[(pi - k) % 8]
+            cand = (cur[0] + dy, cur[1] + dx)
+            if fg(*cand):
+                nxt = cand
+                pdy, pdx = _MOORE[(pi - k + 1) % 8]
+                prev = (cur[0] + pdy, cur[1] + pdx)
+                break
+        if nxt is None:
+            break  # isolated pixel
+        cur = nxt
+    if len(contour) > 1 and contour[-1] == contour[0]:
+        contour.pop()
+    return np.asarray(contour, np.int32)
+
+
+def _first_pixels(labels: np.ndarray, n: int) -> np.ndarray:
+    """Flat index of each component's raster-first pixel (1..n) in one
+    argsort pass (labels are numbered in raster order of first pixels)."""
+    flat = labels.reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    first_idx = np.searchsorted(flat[order], np.arange(1, n + 1))
+    return order[first_idx]
+
+
+def find_contours_tree(mask):
+    """Full contour topology (OpenCV ``findContours`` RETR_TREE role,
+    CHAIN_APPROX_NONE): → ``(contours, hierarchy, kinds)``.
+
+    Frozen spec (cross-checked against cv2 5.0 in
+    tests/test_contour_tree.py):
+
+    - foreground components are 8-connected, background regions
+      4-connected (the standard Suzuki–Abe duality);
+    - each fg component contributes its OUTER boundary (traced
+      counterclockwise-in-image-coords from its raster-first pixel, cv2's
+      direction) and one HOLE boundary per enclosed background region
+      (traced from the fg pixel left of the hole's raster-first pixel);
+    - ``hierarchy`` is int32 [N, 4] rows (next, prev, first_child,
+      parent): hole contours are children of their component's outer
+      contour; an outer contour nested inside another component's hole is
+      that hole contour's child; top level = enclosed by the outer
+      background. Siblings chain in contour order;
+    - contours are ordered by trace-start raster position (cv2's TREE
+      order on our test scenes; its LIST-mode ordering differs — callers
+      needing cv2's exact enumeration order should sort themselves);
+    - ``kinds[i]`` is "outer" or "hole".
+    """
+    m = np.asarray(mask)
+    if m.ndim == 3:
+        m = m[..., 0]
+    fgm = m != 0
+    h, w = fgm.shape
+    nf, lf = connected_components(fgm.astype(np.uint8), connectivity=8)
+    if nf == 0:
+        return [], np.zeros((0, 4), np.int32), []
+    bgp = np.pad(~fgm, 1, constant_values=True)
+    nb, lbp = connected_components(bgp.astype(np.uint8), connectivity=4)
+    outer_bg = int(lbp[0, 0])
+
+    fg_first = _first_pixels(lf, nf)
+    bg_first = _first_pixels(lbp, nb)
+
+    entries = []  # (start_flat, kind, comp_or_bg, trace)
+    outer_idx_of_comp = {}
+    for c in range(1, nf + 1):
+        cy, cx = divmod(int(fg_first[c - 1]), w)
+        tr = _trace_ccw(lf, c, (cy, cx), (cy, cx - 1))
+        enclosing_bg = int(lbp[cy, cx + 1])  # padded coords: pixel above
+        entries.append({"start": cy * w + cx, "kind": "outer", "comp": c,
+                        "trace": tr, "enclosing_bg": enclosing_bg})
+    hole_idx_of_bg = {}
+    for b in range(2, nb + 1):
+        if b == outer_bg:
+            continue
+        py, px = divmod(int(bg_first[b - 1]), lbp.shape[1])
+        hy, hx = py - 1, px - 1  # unpadded
+        owner = int(lf[hy, hx - 1])
+        tr = _trace_ccw(lf, owner, (hy, hx - 1), (hy, hx))
+        entries.append({"start": hy * w + (hx - 1), "kind": "hole",
+                        "comp": owner, "trace": tr, "bg": b})
+    entries.sort(key=lambda e: e["start"])
+    for i, e in enumerate(entries):
+        if e["kind"] == "outer":
+            outer_idx_of_comp[e["comp"]] = i
+        else:
+            hole_idx_of_bg[e["bg"]] = i
+
+    n = len(entries)
+    parent = np.full(n, -1, np.int32)
+    for i, e in enumerate(entries):
+        if e["kind"] == "hole":
+            parent[i] = outer_idx_of_comp[e["comp"]]
+        elif e["enclosing_bg"] != outer_bg:
+            parent[i] = hole_idx_of_bg[e["enclosing_bg"]]
+    hierarchy = hierarchy_from_parents(parent)
+    return [e["trace"] for e in entries], hierarchy, \
+        [e["kind"] for e in entries]
+
+
+def hierarchy_from_parents(parent: np.ndarray) -> np.ndarray:
+    """parent[] (−1 = top level) → OpenCV hierarchy rows (next, prev,
+    first_child, parent), siblings chained in index order."""
+    n = len(parent)
+    hier = np.full((n, 4), -1, np.int32)
+    hier[:, 3] = parent
+    last_sib = {}
+    for i in range(n):
+        p = int(parent[i])
+        if p in last_sib:
+            j = last_sib[p]
+            hier[j, 0] = i
+            hier[i, 1] = j
+        elif p >= 0:
+            hier[p, 2] = i
+        last_sib[p] = i
+    return hier
 
 
 # ---------------------------------------------------------------------------

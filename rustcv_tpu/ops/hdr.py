@@ -163,8 +163,16 @@ def calibrate_debevec(images: Sequence[np.ndarray],
 
 def merge_debevec_numpy(images: Sequence[np.ndarray],
                         times: Sequence[float],
-                        response: np.ndarray) -> np.ndarray:
-    """→ radiance float32 (H, W, 3) (linear, arbitrary scale)."""
+                        response: np.ndarray = None) -> np.ndarray:
+    """→ radiance float32 (H, W, 3) (linear, arbitrary scale).
+
+    ``response=None`` matches OpenCV MergeDebevec's default: a linear
+    response g(z) = ln(z) with g(0) := g(1) (merge_debevec.cpp uses
+    linearResponse + log, pinning index 0 to avoid log(0))."""
+    if response is None:
+        lin = np.arange(256, dtype=np.float64)
+        lin[0] = 1.0
+        response = np.broadcast_to(np.log(lin), (3, 256))
     lnt = np.log(np.asarray(times, np.float64))
     wgt = np.minimum(np.arange(256), 255 - np.arange(256)) + 1.0
     num = None

@@ -63,6 +63,11 @@ class KalmanFilter:
         self.gain = np.zeros((d, m))
 
     def predict(self, control: Optional[np.ndarray] = None) -> np.ndarray:
+        # Accept column-vector state from callers (cv2 idiom stores
+        # statePost as (d, 1)); keep the internal state 1-D so the
+        # innovation below stays a vector, not a broadcast outer product.
+        self.state_post = np.asarray(self.state_post,
+                                     np.float64).reshape(-1)
         self.state_pre, self.error_cov_pre = golden.kalman_predict(
             self.state_post, self.error_cov_post,
             self.transition_matrix, self.process_noise_cov,
@@ -75,6 +80,8 @@ class KalmanFilter:
         return self.state_pre
 
     def correct(self, measurement: np.ndarray) -> np.ndarray:
+        self.state_pre = np.asarray(self.state_pre, np.float64).reshape(-1)
+        measurement = np.asarray(measurement, np.float64).reshape(-1)
         self.state_post, self.error_cov_post, self.gain = golden.kalman_correct(
             self.state_pre, self.error_cov_pre, measurement,
             self.measurement_matrix, self.measurement_noise_cov,

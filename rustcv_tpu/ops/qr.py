@@ -365,8 +365,16 @@ def encode(text: str, version: int = 1, level: str = "L",
     return m
 
 
-def draw(matrix: np.ndarray, cell_px: int = 4, quiet: int = 4) -> np.ndarray:
-    """bool matrix → u8 image (dark = 0) with a quiet zone."""
+def draw(matrix: np.ndarray, cell_px: int = 4, quiet: int = 4, *,
+         module_px: int = None, border: int = None) -> np.ndarray:
+    """bool matrix → u8 image (dark = 0) with a quiet zone.
+
+    ``module_px``/``border`` are accepted as aliases for
+    ``cell_px``/``quiet`` (qrcode-library naming)."""
+    if module_px is not None:
+        cell_px = int(module_px)
+    if border is not None:
+        quiet = int(border)
     n = matrix.shape[0]
     canvas = np.ones((n + 2 * quiet, n + 2 * quiet), bool)
     canvas[quiet:quiet + n, quiet:quiet + n] = ~matrix

@@ -30,8 +30,13 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Function-scoped on purpose: a session-scoped generator made every
+    test's data depend on how many other tests drew from it first
+    (order-dependent flakes, e.g. test_knn_index_exact vs approximate
+    FLANN). Each test now sees the same deterministic stream regardless
+    of which subset of the suite runs."""
     return np.random.default_rng(1234)
 
 

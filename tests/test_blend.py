@@ -12,7 +12,8 @@ cv2 = pytest.importorskip("cv2")
 
 
 @pytest.fixture(scope="module")
-def halves(rng):
+def halves():
+    rng = np.random.default_rng(1234)
     # two images of the same scene with different exposures
     scene = rng.integers(40, 200, (64, 96, 3)).astype(np.float64)
     scene = np.stack([cv2.GaussianBlur(scene[..., c].astype(np.float32),

@@ -12,7 +12,8 @@ cv2 = pytest.importorskip("cv2")
 
 
 @pytest.fixture(scope="module")
-def img(rng):
+def img():
+    rng = np.random.default_rng(1234)
     return rng.integers(0, 256, (37, 53), np.uint8)
 
 

@@ -12,7 +12,8 @@ cv2 = pytest.importorskip("cv2")
 
 
 @pytest.fixture(scope="module")
-def img(rng):
+def img():
+    rng = np.random.default_rng(1234)
     g = rng.integers(0, 256, (48, 64), np.uint8)
     return cv2.GaussianBlur(g, (5, 5), 1.5)
 

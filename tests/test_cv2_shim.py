@@ -221,6 +221,34 @@ def test_remap(img):
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
+@pytest.mark.parametrize("interp", ["nearest", "cubic"])
+@pytest.mark.parametrize("borderMode", [0, 1])  # CONSTANT, REPLICATE
+def test_remap_modes_exact(img, interp, borderMode):
+    """INTER_NEAREST / INTER_CUBIC remap: bit-exact vs cv2 5 (float
+    bicubic path), both borders, gray and BGR, incl. out-of-range taps."""
+    code = {"nearest": cv.INTER_NEAREST, "cubic": cv.INTER_CUBIC}[interp]
+    h, w = img.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    mx = xs * 1.07 - 3.1 + 2.5 * np.sin(ys / 9)
+    my = ys * 0.93 + 1.7 + 1.5 * np.cos(xs / 11)
+    for src in (img, cv.cvtColor(img, cv.COLOR_BGR2GRAY)):
+        a = cv.remap(src, mx, my, code, borderMode=borderMode)
+        b = np.asarray(rcv.remap(src, mx, my, code, borderMode=borderMode))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_threshold_triangle_exact(img):
+    gray = cv.cvtColor(img, cv.COLOR_BGR2GRAY)
+    for src in (gray, cv.GaussianBlur(gray, (9, 9), 3.0),
+                np.full((16, 16), 9, np.uint8)):
+        t1, o1 = cv.threshold(src, 0, 255,
+                              cv.THRESH_BINARY + cv.THRESH_TRIANGLE)
+        t2, o2 = rcv.threshold(src, 0, 255,
+                               cv.THRESH_BINARY + cv.THRESH_TRIANGLE)
+        assert t1 == t2
+        np.testing.assert_array_equal(o1, np.asarray(o2))
+
+
 # ---------------------------------------------------------------- filters
 
 def test_gaussian_blur(img):

@@ -16,7 +16,8 @@ cv2 = pytest.importorskip("cv2")
 
 
 @pytest.fixture(scope="module")
-def tvl1_scene(rng):
+def tvl1_scene():
+    rng = np.random.default_rng(1234)
     clean = np.zeros((48, 56), np.uint8)
     clean[12:36, 16:44] = 180
     clean[:, :12] = 90
@@ -60,7 +61,8 @@ def test_tvl1_device_twin(tvl1_scene, jax_cpu):
 
 
 @pytest.fixture(scope="module")
-def exposure_stack(rng):
+def exposure_stack():
+    rng = np.random.default_rng(4321)
     radiance = (rng.random((24, 32, 3)) ** 2 * 4 + 0.02).astype(
         np.float32)
     times = np.array([0.0125, 0.05, 0.2, 0.8], np.float32)

@@ -45,12 +45,14 @@ cv2 = pytest.importorskip("cv2")
 
 
 @pytest.fixture(scope="module")
-def gray(rng):
+def gray():
+    rng = np.random.default_rng(1234)
     return rng.integers(0, 256, (64, 96), np.uint8)
 
 
 @pytest.fixture(scope="module")
-def bgr(rng):
+def bgr():
+    rng = np.random.default_rng(4321)
     return rng.integers(0, 256, (64, 96, 3), np.uint8)
 
 

@@ -12,7 +12,8 @@ cv2 = pytest.importorskip("cv2")
 
 
 @pytest.fixture(scope="module")
-def pair(rng):
+def pair():
+    rng = np.random.default_rng(1234)
     # textured scene translated by (1.5, -1.0) px with subpixel warp
     base = rng.integers(0, 256, (70, 90)).astype(np.uint8)
     base = cv2.GaussianBlur(base, (5, 5), 1.5)
