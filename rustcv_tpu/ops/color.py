@@ -12,12 +12,25 @@ Reference formulas: ``rustcv-camera/src/decode.rs:160-219``,
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def _interleave_impl() -> str:
+    """Lowering strategy for the packed-BGR byte interleave (A/B-able via
+    RUSTCV_INTERLEAVE; probe_interleave.py measures the composed tick).
+    All variants are bit-identical; they differ only in which relayout
+    XLA emits. Measured composed 8×1080p tick (r4, best of 3):
+    transpose 1.944 ms < stack 1.967 < set 2.176 < pad 5.361 —
+    swapaxes on the u16 words lets XLA fold the stride-3 interleave
+    into the consumer layout where the stack lowering emitted an extra
+    broadcast pass."""
+    return os.environ.get("RUSTCV_INTERLEAVE", "transpose")
 
 
 def _bt601(y, u, v):
@@ -62,6 +75,33 @@ def _interleave_pair_bgr(b0, g0, r0, b1, g1, r1, width: int, height: int):
     w0 = (b0 | (g0 << 8)).astype(jnp.uint16)
     w1 = (r0 | (b1 << 8)).astype(jnp.uint16)
     w2 = (g1 | (r1 << 8)).astype(jnp.uint16)
+    impl = _interleave_impl()
+    if impl == "pad":
+        # Interior padding + OR: each word array expands straight to its
+        # stride-3 lane positions in ONE pad op (no broadcast pass), then
+        # three ORs combine them. Attacks the r3 roofline finding that the
+        # stack→bitcast→reshape lowering costs ~430 MB/tick of
+        # broadcast+relayout copies at 8×1080p.
+        cfg = ((0, 0, 0),) * (w0.ndim - 1)
+        zero = jnp.uint16(0)
+        words = (
+            jax.lax.pad(w0, zero, (*cfg, (0, 2, 2)))
+            | jax.lax.pad(w1, zero, (*cfg, (1, 1, 2)))
+            | jax.lax.pad(w2, zero, (*cfg, (2, 0, 2)))
+        )  # (..., H, W*3/2) u16
+        bytes_ = jax.lax.bitcast_convert_type(words, jnp.uint8)
+        return bytes_.reshape(*batch, height, width * 3)
+    if impl == "set":
+        out = jnp.zeros((*batch, height, width * 3 // 2), jnp.uint16)
+        out = out.at[..., 0::3].set(w0).at[..., 1::3].set(w1)
+        out = out.at[..., 2::3].set(w2)
+        bytes_ = jax.lax.bitcast_convert_type(out, jnp.uint8)
+        return bytes_.reshape(*batch, height, width * 3)
+    if impl == "transpose":
+        stacked = jnp.stack([w0, w1, w2], axis=-2)  # (..., H, 3, W/2)
+        packed = jnp.swapaxes(stacked, -1, -2)      # (..., H, W/2, 3)
+        bytes_ = jax.lax.bitcast_convert_type(packed, jnp.uint8)
+        return bytes_.reshape(*batch, height, width * 3)
     packed = jnp.stack([w0, w1, w2], axis=-1)  # (..., H, W/2, 3) u16
     bytes_ = jax.lax.bitcast_convert_type(packed, jnp.uint8)  # (..., 3, 2)
     return bytes_.reshape(*batch, height, width * 3)
