@@ -21,6 +21,11 @@ import json
 
 import numpy as np
 
+# Perf gate: best-of-3 device ms/tick above this is a real regression, not
+# tunnel weather (pinned from the r3/r4 measured band — see
+# BENCH_SNAPSHOT.md for the recorded spread at HEAD).
+REGRESSION_MS = 2.1
+
 
 def _run(engine_kwargs, n_streams, ticks, lat_ticks):
     from rustcv_tpu.core import PixelFormat, SimpleConfig
@@ -45,14 +50,23 @@ def main() -> None:
     import jax
 
     n_streams = 8
-    # Tunneled-transport throughput is jittery: take the best of two runs
-    # (device work is identical; variance is relay noise).
+    # Tunneled-transport throughput is jittery: take the best of three runs
+    # (device work is identical; variance is relay noise). The full spread
+    # is reported (device_ms_runs) and gated: best-of-3 exceeding
+    # REGRESSION_MS flags `regression` so drift can't hide in tunnel noise
+    # (VERDICT r3 #4 — the 1.93→2.05 ambiguity).
     tp, lat = _run({"device_sim": True}, n_streams, ticks=200, lat_ticks=50)
-    tp2, lat2 = _run({"device_sim": True}, n_streams, ticks=200, lat_ticks=20)
-    if tp2.fps_total > tp.fps_total:
-        tp = tp2
-    if lat2.p50_latency_ms and lat2.p50_latency_ms < lat.p50_latency_ms:
-        lat = lat2
+    runs = [tp]
+    for _ in range(2):
+        tp2, lat2 = _run({"device_sim": True}, n_streams, ticks=200,
+                         lat_ticks=20)
+        runs.append(tp2)
+        if tp2.fps_total > tp.fps_total:
+            tp = tp2
+        if lat2.p50_latency_ms and lat2.p50_latency_ms < lat.p50_latency_ms:
+            lat = lat2
+    device_ms_runs = [round(1e3 / r.fps_per_stream, 3) for r in runs
+                      if r.fps_per_stream]
     try:
         tp_host, _ = _run({"n_unique_frames": 8}, n_streams, ticks=20, lat_ticks=0)
         host_fps = round(tp_host.fps_total, 2)
@@ -106,6 +120,8 @@ def main() -> None:
                 "vs_baseline": round(agg_fps / 480.0, 3),
                 "fps_per_stream": round(tp.fps_per_stream, 2),
                 "device_ms_per_tick": round(device_ms, 3) if device_ms else None,
+                "device_ms_runs": device_ms_runs,
+                "regression": bool(device_ms and device_ms > REGRESSION_MS),
                 "p50_roundtrip_ms": round(lat.p50_latency_ms, 3),
                 "p99_roundtrip_ms": round(lat.p99_latency_ms, 3),
                 "host_path_fps": host_fps,

@@ -51,9 +51,17 @@ def main() -> None:
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--ticks", type=int, default=300)
     p.add_argument("--filter", default="blur_sobel")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu' for the virtual-"
+                        "device rehearsal; the config API is required — the "
+                        "ambient env may pin a TPU plugin before env vars "
+                        "are read)")
     args = p.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     if args.num_processes > 1:
         jax.distributed.initialize(
