@@ -83,6 +83,66 @@ x = jnp.arange(8 * 384, dtype=jnp.int32).reshape(8, 384)
 out = call(kern, (8, 384), jnp.uint8, x)
 ref = (np.asarray(x) & 255).astype(np.uint8)
 """,
+    # single-vreg dynamic gather, idx shape == src shape (the Pallas
+    # lowering asserts this; 128 -> 128 lanes)
+    "gather_128": r"""
+def kern(x_ref, o_ref):
+    idx = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) // 3
+    o_ref[...] = jnp.take_along_axis(x_ref[...], idx, axis=1)
+x = jnp.arange(8 * 128, dtype=jnp.int32).reshape(8, 128)
+out = call(kern, (8, 128), jnp.int32, x)
+ref = np.asarray(x)[:, (np.arange(128) // 3)]
+""",
+    # unaligned static lane slice (Mosaic internal roll+select)
+    "unaligned_slice": r"""
+def kern(x_ref, o_ref):
+    o_ref[...] = x_ref[:, 42:170]
+x = jnp.arange(8 * 256, dtype=jnp.int32).reshape(8, 256)
+out = call(kern, (8, 128), jnp.int32, x)
+ref = np.asarray(x)[:, 42:170]
+""",
+    # i32 -> u16 truncating astype
+    "u16_astype": r"""
+def kern(x_ref, o_ref):
+    o_ref[...] = (x_ref[...] & 0xFFFF).astype(jnp.uint16)
+x = (jnp.arange(8 * 384, dtype=jnp.int32) * 257).reshape(8, 384)
+out = call(kern, (8, 384), jnp.uint16, x)
+ref = ((np.asarray(x)) & 0xFFFF).astype(np.uint16)
+""",
+    # pltpu.repeat lane semantics (element-repeat or tile?)
+    "repeat_lanes": r"""
+def kern(x_ref, o_ref):
+    o_ref[...] = pltpu.repeat(x_ref[...], 3, 1)
+x = jnp.arange(8 * 128, dtype=jnp.int32).reshape(8, 128)
+out = call(kern, (8, 384), jnp.int32, x)
+ref = np.repeat(np.asarray(x), 3, axis=1)  # element-repeat hypothesis
+""",
+    # FULL stride-3 interleave, per-output-vreg: unaligned 128-lane
+    # source slices + shape-matched gathers + mod-3 selects.
+    # out[:, 3m+s] = w_s[:, m] for planes of 128 lanes -> out 384 lanes.
+    "interleave3_vreg": r"""
+P = 128
+def kern(w0_ref, w1_ref, w2_ref, o_ref):
+    ws = (w0_ref[...], w1_ref[...], w2_ref[...])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    for v in range(3):  # 3 output vregs
+        a = (128 * v) // 3
+        idx = (lane + 128 * v) // 3 - a
+        mod = (lane + 128 * v) % 3
+        parts = [jnp.take_along_axis(
+                     jax.lax.dynamic_slice(wsrc, (0, a), (8, 128)),
+                     idx, axis=1) for wsrc in ws]
+        o_ref[:, 128 * v:128 * (v + 1)] = (
+            jnp.where(mod == 0, parts[0],
+                      jnp.where(mod == 1, parts[1], parts[2]))
+            & 0xFFFF).astype(jnp.uint16)
+ws = [(jnp.arange(8 * P, dtype=jnp.int32) + 10000 * s).reshape(8, P)
+      for s in range(3)]
+out = call(kern, (8, 3 * P), jnp.uint16, *ws)
+ref = np.zeros((8, 3 * P), np.uint16)
+for s in range(3):
+    ref[:, s::3] = (np.asarray(ws[s]) & 0xFFFF).astype(np.uint16)
+""",
     # u16 pack + bitcast path (the SIGABRT suspect)
     "u16_ops": r"""
 def kern(x_ref, o_ref):

@@ -1,0 +1,216 @@
+"""On-chip parity sweep (VERDICT r3 #3): every exact-spec device kernel,
+REAL TPU vs the CI-proven CPU twin, recorded as PARITY_TPU.json.
+
+CI proves device==golden in interpret mode on the virtual CPU mesh; this
+probe closes the remaining gap by executing the SAME jitted ops compiled
+for the real chip and comparing bit-for-bit against the CPU run. All ~50
+ops are fused into a handful of jit programs (one compile each) so the
+sweep amortizes the tunnel's 1-2 min remote compiles.
+
+Usage:
+    python probe_parity_tpu.py            # full sweep on the ambient (axon) chip
+    python probe_parity_tpu.py --cpu-ref  # (internal) emit the CPU reference
+
+The driver spawns the CPU-reference half itself; just run it plain.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+H, W = 288, 512
+N = 2
+REF_NPZ = "/tmp/parity_ref.npz"
+OUT_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "PARITY_TPU.json")
+
+
+def build_inputs():
+    rng = np.random.default_rng(20260819)
+    gray = rng.integers(0, 256, (N, H, W), np.uint8)
+    gray2 = rng.integers(0, 256, (N, H, W), np.uint8)
+    bgrp = rng.integers(0, 256, (N, H, W * 3), np.uint8)
+    hwc = rng.integers(0, 256, (H, W, 3), np.uint8)
+    yuyv = rng.integers(0, 256, (N, H * W * 2), np.uint8)
+    nv12 = rng.integers(0, 256, (N, H * W * 3 // 2), np.uint8)
+    lut = rng.integers(0, 256, 256, np.uint8)
+    mapx = (np.arange(W, np.float32)[None, :] * 0.93 + 7.1
+            + 3 * np.sin(np.arange(H, np.float32)[:, None] / 11)).astype(np.float32)
+    mapy = (np.arange(H, np.float32)[:, None] * 1.04 - 2.2
+            + 2 * np.cos(np.arange(W, np.float32)[None, :] / 17)).astype(np.float32)
+    return dict(gray=gray, gray2=gray2, bgrp=bgrp, hwc=hwc, yuyv=yuyv,
+                nv12=nv12, lut=lut, mapx=mapx, mapy=mapy)
+
+
+def compute_all():
+    """Every op under jit, grouped into a few programs. Returns {name: np}."""
+    import jax
+    import jax.numpy as jnp
+
+    from rustcv_tpu.ops import arith as A
+    from rustcv_tpu.ops import color as C
+    from rustcv_tpu.ops import features as FE
+    from rustcv_tpu.ops import filters as F
+    from rustcv_tpu.ops import hist as HI
+    from rustcv_tpu.ops import resize as R
+    from rustcv_tpu.ops import warp as WP
+    from rustcv_tpu.ops.pallas.decode_interleave import yuyv_decode_interleave
+    from rustcv_tpu.ops.pallas.stencil_v3 import blur_sobel_mag_pallas_v3
+
+    ins = {k: jnp.asarray(v) for k, v in build_inputs().items()}
+    out = {}
+
+    @jax.jit
+    def prog_filters(g, g2, lut):
+        o = {}
+        o["gaussian5"] = F.gaussian5_u8(g, has_channels=False)
+        o["box3"] = F.box_blur_u8(g, 3)
+        gx, gy = F.sobel3_gray(g)
+        o["sobel_gx"], o["sobel_gy"] = gx, gy
+        o["grad_mag"] = F.gradient_magnitude_u8(gx, gy)
+        o["laplacian3"] = F.laplacian3(g)
+        sx, sy = F.scharr3_gray(g)
+        o["scharr_x"], o["scharr_y"] = sx, sy
+        o["median3"] = F.median3_u8(g)
+        o["median5"] = F.median_u8(g, 5)
+        o["erode3"] = F.erode_u8(g, 3)
+        o["dilate3"] = F.dilate_u8(g, 3)
+        for op in ("open", "close", "gradient", "tophat", "blackhat"):
+            o[f"morph_{op}"] = F.morphology_ex_u8(g, op, 3)
+        o["thresh_bin"] = F.threshold_u8(g, jnp.uint8(117), jnp.uint8(255))
+        o["thresh_trunc"] = F.threshold_u8(g, jnp.uint8(117), jnp.uint8(255),
+                                           "trunc")
+        o["adaptive"] = F.adaptive_threshold_u8(g)
+        o["bilateral5"] = F.bilateral5_u8(g)
+        o["canny"] = F.canny_u8(g)
+        o["integral"] = F.integral_u8(g)
+        o["pyr_down"] = F.pyr_down(g, has_channels=False)
+        o["pyr_up"] = F.pyr_up(g, has_channels=False)
+        o["equalize"] = HI.equalize_hist(g[0])
+        o["calc_hist"] = HI.calc_hist(g[0])
+        o["lut"] = HI.apply_lut(g, lut)
+        o["harris_i32"] = FE.harris_response_i32(g[0])
+        # arith family
+        o["add"] = A.add_u8(g, g2)
+        o["sub"] = A.subtract_u8(g, g2)
+        o["absdiff"] = A.absdiff_u8(g, g2)
+        o["addw"] = A.add_weighted_u8(g, 0.3, g2, 0.7, 5.0)
+        o["csa"] = A.convert_scale_abs_u8(g, 1.5, -20.0)
+        o["band"] = A.bitwise_and(g, g2)
+        o["bor"] = A.bitwise_or(g, g2)
+        o["bxor"] = A.bitwise_xor(g, g2)
+        o["bnot"] = A.bitwise_not(g)
+        o["norm_l2"] = A.norm_u8(g, "l2")
+        o["cnz"] = A.count_non_zero(g)
+        return o
+
+    out.update(prog_filters(ins["gray"], ins["gray2"], ins["lut"]))
+
+    @jax.jit
+    def prog_color(yuyv, nv12, hwc, bgrp):
+        o = {}
+        o["yuyv_bgr"] = C.yuyv_to_bgr_packed(yuyv, W, H)
+        o["yuyv_gray"] = C.yuyv_to_gray(yuyv, W, H)
+        o["uyvy_bgr"] = C.uyvy_to_bgr_packed(yuyv, W, H)
+        o["nv12_bgr"] = C.nv12_to_bgr_packed(nv12, W, H)
+        o["nv12_gray"] = C.nv12_to_gray(nv12, W, H)
+        o["yv12_bgr"] = C.yv12_to_bgr_packed(nv12, W, H)
+        o["bayer"] = C.demosaic_bilinear_packed(
+            nv12[:, : H * W].reshape(N, H, W), "rggb", W, H)
+        o["hsv"] = C.bgr_to_hsv(hwc)
+        o["hsv_back"] = C.hsv_to_bgr(C.bgr_to_hsv(hwc))
+        o["ycrcb"] = C.bgr_to_ycrcb(hwc)
+        o["ycrcb_back"] = C.ycrcb_to_bgr(C.bgr_to_ycrcb(hwc))
+        o["lab"] = C.bgr_to_lab(hwc)
+        o["gray_from_bgr"] = C.bgr_to_gray(hwc)
+        o["gray_packed"] = C.bgr_to_gray_packed_rows(bgrp, W, H)
+        return o
+
+    out.update(prog_color(ins["yuyv"], ins["nv12"], ins["hwc"], ins["bgrp"]))
+
+    @jax.jit
+    def prog_geom(hwc, g, mapx, mapy):
+        o = {}
+        o["resize_bl"] = R.resize_bilinear(hwc, 320, 200)
+        o["resize_nn"] = R.resize_nearest(hwc, 333, 190)
+        o["resize_area"] = R.resize_area(hwc, 256, 144)
+        o["resize_cubic"] = R.resize_bicubic(hwc, 320, 200)
+        m = np.array([[0.96, -0.27, 14.0], [0.27, 0.96, -9.0]], np.float64)
+        o["warp_affine"] = WP.warp_affine(hwc, m, (W, H))
+        hm = WP.get_perspective_transform(
+            np.array([[0, 0], [W - 1, 0], [W - 1, H - 1], [0, H - 1]], np.float64),
+            np.array([[12, 7], [W - 9, 3], [W - 2, H - 11], [4, H - 6]], np.float64),
+        )
+        o["warp_persp"] = WP.warp_perspective(hwc, hm, (W, H))
+        o["remap"] = WP.remap(g[0], mapx, mapy)
+        o["warp_polar"] = WP.warp_polar(g[0], (W / 2, H / 2), 200.0, (H, W))
+        return o
+
+    out.update(prog_geom(ins["hwc"], ins["gray"], ins["mapx"], ins["mapy"]))
+
+    # Pallas kernels — COMPILED on the chip (the whole point of the sweep);
+    # on the CPU-reference side these take their interpret path.
+    out["stencil_v3"] = blur_sobel_mag_pallas_v3(ins["gray"])
+    rects = jnp.asarray([[40, 30, 200, 120]] * N, jnp.int32)
+    colors = jnp.asarray([[0, 255, 0]] * N, jnp.uint8)
+    db, dg = yuyv_decode_interleave(
+        ins["yuyv"], W, H, rects, colors, jnp.int32(2), overlay=True)
+    out["decode_interleave_bgr"] = db
+    out["decode_interleave_gray"] = dg
+
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def main() -> None:
+    if "--cpu-ref" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        np.savez_compressed(REF_NPZ, **compute_all())
+        print("CPU reference written")
+        return
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run([sys.executable, os.path.abspath(__file__), "--cpu-ref"],
+                   check=True, cwd=here, env=env)
+    ref = np.load(REF_NPZ)
+
+    import jax
+
+    got = compute_all()
+    results, failed = {}, []
+    for k in ref.files:
+        a, b = ref[k], got[k]
+        if a.shape != b.shape:
+            results[k] = f"SHAPE {a.shape} vs {b.shape}"
+            failed.append(k)
+        elif np.array_equal(a, b):
+            results[k] = "exact"
+        else:
+            d = np.abs(a.astype(np.int64) - b.astype(np.int64))
+            results[k] = f"MISMATCH max={int(d.max())} frac={float((d > 0).mean()):.4f}"
+            failed.append(k)
+    rec = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "shape": f"{N}x{H}x{W}",
+        "ops": results,
+        "n_ops": len(results),
+        "n_exact": sum(1 for v in results.values() if v == "exact"),
+        "failed": failed,
+    }
+    with open(OUT_JSON, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    print(json.dumps({"n_ops": rec["n_ops"], "n_exact": rec["n_exact"],
+                      "failed": failed}))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -164,11 +164,46 @@ def _build(spec: PipelineSpec):
             return _ops_color.interleave_bgr_planes(b, g, r, cur_w, cur_h)
         return jnp.stack([b, g, r], axis=-1)
 
+    # Fused Pallas decode+interleave(+overlay): emits packed BGR with the
+    # stride-3 byte interleave done IN-KERNEL (single-vreg chunked gathers)
+    # instead of XLA's multi-pass HBM relayout — the r3 roofline's ~430
+    # MB/tick finding (ops/pallas/decode_interleave.py). Applicable to the
+    # YUYV fast path with no resize; A/B via RUSTCV_DECODE=pallas|xla.
+    import os as _os
+
+    fused_decode_ok = (
+        spec.staged_format() == PixelFormat.YUYV
+        and spec.resize_to is None
+        and not spec.mjpeg_hybrid
+        and not spec.encode_jpeg
+        # gray-consuming filters only: the kernel always emits gray, so a
+        # spec that never reads it would pay a dead 1×W·H write per frame.
+        and spec.filter in ("sobel_mag", "blur_sobel", "canny",
+                            "harris", "harris_points")
+        and _os.environ.get("RUSTCV_DECODE", "xla") == "pallas"
+    )
+
     def run(raw, rects, rect_colors, thickness):
         # raw: u8 [N, raw_bytes] (or the coeff tuple in hybrid-MJPEG mode)
         from ..ops import color as _color
 
-        if spec.mjpeg_hybrid:
+        fused = None
+        if fused_decode_ok:
+            from ..ops.pallas.decode_interleave import yuyv_decode_interleave
+
+            fused = yuyv_decode_interleave(
+                raw, w, h, rects, rect_colors, thickness,
+                overlay=spec.overlay,
+            )
+        overlay_done = False
+        if fused is not None:
+            bgr, fused_gray = fused
+            overlay_done = True  # composited in-kernel (when spec.overlay)
+
+            def gray_plane():
+                return fused_gray
+
+        elif spec.mjpeg_hybrid:
             # Resize (plane-form) + packed interleave happen inside —
             # reconstruction is plane-form until the very end.
             bgr = reconstruct_mjpeg(raw)
@@ -202,7 +237,7 @@ def _build(spec: PipelineSpec):
             if spec.resize_to is not None:
                 bgr = _resize.resize_bilinear(bgr, spec.resize_to[0], spec.resize_to[1])
 
-        def gray_plane():
+        def _gray_plane_generic():
             # Direct raw→gray when possible: skips a round trip through the
             # interleaved BGR image (identical u8 values, parity-tested).
             if spec.resize_to is None and not spec.mjpeg_hybrid:
@@ -227,6 +262,9 @@ def _build(spec: PipelineSpec):
                 # Recover the HWC view for the generic luma.
                 return _color.bgr_to_gray(bgr.reshape(*bgr.shape[:-1], cur_w, 3))
             return _color.bgr_to_gray(bgr)
+
+        if fused is None:
+            gray_plane = _gray_plane_generic
 
         out = {}
         if spec.filter == "gaussian":
@@ -282,7 +320,7 @@ def _build(spec: PipelineSpec):
         else:
             raise ValueError(f"unknown filter {spec.filter!r}")
 
-        if spec.overlay:
+        if spec.overlay and not overlay_done:
             if packed:
                 bgr = _draw.rectangle_packed(bgr, rects, rect_colors, thickness)
             else:
