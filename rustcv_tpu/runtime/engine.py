@@ -315,7 +315,12 @@ class MultiStreamEngine:
         dispatch executes ``chain`` ticks in-program; dispatches pipeline
         back-to-back and the final _sync fetch bounds the run. The per-tick
         number excludes per-dispatch RTT noise by construction — run-to-run
-        spread collapses from the relay's 2.5× to the device's few %."""
+        spread collapses from the relay's 2.5× to the device's few %.
+
+        LABEL (VERDICT r3 #8): this is the DEVICE-ONLY rate — device_sim
+        synthesizes frames in HBM, so chained numbers exclude the H2D
+        ingest path entirely (ingest-inclusive rates are the unchained
+        host-staged rows / `host_path_fps` in bench.py)."""
         if not self._device_sim:
             raise CameraError("run_chained requires device_sim=True")
         if getattr(self, "_chain_fns", None) is None:
