@@ -240,12 +240,23 @@ class MultiStreamEngine:
         self._staging_idx = 0
         self._tick_index = 0
 
-    def _build_sim_fn(self):
+    def _build_sim_fn(self, spec=None, pool=None):
+        """The composed device-sim program (synth → pipeline → clock) for
+        ``spec``. Cached per spec so set_resolution back to a previously
+        seen bucket reuses the SAME jit object (its compiled executable
+        cache included) — without this, every swap rebuilt a fresh closure
+        and recompiled an already-seen shape."""
         from ..ops import synth as _synth
 
-        spec = self.spec
-        inner = self._fn
-        pool = self._frame_pool
+        if spec is None:
+            spec = self.spec
+            pool = self._frame_pool
+        if not hasattr(self, "_sim_fn_cache"):
+            self._sim_fn_cache = {}
+        key = (spec, None if pool is None else pool.shape[0])
+        if key in self._sim_fn_cache:
+            return self._sim_fn_cache[key]
+        inner = get_pipeline(spec)
 
         def run(seqs, rects, rect_colors, thickness):
             if pool is not None:
@@ -259,7 +270,9 @@ class MultiStreamEngine:
             out["_next_seqs"] = seqs + 1
             return out
 
-        return jax.jit(run)
+        fn = jax.jit(run)
+        self._sim_fn_cache[key] = fn
+        return fn
 
     def _build_sim_fn_chained(self, k: int):
         """K whole ticks per dispatch via ``lax.scan`` over the device-
@@ -1145,7 +1158,19 @@ class MultiStreamEngine:
             for (w, h) in (buckets if buckets is not None else SHAPE_BUCKETS)
             if self.spec.pixel_format != PixelFormat.YUYV or w % 2 == 0
         ]
-        return warm(specs, self.n)
+        count = warm(specs, self.n)
+        if self._device_sim and self._frame_pool is None:
+            # Also compile the COMPOSED device-sim program per bucket (the
+            # jit objects are cached in _sim_fn_cache, so a later
+            # set_resolution reuses them): one real tick each, synced.
+            dummy = make_dummy_overlay(self.n)
+            for s in specs:
+                fn = self._build_sim_fn(spec=s)
+                out = fn(
+                    jax.numpy.zeros(self.n, jax.numpy.int32), *dummy
+                )
+                np.asarray(out["_sync"])
+        return count
 
     def set_resolution(self, width: int, height: int) -> None:
         """Hot-swap all streams to a new resolution (blocking), preserving
