@@ -12,7 +12,7 @@ import os
 import subprocess
 import sys
 
-VARIANTS = ("xla", "pallas")
+VARIANTS = ("xla", "xla_fused", "pallas")
 
 _CHILD = r"""
 import json, os

@@ -787,3 +787,38 @@ def moments(mask: jax.Array) -> dict:
     if m00 > 0:
         out["centroid"] = (m10 / m00, m01 / m00)
     return out
+
+
+def yuyv_to_bgr_packed_overlay(
+    src: jax.Array, width: int, height: int,
+    rects: jax.Array, colors: jax.Array, thickness: jax.Array,
+) -> jax.Array:
+    """YUYV → packed BGR with the rectangle overlay composited on the PAIR
+    planes, before the byte interleave — so the overlay fuses into the
+    decode's elementwise DAG instead of costing a separate read+write of
+    the 50 MB BGR image after the interleave relayout (r4; bit-exact vs
+    rectangle_packed(yuyv_to_bgr_packed(...)), tests/test_pallas_decode.py).
+
+    src (N, H·W·2) u8; rects (N, 4) i32; colors (N, 3) u8; thickness i32.
+    """
+    from . import draw as _draw
+
+    y0, u, y1, v = _unpack_yuyv_words(src, width, height)
+    b0, g0, r0, b1, g1, r1 = _bt601_pair(y0, y1, u, v)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, 1), 0)
+    xs_e = jax.lax.broadcasted_iota(jnp.int32, (1, width // 2), 1) * 2
+    rects = jnp.asarray(rects, jnp.int32)
+    colors = jnp.asarray(colors).astype(jnp.int32)
+    thickness = jnp.asarray(thickness, jnp.int32)
+    mask_e, expand = _draw._edge_masks(xs_e, ys, rects, thickness,
+                                       width, height)
+    mask_o, _ = _draw._edge_masks(xs_e + 1, ys, rects, thickness,
+                                  width, height)
+    cb, cg, cr = (expand(colors[..., i]) for i in range(3))
+    b0 = jnp.where(mask_e, cb, b0)
+    g0 = jnp.where(mask_e, cg, g0)
+    r0 = jnp.where(mask_e, cr, r0)
+    b1 = jnp.where(mask_o, cb, b1)
+    g1 = jnp.where(mask_o, cg, g1)
+    r1 = jnp.where(mask_o, cr, r1)
+    return _interleave_pair_bgr(b0, g0, r0, b1, g1, r1, width, height)

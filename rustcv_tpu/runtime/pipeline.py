@@ -182,6 +182,8 @@ def _build(spec: PipelineSpec):
                             "harris", "harris_points")
         and _os.environ.get("RUSTCV_DECODE", "xla") == "pallas"
     )
+    # Word-domain overlay, pure XLA (no Mosaic dependency).
+    fused_decode_xf = _os.environ.get("RUSTCV_DECODE", "xla") == "xla_fused"
 
     def run(raw, rects, rect_colors, thickness):
         # raw: u8 [N, raw_bytes] (or the coeff tuple in hybrid-MJPEG mode)
@@ -203,6 +205,19 @@ def _build(spec: PipelineSpec):
             def gray_plane():
                 return fused_gray
 
+        elif (
+            fused_decode_xf
+            and spec.overlay
+            and spec.staged_format() == PixelFormat.YUYV
+            and spec.resize_to is None
+        ):
+            # XLA word-domain overlay: composite on the pair planes BEFORE
+            # the interleave so the overlay fuses into the decode instead
+            # of a post-relayout read+write pass (A/B: RUSTCV_DECODE).
+            bgr = _color.yuyv_to_bgr_packed_overlay(
+                raw, w, h, rects, rect_colors, thickness
+            )
+            overlay_done = True
         elif spec.mjpeg_hybrid:
             # Resize (plane-form) + packed interleave happen inside —
             # reconstruction is plane-form until the very end.
