@@ -12,7 +12,7 @@ import os
 import subprocess
 import sys
 
-VARIANTS = ("xla", "xla_fused", "pallas")
+VARIANTS = ("xla", "xla_fused", "pallas", "pallas_tick")
 
 _CHILD = r"""
 import json, os

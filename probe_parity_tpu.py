@@ -39,10 +39,10 @@ def build_inputs():
     yuyv = rng.integers(0, 256, (N, H * W * 2), np.uint8)
     nv12 = rng.integers(0, 256, (N, H * W * 3 // 2), np.uint8)
     lut = rng.integers(0, 256, 256, np.uint8)
-    mapx = (np.arange(W, np.float32)[None, :] * 0.93 + 7.1
-            + 3 * np.sin(np.arange(H, np.float32)[:, None] / 11)).astype(np.float32)
-    mapy = (np.arange(H, np.float32)[:, None] * 1.04 - 2.2
-            + 2 * np.cos(np.arange(W, np.float32)[None, :] / 17)).astype(np.float32)
+    mapx = (np.arange(W, dtype=np.float32)[None, :] * 0.93 + 7.1
+            + 3 * np.sin(np.arange(H, dtype=np.float32)[:, None] / 11)).astype(np.float32)
+    mapy = (np.arange(H, dtype=np.float32)[:, None] * 1.04 - 2.2
+            + 2 * np.cos(np.arange(W, dtype=np.float32)[None, :] / 17)).astype(np.float32)
     return dict(gray=gray, gray2=gray2, bgrp=bgrp, hwc=hwc, yuyv=yuyv,
                 nv12=nv12, lut=lut, mapx=mapx, mapy=mapy)
 
@@ -88,7 +88,7 @@ def compute_all():
         o["adaptive"] = F.adaptive_threshold_u8(g)
         o["bilateral5"] = F.bilateral5_u8(g)
         o["canny"] = F.canny_u8(g)
-        o["integral"] = F.integral_u8(g)
+        o["integral"] = F.integral_u8(g[0])
         o["pyr_down"] = F.pyr_down(g, has_channels=False)
         o["pyr_up"] = F.pyr_up(g, has_channels=False)
         o["equalize"] = HI.equalize_hist(g[0])
@@ -121,7 +121,7 @@ def compute_all():
         o["nv12_gray"] = C.nv12_to_gray(nv12, W, H)
         o["yv12_bgr"] = C.yv12_to_bgr_packed(nv12, W, H)
         o["bayer"] = C.demosaic_bilinear_packed(
-            nv12[:, : H * W].reshape(N, H, W), "rggb", W, H)
+            nv12[:, : H * W].reshape(N, H, W), "RGGB", W, H)
         o["hsv"] = C.bgr_to_hsv(hwc)
         o["hsv_back"] = C.hsv_to_bgr(C.bgr_to_hsv(hwc))
         o["ycrcb"] = C.bgr_to_ycrcb(hwc)

@@ -184,13 +184,33 @@ def _build(spec: PipelineSpec):
     )
     # Word-domain overlay, pure XLA (no Mosaic dependency).
     fused_decode_xf = _os.environ.get("RUSTCV_DECODE", "xla") == "xla_fused"
+    # The whole tick (decode+overlay+interleave+stencil) as ONE kernel —
+    # only for the exact headline shape of stages (blur_sobel, no encode).
+    fused_tick_ok = (
+        spec.staged_format() == PixelFormat.YUYV
+        and spec.resize_to is None
+        and not spec.mjpeg_hybrid
+        and not spec.encode_jpeg
+        and spec.filter == "blur_sobel"
+        and spec.emit_bgr
+        and spec.emit_filtered
+        and _os.environ.get("RUSTCV_DECODE", "xla") == "pallas_tick"
+    )
 
     def run(raw, rects, rect_colors, thickness):
         # raw: u8 [N, raw_bytes] (or the coeff tuple in hybrid-MJPEG mode)
         from ..ops import color as _color
 
         fused = None
-        if fused_decode_ok:
+        fused_tick = None
+        if fused_tick_ok:
+            from ..ops.pallas.tick_fused import yuyv_tick_fused
+
+            fused_tick = yuyv_tick_fused(
+                raw, w, h, rects, rect_colors, thickness,
+                overlay=spec.overlay,
+            )
+        if fused_tick is None and fused_decode_ok:
             from ..ops.pallas.decode_interleave import yuyv_decode_interleave
 
             fused = yuyv_decode_interleave(
@@ -198,6 +218,19 @@ def _build(spec: PipelineSpec):
                 overlay=spec.overlay,
             )
         overlay_done = False
+        if fused_tick is not None:
+            # One-kernel tick: bgr AND the blur_sobel output in one pass;
+            # gray never touches HBM.
+            bgr, tick_filtered = fused_tick
+            overlay_done = True
+
+            out = {"bgr": bgr, "filtered": tick_filtered} if spec.emit_bgr \
+                else {"filtered": tick_filtered}
+            if not spec.emit_filtered:
+                out.pop("filtered", None)
+            probe = bgr if spec.emit_bgr else tick_filtered
+            out["_sync"] = probe.reshape(-1)[:1]
+            return out
         if fused is not None:
             bgr, fused_gray = fused
             overlay_done = True  # composited in-kernel (when spec.overlay)

@@ -63,6 +63,52 @@ def test_tile_rows():
     assert 2160 % _tile_rows(2160) == 0
 
 
+@pytest.mark.parametrize("shape", [(96, 48), (130, 64), (256, 384)])
+def test_tick_fused_matches_golden_chain(jax_cpu, shape):
+    """One-kernel tick (decode+overlay+interleave+stencil): bit-exact vs
+    the XLA composition, incl. multi-tile halo rows at (256, 384)."""
+    from rustcv_tpu.ops import filters as F
+    from rustcv_tpu.ops.pallas.tick_fused import yuyv_tick_fused
+
+    w, h = shape
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    src = jnp.asarray(rng.integers(0, 256, (2, h * w * 2), np.uint8))
+    rects = jnp.asarray(rng.integers(-10, 80, (2, 4), np.int32))
+    colors = jnp.asarray(rng.integers(0, 256, (2, 3), np.uint8))
+    out = yuyv_tick_fused(src, w, h, rects, colors, jnp.int32(2),
+                          overlay=True)
+    assert out is not None
+    bgr, filt = out
+    ref_bgr = D.rectangle_packed(
+        C.yuyv_to_bgr_packed(src, w, h), rects, colors, jnp.int32(2))
+    blurred = F.gaussian5_u8(C.yuyv_to_gray(src, w, h), has_channels=False)
+    gx, gy = F.sobel3_gray(blurred)
+    ref_filt = F.gradient_magnitude_u8(gx, gy)
+    np.testing.assert_array_equal(np.asarray(bgr), np.asarray(ref_bgr))
+    np.testing.assert_array_equal(np.asarray(filt), np.asarray(ref_filt))
+
+
+@pytest.mark.parametrize("impl", ["xla_fused", "pallas", "pallas_tick"])
+def test_pipeline_variants_match(jax_cpu, monkeypatch, impl):
+    from rustcv_tpu.core.pixel_format import PixelFormat
+    from rustcv_tpu.runtime.pipeline import PipelineSpec, _build
+
+    rng = np.random.default_rng(3)
+    raw = jnp.asarray(rng.integers(0, 256, (2, 48 * 96 * 2), np.uint8))
+    rects = jnp.asarray([[10, 10, 40, 20], [5, 8, 30, 25]], jnp.int32)
+    cols = jnp.asarray([[0, 255, 0], [255, 0, 0]], jnp.uint8)
+    spec = PipelineSpec(PixelFormat.YUYV, 96, 48, filter="blur_sobel",
+                        overlay=True, stencil_impl="pallas")
+    monkeypatch.setenv("RUSTCV_DECODE", impl)
+    got = _build(spec)(raw, rects, cols, jnp.int32(2))
+    monkeypatch.setenv("RUSTCV_DECODE", "xla")
+    ref = _build(spec)(raw, rects, cols, jnp.int32(2))
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(ref[k]), err_msg=k)
+
+
 def test_pipeline_fused_path_matches(jax_cpu, monkeypatch):
     from rustcv_tpu.core.pixel_format import PixelFormat
     from rustcv_tpu.runtime.pipeline import PipelineSpec, _build
