@@ -489,10 +489,24 @@ def Scharr(src, ddepth, dx, dy, dst=None, scale=1, delta=0, borderType=4):
 
 def Laplacian(src, ddepth, dst=None, ksize=1, scale=1, delta=0,
               borderType=4):
-    if ksize not in (1, 3):
-        raise NotImplementedError("Laplacian ksize in (1, 3)")
-    out = _pad_run_crop(src, 1, lambda p: np.asarray(_ip.laplacian(_m(p))),
-                        borderType).astype(np.float64)
+    if ksize == 1:
+        # special 3x3 aperture [[0,1,0],[1,-4,1],[0,1,0]]
+        out = _pad_run_crop(src, 1,
+                            lambda p: np.asarray(_ip.laplacian(_m(p))),
+                            borderType).astype(np.float64)
+        return _sat(out * scale + delta, ddepth, np.asarray(src).dtype)
+    # ksize >= 3: sum of the two second-derivative separable kernels
+    # (getDerivKernels), cv2-exact — for ksize=3 this reproduces the
+    # documented [[2,0,2],[0,-8,0],[2,0,2]] aperture. (r4: the old path
+    # silently applied the ksize=1 kernel for ksize=3 — max error 1422
+    # vs cv2 on random u8.)
+    from ..ops import filters as _F
+
+    d2, sm = _F.deriv_kernels(2, 0, int(ksize))
+    k = (np.outer(np.asarray(sm, np.float64), np.asarray(d2, np.float64))
+         + np.outer(np.asarray(d2, np.float64), np.asarray(sm, np.float64)))
+    out = _pad_run_crop(src, int(ksize) // 2,
+                        lambda p: _correlate_f64(p, k), borderType)
     return _sat(out * scale + delta, ddepth, np.asarray(src).dtype)
 
 
@@ -513,21 +527,33 @@ def Canny(image, threshold1, threshold2, edges=None, apertureSize=3,
 
 def erode(src, kernel, dst=None, anchor=(-1, -1), iterations=1,
           borderType=0, borderValue=None):
-    return _morph_iter(_ip.erode_kernel, src, kernel, iterations)
+    return _morph_iter(_ip.erode_kernel, src, kernel, iterations, 255)
 
 
 def dilate(src, kernel, dst=None, anchor=(-1, -1), iterations=1,
            borderType=0, borderValue=None):
-    return _morph_iter(_ip.dilate_kernel, src, kernel, iterations)
+    return _morph_iter(_ip.dilate_kernel, src, kernel, iterations, 0)
 
 
-def _morph_iter(fn, src, kernel, iterations):
+def _morph_iter(fn, src, kernel, iterations, identity):
+    """cv2 erode/dilate default border is BORDER_CONSTANT at the morph
+    identity (+inf for erode, -inf for dilate), NOT replicate — they only
+    coincide for kernels whose window always contains in-image support
+    (e.g. all-ones). Pad with the identity, run, crop (r4: cross/hit-miss
+    kernels diverged at borders before this)."""
     if kernel is None:
         kernel = np.ones((3, 3), np.uint8)
-    m = _m(src)
-    for _ in range(max(1, int(iterations))):
-        m = fn(m, np.asarray(kernel))
-    return _o(m)
+    k = np.asarray(kernel)
+    it = max(1, int(iterations))
+    ry, rx = it * (k.shape[0] // 2), it * (k.shape[1] // 2)
+    a = np.asarray(src)
+    pad = ((ry, ry), (rx, rx)) + ((0, 0),) * (a.ndim - 2)
+    m = _m(np.pad(a, pad, constant_values=identity))
+    for _ in range(it):
+        m = fn(m, k)
+    out = np.asarray(_o(m))
+    return _o(np.ascontiguousarray(out[ry:out.shape[0] - ry,
+                                       rx:out.shape[1] - rx]))
 
 
 _MORPH_NAMES = {2: "open", 3: "close", 4: "gradient", 5: "tophat",
@@ -542,6 +568,16 @@ def morphologyEx(src, op, kernel, dst=None, anchor=(-1, -1), iterations=1,
     if op == _C.MORPH_DILATE:
         return dilate(src, kernel, iterations=iterations)
     k = np.asarray(kernel) if kernel is not None else np.ones((3, 3), np.uint8)
+    if op == _C.MORPH_HITMISS:
+        # cv2 semantics (binary input): erode by the +1 cells AND erode
+        # the complement by the -1 cells; 0 cells are don't-care.
+        ks = k.astype(np.int8)
+        a = np.asarray(src)
+        e1 = np.asarray(erode(a, (ks == 1).astype(np.uint8))) \
+            if (ks == 1).any() else np.full_like(a, 255)
+        e2 = np.asarray(erode(255 - a, (ks == -1).astype(np.uint8))) \
+            if (ks == -1).any() else np.full_like(a, 255)
+        return _o(np.minimum(e1, e2))
     if op not in _MORPH_NAMES:
         raise NotImplementedError(f"morphologyEx op {op}")
     # square all-ones kernels ride the fused device path
@@ -566,10 +602,29 @@ def getStructuringElement(shape, ksize, anchor=(-1, -1)):
     names = {_C.MORPH_RECT: "rect", _C.MORPH_CROSS: "cross",
              _C.MORPH_ELLIPSE: "ellipse"}
     kw, kh = int(ksize[0]), int(ksize[1])
-    if kw != kh:
-        raise NotImplementedError("non-square structuring element")
-    return np.asarray(_ip.get_structuring_element(names[int(shape)], kw),
-                      dtype=np.uint8)
+    if kw == kh and kw % 2 == 1:
+        return np.asarray(_ip.get_structuring_element(names[int(shape)], kw),
+                          dtype=np.uint8)
+    # Rectangular elements: OpenCV getStructuringElement row scan
+    # (modules/imgproc/src/morph.cpp), bit-exact incl. the inscribed-
+    # ellipse int truncation.
+    ax = kw // 2 if anchor[0] < 0 else int(anchor[0])
+    ay = kh // 2 if anchor[1] < 0 else int(anchor[1])
+    shape = int(shape)
+    elem = np.zeros((kh, kw), np.uint8)
+    r, c = kh // 2, kw // 2
+    inv_r2 = 1.0 / (r * r) if r else 0.0
+    for i in range(kh):
+        if shape == _C.MORPH_RECT or (shape == _C.MORPH_CROSS and i == ay):
+            elem[i, :] = 1
+        elif shape == _C.MORPH_CROSS:
+            elem[i, ax] = 1
+        else:  # MORPH_ELLIPSE
+            dy = i - r
+            if abs(dy) <= r:
+                dx = int(np.rint(c * np.sqrt((r * r - dy * dy) * inv_r2)))
+                elem[i, max(c - dx, 0): min(c + dx + 1, kw)] = 1
+    return elem
 
 
 _SMALL_GAUSSIAN_TAB = {
@@ -1764,11 +1819,25 @@ def circle(img, center, radius, color, thickness=1, lineType=8, shift=0):
 
 def ellipse(img, center, axes, angle, startAngle=0, endAngle=360,
             color=None, thickness=1, lineType=8, shift=0):
-    if (startAngle, endAngle) != (0, 360):
-        raise NotImplementedError("partial elliptic arcs")
-    return _inplace(img, lambda m: _ip.ellipse(
-        m, _pt(center), (int(axes[0]), int(axes[1])), float(angle),
-        _color(color), int(thickness)))
+    if (int(startAngle), int(endAngle)) in ((0, 360), (0, -360)) or \
+            abs(int(endAngle) - int(startAngle)) >= 360:
+        return _inplace(img, lambda m: _ip.ellipse(
+            m, _pt(center), (int(axes[0]), int(axes[1])), float(angle),
+            _color(color), int(thickness)))
+    # Partial arc: OpenCV's ellipseEx polygonizes the arc and draws it as
+    # an open polyline (thickness >= 0) or a filled pie with the center
+    # appended (thickness < 0). We use ellipse2Poly at delta = 3 degrees —
+    # same approximation class as cv2's internal sampling; cross-checked
+    # within a 1-px band in tests/test_cv2_shim.py::test_ellipse_arc.
+    sa, ea = int(round(startAngle)), int(round(endAngle))
+    if ea < sa:
+        sa, ea = ea, sa
+    pts = ellipse2Poly(center, axes, int(round(angle)), sa, ea, 3)
+    if int(thickness) >= 0:
+        return polylines(img, [pts], False, color, thickness, lineType)
+    pie = np.vstack([pts, np.asarray([[int(center[0]), int(center[1])]],
+                                     np.int32)])
+    return fillPoly(img, [pie], color)
 
 
 def ellipse2Poly(center, axes, angle, arcStart, arcEnd, delta):

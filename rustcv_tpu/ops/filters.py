@@ -532,20 +532,19 @@ def get_structuring_element(shape: str, ksize: int):
 
 
 def _masked_window_reduce(img: jax.Array, kernel, fn) -> jax.Array:
-    """k×k windowed reduce over only the True offsets of ``kernel``."""
+    """Windowed reduce over only the True offsets of ``kernel`` (any kh×kw)."""
     import numpy as np
 
     k = np.asarray(kernel, bool)
-    ksize = k.shape[0]
+    kh, kw = k.shape
     has_channels = img.ndim >= 3 and img.shape[-1] in (1, 3, 4)
     ax_h, ax_w = _spatial_axes(img, has_channels)
-    r = ksize // 2
-    p = _replicate_pad(_replicate_pad(img, ax_h, r), ax_w, r)
+    p = _replicate_pad(_replicate_pad(img, ax_h, kh // 2), ax_w, kw // 2)
     h = img.shape[ax_h]
     w = img.shape[ax_w]
     acc = None
-    for dy in range(ksize):
-        for dx in range(ksize):
+    for dy in range(kh):
+        for dx in range(kw):
             if not k[dy, dx]:
                 continue
             sl = jax.lax.slice_in_dim(

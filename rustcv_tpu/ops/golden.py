@@ -1191,13 +1191,12 @@ def dilate_kernel(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
 
 def _masked_reduce(img, kernel, fn):
     k = np.asarray(kernel, bool)
-    ksize = k.shape[0]
-    r = ksize // 2
-    p = _replicate_pad(img.astype(np.int32), r, r)
+    kh, kw = k.shape
+    p = _replicate_pad(img.astype(np.int32), kh // 2, kw // 2)
     h, w = img.shape[:2]
     acc = None
-    for dy in range(ksize):
-        for dx in range(ksize):
+    for dy in range(kh):
+        for dx in range(kw):
             if not k[dy, dx]:
                 continue
             sl = p[dy : dy + h, dx : dx + w]

@@ -78,9 +78,7 @@ def _interleave_vals(planes, rows, P, K):
         idx = (lane + 128 * v) // K - s0
         mod = (lane + 128 * v) % K
         parts = [
-            jnp.take_along_axis(
-                jax.lax.dynamic_slice(p, (0, s0), (rows, 128)), idx, axis=1
-            )
+            jnp.take_along_axis(p[:, s0 : s0 + 128], idx, axis=1)
             for p in planes
         ]
         val = parts[0]

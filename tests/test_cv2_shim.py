@@ -765,3 +765,81 @@ def test_canny_threshold_scale():
     b = rcv.Canny(g5, 40, 90)
     # same thresholds select the same structure (convention-tolerant)
     assert (np.asarray(b) > 0).sum() > 0.5 * (a > 0).sum()
+
+
+# ------------------------------------------------- r4 morphology / drawing
+
+def test_structuring_elements_exact():
+    for shape in (cv.MORPH_RECT, cv.MORPH_CROSS, cv.MORPH_ELLIPSE):
+        for ks in ((5, 3), (7, 11), (4, 6), (1, 9), (9, 1), (2, 2), (6, 6),
+                   (3, 3), (5, 5)):
+            np.testing.assert_array_equal(
+                cv.getStructuringElement(shape, ks),
+                rcv.getStructuringElement(shape, ks),
+                err_msg=f"{shape} {ks}")
+
+
+def test_erode_dilate_borders_exact():
+    """cv2's morph border is BORDER_CONSTANT at the identity, which differs
+    from replicate for kernels without full window support (cross, lines,
+    diagonals) — exact parity incl. iterations."""
+    rng = np.random.RandomState(4)
+    gray = rng.randint(0, 256, (30, 40), np.uint8)
+    binary = (rng.randint(0, 2, (30, 40)) * 255).astype(np.uint8)
+    kernels = [np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]], np.uint8),
+               np.array([[1], [1], [1]], np.uint8),
+               np.array([[1, 1, 1, 1, 1]], np.uint8),
+               np.array([[0, 0, 1], [0, 1, 0], [1, 0, 0]], np.uint8),
+               cv.getStructuringElement(cv.MORPH_ELLIPSE, (7, 5))]
+    for src in (gray, binary):
+        for k in kernels:
+            for it in (1, 2):
+                np.testing.assert_array_equal(
+                    cv.erode(src, k, iterations=it),
+                    np.asarray(rcv.erode(src, k, iterations=it)))
+                np.testing.assert_array_equal(
+                    cv.dilate(src, k, iterations=it),
+                    np.asarray(rcv.dilate(src, k, iterations=it)))
+
+
+def test_morph_hitmiss_exact():
+    rng = np.random.RandomState(4)
+    m = (rng.randint(0, 2, (30, 40)) * 255).astype(np.uint8)
+    for k in [np.array([[0, 1, 0], [1, -1, 1], [0, 1, 0]], np.int8),
+              np.array([[1, -1], [-1, 1]], np.int8),
+              np.array([[-1, -1, -1], [0, 1, 0], [1, 1, 1]], np.int8),
+              np.ones((3, 3), np.int8)]:
+        np.testing.assert_array_equal(
+            cv.morphologyEx(m, cv.MORPH_HITMISS, k),
+            np.asarray(rcv.morphologyEx(m, rcv.MORPH_HITMISS, k)))
+
+
+def test_laplacian_ksize_exact():
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (40, 56), np.uint8)
+    for ks in (1, 3, 5, 7):
+        for dd in (cv.CV_16S, cv.CV_32F, -1):
+            np.testing.assert_array_equal(
+                cv.Laplacian(img, dd, ksize=ks, scale=1.5, delta=7),
+                np.asarray(rcv.Laplacian(img, dd, ksize=ks, scale=1.5,
+                                         delta=7)))
+
+
+def test_ellipse_arc_band():
+    """Partial arcs: polyline approximation within a 2-px band of cv2's
+    rasterization (documented tolerance — cv2's internal arc sampler is a
+    different fixed-point polygonization)."""
+    for (th, sa, ea) in [(2, 40, 200), (1, 0, 90), (-1, 40, 200),
+                         (-1, 10, 350)]:
+        img1 = np.zeros((80, 100, 3), np.uint8)
+        img2 = np.zeros((80, 100, 3), np.uint8)
+        cv.ellipse(img1, (50, 40), (30, 20), 25, sa, ea, (0, 255, 0), th)
+        rcv.ellipse(img2, (50, 40), (30, 20), 25, sa, ea, (0, 255, 0), th)
+        a = img1[..., 1] > 0
+        b = np.asarray(img2)[..., 1] > 0
+        band = cv.dilate(a.astype(np.uint8), np.ones((5, 5), np.uint8)) > 0
+        assert (b & ~band).sum() == 0, "drawn pixel >2px from cv2's arc"
+        band2 = cv.dilate(b.astype(np.uint8), np.ones((5, 5), np.uint8)) > 0
+        assert (a & ~band2).sum() == 0, "cv2 pixel >2px from our arc"
+        iou = (a & b).sum() / max((a | b).sum(), 1)
+        assert iou > 0.6, iou
