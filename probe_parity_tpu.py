@@ -162,6 +162,12 @@ def compute_all():
         ins["yuyv"], W, H, rects, colors, jnp.int32(2), overlay=True)
     out["decode_interleave_bgr"] = db
     out["decode_interleave_gray"] = dg
+    from rustcv_tpu.ops.pallas.tick_fused import yuyv_tick_fused
+
+    tb, tf = yuyv_tick_fused(
+        ins["yuyv"], W, H, rects, colors, jnp.int32(2), overlay=True)
+    out["tick_fused_bgr"] = tb
+    out["tick_fused_filt"] = tf
 
     return {k: np.asarray(v) for k, v in out.items()}
 

@@ -17,13 +17,15 @@ HBM relayout.
 The kernel fuses the whole per-tile chain: u32 YUYV words → BT.601 pair
 math (bit-exact ``color._bt601_pair`` formulas, decode.rs:160-191 port) →
 optional rectangle overlay applied on the six pair planes (bit-exact
-``draw._edge_masks`` semantics) → stride-3 interleave into u16 BGR words
-and stride-2 interleave into gray.
+``draw._edge_masks`` semantics) → stride-6 byte interleave into packed
+BGR and stride-2 interleave into gray.
 
 Outputs:
-  * ``bgr_words`` u16 (N, H, W·3/2) — little-endian byte-identical to the
-    packed-rows u8 (N, H, W·3) contract (the caller bitcasts; HBM bytes
-    are already in final order).
+  * ``bgr`` u8 (N, H, W·3) — the packed-rows contract, bytes in final
+    order straight out of the kernel (K=6 interleave of the six pair
+    byte-planes; the kernel's block minor is padded to a 128-lane
+    multiple and sliced off outside when 3·W isn't one — free at the hot
+    widths).
   * ``gray`` u8 (N, H, W) — identical to ``color.yuyv_to_gray``.
 
 Tested bit-exact against the XLA path in tests/test_pallas_decode.py
@@ -54,7 +56,13 @@ def _interleave_store(planes, out_ref, rows, P, K, dtype):
     128-lane output column gathers from a 128-lane source window at the
     (unaligned, static) offset ``(128·v)//K``. Windows and index patterns
     repeat every K output columns, so only K distinct constant index
-    vectors exist after CSE."""
+    vectors exist after CSE.
+
+    ``out_ref``'s minor dim may exceed the logical K·P (padded to a
+    128-lane multiple so Mosaic never needs an unaligned memref_slice for
+    the output DMA); every store is a full 128-lane vreg, with gather
+    indices clamped in the pad tail (garbage lanes, sliced off by the
+    caller)."""
     if P < 128:
         pad = [(0, 0), (0, 128 - P)]
         planes = [jnp.pad(p, pad) for p in planes]
@@ -62,12 +70,11 @@ def _interleave_store(planes, out_ref, rows, P, K, dtype):
     else:
         srcP = P
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
-    L = K * P
-    for v in range(-(-L // 128)):
-        width = min(128, L - 128 * v)
+    Lp = out_ref.shape[-1]
+    for v in range(Lp // 128):
         a = (128 * v) // K
         s0 = min(a, srcP - 128)
-        idx = (lane + 128 * v) // K - s0
+        idx = jnp.clip((lane + 128 * v) // K - s0, 0, 127)
         mod = (lane + 128 * v) % K
         parts = [
             jnp.take_along_axis(p[:, s0 : s0 + 128], idx, axis=1)
@@ -76,7 +83,7 @@ def _interleave_store(planes, out_ref, rows, P, K, dtype):
         val = parts[0]
         for s in range(1, K):
             val = jnp.where(mod == s, parts[s], val)
-        out_ref[:, 128 * v : 128 * v + width] = val[:, :width].astype(dtype)
+        out_ref[:, 128 * v : 128 * v + 128] = val.astype(dtype)
 
 
 def _kernel(
@@ -146,10 +153,14 @@ def _kernel(
         g1 = jnp.where(mo, cg, g1)
         r1 = jnp.where(mo, cr, r1)
 
-    w0 = b0 | (g0 << 8)
-    w1 = r0 | (b1 << 8)
-    w2 = g1 | (r1 << 8)
-    _interleave_store((w0, w1, w2), bgr_ref.at[0], th, P, 3, jnp.uint16)
+    # K=6 byte interleave straight to u8: out[:, 6i+s] = plane_s[:, i]
+    # (b,g,r per even then odd pixel). A u16-word K=3 form was tried first
+    # but its minor dim 3·P is not 128-lane aligned at 1080p (2880 = 22.5
+    # vregs) — Mosaic cannot memref_slice the padded packed-i16 block for
+    # the HBM DMA ("Slice shape ... must be aligned to tiling (128)");
+    # 6·P = 3·W is aligned whenever W % 128 == 0.
+    _interleave_store((b0, g0, r0, b1, g1, r1), bgr_ref.at[0], th, P, 6,
+                      jnp.uint8)
 
 
 def _tile_rows(h: int, cap: int = 128) -> int:
@@ -183,6 +194,11 @@ def yuyv_decode_interleave(
     if th == 0 or width % 2:
         return None
     P = width // 2
+    # Output minor dims padded to 128-lane multiples (Mosaic cannot
+    # memref_slice an unaligned packed-dtype block for the HBM DMA); the
+    # hot widths (640/1280/1920/3840) need no padding.
+    Lb = -(-6 * P // 128) * 128
+    Lg = -(-2 * P // 128) * 128
     words = jax.lax.bitcast_convert_type(
         src.reshape(n, height, P, 4), jnp.uint32
     )
@@ -198,7 +214,7 @@ def yuyv_decode_interleave(
         color_arg = jnp.zeros((n, 3), jnp.int32)
         thick_arg = jnp.zeros((n, 1), jnp.int32)
 
-    bgr_words, gray = pl.pallas_call(
+    bgr, gray = pl.pallas_call(
         partial(_kernel, th=th, w=width, h=height, overlay=overlay),
         grid=(n, n_tiles),
         in_specs=[
@@ -211,23 +227,22 @@ def yuyv_decode_interleave(
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, th, 3 * P), lambda i, j: (i, j, 0),
+                (1, th, Lb), lambda i, j: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, th, 2 * P), lambda i, j: (i, j, 0),
+                (1, th, Lg), lambda i, j: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n, height, 3 * P), jnp.uint16),
-            jax.ShapeDtypeStruct((n, height, 2 * P), jnp.uint8),
+            jax.ShapeDtypeStruct((n, height, Lb), jnp.uint8),
+            jax.ShapeDtypeStruct((n, height, Lg), jnp.uint8),
         ),
         interpret=_interpret(),
     )(words, rect_arg, color_arg, thick_arg)
-    # Byte view: little-endian u16 words are ALREADY the packed-BGR bytes;
-    # this bitcast+reshape only splits the minor dim (no lane interleave).
-    bgr = jax.lax.bitcast_convert_type(bgr_words, jnp.uint8).reshape(
-        n, height, width * 3
-    )
+    if Lb != 6 * P:
+        bgr = bgr[:, :, : 6 * P]
+    if Lg != 2 * P:
+        gray = gray[:, :, : 2 * P]
     return bgr, gray

@@ -90,7 +90,7 @@ def _interleave_vals(planes, rows, P, K):
 
 def _kernel(
     words_ref, top_ref, bot_ref, rect_ref, color_ref, thick_ref,
-    bgr_ref, filt_ref, bl_ref,
+    bgr_ref, filt_ref,
     *, th, w, h, n_tiles, overlay,
 ):
     P = w // 2
@@ -124,19 +124,23 @@ def _kernel(
     acc = _taps_v(tmp, _G5, th + 2, 1)
     blur = (acc + 128) >> 8                        # (th+2, W)
 
-    bl_ref[:, 1 : w + 1] = blur
-    bl_ref[:, 0] = blur[:, 0]
-    bl_ref[:, w + 1] = blur[:, w - 1]
-
-    @pl.when(j == 0)
-    def _():
-        bl_ref[0, :] = bl_ref[1, :]
-
-    @pl.when(j == n_tiles - 1)
-    def _():
-        bl_ref[th + 1, :] = bl_ref[th, :]
-
-    b = bl_ref[:]
+    # Two-stage border rule: the Sobel pass sees the blurred map with
+    # replicate-edge rows/cols. Rows [0, th+2) cover centers [-1, th+1);
+    # at the image edges (first/last tile) the out-of-image row is the
+    # replicated edge row. Pure value ops — Mosaic scratch slicing of an
+    # unaligned (W+2) minor is not needed.
+    blur = jnp.where(
+        j == 0,
+        jnp.concatenate(
+            [blur[1:2], blur[1:]], axis=0), blur)
+    blur = jnp.where(
+        j == n_tiles - 1,
+        jnp.concatenate([blur[: th + 1], blur[th : th + 1]], axis=0),
+        blur,
+    )
+    b = jnp.concatenate(
+        [blur[:, :1], blur, blur[:, w - 1 :]], axis=1
+    )  # (th+2, W+2)
     smooth_v = _taps_v(b, (1, 2, 1), th, 0)
     diff_v = _taps_v(b, (-1, 0, 1), th, 0)
     gx = _taps_h(smooth_v, (-1, 0, 1), w, 0)
@@ -145,7 +149,11 @@ def _kernel(
     s = jnp.sqrt(mag2.astype(jnp.float32)).astype(jnp.int32)
     s = jnp.where((s + 1) * (s + 1) <= mag2, s + 1, s)
     s = jnp.where(s * s > mag2, s - 1, s)
-    filt_ref[0, :, :] = jnp.minimum(s, 255).astype(jnp.uint8)
+    s = jnp.minimum(s, 255)
+    Lg = filt_ref.shape[-1]
+    if Lg != w:  # pad-tail lanes of the 128-aligned block (sliced outside)
+        s = jnp.pad(s, [(0, 0), (0, Lg - w)])
+    filt_ref[0, :, :] = s.astype(jnp.uint8)
 
     # Overlay + packed-BGR interleave (phase-2 logic, unchanged).
     b0, g0, r0, b1, g1, r1 = pl6
@@ -181,10 +189,11 @@ def _kernel(
         g1 = jnp.where(mo, cg, g1)
         r1 = jnp.where(mo, cr, r1)
 
-    w0 = b0 | (g0 << 8)
-    w1 = r0 | (b1 << 8)
-    w2 = g1 | (r1 << 8)
-    _interleave_store((w0, w1, w2), bgr_ref.at[0], th, P, 3, jnp.uint16)
+    # K=6 u8 interleave (see decode_interleave: the u16 K=3 form's 3·P
+    # minor dim is not 128-lane aligned at 1080p and fails Mosaic's
+    # memref_slice for the output DMA).
+    _interleave_store((b0, g0, r0, b1, g1, r1), bgr_ref.at[0], th, P, 6,
+                      jnp.uint8)
 
 
 def _tile_rows_fused(h: int, w: int, cap: int = 128) -> int:
@@ -219,6 +228,9 @@ def yuyv_tick_fused(
     if th == 0 or width % 2 or height % 8:
         return None
     P = width // 2
+    # Output minors padded to 128-lane multiples (see decode_interleave).
+    Lb = -(-6 * P // 128) * 128
+    Lg = -(-2 * P // 128) * 128
     words = jax.lax.bitcast_convert_type(
         src.reshape(n, height, P, 4), jnp.uint32
     )
@@ -235,7 +247,7 @@ def yuyv_tick_fused(
         color_arg = jnp.zeros((n, 3), jnp.int32)
         thick_arg = jnp.zeros((n, 1), jnp.int32)
 
-    bgr_words, filt = pl.pallas_call(
+    bgr, filt = pl.pallas_call(
         partial(_kernel, th=th, w=width, h=height, n_tiles=n_tiles,
                 overlay=overlay),
         grid=(n, n_tiles),
@@ -264,22 +276,22 @@ def yuyv_tick_fused(
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, th, 3 * P), lambda i, j: (i, j, 0),
+                (1, th, Lb), lambda i, j: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, th, 2 * P), lambda i, j: (i, j, 0),
+                (1, th, Lg), lambda i, j: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n, height, 3 * P), jnp.uint16),
-            jax.ShapeDtypeStruct((n, height, 2 * P), jnp.uint8),
+            jax.ShapeDtypeStruct((n, height, Lb), jnp.uint8),
+            jax.ShapeDtypeStruct((n, height, Lg), jnp.uint8),
         ),
-        scratch_shapes=[pltpu.VMEM((th + 2, width + 2), jnp.int32)],
         interpret=_interpret(),
     )(words, words, words, rect_arg, color_arg, thick_arg)
-    bgr = jax.lax.bitcast_convert_type(bgr_words, jnp.uint8).reshape(
-        n, height, width * 3
-    )
+    if Lb != 6 * P:
+        bgr = bgr[:, :, : 6 * P]
+    if Lg != 2 * P:
+        filt = filt[:, :, : 2 * P]
     return bgr, filt
