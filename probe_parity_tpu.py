@@ -190,18 +190,37 @@ def main() -> None:
     import jax
 
     got = compute_all()
+    # Documented-tolerance ops (their own docstrings): float-math kernels
+    # where XLA's FMA/excess-precision fusion differs between the CPU and
+    # TPU backends by ≤1 LSB — add_weighted_u8 ("±1 LSB ... for non-dyadic
+    # weights", ops/arith.py) and bgr_to_lab (f32 cube-root path). Scalar
+    # float reductions compare with rtol instead of bitwise.
+    TOL_1LSB = {"addw", "lab"}
     results, failed = {}, []
     for k in ref.files:
         a, b = ref[k], got[k]
         if a.shape != b.shape:
             results[k] = f"SHAPE {a.shape} vs {b.shape}"
             failed.append(k)
+        elif np.issubdtype(a.dtype, np.floating):
+            if np.allclose(a, b, rtol=1e-5, atol=1e-5):
+                results[k] = "float_close(rtol=1e-5)"
+            else:
+                results[k] = f"MISMATCH float max={float(np.abs(a - b).max())}"
+                failed.append(k)
         elif np.array_equal(a, b):
             results[k] = "exact"
         else:
             d = np.abs(a.astype(np.int64) - b.astype(np.int64))
-            results[k] = f"MISMATCH max={int(d.max())} frac={float((d > 0).mean()):.4f}"
-            failed.append(k)
+            if k in TOL_1LSB and d.max() <= 1:
+                results[k] = (
+                    f"tol_ok(max=1, frac={float((d > 0).mean()):.4f}) — "
+                    "documented f32-fma tolerance")
+            else:
+                results[k] = (
+                    f"MISMATCH max={int(d.max())} "
+                    f"frac={float((d > 0).mean()):.4f}")
+                failed.append(k)
     rec = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
@@ -209,6 +228,8 @@ def main() -> None:
         "ops": results,
         "n_ops": len(results),
         "n_exact": sum(1 for v in results.values() if v == "exact"),
+        "n_tol": sum(1 for v in results.values()
+                     if v.startswith(("tol_ok", "float_close"))),
         "failed": failed,
     }
     with open(OUT_JSON, "w") as f:

@@ -158,7 +158,25 @@ def cvtColorTwoPlane(src1, src2, code, dst=None):
 
 
 def demosaicing(src, code, dst=None, dstCn=0):
-    raise NotImplementedError("use rustcv_tpu.ops.color bayer kernels")
+    """Bilinear Bayer demosaic via the device kernel (frozen spec
+    golden.demosaic_bilinear; ±1 LSB of cv2's bilinear path at interior
+    pixels, documented reflect-101 borders). cv2 pattern naming is by the
+    SECOND row's first two sites, ours by the first — hence the map."""
+    from ..ops import color as _color
+
+    codes = {
+        _C.COLOR_BayerBG2BGR: "RGGB", _C.COLOR_BayerGB2BGR: "GRBG",
+        _C.COLOR_BayerRG2BGR: "BGGR", _C.COLOR_BayerGR2BGR: "GBRG",
+        _C.COLOR_BayerBG2RGB: "BGGR", _C.COLOR_BayerGB2RGB: "GBRG",
+        _C.COLOR_BayerRG2RGB: "RGGB", _C.COLOR_BayerGR2RGB: "GRBG",
+    }
+    pattern = codes.get(int(code))
+    if pattern is None:
+        raise NotImplementedError(f"demosaicing code {code}")
+    a = np.asarray(src)
+    h, w = a.shape[:2]
+    out = np.asarray(_color.demosaic_bilinear(a, pattern, w, h))
+    return _o(out)
 
 
 # ------------------------------------------------------------- threshold
@@ -664,7 +682,32 @@ def getGaborKernel(ksize, sigma, theta, lambd, gamma, psi=np.pi * 0.5,
 
 
 def stackBlur(src, ksize, dst=None):
-    raise NotImplementedError("use GaussianBlur / blur")
+    """StackBlur (triangular separable). u8: within the measured cv2
+    envelope (≤3 LSB k≤13 / ≤6 k≤63; cv2's own bits are SIMD-lane-
+    position-dependent — vector body rounds the fixed-point shift, scalar
+    tail truncates — and its final column mishandles the last window
+    step); the truncating scalar form is the frozen spec (ops/golden.py).
+    float32: the true float triangular filter, matches cv2 to f32 noise
+    everywhere but cv2's buggy last column."""
+    from ..ops import filters as _f
+
+    a = np.asarray(src)
+    kw, kh = int(ksize[0]), int(ksize[1])
+    if a.dtype == np.uint8:
+        return _o(np.asarray(_f.stack_blur_u8(a, kw, kh)))
+    rw, rh = kw // 2, kh // 2
+    x = a.astype(np.float64)
+    nd2 = x.ndim == 2
+    if nd2:
+        x = x[..., None]
+    p = np.pad(x, ((0, 0), (rw, rw), (0, 0)), mode="edge")
+    h = sum((rw + 1 - abs(i)) * p[:, rw + i : rw + i + a.shape[1]]
+            for i in range(-rw, rw + 1)) / float((rw + 1) ** 2)
+    p = np.pad(h, ((rh, rh), (0, 0), (0, 0)), mode="edge")
+    v = sum((rh + 1 - abs(i)) * p[rh + i : rh + i + a.shape[0]]
+            for i in range(-rh, rh + 1)) / float((rh + 1) ** 2)
+    out = (v[..., 0] if nd2 else v).astype(a.dtype)
+    return _o(out)
 
 
 def pyrDown(src, dst=None, dstsize=None, borderType=4):
@@ -1246,16 +1289,132 @@ def kmeans(data, K, bestLabels, criteria, attempts, flags, centers=None):
 
 # ------------------------------------------------------------- dft family
 
+def _ccs_pack(F):
+    """Complex spectrum of a REAL 2-D input → cv2's CCS-packed real array
+    (verified element-for-element vs cv2.dft; see tests/test_cv2_shim.py)."""
+    H, W = F.shape
+    A = np.zeros((H, W), np.float64)
+    A[0, 0] = F[0, 0].real
+    ks = np.arange(1, (W + 1) // 2)
+    A[0, 2 * ks - 1] = F[0, ks].real
+    A[0, 2 * ks] = F[0, ks].imag
+    if W % 2 == 0:
+        A[0, W - 1] = F[0, W // 2].real
+    js = np.arange(1, (H + 1) // 2)
+    A[2 * js - 1, 0] = F[js, 0].real
+    A[2 * js, 0] = F[js, 0].imag
+    if W % 2 == 0:
+        A[2 * js - 1, W - 1] = F[js, W // 2].real
+        A[2 * js, W - 1] = F[js, W // 2].imag
+    if H % 2 == 0:
+        A[H - 1, 0] = F[H // 2, 0].real
+        if W % 2 == 0:
+            A[H - 1, W - 1] = F[H // 2, W // 2].real
+    A[1:, 2 * ks - 1] = F[1:, ks].real
+    A[1:, 2 * ks] = F[1:, ks].imag
+    return A
+
+
+def _ccs_unpack(A):
+    """cv2 CCS-packed real array → the full complex spectrum (inverse of
+    ``_ccs_pack``, using conjugate symmetry for the redundant half)."""
+    H, W = A.shape
+    F = np.zeros((H, W), np.complex128)
+    F[0, 0] = A[0, 0]
+    ks = np.arange(1, (W + 1) // 2)
+    F[0, ks] = A[0, 2 * ks - 1] + 1j * A[0, 2 * ks]
+    if W % 2 == 0:
+        F[0, W // 2] = A[0, W - 1]
+    js = np.arange(1, (H + 1) // 2)
+    F[js, 0] = A[2 * js - 1, 0] + 1j * A[2 * js, 0]
+    if W % 2 == 0:
+        F[js, W // 2] = A[2 * js - 1, W - 1] + 1j * A[2 * js, W - 1]
+    if H % 2 == 0:
+        F[H // 2, 0] = A[H - 1, 0]
+        if W % 2 == 0:
+            F[H // 2, W // 2] = A[H - 1, W - 1]
+    F[1:, ks] = A[1:, 2 * ks - 1] + 1j * A[1:, 2 * ks]
+    # conjugate-symmetric completion: F[j, W-k] = conj(F[(H-j) % H, k])
+    kk = np.arange((W + 1) // 2 + (0 if W % 2 else 1), W)
+    F[:, kk] = np.conj(F[(-np.arange(H)) % H][:, W - kk])
+    js_hi = np.arange((H + 1) // 2 + (0 if H % 2 else 1), H)
+    F[js_hi, 0] = np.conj(F[H - js_hi, 0])
+    if W % 2 == 0:
+        F[js_hi, W // 2] = np.conj(F[H - js_hi, W // 2])
+    return F
+
+
+def _ccs_pack_rows(F):
+    """Per-row CCS pack (DFT_ROWS semantics on real input)."""
+    n, W = F.shape
+    A = np.zeros((n, W), np.float64)
+    A[:, 0] = F[:, 0].real
+    ks = np.arange(1, (W + 1) // 2)
+    A[:, 2 * ks - 1] = F[:, ks].real
+    A[:, 2 * ks] = F[:, ks].imag
+    if W % 2 == 0:
+        A[:, W - 1] = F[:, W // 2].real
+    return A
+
+
+def _ccs_unpack_rows(A):
+    n, W = A.shape
+    F = np.zeros((n, W), np.complex128)
+    F[:, 0] = A[:, 0]
+    ks = np.arange(1, (W + 1) // 2)
+    F[:, ks] = A[:, 2 * ks - 1] + 1j * A[:, 2 * ks]
+    if W % 2 == 0:
+        F[:, W // 2] = A[:, W - 1]
+    kk = np.arange(W // 2 + 1, W)
+    F[:, kk] = np.conj(F[:, W - kk])
+    return F
+
+
 def dft(src, dst=None, flags=0, nonzeroRows=0):
-    if int(flags) & _C.DFT_INVERSE:
-        return idft(src, flags=int(flags) & ~_C.DFT_INVERSE)
-    if flags:
-        raise NotImplementedError(f"dft flags {flags}")
-    return np.asarray(_ip.dft(np.asarray(src)))
+    """cv2.dft semantics: real input → CCS-packed output (default) or
+    2-channel complex (DFT_COMPLEX_OUTPUT); 2-channel input → complex
+    transform; DFT_ROWS = independent 1-D row transforms; DFT_SCALE
+    divides by the transform length; DFT_INVERSE delegates to idft."""
+    flags = int(flags)
+    if flags & _C.DFT_INVERSE:
+        return idft(src, flags=flags & ~_C.DFT_INVERSE)
+    a = np.asarray(src)
+    rows = bool(flags & _C.DFT_ROWS)
+    complex_in = a.ndim == 3 and a.shape[2] == 2
+    complex_out = bool(flags & _C.DFT_COMPLEX_OUTPUT) or complex_in
+    x = (a[..., 0] + 1j * a[..., 1]) if complex_in else a.astype(np.float64)
+    F = np.fft.fft(x, axis=1) if rows else np.fft.fft2(x)
+    if flags & _C.DFT_SCALE:
+        F = F / (x.shape[1] if rows else x.size)
+    if complex_out:
+        out = np.stack([F.real, F.imag], axis=-1)
+    elif rows:
+        out = _ccs_pack_rows(F)
+    else:
+        out = _ccs_pack(F)
+    return out.astype(np.float32 if a.dtype == np.float32 else np.float64)
 
 
 def idft(src, dst=None, flags=0, nonzeroRows=0):
-    return np.asarray(_ip.idft(np.asarray(src)))
+    """cv2.idft: unnormalized inverse (divide only under DFT_SCALE);
+    2-channel complex or CCS-packed real input; DFT_REAL_OUTPUT (or a
+    packed/real input) yields a real array, else 2-channel complex."""
+    flags = int(flags)
+    a = np.asarray(src)
+    rows = bool(flags & _C.DFT_ROWS)
+    complex_in = a.ndim == 3 and a.shape[2] == 2
+    if complex_in:
+        F = a[..., 0].astype(np.float64) + 1j * a[..., 1]
+    else:
+        F = (_ccs_unpack_rows if rows else _ccs_unpack)(
+            a.astype(np.float64))
+    inv = np.fft.ifft(F, axis=1) if rows else np.fft.ifft2(F)
+    n = F.shape[1] if rows else F.size
+    if not (flags & _C.DFT_SCALE):
+        inv = inv * n
+    real_out = (not complex_in) or bool(flags & _C.DFT_REAL_OUTPUT)
+    out = inv.real if real_out else np.stack([inv.real, inv.imag], -1)
+    return out.astype(np.float32 if a.dtype == np.float32 else np.float64)
 
 
 def dct(src, dst=None, flags=0):
@@ -1893,9 +2052,23 @@ def clipLine(imgRect, pt1, pt2):
 
 
 def applyColorMap(src, colormap, dst=None):
-    names = {_C.COLORMAP_JET: "jet", _C.COLORMAP_HOT: "hot",
-             _C.COLORMAP_BONE: "bone", _C.COLORMAP_TURBO: "turbo",
-             _C.COLORMAP_VIRIDIS: "viridis"}
+    """All cv2 colormaps except PARULA/DEEPGREEN (cv2-only data tables
+    with no public formula/matplotlib source). Exactness vs cv2 is per
+    golden.colormap_table's docstring (bit-exact to ±2 LSB by family,
+    tests/test_cv2_shim.py::test_colormap_tables)."""
+    names = {
+        _C.COLORMAP_AUTUMN: "autumn", _C.COLORMAP_BONE: "bone",
+        _C.COLORMAP_JET: "jet", _C.COLORMAP_WINTER: "winter",
+        _C.COLORMAP_RAINBOW: "rainbow", _C.COLORMAP_OCEAN: "ocean",
+        _C.COLORMAP_SUMMER: "summer", _C.COLORMAP_SPRING: "spring",
+        _C.COLORMAP_COOL: "cool", _C.COLORMAP_HSV: "hsv",
+        _C.COLORMAP_PINK: "pink", _C.COLORMAP_HOT: "hot",
+        _C.COLORMAP_MAGMA: "magma", _C.COLORMAP_INFERNO: "inferno",
+        _C.COLORMAP_PLASMA: "plasma", _C.COLORMAP_VIRIDIS: "viridis",
+        _C.COLORMAP_CIVIDIS: "cividis", _C.COLORMAP_TWILIGHT: "twilight",
+        _C.COLORMAP_TWILIGHT_SHIFTED: "twilight_shifted",
+        _C.COLORMAP_TURBO: "turbo",
+    }
     if int(colormap) not in names:
         raise NotImplementedError(f"colormap {colormap}")
     return _o(_ip.apply_color_map(_m(src), names[int(colormap)]))

