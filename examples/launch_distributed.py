@@ -16,15 +16,23 @@ Single-process smoke (no coordinator; also what CI exercises):
 
     python examples/launch_distributed.py --ticks 20
 
-Expected numbers (from the single-chip headline BENCH_r02: 4 062 fps
-aggregate at 8×1080p/chip, device 1.97 ms/tick; stream-DP adds no
-cross-chip dependencies, so scaling is linear in chips to the pod limit):
+Sizing table (MEASURED single-chip scaling curve, probe_scaling.py r4 —
+docs/BENCH_SNAPSHOT.md; stream-DP adds no cross-chip dependencies, so
+aggregate is linear in chips at a fixed per-chip batch):
 
-    chips   streams   aggregate 1080p fps (expected)
-      1        8        ~4 000
-      4       32       ~16 000
-      8       64       ~32 500
-     16      128       ~65 000
+    streams/chip   per-chip fps   fps/stream   ms/tick   MB/tick
+         1            1 620         1 620        0.62       15
+         2            2 070         1 035        0.97       29
+         4            3 051           763        1.31       58
+         8            3 879           485        2.06      116   <- peak
+        16            3 675           230        4.35      232
+        32            3 072            96       10.42      465
+
+Per-chip aggregate SATURATES at 8×1080p and DECLINES beyond (measured:
+16 streams −5%, 32 −21%) — size fleets at ≤8 streams/chip and add chips,
+never batch wider: 4 chips × 8 ≈ 15 500 fps; 16 chips × 8 ≈ 62 000 fps.
+At 4K the same rule gives 8 streams/chip ≈ 808 fps aggregate (101
+fps/stream).
 
 The fleet psum costs one i32 all-reduce per reporting interval (~µs on
 ICI) — invisible at these rates. Numbers assume the device-resident
