@@ -2108,4 +2108,5 @@ from ._classes import (  # noqa: E402,F401
     pollKey, destroyWindow, destroyAllWindows, namedWindow, moveWindow,
     resizeWindow, setWindowTitle, getWindowProperty, VideoCapture,
 )
+from ._util import *  # noqa: E402,F401,F403
 from . import aruco  # noqa: E402,F401
