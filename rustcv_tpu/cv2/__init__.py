@@ -2109,4 +2109,5 @@ from ._classes import (  # noqa: E402,F401
     resizeWindow, setWindowTitle, getWindowProperty, VideoCapture,
 )
 from ._util import *  # noqa: E402,F401,F403
+from ._calib3d import *  # noqa: E402,F401,F403
 from . import aruco  # noqa: E402,F401
