@@ -2111,4 +2111,5 @@ from ._classes import (  # noqa: E402,F401
 from ._util import *  # noqa: E402,F401,F403
 from ._calib3d import *  # noqa: E402,F401,F403
 from ._algos import *  # noqa: E402,F401,F403
+from ._filestorage import FileNode, FileStorage  # noqa: E402,F401
 from . import aruco  # noqa: E402,F401
