@@ -277,6 +277,21 @@ class VideoCapture:
     def is_opened(self) -> bool:
         return self._worker.is_alive() and self._opened.is_set()
 
+    def wait_until_resolved(self, timeout: float = 5.0) -> bool:
+        """Block until the background open attempt settles (OpenCV's
+        constructor-blocks semantics) → is_opened().  The worker either
+        sets ``_opened`` or records ``_last_error`` and neither can be
+        un-done before the first command, so polling both is race-free."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        while _time.monotonic() < deadline:
+            if self._opened.is_set() or self._last_error is not None \
+                    or not self._worker.is_alive():
+                break
+            _time.sleep(0.001)
+        return self.is_opened()
+
     def get_width(self) -> int:
         """Negotiated width (mod.rs get_width — no frame is consumed)."""
         rc = getattr(self, "_resolved", None)

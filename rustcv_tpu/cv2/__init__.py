@@ -2112,4 +2112,5 @@ from ._util import *  # noqa: E402,F401,F403
 from ._calib3d import *  # noqa: E402,F401,F403
 from ._algos import *  # noqa: E402,F401,F403
 from ._filestorage import FileNode, FileStorage  # noqa: E402,F401
+from ._extras import *  # noqa: E402,F401,F403
 from . import aruco  # noqa: E402,F401

@@ -1068,7 +1068,9 @@ class VideoCapture:
         self._mat = Mat.empty()
 
     def isOpened(self):
-        return bool(self._cap.is_opened())
+        # cv2's constructor blocks on open; ours opens on a worker —
+        # settle the open attempt before answering
+        return bool(self._cap.wait_until_resolved())
 
     def read(self, image=None):
         ok = self._cap.read(self._mat)
