@@ -2113,4 +2113,7 @@ from ._calib3d import *  # noqa: E402,F401,F403
 from ._algos import *  # noqa: E402,F401,F403
 from ._filestorage import FileNode, FileStorage  # noqa: E402,F401
 from ._extras import *  # noqa: E402,F401,F403
+from ._misc3 import *  # noqa: E402,F401,F403
+from . import barcode, ccm, data, fisheye, flann  # noqa: E402,F401
+from . import mcc, segmentation, videoio_registry  # noqa: E402,F401
 from . import aruco  # noqa: E402,F401
