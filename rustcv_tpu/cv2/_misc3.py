@@ -41,6 +41,11 @@ __all__ = [
     "getWindowImageRect", "startWindowThread", "addText",
     "displayOverlay", "displayStatusBar", "selectROI", "selectROIs",
     "bootstrap", "calibrateMultiview", "calibrateMultiviewExtended",
+    "correctChromaticAberration", "loadChromaticAberrationParams",
+    "createButton",
+    "aruco_Board", "aruco_GridBoard", "aruco_CharucoBoard",
+    "aruco_CharucoDetector", "aruco_CharucoParameters",
+    "aruco_RefineParameters",
 ]
 
 
@@ -669,6 +674,42 @@ def aruco_Dictionary(*a, **k):
     return aruco.getPredefinedDictionary(*a, **k)
 
 
+def aruco_Board(*a, **k):
+    from . import aruco
+
+    return aruco.Board(*a, **k)
+
+
+def aruco_GridBoard(*a, **k):
+    from . import aruco
+
+    return aruco.GridBoard(*a, **k)
+
+
+def aruco_CharucoBoard(*a, **k):
+    from . import aruco
+
+    return aruco.CharucoBoard(*a, **k)
+
+
+def aruco_CharucoDetector(*a, **k):
+    from . import aruco
+
+    return aruco.CharucoDetector(*a, **k)
+
+
+def aruco_CharucoParameters(*a, **k):
+    from . import aruco
+
+    return aruco.CharucoParameters(*a, **k)
+
+
+def aruco_RefineParameters(*a, **k):
+    from . import aruco
+
+    return aruco.RefineParameters(*a, **k)
+
+
 # ----------------------------------------------------- GUI (highgui role)
 
 _trackbars = {}
@@ -779,3 +820,74 @@ def calibrateMultiview(*a, **k):
 
 
 calibrateMultiviewExtended = calibrateMultiview
+
+
+# ---------------------------------------------- chromatic aberration
+
+def _ca_basis(deg, xn, yn):
+    """Monomial basis in cv2's order: graded degree, within each total
+    degree x-power ascending — [1, y, x, y2, xy, x2, ...]; coordinates
+    normalized to [-1, 1] about the image centre (measured against
+    cv2 5.0 in tests/test_cv2_misc3b.py)."""
+    terms = []
+    for t in range(int(deg) + 1):
+        for xi in range(t + 1):
+            terms.append((xn ** xi) * (yn ** (t - xi)))
+    return terms
+
+
+def correctChromaticAberration(input_image, coefficients, image_size,
+                               calib_degree, output_image=None,
+                               bayer_pattern=0):
+    """Per-channel polynomial warp removing lateral CA: row order in
+    ``coefficients`` is [blue dx, blue dy, red dx, red dy]."""
+    from . import remap
+
+    img = np.asarray(input_image)
+    if img.ndim == 2:
+        from . import demosaicing
+
+        img = demosaicing(img, int(bayer_pattern))
+    co = np.asarray(coefficients, np.float64)
+    h, w = img.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    xn = (xs - w / 2.0) / (w / 2.0)
+    yn = (ys - h / 2.0) / (h / 2.0)
+    basis = _ca_basis(calib_degree, xn, yn)
+    nb = len(basis)
+
+    def shift(row):
+        acc = np.zeros((h, w))
+        for cix in range(min(nb, co.shape[1])):
+            acc += co[row, cix] * basis[cix]
+        return acc
+
+    out = img.copy()
+    for ch, (rx, ry) in ((0, (0, 1)), (2, (2, 3))):
+        mapx = (xs - shift(rx)).astype(np.float32)
+        mapy = (ys - shift(ry)).astype(np.float32)
+        out[..., ch] = remap(img[..., ch], mapx, mapy, 1)
+    return out
+
+
+def loadChromaticAberrationParams(node, coeffMat=None):
+    """Read CA calibration written by our FileStorage schema:
+    map with `coefficients` (4xN matrix), `image_width`,
+    `image_height`, `degree`."""
+    coeff = node.getNode("coefficients").mat()
+    w = int(node.getNode("image_width").real())
+    h = int(node.getNode("image_height").real())
+    deg = int(node.getNode("degree").real())
+    return np.asarray(coeff, np.float32), (w, h), deg
+
+
+# ------------------------------------------------------------- buttons
+
+_buttons = {}
+
+
+def createButton(buttonName, onChange, userData=None, buttonType=0,
+                 initialButtonState=0):
+    _buttons[buttonName] = {"state": int(initialButtonState),
+                            "callback": onChange, "user": userData,
+                            "type": int(buttonType)}
