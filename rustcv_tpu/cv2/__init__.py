@@ -2116,4 +2116,11 @@ from ._extras import *  # noqa: E402,F401,F403
 from ._misc3 import *  # noqa: E402,F401,F403
 from . import barcode, ccm, data, fisheye, flann  # noqa: E402,F401
 from . import mcc, segmentation, videoio_registry  # noqa: E402,F401
+from . import detail  # noqa: E402
+
+# flat detail_* aliases (cv2 exposes both spellings)
+for _n in dir(detail):
+    if _n[0].isupper():
+        globals()[f"detail_{_n}"] = getattr(detail, _n)
+del _n
 from . import aruco  # noqa: E402,F401
