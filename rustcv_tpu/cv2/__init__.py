@@ -2117,6 +2117,8 @@ from ._misc3 import *  # noqa: E402,F401,F403
 from . import barcode, ccm, data, fisheye, flann  # noqa: E402,F401
 from . import mcc, segmentation, videoio_registry  # noqa: E402,F401
 from . import detail  # noqa: E402
+from . import dnn, parallel, samples, utils  # noqa: E402,F401
+from . import typing  # noqa: E402,F401
 
 # flat detail_* aliases (cv2 exposes both spellings)
 for _n in dir(detail):
