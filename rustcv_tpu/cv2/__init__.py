@@ -18,7 +18,7 @@ import numpy as np
 
 from ._constants import *  # noqa: F401,F403
 from . import _constants as _C
-from ..core.mat import Mat
+from ..core.mat import Mat as _CoreMat
 from .. import imgproc as _ip
 from .. import imgcodecs as _icodec
 from .. import highgui as _hg
@@ -29,17 +29,17 @@ __version__ = "5.0-rustcv_tpu"
 
 # ---------------------------------------------------------------- helpers
 
-def _m(a) -> Mat:
-    """ndarray (H,W) / (H,W,C) or Mat -> Mat."""
-    if isinstance(a, Mat):
+def _m(a) -> _CoreMat:
+    """ndarray (H,W) / (H,W,C) or Mat -> core Mat."""
+    if isinstance(a, _CoreMat):
         return a
     arr = np.ascontiguousarray(a)
-    return Mat.from_array(arr)
+    return _CoreMat.from_array(arr)
 
 
 def _o(x, ref=None):
     """Mat/array -> ndarray with cv2 shape conventions (gray is 2-D)."""
-    if isinstance(x, Mat):
+    if isinstance(x, _CoreMat):
         x = x.to_numpy()
     x = np.asarray(x)
     if x.ndim == 3 and x.shape[2] == 1:
@@ -1459,7 +1459,7 @@ def findContours(image, mode, method, contours=None, hierarchy=None,
     against cv2 5.0 in tests/test_contour_tree.py)."""
     from ..ops import ccl as _ccl
 
-    arr = image.to_numpy() if isinstance(image, Mat) else np.asarray(image)
+    arr = image.to_numpy() if isinstance(image, _CoreMat) else np.asarray(image)
     cts, hier_tree, kinds = _ccl.find_contours_tree(arr)
     mode = int(mode)
     if mode == _C.RETR_EXTERNAL:
@@ -1841,7 +1841,7 @@ def floodFill(image, mask, seedPoint, newVal, loDiff=0, upDiff=0, flags=4):
     res = _ip.flood_fill(m, (int(seedPoint[0]), int(seedPoint[1])), nv,
                          lo, up)
     filled, count, rect = res if isinstance(res, tuple) else (res, 0, None)
-    out = _o(filled if isinstance(filled, Mat) else m)
+    out = _o(filled if isinstance(filled, _CoreMat) else m)
     np.copyto(image, out.reshape(image.shape))
     return int(count), image, mask, rect
 
@@ -2126,3 +2126,23 @@ for _n in dir(detail):
         globals()[f"detail_{_n}"] = getattr(detail, _n)
 del _n
 from . import aruco  # noqa: E402,F401
+
+
+class Mat(np.ndarray):
+    """cv2.Mat: a numpy.ndarray subclass (exactly cv2's Python Mat).
+    The zero-copy device-aware Mat lives at rustcv_tpu.core.mat.Mat;
+    this class is the cv2 calling-convention wrapper type."""
+
+    def __new__(cls, arr=None, wrap_channels=False, **kw):
+        if arr is None:
+            arr = np.empty((0, 0), np.uint8)
+        if isinstance(arr, _CoreMat):
+            arr = arr.to_numpy()
+        obj = np.asarray(arr).view(cls)
+        obj.wrap_channels = bool(wrap_channels)
+        return obj
+
+    def __array_finalize__(self, obj):
+        if obj is None:
+            return
+        self.wrap_channels = getattr(obj, "wrap_channels", False)
