@@ -20,6 +20,7 @@ from ._constants import *  # noqa: F401,F403
 from . import _constants as _C
 from ..core.mat import Mat as _CoreMat
 from .. import imgproc as _ip
+from ..ops import color as _color_ops
 from .. import imgcodecs as _icodec
 from .. import highgui as _hg
 from ..imgproc import Point as _Point, Rect as _Rect, Scalar as _Scalar
@@ -117,7 +118,12 @@ def cvtColor(src, code, dst=None, dstCn=0):
         x = a[..., :3]
         if code in (C.COLOR_RGB2GRAY, C.COLOR_RGBA2GRAY):
             x = x[..., ::-1]
-        out = _o(_ip.cvt_gray(_m(x)))
+        if a.dtype == np.uint8:
+            # cv2's own 15-bit fixed point (full-cube exact), not the
+            # RustCV golden BT.601 form the capture pipeline uses
+            out = _color_ops.bgr_to_gray_cv(x)
+        else:
+            out = _o(_ip.cvt_gray(_m(x)))
     elif code in (C.COLOR_GRAY2BGR, C.COLOR_GRAY2RGB):
         out = np.repeat(a[..., None] if a.ndim == 2 else a, 3, axis=-1)
     elif code in (C.COLOR_GRAY2BGRA,):
@@ -125,14 +131,20 @@ def cvtColor(src, code, dst=None, dstCn=0):
         out = np.stack([g, g, g, np.full_like(g, 255)], axis=-1)
     elif code in (C.COLOR_BGR2HSV, C.COLOR_RGB2HSV):
         x = _rev3(a) if code == C.COLOR_RGB2HSV else a
-        out = _o(_ip.cvt_hsv(_m(x)))
+        if a.dtype == np.uint8:
+            out = _color_ops.bgr_to_hsv_cv(x)  # cv2 table rounding, exact
+        else:
+            out = _o(_ip.cvt_hsv(_m(x)))
     elif code in (C.COLOR_HSV2BGR, C.COLOR_HSV2RGB):
         out = _o(_ip.cvt_hsv_to_bgr(_m(a)))
         if code == C.COLOR_HSV2RGB:
             out = out[..., ::-1].copy()
     elif code in (C.COLOR_BGR2Lab, C.COLOR_RGB2Lab):
         x = _rev3(a) if code == C.COLOR_RGB2Lab else a
-        out = _o(_ip.cvt_lab(_m(x)))
+        if a.dtype == np.uint8:
+            out = _color_ops.bgr_to_lab_cv(x)  # cv2 table math, exact
+        else:
+            out = _o(_ip.cvt_lab(_m(x)))
     elif code in (C.COLOR_Lab2BGR, C.COLOR_Lab2RGB):
         out = _o(_ip.cvt_lab_to_bgr(_m(a)))
         if code == C.COLOR_Lab2RGB:
@@ -310,24 +322,27 @@ _BORDER_NAMES = {0: "constant", 1: "replicate", 2: "reflect",
 
 def warpAffine(src, M, dsize, dst=None, flags=1, borderMode=0,
                borderValue=0):
+    from ..ops import warp as _warp
     mode = _INTER_NAMES.get(int(flags) & 7, "bilinear")
     border = _BORDER_NAMES.get(int(borderMode), "constant")
-    M = np.asarray(M, dtype=np.float64)
-    if int(flags) & _C.WARP_INVERSE_MAP:
-        M = _ip.invert_affine_transform(M)
-    return _o(_ip.warp_affine(_m(src), M, (int(dsize[0]), int(dsize[1])),
-                              mode=mode, border=border))
+    # cv2 5's float path (bit-exact for integer dtypes; see ops/warp.py)
+    return _warp.warp_affine_cv_numpy(
+        np.asarray(src), np.asarray(M, np.float64),
+        (int(dsize[0]), int(dsize[1])), mode=mode, border=border,
+        border_value=borderValue,
+        inverse_map=bool(int(flags) & _C.WARP_INVERSE_MAP))
 
 
 def warpPerspective(src, M, dsize, dst=None, flags=1, borderMode=0,
                     borderValue=0):
+    from ..ops import warp as _warp
     mode = _INTER_NAMES.get(int(flags) & 7, "bilinear")
     border = _BORDER_NAMES.get(int(borderMode), "constant")
-    M = np.asarray(M, dtype=np.float64)
-    if int(flags) & _C.WARP_INVERSE_MAP:
-        M = np.linalg.inv(M)
-    return _o(_ip.warp_perspective(_m(src), M, (int(dsize[0]), int(dsize[1])),
-                                   mode=mode, border=border))
+    return _warp.warp_perspective_cv_numpy(
+        np.asarray(src), np.asarray(M, np.float64),
+        (int(dsize[0]), int(dsize[1])), mode=mode, border=border,
+        border_value=borderValue,
+        inverse_map=bool(int(flags) & _C.WARP_INVERSE_MAP))
 
 
 def getRotationMatrix2D(center, angle, scale):
@@ -360,7 +375,9 @@ def remap(src, map1, map2, interpolation=1, dst=None, borderMode=0,
     border = _BORDER_NAMES.get(int(borderMode), "constant")
     mx, my = np.asarray(map1), np.asarray(map2)
     if interp == _C.INTER_LINEAR:
-        return _o(_ip.remap(_m(src), mx, my, border=border))
+        # cv2 5's float path (bit-exact for integer dtypes)
+        return _o(_warp.remap_linear_cv_numpy(np.asarray(src), mx, my,
+                                              border, borderValue))
     a = np.asarray(src)
     if interp == _C.INTER_NEAREST:
         # bit-exact vs cv2 (tests/test_cv2_shim.py::test_remap_modes)
@@ -711,11 +728,42 @@ def stackBlur(src, ksize, dst=None):
 
 
 def pyrDown(src, dst=None, dstsize=None, borderType=4):
-    return _o(_ip.pyr_down(_m(src)))
+    # cv2 pads with BORDER_REFLECT_101; the op replicates — pad by 2
+    # (even, so decimation parity is kept), run, crop 1
+    a = np.asarray(src)
+    name = _BORDER_NAMES.get(int(borderType) & 15, "reflect101")
+    padded = np.asarray(_ip.copy_make_border(a, 2, 2, 2, 2, name, 0))
+    out = np.asarray(_o(_ip.pyr_down(_m(padded))))
+    return out[1:1 + (a.shape[0] + 1) // 2, 1:1 + (a.shape[1] + 1) // 2]
 
 
 def pyrUp(src, dst=None, dstsize=None, borderType=4):
-    return _o(_ip.pyr_up(_m(src)))
+    # cv2 quirk: the border reflects on the UPSAMPLED zero-interleaved
+    # grid, not the source — bit-exact integer construction
+    # ((t + 32) >> 6 after the separable [1,4,6,4,1]² conv)
+    a = np.asarray(src)
+    chans = a[..., None] if a.ndim == 2 else a
+    k = np.array([1, 4, 6, 4, 1], np.int64)
+    outs = []
+    for c in range(chans.shape[2]):
+        plane = chans[..., c]
+        z = np.zeros((2 * plane.shape[0], 2 * plane.shape[1]),
+                     np.float64 if np.issubdtype(a.dtype, np.floating)
+                     else np.int64)
+        z[::2, ::2] = plane
+        p = np.pad(z, 2, mode="reflect")
+        t = np.apply_along_axis(np.convolve, 1, p, k, "valid")
+        t = np.apply_along_axis(np.convolve, 0, t, k, "valid")
+        if np.issubdtype(a.dtype, np.floating):
+            outs.append((t / 64.0).astype(a.dtype))
+        elif a.dtype == np.uint8:
+            outs.append(np.clip((t + 32) >> 6, 0, 255).astype(np.uint8))
+        else:
+            info = np.iinfo(a.dtype)
+            outs.append(np.clip((t + 32) >> 6, info.min,
+                                info.max).astype(a.dtype))
+    out = np.stack(outs, axis=-1)
+    return out[..., 0] if a.ndim == 2 else out
 
 
 def buildOpticalFlowPyramid(img, winSize, maxLevel, **kw):
@@ -914,14 +962,30 @@ def minMaxLoc(src, mask=None):
 
 
 def norm(src1, src2=None, normType=4, mask=None):
+    # cv2's one-array overload is norm(src1, normType[, mask]) — a
+    # scalar second positional is the norm type, not a second array
+    if src2 is not None and np.isscalar(src2):
+        normType, src2 = int(src2), None
     a = np.asarray(src1, np.float64)
     if src2 is not None:
         a = a - np.asarray(src2, np.float64)
+    if mask is not None:
+        sel = np.asarray(mask) != 0
+        if a.ndim == 3 and sel.ndim == 2:
+            sel = sel[..., None]
+        a = np.where(sel, a, 0.0)
     nt = int(normType) & 7
+    if int(normType) & _C.NORM_RELATIVE and src2 is not None:
+        return norm(a, None, nt, mask) / max(norm(src2, None, nt, mask),
+                                             1e-300)
     if nt == _C.NORM_INF:
         return float(np.abs(a).max())
     if nt == _C.NORM_L1:
         return float(np.abs(a).sum())
+    if nt == _C.NORM_L2SQR:
+        return float((a * a).sum())
+    if nt == _C.NORM_HAMMING:
+        return float(np.unpackbits(np.asarray(a, np.uint8)).sum())
     return float(np.sqrt((a * a).sum()))
 
 
@@ -1082,7 +1146,18 @@ def PSNR(src1, src2, R=255.0):
 
 
 def reduce(src, dim, rtype, dst=None, dtype=-1):
-    return np.asarray(_ip.reduce(np.asarray(src), int(dim), int(rtype)))
+    names = {_C.REDUCE_SUM: "sum", _C.REDUCE_AVG: "avg",
+             _C.REDUCE_MAX: "max", _C.REDUCE_MIN: "min"}
+    if int(rtype) not in names:
+        raise NotImplementedError(f"reduce rtype {rtype}")
+    out = np.asarray(_ip.reduce(np.asarray(src), int(dim),
+                                names[int(rtype)]))
+    out = out.reshape(1, -1) if int(dim) == 0 else out.reshape(-1, 1)
+    if dtype != -1:
+        return _sat(out, dtype, np.asarray(src).dtype)
+    if int(rtype) == _C.REDUCE_SUM:
+        return out  # f64 accumulator (cv2 requires an explicit dtype)
+    return _sat(out, -1, np.asarray(src).dtype)
 
 
 def reduceArgMax(src, axis, lastIndex=False):
@@ -1096,11 +1171,17 @@ def reduceArgMin(src, axis, lastIndex=False):
 
 
 def sortIdx(src, flags):
-    return np.asarray(_ip.sort_idx(np.asarray(src), int(flags)))
+    axis = 0 if int(flags) & _C.SORT_EVERY_COLUMN else 1
+    desc = bool(int(flags) & _C.SORT_DESCENDING)
+    return np.asarray(_ip.sort_idx(np.asarray(src), axis=axis,
+                                   descending=desc))
 
 
 def sort(src, flags, dst=None):
-    return np.asarray(_ip.sort(np.asarray(src), int(flags)))
+    axis = 0 if int(flags) & _C.SORT_EVERY_COLUMN else 1
+    desc = bool(int(flags) & _C.SORT_DESCENDING)
+    return np.asarray(_ip.sort(np.asarray(src), axis=axis,
+                               descending=desc))
 
 
 def setIdentity(mtx, s=1):
@@ -1427,14 +1508,41 @@ def idct(src, dst=None, flags=0):
     return np.asarray(_ip.idct(np.asarray(src)))
 
 
+def _spectrum_binop(a, b, flags, op):
+    """Shared cv2 spectrum-format handling for mul/divSpectrums: inputs
+    are either 2-channel complex or CCS-packed real (cv2.dft's default),
+    honouring DFT_ROWS; output format and dtype match the inputs."""
+    a, b = np.asarray(a), np.asarray(b)
+    rows = bool(int(flags) & _C.DFT_ROWS)
+    if a.ndim == 3 and a.shape[2] == 2:  # 2-channel complex
+        fa = a[..., 0].astype(np.float64) + 1j * a[..., 1]
+        fb = b[..., 0].astype(np.float64) + 1j * b[..., 1]
+        f = op(fa, fb)
+        out = np.stack([f.real, f.imag], axis=-1)
+    else:  # CCS-packed real: unpack, operate, repack
+        unpack = _ccs_unpack_rows if rows else _ccs_unpack
+        pack = _ccs_pack_rows if rows else _ccs_pack
+        f = op(unpack(a.astype(np.float64)), unpack(b.astype(np.float64)))
+        out = pack(f)
+    return out.astype(np.float32 if a.dtype == np.float32 else np.float64)
+
+
 def mulSpectrums(a, b, flags, conjB=False):
-    return np.asarray(_ip.mul_spectrums(np.asarray(a), np.asarray(b),
-                                        conj_b=bool(conjB)))
+    conj = bool(conjB)
+    return _spectrum_binop(
+        a, b, flags, lambda x, y: x * (np.conj(y) if conj else y))
 
 
 def divSpectrums(a, b, flags, conjB=False):
-    return np.asarray(_ip.div_spectrums(np.asarray(a), np.asarray(b),
-                                        conj_b=bool(conjB)))
+    conj = bool(conjB)
+
+    def div(x, y):
+        yy = np.conj(y) if conj else y
+        mag = yy.real * yy.real + yy.imag * yy.imag
+        return np.where(mag != 0, x * np.conj(yy) /
+                        np.where(mag != 0, mag, 1.0), 0.0)
+
+    return _spectrum_binop(a, b, flags, div)
 
 
 def getOptimalDFTSize(vecsize):
@@ -1541,11 +1649,12 @@ def approxPolyN(curve, nsides, epsilon_percentage=-1.0,
 
 
 def convexHull(points, hull=None, clockwise=False, returnPoints=True):
+    from ..ops import shape as _shape
     pts = np.asarray(points).reshape(-1, 2)
+    idx = _shape.convex_hull_cv_indices(pts, bool(clockwise))
     if returnPoints:
-        out = _ip.convex_hull(pts, bool(clockwise))
-        return np.asarray(out).reshape(-1, 1, 2)
-    idx = _ip.convex_hull_indices(pts, bool(clockwise))
+        # cv2's exact output order incl. the index-rotation cosmetic pass
+        return pts[idx].reshape(-1, 1, 2)
     return np.asarray(idx, np.int32).reshape(-1, 1)
 
 
@@ -1806,8 +1915,31 @@ def connectedComponentsWithStats(image, labels=None, stats=None,
         np.asarray(cents, np.float64)
 
 
+_CHAMFER_METRICS = {
+    # (distanceType, maskSize) -> cv2's step costs (a, b[, c])
+    (_C.DIST_C, 3): (1.0, 1.0),
+    (_C.DIST_L1, 3): (1.0, 2.0),
+    (_C.DIST_L2, 3): (0.955, 1.3693),
+    (_C.DIST_L2, 5): (1.0, 1.4, 2.1969),
+}
+
+
 def distanceTransform(src, distanceType, maskSize, dst=None, dstType=5):
-    return np.asarray(_ip.distance_transform(_m(src)), np.float32)
+    from ..ops import ccl as _ccl
+    a = np.asarray(src)
+    dt, ms = int(distanceType), int(maskSize)
+    if dt in (_C.DIST_C, _C.DIST_L1):
+        ms = 3  # cv2 forces maskSize 3 for C/L1
+    if ms == _C.DIST_MASK_PRECISE and dt == _C.DIST_L2:
+        out = _ccl.distance_transform_l2_with_labels(a)[0]
+    else:
+        metrics = _CHAMFER_METRICS.get((dt, ms))
+        if metrics is None:
+            raise ValueError(f"distanceTransform type {dt} mask {ms}")
+        out = _ccl.distance_transform_chamfer(a, metrics, ms)
+    if int(dstType) == _C.CV_8U:
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return np.asarray(out, np.float32)
 
 
 def distanceTransformWithLabels(src, distanceType, maskSize, **kw):

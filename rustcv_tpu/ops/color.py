@@ -822,3 +822,101 @@ def yuyv_to_bgr_packed_overlay(
     g1 = jnp.where(mask_o, cg, g1)
     r1 = jnp.where(mask_o, cr, r1)
     return _interleave_pair_bgr(b0, g0, r0, b1, g1, r1, width, height)
+
+
+# --------------------------------------------------------------------------
+# cv2-exact u8 color conversions (numpy, facade path)
+#
+# These reproduce OpenCV 5.0's *fixed-point table* arithmetic digit for
+# digit (full 256^3-cube validated in tests/test_cv2_differential.py).
+# They are deliberately separate from the RustCV-spec device kernels above:
+# the capture pipeline keeps the frozen golden.py BT.601 forms
+# (decode.rs:160-191), while the drop-in cv2 facade needs OpenCV's own
+# rounding (different coefficients and double-rounded division tables).
+
+
+def _cv_hsv_tables():
+    hsv_shift = 12
+    i = np.arange(256, dtype=np.float64)
+    sdiv = np.zeros(256, np.int64)
+    sdiv[1:] = np.rint((255 << hsv_shift) / i[1:]).astype(np.int64)
+    hdiv = np.zeros(256, np.int64)
+    hdiv[1:] = np.rint((180 << hsv_shift) / (6.0 * i[1:])).astype(np.int64)
+    return sdiv, hdiv
+
+
+_CV_HSV_SDIV, _CV_HSV_HDIV = _cv_hsv_tables()
+
+
+def bgr_to_gray_cv(bgr: np.ndarray) -> np.ndarray:
+    """OpenCV 5.0 COLOR_BGR2GRAY u8: 15-bit fixed point
+    (9798 R + 19235 G + 3735 B + 2^14) >> 15 — full-cube exact."""
+    b = bgr[..., 0].astype(np.int64)
+    g = bgr[..., 1].astype(np.int64)
+    r = bgr[..., 2].astype(np.int64)
+    return ((3735 * b + 19235 * g + 9798 * r + (1 << 14)) >> 15).astype(
+        np.uint8)
+
+
+def bgr_to_hsv_cv(bgr: np.ndarray) -> np.ndarray:
+    """OpenCV COLOR_BGR2HSV u8: the hsv_shift=12 division-table double
+    rounding (color_hsv's sdiv/hdiv tables) — full-cube exact."""
+    b = bgr[..., 0].astype(np.int64)
+    g = bgr[..., 1].astype(np.int64)
+    r = bgr[..., 2].astype(np.int64)
+    v = np.maximum(b, np.maximum(g, r))
+    diff = v - np.minimum(b, np.minimum(g, r))
+    s = (diff * _CV_HSV_SDIV[v] + (1 << 11)) >> 12
+    h = np.where(v == r, g - b,
+                 np.where(v == g, b - r + 2 * diff, r - g + 4 * diff))
+    h = (h * _CV_HSV_HDIV[diff] + (1 << 11)) >> 12
+    h = np.where(h < 0, h + 180, h)
+    return np.stack([h, s, v], axis=-1).astype(np.uint8)
+
+
+def _cv_lab_tables():
+    # sRGB gamma table 0..255 -> 0..2040 (gamma_shift = 3)
+    i = np.arange(256, dtype=np.float64) / 255.0
+    gam = np.where(i <= 0.04045, i / 12.92, ((i + 0.055) / 1.055) ** 2.4)
+    gtab = np.rint(255.0 * 8 * gam).astype(np.int64)
+    # f(t) table on the descaled XYZ grid (lab_shift2 = 15)
+    x = np.arange(3072, dtype=np.float64) / (255.0 * 8)
+    ctab = np.rint((1 << 15) * np.where(
+        x < 216.0 / 24389.0, x * (841.0 / 108.0) + 16.0 / 116.0,
+        np.cbrt(x))).astype(np.int64)
+    # two entries where OpenCV's softfloat table construction rounds the
+    # other way (FMA in the linear branch at 49, cbrt ULP at 628) —
+    # pinned by the full-cube sweep
+    ctab[49] -= 1
+    ctab[628] += 1
+    d65 = (0.950456, 1.0, 1.088754)
+    srgb2xyz = ((0.412453, 0.357580, 0.180423),
+                (0.212671, 0.715160, 0.072169),
+                (0.019334, 0.119193, 0.950227))
+    coef = np.array([[int(np.rint((1 << 12) * srgb2xyz[i][j] / d65[i]))
+                      for j in range(3)] for i in range(3)], np.int64)
+    return gtab, ctab, coef
+
+
+_CV_LAB_GTAB, _CV_LAB_CTAB, _CV_LAB_COEF = _cv_lab_tables()
+
+
+def bgr_to_lab_cv(bgr: np.ndarray) -> np.ndarray:
+    """OpenCV COLOR_BGR2Lab u8: gamma + cube-root tables with
+    lab_shift=12 / lab_shift2=15 descales — full-cube exact."""
+    rr = _CV_LAB_GTAB[bgr[..., 2].astype(np.int64)]
+    gg = _CV_LAB_GTAB[bgr[..., 1].astype(np.int64)]
+    bb = _CV_LAB_GTAB[bgr[..., 0].astype(np.int64)]
+    c = _CV_LAB_COEF
+
+    def desc(v, n):
+        return (v + (1 << (n - 1))) >> n
+
+    f_x = _CV_LAB_CTAB[desc(rr * c[0, 0] + gg * c[0, 1] + bb * c[0, 2], 12)]
+    f_y = _CV_LAB_CTAB[desc(rr * c[1, 0] + gg * c[1, 1] + bb * c[1, 2], 12)]
+    f_z = _CV_LAB_CTAB[desc(rr * c[2, 0] + gg * c[2, 1] + bb * c[2, 2], 12)]
+    lum = desc(296 * f_y - 1336934, 15)  # (116*255+50)//100, 16*255<<15
+    a = desc(500 * (f_x - f_y) + (128 << 15), 15)
+    b = desc(200 * (f_y - f_z) + (128 << 15), 15)
+    out = np.stack([lum, a, b], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)

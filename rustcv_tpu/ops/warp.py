@@ -667,3 +667,134 @@ def remap_cubic_numpy(img: np.ndarray, map_x: np.ndarray,
             wk = wy[..., dy] * wx[..., dx]
             acc += tap * (wk if img.ndim == 2 else wk[..., None])
     return np.clip(np.round(acc), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# cv2 5.0-exact warp family (numpy, facade path)
+#
+# OpenCV 5's warpAffine/warpPerspective/remap compute float coordinates
+# (double inverse matrix), interpolate in full float precision (no 5-bit
+# fixed-point tables), and round half-to-EVEN into u8 — pinned by
+# translation probes at the .5 boundaries and 400-case differential
+# sweeps (tests/test_cv2_differential.py). These are deliberately
+# separate from the frozen RustCV-spec fixed-point warps above.
+
+
+def _border_index_cv(p: np.ndarray, n: int, mode: str) -> np.ndarray:
+    """cv2 ``borderInterpolate`` for non-constant modes."""
+    if mode == "replicate":
+        return np.clip(p, 0, n - 1)
+    if mode == "wrap":
+        return p % n
+    if mode == "reflect":
+        q = p % (2 * n)
+        return np.where(q >= n, 2 * n - 1 - q, q)
+    if mode == "reflect101":
+        if n == 1:
+            return np.zeros_like(p)
+        per = 2 * n - 2
+        q = p % per
+        return np.where(q >= n, per - q, q)
+    raise ValueError(f"unknown border {mode!r}")
+
+
+def _finish_cv(acc: np.ndarray, dtype) -> np.ndarray:
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        return np.clip(np.rint(acc), info.min, info.max).astype(dtype)
+    return acc.astype(dtype)
+
+
+def _sample_cv(img: np.ndarray, X: np.ndarray, Y: np.ndarray, mode: str,
+               border: str, border_value) -> np.ndarray:
+    """Sample ``img`` at float coordinates (X, Y) with cv2 semantics:
+    float bilinear (or half-even nearest), per-tap border handling."""
+    h, w = img.shape[:2]
+    chans = img.reshape(h, w, -1)
+    nc = chans.shape[2]
+    bval = np.zeros(nc, np.float64)
+    bv = np.atleast_1d(np.asarray(border_value, np.float64)).ravel()
+    bval[:len(bv[:nc])] = bv[:nc]
+
+    def taps(yy, xx):
+        if border == "constant":
+            inside = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            cy = np.clip(yy, 0, h - 1)
+            cx = np.clip(xx, 0, w - 1)
+            v = chans[cy, cx].astype(np.float64)
+            return np.where(inside[..., None], v, bval)
+        return chans[_border_index_cv(yy, h, border),
+                     _border_index_cv(xx, w, border)].astype(np.float64)
+
+    if mode == "nearest":
+        sx = np.rint(X).astype(np.int64)
+        sy = np.rint(Y).astype(np.int64)
+        out = taps(sy, sx)
+    else:  # bilinear
+        fl_x = np.floor(X)
+        fl_y = np.floor(Y)
+        fx = X - fl_x
+        fy = Y - fl_y
+        sx = np.clip(fl_x, -(1 << 40), 1 << 40).astype(np.int64)
+        sy = np.clip(fl_y, -(1 << 40), 1 << 40).astype(np.int64)
+        out = ((1 - fy) * (1 - fx))[..., None] * taps(sy, sx) \
+            + ((1 - fy) * fx)[..., None] * taps(sy, sx + 1) \
+            + (fy * (1 - fx))[..., None] * taps(sy + 1, sx) \
+            + (fy * fx)[..., None] * taps(sy + 1, sx + 1)
+    out = _finish_cv(out, img.dtype)
+    return out[..., 0] if img.ndim == 2 else out
+
+
+def invert_affine_cv(m) -> np.ndarray:
+    """cv2 ``invertAffineTransform``'s double arithmetic, digit for
+    digit (D := 1/det or 0)."""
+    m = np.asarray(m, np.float64)
+    det = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+    det = 1.0 / det if det != 0 else 0.0
+    a00 = m[1, 1] * det
+    a01 = -m[0, 1] * det
+    a10 = -m[1, 0] * det
+    a11 = m[0, 0] * det
+    return np.array([[a00, a01, -a00 * m[0, 2] - a01 * m[1, 2]],
+                     [a10, a11, -a10 * m[0, 2] - a11 * m[1, 2]]])
+
+
+def warp_affine_cv_numpy(img: np.ndarray, m, dst_size, mode="bilinear",
+                         border="constant", border_value=0,
+                         inverse_map=False) -> np.ndarray:
+    """cv2 5.0 ``warpAffine``, bit-exact for integer dtypes (u8 verified
+    over 400 random warps incl. border values; half-even rounding)."""
+    mi = np.asarray(m, np.float64) if inverse_map else invert_affine_cv(m)
+    dw, dh = int(dst_size[0]), int(dst_size[1])
+    xs = np.arange(dw, dtype=np.float64)[None, :]
+    ys = np.arange(dh, dtype=np.float64)[:, None]
+    X = mi[0, 0] * xs + mi[0, 1] * ys + mi[0, 2]
+    Y = mi[1, 0] * xs + mi[1, 1] * ys + mi[1, 2]
+    return _sample_cv(img, X, Y, mode, border, border_value)
+
+
+def warp_perspective_cv_numpy(img: np.ndarray, m, dst_size,
+                              mode="bilinear", border="constant",
+                              border_value=0,
+                              inverse_map=False) -> np.ndarray:
+    """cv2 5.0 ``warpPerspective``: double per-pixel homography divide,
+    then the same float sampling as :func:`warp_affine_cv_numpy`."""
+    mm = np.asarray(m, np.float64)
+    mi = mm if inverse_map else np.linalg.inv(mm)
+    dw, dh = int(dst_size[0]), int(dst_size[1])
+    xs = np.arange(dw, dtype=np.float64)[None, :]
+    ys = np.arange(dh, dtype=np.float64)[:, None]
+    wq = mi[2, 0] * xs + mi[2, 1] * ys + mi[2, 2]
+    wq = np.where(wq != 0, 1.0 / np.where(wq != 0, wq, 1.0), 0.0)
+    X = (mi[0, 0] * xs + mi[0, 1] * ys + mi[0, 2]) * wq
+    Y = (mi[1, 0] * xs + mi[1, 1] * ys + mi[1, 2]) * wq
+    return _sample_cv(img, X, Y, mode, border, border_value)
+
+
+def remap_linear_cv_numpy(img: np.ndarray, map_x, map_y,
+                          border="constant", border_value=0) -> np.ndarray:
+    """cv2 5.0 ``remap`` INTER_LINEAR: float maps sampled with the same
+    full-float bilinear + half-even rounding as the warps."""
+    X = np.asarray(map_x, np.float64)
+    Y = np.asarray(map_y, np.float64)
+    return _sample_cv(img, X, Y, "bilinear", border, border_value)
