@@ -274,13 +274,15 @@ _INTER_NAMES = {0: "nearest", 1: "bilinear", 2: "cubic", 3: "area"}
 
 
 def resize(src, dsize, dst=None, fx=0, fy=0, interpolation=1):
+    from ..ops import resize_cv as _rcv
     a = np.asarray(src)
     if dsize is None or tuple(dsize) == (0, 0):
         w = int(round(a.shape[1] * fx))
         h = int(round(a.shape[0] * fy))
     else:
         w, h = int(dsize[0]), int(dsize[1])
-    if int(interpolation) & 7 == _C.INTER_NEAREST:
+    interp = int(interpolation) & 7
+    if interp == _C.INTER_NEAREST:
         # cv2's INTER_NEAREST is floor(dst * scale), not half-pixel-center
         sh, sw = a.shape[:2]
         # cv2 rounds ifx as 1/(dst/src) — one ulp below src/dst; keep
@@ -291,7 +293,10 @@ def resize(src, dsize, dst=None, fx=0, fy=0, interpolation=1):
         yi = np.minimum(np.floor(np.arange(h) * ify).astype(np.int64),
                         sh - 1)
         return np.ascontiguousarray(a[yi[:, None], xi[None, :]])
-    name = _INTER_NAMES.get(int(interpolation) & 7)
+    if a.dtype == np.uint8 and interp in (1, 2, 3, 4):
+        # cv2 5's exact u8 arithmetic per mode (see ops/resize_cv.py)
+        return _rcv.resize_cv_u8(a, w, h, interp)
+    name = _INTER_NAMES.get(interp)
     if name is None:
         raise NotImplementedError(f"interpolation {interpolation}")
     return _o(_ip.resize(_m(a), w, h, interpolation=name))

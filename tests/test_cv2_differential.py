@@ -51,6 +51,15 @@ def _rel(rtol):
     return cmp
 
 
+def _lsb_rare(n, frac):
+    # ≤n LSB on at most `frac` of pixels (knife-edge .5 rounding jitter)
+    def cmp(g, w):
+        d = np.abs(np.asarray(g, np.int64) - np.asarray(w, np.int64))
+        assert d.max() <= n, d.max()
+        assert (d > 0).mean() <= frac, (d > 0).mean()
+    return cmp
+
+
 # (name, input builder, call, comparator)
 CASES = [
     ("cvtColor BGR2GRAY", lambda r: (_u8(r, c=3),),
@@ -125,12 +134,36 @@ CASES = [
     ("resize NN", lambda r: (_u8(r, c=3),),
      lambda m, a: m.resize(a, (17, 13), interpolation=m.INTER_NEAREST),
      _exact),
-    ("resize linear", lambda r: (_u8(r),),
+    ("resize linear dn", lambda r: (_u8(r, c=3),),
+     lambda m, a: m.resize(a, (17, 13), interpolation=m.INTER_LINEAR),
+     _exact),
+    ("resize linear up", lambda r: (_u8(r),),
+     lambda m, a: m.resize(a, (47, 31), interpolation=m.INTER_LINEAR),
+     _exact),
+    ("resize linear 2x reroute", lambda r: (_u8(r),),
      lambda m, a: m.resize(a, (16, 12), interpolation=m.INTER_LINEAR),
-     _lsb(1)),
+     _exact),
     ("resize area 2x", lambda r: (_u8(r),),
      lambda m, a: m.resize(a, (16, 12), interpolation=m.INTER_AREA),
-     _lsb(1)),
+     _exact),
+    ("resize area 3x", lambda r: (_u8(r, c=3),),
+     lambda m, a: m.resize(a, (10, 8), interpolation=m.INTER_AREA),
+     _exact),
+    ("resize area frac dn", lambda r: (_u8(r),),
+     lambda m, a: m.resize(a, (13, 11), interpolation=m.INTER_AREA),
+     _exact),
+    ("resize area up", lambda r: (_u8(r),),
+     lambda m, a: m.resize(a, (41, 29), interpolation=m.INTER_AREA),
+     _exact),
+    ("resize area mixed", lambda r: (_u8(r),),
+     lambda m, a: m.resize(a, (41, 11), interpolation=m.INTER_AREA),
+     _exact),
+    ("resize cubic", lambda r: (_u8(r, c=3),),
+     lambda m, a: m.resize(a, (41, 30), interpolation=m.INTER_CUBIC),
+     _lsb_rare(1, 0.005)),
+    ("resize lanczos4", lambda r: (_u8(r, c=3),),
+     lambda m, a: m.resize(a, (41, 30), interpolation=m.INTER_LANCZOS4),
+     _exact),
     ("warpAffine", lambda r: (_u8(r),),
      lambda m, a: m.warpAffine(a, np.float32([[1, 0.1, 2],
                                               [-0.05, 1, 1]]), (32, 24)),
@@ -272,3 +305,24 @@ def test_differential(name, gen, call, cmp):
                 cmp(g, w)
             except AssertionError as e:
                 raise AssertionError(f"{name} seed={seed}: {e}") from e
+
+
+@pytest.mark.parametrize("interp,tol", [
+    (1, None), (3, None), (4, None),      # bit-exact modes
+    (2, (1, 0.005)),                      # cubic: cv2 fma jitter envelope
+])
+def test_resize_u8_random_sizes(interp, tol):
+    """Random (src, dst) size pairs across every dispatch branch."""
+    rng = np.random.RandomState(interp)
+    for _ in range(60):
+        sh, sw = rng.randint(1, 70), rng.randint(1, 70)
+        h, w = rng.randint(1, 80), rng.randint(1, 80)
+        a = rng.randint(0, 256, (sh, sw), np.uint8)
+        g = cv2.resize(a, (w, h), interpolation=interp)
+        m = R.resize(a, (w, h), interpolation=interp)
+        if tol is None:
+            np.testing.assert_array_equal(g, m, err_msg=f"{(sh,sw)}->{(h,w)}")
+        else:
+            d = np.abs(g.astype(int) - np.asarray(m).astype(int))
+            assert d.max() <= tol[0] and (d > 0).mean() <= tol[1], \
+                f"{(sh, sw)}->{(h, w)}: max {d.max()} frac {(d > 0).mean()}"
