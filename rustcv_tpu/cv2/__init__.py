@@ -400,12 +400,33 @@ def convertMaps(map1, map2, dstmap1type, nninterpolation=False):
 
 
 def warpPolar(src, dsize, center, maxRadius, flags):
+    from ..ops import warp as _warp
+
     a = np.asarray(src)
-    log = bool(int(flags) & _C.WARP_POLAR_LOG)
-    inverse = bool(int(flags) & _C.WARP_INVERSE_MAP)
-    return _o(_ip.warp_polar(_m(a), (int(dsize[0]), int(dsize[1])),
-                             (float(center[0]), float(center[1])),
-                             float(maxRadius), log=log, inverse=inverse))
+    fl = int(flags)
+    log = bool(fl & _C.WARP_POLAR_LOG)
+    inverse = bool(fl & _C.WARP_INVERSE_MAP)
+    w, h = int(dsize[0]), int(dsize[1])
+    if w <= 0 and h <= 0:
+        # cv2: auto dsize ≈ full resolution of the polar unwrap
+        w = int(round(maxRadius))
+        h = int(round(maxRadius * np.pi))
+    if inverse:
+        # cv2: polar source wrap-padded 1 row (angular seam), f32 maps
+        mx, my = _warp.warp_polar_inverse_maps_cv(
+            (a.shape[0], a.shape[1]), (h, w),
+            (float(center[0]), float(center[1])), float(maxRadius),
+            semilog=log)
+        pad = np.concatenate([a[-1:], a, a[:1]], axis=0)
+        # out-of-range dst pixels are UNDEFINED in cv2 (transparent
+        # remap over an uninitialized dst); we emit constant 0
+        return remap(pad, mx, my, fl & 7, _C.BORDER_CONSTANT)
+    mx, my = _warp.warp_polar_maps((a.shape[0], a.shape[1]),
+                                   (float(center[0]), float(center[1])),
+                                   float(maxRadius), (h, w),
+                                   semilog=log, inverse=False)
+    # cv2 warpPolar delegates to remap; use the cv2-exact remap path
+    return remap(a, mx, my, fl & 7, _C.BORDER_CONSTANT)
 
 
 # ------------------------------------------------------------- filters
@@ -771,10 +792,43 @@ def pyrUp(src, dst=None, dstsize=None, borderType=4):
     return out[..., 0] if a.ndim == 2 else out
 
 
-def buildOpticalFlowPyramid(img, winSize, maxLevel, **kw):
-    return _ip.build_optical_flow_pyramid(np.asarray(img),
-                                          (int(winSize[0]), int(winSize[1])),
-                                          int(maxLevel))
+def buildOpticalFlowPyramid(img, winSize, maxLevel, pyramid=None,
+                            withDerivatives=True, pyrBorder=4,
+                            derivBorder=0, tryReuseInputImage=True):
+    """cv2 semantics (lkpyramid.cpp): levels are exact pyrDown chains;
+    building stops when the NEXT level would not exceed winSize in both
+    dimensions; returns (top_level, [img0, deriv0, img1, deriv1, ...])
+    with int16 Scharr (3,10,3) xy-derivative pairs when requested."""
+    _pd = pyrDown  # the cv2-exact variant, not the frozen capture spec
+
+    g = np.asarray(img)
+    ww, wh = int(winSize[0]), int(winSize[1])
+    levels = [g]
+    top = 0
+    while top < int(maxLevel):
+        h, w = levels[-1].shape[:2]
+        nw, nh = (w + 1) // 2, (h + 1) // 2
+        if nw <= ww or nh <= wh:
+            break
+        levels.append(_pd(levels[-1]))
+        top += 1
+    if not withDerivatives:
+        return top, levels
+
+    def _scharr_deriv(a):
+        # BORDER_REFLECT_101 on the level image (np "reflect")
+        p = np.pad(a.astype(np.int32), 1, mode="reflect")
+        dx = (3 * (p[:-2, 2:] + p[2:, 2:] - p[:-2, :-2] - p[2:, :-2])
+              + 10 * (p[1:-1, 2:] - p[1:-1, :-2]))
+        dy = (3 * (p[2:, :-2] + p[2:, 2:] - p[:-2, :-2] - p[:-2, 2:])
+              + 10 * (p[2:, 1:-1] - p[:-2, 1:-1]))
+        return np.stack([dx, dy], axis=-1).astype(np.int16)
+
+    out = []
+    for lvl in levels:
+        out.append(lvl)
+        out.append(_scharr_deriv(lvl))
+    return top, out
 
 
 def copyMakeBorder(src, top, bottom, left, right, borderType, dst=None,
@@ -851,12 +905,28 @@ def compareHist(H1, H2, method):
 
 
 def calcBackProject(images, channels, hist, ranges, scale=1):
+    """cv2 semantics: per-pixel uniform-bin lookup hist[bin(v)] * scale,
+    saturate_cast to u8; out-of-range values map to 0 (differential-
+    tested vs cv2 5.0 for 1- and 2-channel histograms)."""
     img = np.asarray(images[0])
-    ch = channels[0] if channels else 0
-    plane = img if img.ndim == 2 else img[..., ch]
-    return _o(_ip.back_project(_m(plane), np.asarray(hist).ravel(),
-                               (float(ranges[0]), float(ranges[1])),
-                               float(scale)))
+    h = np.squeeze(np.asarray(hist, np.float64))
+    if h.ndim == 0:
+        h = h.reshape(1)
+    idxs = []
+    valid = None
+    for k in range(h.ndim):
+        ch = int(channels[k]) if channels else 0
+        plane = img if img.ndim == 2 else img[..., ch]
+        lo, hi = float(ranges[2 * k]), float(ranges[2 * k + 1])
+        n = h.shape[k]
+        sc = n / (hi - lo)
+        idx = np.floor((plane.astype(np.float64) - lo) * sc).astype(np.int64)
+        inr = (idx >= 0) & (idx < n)
+        idxs.append(np.clip(idx, 0, n - 1))
+        valid = inr if valid is None else (valid & inr)
+    vals = h[tuple(idxs)]
+    vals = np.where(valid, vals, 0.0) * float(scale)
+    return np.clip(np.rint(vals), 0, 255).astype(np.uint8)
 
 
 def createHanningWindow(winSize, type=5):
@@ -1190,8 +1260,10 @@ def sort(src, flags, dst=None):
 
 
 def setIdentity(mtx, s=1):
-    out = np.asarray(_ip.set_identity(np.asarray(mtx), s))
-    np.copyto(mtx, out)
+    a = np.asarray(mtx)
+    sval = s[0] if isinstance(s, (tuple, list, np.ndarray)) else s
+    out = np.asarray(_ip.set_identity(a.shape, float(sval), a.dtype))
+    np.copyto(mtx, out.astype(a.dtype))
     return mtx
 
 
@@ -1252,15 +1324,17 @@ def PCACompute(data, mean, eigenvectors=None, maxComponents=0):
 
 
 def PCAProject(data, mean, eigenvectors, result=None):
-    return np.asarray(_ip.pca_project(np.asarray(data),
-                                      np.asarray(mean).ravel(),
-                                      np.asarray(eigenvectors)))
+    a = np.asarray(data)
+    dt = a.dtype if a.dtype in (np.float32, np.float64) else np.float64
+    return np.asarray(_ip.pca_project(a, np.asarray(mean).ravel(),
+                                      np.asarray(eigenvectors)), dt)
 
 
 def PCABackProject(data, mean, eigenvectors, result=None):
-    return np.asarray(_ip.pca_back_project(np.asarray(data),
-                                           np.asarray(mean).ravel(),
-                                           np.asarray(eigenvectors)))
+    a = np.asarray(data)
+    dt = a.dtype if a.dtype in (np.float32, np.float64) else np.float64
+    return np.asarray(_ip.pca_back_project(a, np.asarray(mean).ravel(),
+                                           np.asarray(eigenvectors)), dt)
 
 
 def Mahalanobis(v1, v2, icovar):
@@ -1361,7 +1435,8 @@ def randn(dst, mean, stddev):
 
 
 def randShuffle(dst, iterFactor=1.0, rng=None):
-    out = _ip.rand_shuffle(np.asarray(dst), float(iterFactor))
+    out = _ip.rand_shuffle(np.asarray(dst), rng if rng is not None
+                           else _the_rng)
     np.copyto(dst, out)
     return dst
 
@@ -1666,7 +1741,8 @@ def convexHull(points, hull=None, clockwise=False, returnPoints=True):
 def convexityDefects(contour, convexhull, convexityDefects=None):
     out = _ip.convexity_defects(np.asarray(contour).reshape(-1, 2),
                                 np.asarray(convexhull).ravel())
-    return np.asarray(out, np.int32).reshape(-1, 1, 4)
+    # cv2 5 returns an (N, 4) int32 array (start, end, farthest, depth*256)
+    return np.asarray(out, np.int32).reshape(-1, 4)
 
 
 def isContourConvex(contour):
@@ -1971,16 +2047,12 @@ def grabCut(img, mask, rect, bgdModel, fgdModel, iterCount, mode=0):
 
 
 def floodFill(image, mask, seedPoint, newVal, loDiff=0, upDiff=0, flags=4):
-    lo = int(np.atleast_1d(loDiff)[0])
-    up = int(np.atleast_1d(upDiff)[0])
-    nv = int(np.atleast_1d(newVal)[0])
-    m = _m(image)
-    res = _ip.flood_fill(m, (int(seedPoint[0]), int(seedPoint[1])), nv,
-                         lo, up)
-    filled, count, rect = res if isinstance(res, tuple) else (res, 0, None)
-    out = _o(filled if isinstance(filled, _CoreMat) else m)
-    np.copyto(image, out.reshape(image.shape))
-    return int(count), image, mask, rect
+    from ..ops import ccl as _ccl
+
+    count, _, mask, rect = _ccl.flood_fill_cv(
+        image, mask, (int(seedPoint[0]), int(seedPoint[1])), newVal,
+        loDiff, upDiff, int(flags))
+    return count, image, mask, rect
 
 
 def pyrMeanShiftFiltering(src, sp, sr, dst=None, maxLevel=1, termcrit=None):
@@ -2079,9 +2151,21 @@ def line(img, pt1, pt2, color, thickness=1, lineType=8, shift=0):
 
 def arrowedLine(img, pt1, pt2, color, thickness=1, line_type=8, shift=0,
                 tipLength=0.1):
-    return _inplace(img, lambda m: _ip.arrowed_line(
-        m, _pt(pt1), _pt(pt2), _color(color), int(thickness),
-        float(tipLength)))
+    """cv2's construction: the main line plus two tip lines at the
+    destination, angle ±π/4 off the reverse direction, length
+    tipLength·|p2−p1|, endpoints cvRound-ed (verified vs cv2 5.0)."""
+    import math
+
+    x1, y1 = float(pt1[0]), float(pt1[1])
+    x2, y2 = float(pt2[0]), float(pt2[1])
+    ang = math.atan2(y1 - y2, x1 - x2)
+    tip = math.hypot(x2 - x1, y2 - y1) * float(tipLength)
+    line(img, pt1, pt2, color, thickness, line_type, shift)
+    for da in (math.pi / 4, -math.pi / 4):
+        p = (int(np.rint(x2 + tip * math.cos(ang + da))),
+             int(np.rint(y2 + tip * math.sin(ang + da))))
+        line(img, p, pt2, color, thickness, line_type, shift)
+    return img
 
 
 def rectangle(img, pt1, pt2=None, color=None, thickness=1, lineType=8,

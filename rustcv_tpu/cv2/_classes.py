@@ -498,15 +498,13 @@ def findEssentialMat(points1, points2, cameraMatrix=None, method=0,
 def recoverPose(E, points1, points2, cameraMatrix=None, distanceThresh=50,
                 mask=None):
     K = np.eye(3) if cameraMatrix is None else np.asarray(cameraMatrix)
-    ret = _ip.recover_pose(np.asarray(E),
-                           np.asarray(points1, np.float64).reshape(-1, 2),
-                           np.asarray(points2, np.float64).reshape(-1, 2),
-                           K)
-    R, t, good = ret[0], ret[1], ret[2] if len(ret) > 2 else None
-    n = 0 if good is None else int(np.asarray(good).sum())
+    n, R, t, good = _ip.recover_pose(
+        np.asarray(E),
+        np.asarray(points1, np.float64).reshape(-1, 2),
+        np.asarray(points2, np.float64).reshape(-1, 2), K)
     m = None if good is None else \
-        np.asarray(good).astype(np.uint8).reshape(-1, 1)
-    return n, np.asarray(R), np.asarray(t).reshape(3, 1), m
+        (np.asarray(good).astype(np.uint8) * 255).reshape(-1, 1)
+    return int(n), np.asarray(R), np.asarray(t).reshape(3, 1), m
 
 
 def calibrateCamera(objectPoints, imagePoints, imageSize, cameraMatrix,
@@ -538,12 +536,19 @@ def undistortPoints(src, cameraMatrix, distCoeffs, dst=None, R=None, P=None):
 
 
 def initUndistortRectifyMap(cameraMatrix, distCoeffs, R, newCameraMatrix,
-                            size, m1type):
-    mx, my = _ip.init_undistort_rectify_map(
+                            size, m1type=None, map1=None, map2=None):
+    from ..ops import calib as _calib
+
+    mx, my = _calib.init_undistort_rectify_map(
         np.asarray(cameraMatrix),
-        np.asarray(distCoeffs, np.float64).ravel(),
-        None if R is None else np.asarray(R),
-        np.asarray(newCameraMatrix), (int(size[0]), int(size[1])))
+        np.asarray(distCoeffs, np.float64).ravel()
+        if distCoeffs is not None else np.zeros(5),
+        None if newCameraMatrix is None else np.asarray(newCameraMatrix),
+        (int(size[0]), int(size[1])),
+        None if R is None else np.asarray(R, np.float64))
+    if m1type == _C.CV_16SC2:
+        from ..ops import warp as _warp
+        return _warp.convert_maps(mx, my)
     return np.asarray(mx, np.float32), np.asarray(my, np.float32)
 
 
@@ -552,7 +557,10 @@ def getOptimalNewCameraMatrix(cameraMatrix, distCoeffs, imageSize, alpha,
     ret = _ip.get_optimal_new_camera_matrix(
         np.asarray(cameraMatrix),
         np.asarray(distCoeffs, np.float64).ravel(),
-        tuple(imageSize), float(alpha))
+        tuple(imageSize), float(alpha),
+        None if newImgSize is None else (int(newImgSize[0]),
+                                         int(newImgSize[1])),
+        bool(centerPrincipalPoint))
     if isinstance(ret, tuple):
         K2, roi = ret
         return np.asarray(K2), tuple(int(v) for v in roi)
@@ -579,8 +587,10 @@ def triangulatePoints(projMatr1, projMatr2, projPoints1, projPoints2):
     out = _ip.triangulate_points(np.asarray(projMatr1),
                                  np.asarray(projMatr2),
                                  p1.reshape(-1, 2), p2.reshape(-1, 2))
-    pts3 = np.asarray(out, np.float64)
-    return np.vstack([pts3.T, np.ones((1, len(pts3)))])
+    # (N, 4) homogeneous → cv2's 4×N, dtype following the input points
+    dt = np.asarray(projPoints1).dtype
+    dt = dt if dt in (np.float32, np.float64) else np.float64
+    return np.asarray(out, dt).T
 
 
 def estimateAffine2D(from_, to, inliers=None, method=8,
@@ -634,11 +644,11 @@ def findChessboardCornersSB(image, patternSize, corners=None, flags=0):
 
 
 def drawChessboardCorners(image, patternSize, corners, patternWasFound):
-    out = _ip.draw_chessboard_corners(
-        np.asarray(image), tuple(patternSize),
-        np.asarray(corners, np.float64).reshape(-1, 2),
-        bool(patternWasFound))
-    np.copyto(image, np.asarray(out).reshape(image.shape))
+    m = _m(np.asarray(image))
+    _ip.draw_chessboard_corners(m, tuple(patternSize),
+                                np.asarray(corners, np.float64)
+                                .reshape(-1, 2), bool(patternWasFound))
+    np.copyto(image, m.to_numpy().reshape(np.asarray(image).shape))
     return image
 
 

@@ -73,78 +73,165 @@ def project_points(obj_pts: np.ndarray, rvec, tvec, K: np.ndarray,
 
 
 def undistort_points(pts: np.ndarray, K: np.ndarray, dist,
-                     new_K: Optional[np.ndarray] = None) -> np.ndarray:
+                     new_K: Optional[np.ndarray] = None,
+                     iters: int = 10) -> np.ndarray:
     """Distorted pixels [N, 2] → undistorted pixels [N, 2] under new_K
-    (default K). Fixed 10-iteration compensation (frozen spec)."""
+    (default K). Fixed 10-iteration compensation (frozen spec); cv2's
+    own loop is 5 iterations — pass iters=5 where cv2-identical
+    rounding matters (icvGetRectangles)."""
     K = np.asarray(K, np.float64)
     nk = K if new_K is None else np.asarray(new_K, np.float64)
     p = np.asarray(pts, np.float64).reshape(-1, 2)
     x = (p[:, 0] - K[0, 2]) / K[0, 0]
     y = (p[:, 1] - K[1, 2]) / K[1, 1]
     x0, y0 = x.copy(), y.copy()
-    for _ in range(10):
+    for _ in range(int(iters)):
         xd, yd = _distort(x, y, dist)
         x = x + (x0 - xd)
         y = y + (y0 - yd)
     return np.stack([nk[0, 0] * x + nk[0, 2], nk[1, 1] * y + nk[1, 2]], axis=-1)
 
 
+def undistort_points_cv(pts: np.ndarray, K: np.ndarray, dist,
+                        r: Optional[np.ndarray] = None,
+                        p: Optional[np.ndarray] = None,
+                        iters: int = 5) -> np.ndarray:
+    """cv2's EXACT undistortPoints iteration (cvUndistortPointsInternal):
+    5 rounds of the multiplicative form x = (x0 − Δ(x,y))·icdist with
+    icdist = 1/(1 + k1 r² + k2 r⁴ + k3 r⁶), then optional R and P."""
+    K = np.asarray(K, np.float64)
+    k1, k2, p1, p2, k3 = (list(np.asarray(dist, np.float64).reshape(-1))
+                          + [0.0] * 5)[:5]
+    q = np.asarray(pts, np.float64).reshape(-1, 2)
+    x0 = (q[:, 0] - K[0, 2]) / K[0, 0]
+    y0 = (q[:, 1] - K[1, 2]) / K[1, 1]
+    x, y = x0.copy(), y0.copy()
+    for _ in range(int(iters)):
+        r2 = x * x + y * y
+        icdist = 1.0 / (1.0 + ((k3 * r2 + k2) * r2 + k1) * r2)
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (x0 - dx) * icdist
+        y = (y0 - dy) * icdist
+    h = np.stack([x, y, np.ones_like(x)], axis=0)
+    if r is not None:
+        h = np.asarray(r, np.float64).reshape(3, 3) @ h
+    if p is not None:
+        h = np.asarray(p, np.float64)[:3, :3] @ h
+    return (h[:2] / h[2]).T
+
+
 def init_undistort_rectify_map(K: np.ndarray, dist, new_K: Optional[np.ndarray],
-                               size: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
+                               size: Tuple[int, int],
+                               r: Optional[np.ndarray] = None,
+                               ) -> Tuple[np.ndarray, np.ndarray]:
     """(w, h) → (map_x, map_y) float32 [h, w] for :func:`ops.warp.remap`
     (OpenCV ``initUndistortRectifyMap``): for every undistorted output
-    pixel, the distorted source position."""
+    pixel, the distorted source position. ``r`` is the rectification
+    rotation: each output pixel is mapped through (new_K·R)⁻¹ before
+    distortion, matching cv2's iR = (newK·R).inv() pipeline."""
     w, h = size
     K = np.asarray(K, np.float64)
     nk = K if new_K is None else np.asarray(new_K, np.float64)
+    rm = np.eye(3) if r is None else np.asarray(r, np.float64).reshape(3, 3)
+    ir = np.linalg.inv(nk @ rm)
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
-    x = (xs - nk[0, 2]) / nk[0, 0]
-    y = (ys - nk[1, 2]) / nk[1, 1]
+    X = ir[0, 0] * xs + ir[0, 1] * ys + ir[0, 2]
+    Y = ir[1, 0] * xs + ir[1, 1] * ys + ir[1, 2]
+    W = ir[2, 0] * xs + ir[2, 1] * ys + ir[2, 2]
+    x = X / W
+    y = Y / W
     xd, yd = _distort(x, y, dist)
     return ((K[0, 0] * xd + K[0, 2]).astype(np.float32),
             (K[1, 1] * yd + K[1, 2]).astype(np.float32))
 
 
-def get_optimal_new_camera_matrix(K: np.ndarray, dist, size: Tuple[int, int],
-                                  alpha: float = 0.0) -> np.ndarray:
-    """alpha=0: zoom so ONLY valid source pixels are visible; alpha=1:
-    keep every source pixel (black borders). Blend in between (OpenCV
-    ``getOptimalNewCameraMatrix`` role, border-grid variant)."""
+def _get_rectangles(K: np.ndarray, dist, size: Tuple[int, int],
+                    p: Optional[np.ndarray] = None):
+    """cv2's icvGetRectangles: undistort a 9×9 grid (optionally
+    reprojected through P); outer = bounding box of all points, inner =
+    largest axis-aligned box inside the undistorted border (grid border
+    rows/cols only). Returns ((ix, iy, iw, ih), (ox, oy, ow, oh))."""
     w, h = size
-    K = np.asarray(K, np.float64)
     n = 9
-    edge = []
-    for i in range(n):
-        t = i / (n - 1)
-        edge += [(t * (w - 1), 0.0), (t * (w - 1), h - 1.0),
-                 (0.0, t * (h - 1)), (w - 1.0, t * (h - 1))]
-    up = undistort_points(np.asarray(edge), K, dist)
-    # outer rect: bounding box of all undistorted border points
+    pts = np.array([(x * (w - 1) / (n - 1), y * (h - 1) / (n - 1))
+                    for y in range(n) for x in range(n)], np.float64)
+    # P=None ⇒ normalized coordinates (cv2 calls cvUndistortPoints
+    # without P here); cv2's exact 5-round multiplicative iteration
+    up = undistort_points_cv(pts, K, dist, p=p)
     ox0, oy0 = up[:, 0].min(), up[:, 1].min()
     ox1, oy1 = up[:, 0].max(), up[:, 1].max()
-    # inner rect: the largest axis-aligned box inside the undistorted
-    # border: right edge of left-border points, etc.
-    e = np.asarray(edge)
-    left = up[e[:, 0] == 0.0]
-    right = up[e[:, 0] == w - 1.0]
-    top = up[e[:, 1] == 0.0]
-    bot = up[e[:, 1] == h - 1.0]
-    ix0, ix1 = left[:, 0].max(), right[:, 0].min()
-    iy0, iy1 = top[:, 1].max(), bot[:, 1].min()
-    a = float(np.clip(alpha, 0.0, 1.0))
-    x0 = ix0 * (1 - a) + ox0 * a
-    x1 = ix1 * (1 - a) + ox1 * a
-    y0 = iy0 * (1 - a) + oy0 * a
-    y1 = iy1 * (1 - a) + oy1 * a
-    # u_new = sx (u_K − x0), u_K = fx·xn + cx  ⇒  fx' = sx·fx,
-    # cx' = sx (cx − x0); likewise for y.
-    sx = (w - 1) / max(x1 - x0, 1e-9)
-    sy = (h - 1) / max(y1 - y0, 1e-9)
-    return np.array([
-        [K[0, 0] * sx, 0.0, sx * (K[0, 2] - x0)],
-        [0.0, K[1, 1] * sy, sy * (K[1, 2] - y0)],
-        [0.0, 0.0, 1.0],
-    ])
+    gx = np.tile(np.arange(n), n)
+    gy = np.repeat(np.arange(n), n)
+    ix0 = up[gx == 0, 0].max()
+    ix1 = up[gx == n - 1, 0].min()
+    iy0 = up[gy == 0, 1].max()
+    iy1 = up[gy == n - 1, 1].min()
+    return ((ix0, iy0, ix1 - ix0, iy1 - iy0),
+            (ox0, oy0, ox1 - ox0, oy1 - oy0))
+
+
+def get_optimal_new_camera_matrix(K: np.ndarray, dist, size: Tuple[int, int],
+                                  alpha: float = 0.0,
+                                  new_size: Optional[Tuple[int, int]] = None,
+                                  center_principal_point: bool = False):
+    """cv2's exact construction (calibration.cpp getOptimalNewCameraMatrix):
+    focal/centre candidates derived from the inner (alpha=0) and outer
+    (alpha=1) undistorted rectangles in NORMALIZED coords, blended by
+    alpha; validPixROI = ceil/floor of the inner rectangle reprojected
+    through the new matrix, clipped to the image. Returns (newK, roi)."""
+    w, h = size
+    nw, nh = new_size if new_size else (w, h)
+    K = np.asarray(K, np.float64)
+    if center_principal_point:
+        # cv2: pixel-coord rects (P = K), focals scaled by the blend of
+        # the coverage ratios about the CENTRED principal point
+        inner, outer = _get_rectangles(K, dist, size, p=K)
+        cx0, cy0 = K[0, 2], K[1, 2]
+        cx = (nw - 1) * 0.5
+        cy = (nh - 1) * 0.5
+        ix, iy, iw, ih = inner
+        ox, oy, ow, oh = outer
+        s0 = max(cx / (cx0 - ix), cy / (cy0 - iy),
+                 cx / (ix + iw - cx0), cy / (iy + ih - cy0))
+        s1 = min(cx / (cx0 - ox), cy / (cy0 - oy),
+                 cx / (ox + ow - cx0), cy / (oy + oh - cy0))
+        a = float(np.clip(alpha, 0.0, 1.0))
+        s = s0 * (1 - a) + s1 * a
+        nk = K.copy()
+        nk[0, 0] *= s
+        nk[1, 1] *= s
+        nk[0, 2] = cx
+        nk[1, 2] = cy
+    else:
+        inner, outer = _get_rectangles(K, dist, size)
+        ix, iy, iw, ih = inner
+        ox, oy, ow, oh = outer
+        fx0 = (nw - 1) / iw
+        fy0 = (nh - 1) / ih
+        cx0 = -fx0 * ix
+        cy0 = -fy0 * iy
+        fx1 = (nw - 1) / ow
+        fy1 = (nh - 1) / oh
+        cx1 = -fx1 * ox
+        cy1 = -fy1 * oy
+        a = float(np.clip(alpha, 0.0, 1.0))
+        nk = np.array([
+            [fx0 * (1 - a) + fx1 * a, 0.0, cx0 * (1 - a) + cx1 * a],
+            [0.0, fy0 * (1 - a) + fy1 * a, cy0 * (1 - a) + cy1 * a],
+            [0.0, 0.0, 1.0]])
+    inner2, _ = _get_rectangles(K, dist, size, nk)
+    rx = int(np.ceil(inner2[0]))
+    ry = int(np.ceil(inner2[1]))
+    rw = int(np.floor(inner2[2]))
+    rh = int(np.floor(inner2[3]))
+    # clip to the new image
+    rx2 = min(rx + rw, nw)
+    ry2 = min(ry + rh, nh)
+    rx = max(rx, 0)
+    ry = max(ry, 0)
+    roi = (rx, ry, max(rx2 - rx, 0), max(ry2 - ry, 0))
+    return nk, roi
 
 
 def undistort(img, K: np.ndarray, dist, new_K: Optional[np.ndarray] = None):

@@ -181,6 +181,112 @@ def flood_fill(
     return out, int(region.sum()), (region * np.uint8(255))
 
 
+def flood_fill_cv(
+    img: np.ndarray,
+    mask,
+    seed: tuple,
+    new_val,
+    lo_diff=0,
+    up_diff=0,
+    flags: int = 4,
+):
+    """cv2 ``floodFill`` full semantics (floodfill.cpp behaviors):
+    gray or color, floating range by default (each pixel accepted
+    against the NEIGHBOR it was reached from) or FLOODFILL_FIXED_RANGE
+    (vs the seed), 4/8 connectivity, optional (H+2, W+2) mask whose
+    nonzero pixels block the fill and whose filled pixels get
+    newMaskVal = (flags >> 8) or 1, FLOODFILL_MASK_ONLY. Returns
+    (count, filled image, mask, rect). Frontier-iterated in NumPy —
+    the accepted set is the closure of the per-edge relation, so
+    iteration order cannot change the result."""
+    a = np.asarray(img)
+    h, w = a.shape[:2]
+    nch = 1 if a.ndim == 2 else a.shape[2]
+    x0, y0 = int(seed[0]), int(seed[1])
+    if not (0 <= x0 < w and 0 <= y0 < h):
+        raise ValueError(f"floodFill: seed {seed} outside image")
+    conn = int(flags) & 255
+    conn = 8 if conn == 8 else 4
+    fixed = bool(int(flags) & (1 << 16))      # FLOODFILL_FIXED_RANGE
+    mask_only = bool(int(flags) & (1 << 17))  # FLOODFILL_MASK_ONLY
+    new_mask_val = (int(flags) >> 8) & 255 or 1
+
+    f = a.reshape(h, w, nch).astype(np.float64)
+    lo = np.broadcast_to(np.atleast_1d(np.asarray(lo_diff, np.float64)),
+                         (nch,)) if np.ndim(lo_diff) <= 1 else lo_diff
+    up = np.broadcast_to(np.atleast_1d(np.asarray(up_diff, np.float64)),
+                         (nch,)) if np.ndim(up_diff) <= 1 else up_diff
+    lo = np.resize(np.atleast_1d(lo).astype(np.float64), nch)
+    up = np.resize(np.atleast_1d(up).astype(np.float64), nch)
+
+    allowed = np.ones((h, w), bool)
+    if mask is not None:
+        mm = np.asarray(mask)
+        allowed = mm[1:h + 1, 1:w + 1] == 0
+        # cv2 sets the (H+2, W+2) mask's outer 1-px frame to 1 up front
+        mm[0, :] = np.maximum(mm[0, :], 1)
+        mm[-1, :] = np.maximum(mm[-1, :], 1)
+        mm[:, 0] = np.maximum(mm[:, 0], 1)
+        mm[:, -1] = np.maximum(mm[:, -1], 1)
+
+    filled = np.zeros((h, w), bool)
+    if allowed[y0, x0]:
+        filled[y0, x0] = True
+    if fixed or (lo.max() == 0 and up.max() == 0):
+        sv = f[y0, x0]
+        ok = np.all((f >= sv - lo) & (f <= sv + up), axis=-1) & allowed
+        shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+        if conn == 8:
+            shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+        frontier = filled.copy()
+        while frontier.any():
+            grow = np.zeros((h, w), bool)
+            for dy, dx in shifts:
+                sh = np.zeros((h, w), bool)
+                ys = slice(max(dy, 0), h + min(dy, 0))
+                yd = slice(max(-dy, 0), h + min(-dy, 0))
+                xs = slice(max(dx, 0), w + min(dx, 0))
+                xd = slice(max(-dx, 0), w + min(-dx, 0))
+                sh[yd, xd] = frontier[ys, xs]
+                grow |= sh
+            frontier = grow & ok & ~filled
+            filled |= frontier
+    else:
+        # floating range: accept p from filled neighbor q when
+        # q - lo <= p <= q + up per channel
+        shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+        if conn == 8:
+            shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+        changed = True
+        while changed:
+            changed = False
+            for dy, dx in shifts:
+                ys = slice(max(dy, 0), h + min(dy, 0))
+                yd = slice(max(-dy, 0), h + min(-dy, 0))
+                xs = slice(max(dx, 0), w + min(dx, 0))
+                xd = slice(max(-dx, 0), w + min(-dx, 0))
+                q = f[ys, xs]
+                p = f[yd, xd]
+                adm = np.all((p >= q - lo) & (p <= q + up), axis=-1)
+                new = filled[ys, xs] & adm & allowed[yd, xd] & \
+                    ~filled[yd, xd]
+                if new.any():
+                    filled[yd, xd] |= new
+                    changed = True
+
+    count = int(filled.sum())
+    ysn, xsn = np.nonzero(filled)
+    rect = (0, 0, 0, 0) if count == 0 else (
+        int(xsn.min()), int(ysn.min()),
+        int(xsn.max() - xsn.min() + 1), int(ysn.max() - ysn.min() + 1))
+    if mask is not None:
+        np.asarray(mask)[1:h + 1, 1:w + 1][filled] = new_mask_val
+    if not mask_only:
+        nv = np.resize(np.atleast_1d(np.asarray(new_val)), nch)
+        a.reshape(h, w, nch)[filled] = nv.astype(a.dtype)
+    return count, a, mask, rect
+
+
 def _connected_components_8_numpy(m: np.ndarray):
     """NumPy fallback for 8-connectivity: the 4-conn run graph plus one
     edge per diagonally-adjacent pixel pair (deduped) — O(pixels) bool

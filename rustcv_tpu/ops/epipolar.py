@@ -233,13 +233,15 @@ def decompose_essential_mat(
     R = U W Vᵀ / U Wᵀ Vᵀ with det > 0 enforced, t = u₃."""
     e = np.asarray(e, np.float64)
     u, _, vt = np.linalg.svd(e)
-    if np.linalg.det(u) < 0:
-        u = -u
-    if np.linalg.det(vt) < 0:
-        vt = -vt
-    w = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    # cv2 five-point.cpp convention: W = [[0,1,0],[-1,0,0],[0,0,1]],
+    # whole-R negation when det < 0 (NOT U/Vt sign fixing), t = u3 raw
+    w = np.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
     r1 = u @ w @ vt
+    if np.linalg.det(r1) < 0:
+        r1 = -r1
     r2 = u @ w.T @ vt
+    if np.linalg.det(r2) < 0:
+        r2 = -r2
     t = u[:, 2].copy()
     return r1, r2, t
 

@@ -519,6 +519,62 @@ def warp_perspective_numpy(
 # recompiles.
 
 
+def fast_atan2_deg_f32(y: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """cv2's ``fastAtan2`` (mathfuncs.cpp): degree-domain polynomial
+    approximation evaluated in float32 — the angle source inside
+    cartToPolar/phase and the inverse warpPolar maps."""
+    f = np.float32
+    deg = 180.0 / np.pi
+    p1 = f(0.9997878412794807 * deg)
+    p3 = f(-0.3258083974640975 * deg)
+    p5 = f(0.1555786518463281 * deg)
+    p7 = f(-0.04432655554792128 * deg)
+    eps = f(np.finfo(np.float64).eps)
+    xf = np.asarray(x, np.float32)
+    yf = np.asarray(y, np.float32)
+    ax, ay = np.abs(xf), np.abs(yf)
+    big = ax >= ay
+    c = np.where(big, ay / (ax + eps), ax / (ay + eps)).astype(np.float32)
+    c2 = c * c
+    poly = (((p7 * c2 + p5) * c2 + p3) * c2 + p1) * c
+    a = np.where(big, poly, f(90.0) - poly).astype(np.float32)
+    a = np.where(xf < 0, f(180.0) - a, a).astype(np.float32)
+    a = np.where(yf < 0, f(360.0) - a, a).astype(np.float32)
+    return a
+
+
+def warp_polar_inverse_maps_cv(polar_size: Tuple[int, int],
+                               dsize: Tuple[int, int],
+                               center: Tuple[float, float],
+                               max_radius: float, semilog: bool = False):
+    """cv2's EXACT inverse-warpPolar map construction (imgwarp.cpp): the
+    polar source is wrap-padded by ANGLE_BORDER=1 rows, per-pixel angle
+    comes from float32 cartToPolar (fastAtan2 degrees → ·π/180 in f32),
+    magnitude from float32 hypot, then the Kangle/Kmag scalings are f32
+    multiplies. Returns (mx, my) addressing the PADDED polar image
+    (caller pads 1 row top/bottom with wrap)."""
+    ph, pw = polar_size
+    dh, dw = dsize
+    f = np.float32
+    cx, cy = f(center[0]), f(center[1])
+    ys, xs = np.mgrid[0:dh, 0:dw].astype(np.float32)
+    bufx = xs - cx
+    bufy = ys - cy
+    # cartToPolar f32: magnitude + angle (degrees → radians, f32 scale)
+    mag = np.sqrt(bufx * bufx + bufy * bufy, dtype=np.float32)
+    ang = fast_atan2_deg_f32(bufy, bufx) * f(np.pi / 180.0)
+    if semilog:
+        # same Klog the forward pass uses (log(maxRadius)/width)
+        klog = np.log(max_radius) / pw  # double
+        rho = (np.log1p(mag.astype(np.float32)) * f(1.0 / klog))
+    else:
+        kmag = max_radius / pw  # double
+        rho = mag * f(1.0 / kmag)
+    kangle = 2.0 * np.pi / ph  # double
+    phi = ang * f(1.0 / kangle) + f(1.0)  # +ANGLE_BORDER
+    return rho.astype(np.float32), phi.astype(np.float32)
+
+
 def warp_polar_maps(src_size: Tuple[int, int], center: Tuple[float, float],
                     max_radius: float, dst_size: Tuple[int, int],
                     semilog: bool = False, inverse: bool = False):

@@ -102,8 +102,8 @@ class TestUndistortImage:
 
     def test_optimal_new_camera_matrix(self):
         w, h = 320, 240
-        nk0 = calib.get_optimal_new_camera_matrix(K, DIST, (w, h), alpha=0.0)
-        nk1 = calib.get_optimal_new_camera_matrix(K, DIST, (w, h), alpha=1.0)
+        nk0, _ = calib.get_optimal_new_camera_matrix(K, DIST, (w, h), alpha=0.0)
+        nk1, _ = calib.get_optimal_new_camera_matrix(K, DIST, (w, h), alpha=1.0)
         # alpha=1 keeps everything -> wider view -> smaller focal
         assert nk1[0, 0] < nk0[0, 0]
         # alpha=1: ALL undistorted border points land inside the output
