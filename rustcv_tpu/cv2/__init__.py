@@ -72,7 +72,22 @@ def _pt(p):
 
 
 def _inplace(img, fn):
-    """Run a Mat-mutating drawing op and write the result back into img."""
+    """Run a Mat-mutating drawing op and write the result back into img.
+
+    cv2 draws on single-channel images using color[0]; the Mat drawing
+    layer is 3-channel BGR, so grayscale inputs are expanded, drawn, and
+    collapsed back via channel 0 (channel 0 of _color() is color[0] for
+    both scalar and tuple colors, so semantics match cv2's)."""
+    arr = np.asarray(img)
+    if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[2] == 1):
+        work = np.ascontiguousarray(
+            np.repeat(arr.reshape(arr.shape[0], arr.shape[1], 1), 3,
+                      axis=2))
+        m = _m(work)
+        fn(m)
+        out = np.asarray(_o(m))[..., 0]
+        np.copyto(img, out.reshape(img.shape))
+        return img
     m = _m(img)
     fn(m)
     out = _o(m)

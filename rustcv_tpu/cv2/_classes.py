@@ -308,14 +308,18 @@ def createBackgroundSubtractorKNN(history=500, dist2Threshold=400.0,
 
 
 def meanShift(probImage, window, criteria):
-    iters, win = _ip.mean_shift(_m(np.asarray(probImage)), tuple(window),
-                                max_iter=int(criteria[1]))
+    # cv2 accepts any single-channel weight image (float back-projections
+    # included) — go straight to the ops layer, no u8 Mat round trip.
+    from ..ops import hist as _hist
+    iters, win = _hist.mean_shift(np.asarray(probImage, np.float64),
+                                  tuple(window), max_iter=int(criteria[1]))
     return int(iters), tuple(int(v) for v in win)
 
 
 def CamShift(probImage, window, criteria):
-    box, win = _ip.cam_shift(_m(np.asarray(probImage)), tuple(window),
-                             max_iter=int(criteria[1]))
+    from ..ops import hist as _hist
+    box, win = _hist.cam_shift(np.asarray(probImage, np.float64),
+                               tuple(window), max_iter=int(criteria[1]))
     cx, cy, w, h = box
     rot = ((float(cx), float(cy)), (float(w), float(h)), 0.0)
     return rot, tuple(int(v) for v in win)
@@ -665,8 +669,9 @@ def drawFrameAxes(image, cameraMatrix, distCoeffs, rvec, tvec, length,
 
 def decomposeHomographyMat(H, K, rotations=None, translations=None,
                            normals=None):
-    Rs, ts, ns = _ip.decompose_homography_mat(np.asarray(H), np.asarray(K))
-    return len(Rs), tuple(np.asarray(r) for r in Rs), \
+    num, Rs, ts, ns = _ip.decompose_homography_mat(np.asarray(H),
+                                                   np.asarray(K))
+    return int(num), tuple(np.asarray(r) for r in Rs), \
         tuple(np.asarray(t).reshape(3, 1) for t in ts), \
         tuple(np.asarray(n).reshape(3, 1) for n in ns)
 
@@ -765,8 +770,10 @@ def seamlessClone(src, dst, mask, p, flags, blend=None):
 
 def colorChange(src, mask, dst=None, red_mul=1.0, green_mul=1.0,
                 blue_mul=1.0):
-    return _o(_ip.color_change(_m(src), np.asarray(mask), red_mul,
-                               green_mul, blue_mul))
+    # ops mul is channel-ordered (BGR) — cv2's kwargs name the colors.
+    return _o(_ip.color_change(_m(src), np.asarray(mask),
+                               (float(blue_mul), float(green_mul),
+                                float(red_mul))))
 
 
 def illuminationChange(src, mask, dst=None, alpha=0.2, beta=0.4):
@@ -841,17 +848,24 @@ def createCalibrateDebevec(samples=70, lambda_=10.0, random=False):
     from ..ops import hdr as _hdr
 
     def run(imgs, times):
-        return np.asarray(_hdr.calibrate_debevec(
+        # ops returns the (3, 256) LOG response; cv2 returns the linear
+        # inverse CRF as (256, 1, 3) float32.
+        g = np.asarray(_hdr.calibrate_debevec(
             [np.asarray(i) for i in imgs],
-            np.asarray(times, np.float64).ravel()), np.float32)
+            np.asarray(times, np.float64).ravel(),
+            n_samples=int(samples), lam=float(lambda_)))
+        return np.exp(g).T.reshape(256, 1, 3).astype(np.float32)
     return _Process(run)
 
 
 def createCalibrateRobertson(max_iter=30, threshold=0.01):
-    return _Process(lambda imgs, times: np.asarray(
-        _ip.calibrate_robertson([_m(i) for i in imgs],
-                                np.asarray(times, np.float64).ravel()),
-        np.float32))
+    def run(imgs, times):
+        r = np.asarray(_ip.calibrate_robertson(
+            [_m(i) for i in imgs],
+            np.asarray(times, np.float64).ravel(),
+            max_iter=int(max_iter)))
+        return r.T.reshape(256, 1, 3).astype(np.float32)
+    return _Process(run)
 
 
 def createTonemap(gamma=1.0):
@@ -876,11 +890,14 @@ def createTonemapReinhard(gamma=1.0, intensity=0.0, light_adapt=1.0,
                           color_adapt=0.0):
     from ..ops import hdr as _hdr
     return _Process(lambda h: np.asarray(
-        _hdr.tonemap_reinhard_numpy(np.asarray(h, np.float32), gamma),
+        _hdr.tonemap_reinhard_cv(np.asarray(h, np.float32), gamma,
+                                 intensity, light_adapt, color_adapt),
         np.float32))
 
 
 def createAlignMTB(max_bits=6, exclude_range=4, cut=True):
+    from ..ops import hdr as _hdr
+
     class _MTB(_Process):
         def process(self, src, dst=None, times=None, response=None):
             out = _ip.align_mtb([_m(i) for i in src],
@@ -891,6 +908,41 @@ def createAlignMTB(max_bits=6, exclude_range=4, cut=True):
                     np.copyto(d, o.reshape(np.asarray(d).shape))
                 return dst
             return out
+
+        def calculateShift(self, img0, img1):
+            # cv2: shift moving img1 onto the reference img0 → Point(x, y)
+            g0 = np.asarray(img0)
+            g1 = np.asarray(img1)
+            if g0.ndim == 3:
+                g0 = g0.mean(axis=-1)
+            if g1.ndim == 3:
+                g1 = g1.mean(axis=-1)
+            dy, dx = _hdr.align_mtb_shift(g0, g1, int(max_bits))
+            return (int(dx), int(dy))
+
+        def shiftMat(self, src, shift, dst=None):
+            a = np.asarray(src)
+            dx, dy = int(shift[0]), int(shift[1])
+            if a.ndim == 3:
+                out = np.stack([_hdr._shift2d(a[..., c], dy, dx)
+                                for c in range(a.shape[-1])], axis=-1)
+            else:
+                out = _hdr._shift2d(a, dy, dx)
+            if dst is not None:
+                np.copyto(dst, out.reshape(np.asarray(dst).shape))
+                return dst
+            return out
+
+        def computeBitmaps(self, img, tb=None, eb=None):
+            t, e = _hdr._mtb(np.asarray(img, np.float64))
+            return (np.asarray(t, np.uint8) * 255,
+                    np.asarray(e, np.uint8) * 255)
+
+        def getMaxBits(self):
+            return int(max_bits)
+
+        def getExcludeRange(self):
+            return int(exclude_range)
     return _MTB(None)
 
 

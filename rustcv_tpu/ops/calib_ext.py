@@ -120,14 +120,48 @@ def estimate_translation_3d(src, dst, ransac_threshold: float = 3.0
 def init_camera_matrix_2d(obj_points: Sequence, img_points: Sequence,
                           image_size: Tuple[int, int],
                           aspect_ratio: float = 1.0) -> np.ndarray:
-    """OpenCV ``initCameraMatrix2D`` role: closed-form focal estimate
-    from planar-view homographies (the Zhang init step reused from
-    calibrate_camera), principal point at the image centre."""
-    from .calib import calibrate_camera
+    """OpenCV ``initCameraMatrix2D``: per-view homography columns,
+    principal point pinned at the image centre, then the two
+    vanishing-point orthogonality constraints per view solved by SVD
+    least squares for (1/fx², 1/fy²) — works from a single planar view
+    (cv2's cvInitIntrinsicParams2D structure, verified differentially)."""
+    from .geometry import _fit_homography
 
-    _, k, _, _, _ = calibrate_camera(list(obj_points), list(img_points),
-                                     image_size, iterations=0)
-    return k
+    w, h = image_size
+    cx = 0.5 if not w else (w - 1) * 0.5
+    cy = 0.5 if not h else (h - 1) * 0.5
+    rows_a = []
+    rows_b = []
+    for obj, img in zip(obj_points, img_points):
+        m = np.asarray(obj, np.float64).reshape(-1, 3)[:, :2]
+        p = np.asarray(img, np.float64).reshape(-1, 2)
+        H = np.asarray(_fit_homography(m, p), np.float64).reshape(3, 3)
+        H = H / H[2, 2]
+        # translate the principal point to the origin
+        H = H.copy()
+        H[0] -= H[2] * cx
+        H[1] -= H[2] * cy
+        hcol = H[:, 0].copy()
+        vcol = H[:, 1].copy()
+        d1 = (hcol + vcol) * 0.5
+        d2 = (hcol - vcol) * 0.5
+        hcol /= np.linalg.norm(hcol)
+        vcol /= np.linalg.norm(vcol)
+        d1 /= np.linalg.norm(d1)
+        d2 /= np.linalg.norm(d2)
+        rows_a.append([hcol[0] * vcol[0], hcol[1] * vcol[1]])
+        rows_a.append([d1[0] * d2[0], d1[1] * d2[1]])
+        rows_b.append(-hcol[2] * vcol[2])
+        rows_b.append(-d1[2] * d2[2])
+    f, *_ = np.linalg.lstsq(np.asarray(rows_a), np.asarray(rows_b),
+                            rcond=None)
+    fx = np.sqrt(abs(1.0 / f[0]))
+    fy = np.sqrt(abs(1.0 / f[1]))
+    if aspect_ratio:
+        tf = (fx + fy) / (aspect_ratio + 1.0)
+        fx = aspect_ratio * tf
+        fy = tf
+    return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
 
 
 def stereo_rectify_uncalibrated(pts1, pts2, f,

@@ -187,6 +187,47 @@ def merge_debevec_numpy(images: Sequence[np.ndarray],
     return np.exp(num / np.maximum(den, 1e-9)).astype(np.float32)
 
 
+def tonemap_reinhard_cv(hdr: np.ndarray, gamma: float = 1.0,
+                        intensity: float = 0.0, light_adapt: float = 1.0,
+                        color_adapt: float = 0.0) -> np.ndarray:
+    """OpenCV ``TonemapReinhard`` (Reinhard–Devlin photoreceptor model,
+    cv2 photo/src/tonemap.cpp structure, verified differentially):
+    min-max normalize, gray via cv2's RGB2GRAY-coefficients-on-BGR
+    quirk, adaptation map key from the log-luminance statistics, then
+    per-channel V/(V+adapt^key) compression and 1/gamma power."""
+    img = np.asarray(hdr, np.float32)
+    lo, hi = float(img.min()), float(img.max())
+    if hi - lo > 2.2e-16:
+        img = ((img - lo) / (hi - lo)).astype(np.float32)
+    # cv2 calls cvtColor(..., COLOR_RGB2GRAY) on BGR data: channel 0
+    # gets the R weight.
+    gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2]).astype(np.float32)
+    log_img = np.log(np.maximum(gray, 1e-4))
+    log_mean = float(log_img.mean())
+    log_min = float(log_img.min())
+    log_max = float(log_img.max())
+    key = (log_max - log_mean) / max(log_max - log_min, 2.2e-16)
+    map_key = 0.3 + 0.7 * key ** 1.4
+    my_intensity = np.exp(-float(intensity))
+    gray_mean = float(gray.mean())
+    chan_mean = img.reshape(-1, 3).mean(axis=0)
+    out = np.empty_like(img)
+    for c in range(3):
+        glob = color_adapt * chan_mean[c] + (1.0 - color_adapt) * gray_mean
+        adapt = (color_adapt * img[..., c]
+                 + (1.0 - color_adapt) * gray).astype(np.float32)
+        adapt = light_adapt * adapt + (1.0 - light_adapt) * glob
+        adapt = np.power(np.float32(my_intensity) * adapt,
+                         np.float32(map_key))
+        out[..., c] = img[..., c] * (1.0 / (adapt + img[..., c]))
+    out = np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+    lo, hi = float(out.min()), float(out.max())
+    if hi - lo > 2.2e-16:
+        out = (out - lo) / (hi - lo)
+    return np.power(out, 1.0 / float(gamma)).astype(np.float32)
+
+
 def tonemap_reinhard_numpy(hdr: np.ndarray, gamma: float = 2.2,
                            l_white: float = 4.0) -> np.ndarray:
     """Radiance → u8 display (global Reinhard on luminance)."""
