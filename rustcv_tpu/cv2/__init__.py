@@ -593,12 +593,13 @@ def spatialGradient(src, dx=None, dy=None, ksize=3, borderType=4):
 
 def Canny(image, threshold1, threshold2, edges=None, apertureSize=3,
           L2gradient=False):
-    # our spec fuses a 5x5 Gaussian prefilter, so its gradient magnitudes
-    # sit at 1/1.6 of cv2's raw-Sobel scale (measured at contrasts
-    # 29/100/255); map user thresholds into our scale so cv2-tuned
-    # values keep selecting the same edges
-    return _o(_ip.canny(_m(image), int(round(threshold1 / 1.6)),
-                        int(round(threshold2 / 1.6))))
+    # bit-exact cv2 algorithm (ops/canny_cv.py): raw Sobel, fixed-point
+    # sector NMS, unbounded 8-connected hysteresis.  The framework's own
+    # frozen spec (ops/golden.py::canny, Gaussian-prefiltered, bounded
+    # hysteresis) stays behind rustcv_tpu.imgproc.canny.
+    from ..ops.canny_cv import canny_cv
+    return canny_cv(_o(_m(image)), threshold1, threshold2,
+                    int(apertureSize), bool(L2gradient))
 
 
 def erode(src, kernel, dst=None, anchor=(-1, -1), iterations=1,

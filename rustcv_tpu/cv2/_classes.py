@@ -763,29 +763,41 @@ def inpaint(src, inpaintMask, inpaintRadius, flags):
 
 
 def seamlessClone(src, dst, mask, p, flags, blend=None):
-    mixed = int(flags) == _C.MIXED_CLONE
-    return _o(_ip.seamless_clone(_m(src), _m(dst), np.asarray(mask),
-                                 (int(p[0]), int(p[1])), mixed))
+    # cv2-exact DST-I spectral path (ops/poisson_cv.py, ±1 LSB of
+    # cv2 5.0); the iterative ops/poisson variants remain the
+    # device-friendly framework spec behind rustcv_tpu.imgproc.
+    from ..ops import poisson_cv as _pcv
+    out = _pcv.seamless_clone_cv(
+        np.asarray(_m(src).to_numpy(), np.uint8),
+        np.asarray(_m(dst).to_numpy(), np.uint8),
+        np.asarray(mask), (int(p[0]), int(p[1])), int(flags))
+    return _o(out)
 
 
 def colorChange(src, mask, dst=None, red_mul=1.0, green_mul=1.0,
                 blue_mul=1.0):
-    # ops mul is channel-ordered (BGR) — cv2's kwargs name the colors.
-    return _o(_ip.color_change(_m(src), np.asarray(mask),
-                               (float(blue_mul), float(green_mul),
-                                float(red_mul))))
+    from ..ops import poisson_cv as _pcv
+    out = _pcv.color_change_cv(
+        np.asarray(_m(src).to_numpy(), np.uint8), np.asarray(mask),
+        float(red_mul), float(green_mul), float(blue_mul))
+    return _o(out)
 
 
 def illuminationChange(src, mask, dst=None, alpha=0.2, beta=0.4):
-    return _o(_ip.illumination_change(_m(src), np.asarray(mask),
-                                      float(alpha), float(beta)))
+    from ..ops import poisson_cv as _pcv
+    out = _pcv.illumination_change_cv(
+        np.asarray(_m(src).to_numpy(), np.uint8), np.asarray(mask),
+        float(alpha), float(beta))
+    return _o(out)
 
 
 def textureFlattening(src, mask, dst=None, low_threshold=30,
                       high_threshold=45, kernel_size=3):
-    return _o(_ip.texture_flattening(_m(src), np.asarray(mask),
-                                     float(low_threshold),
-                                     float(high_threshold)))
+    from ..ops import poisson_cv as _pcv
+    out = _pcv.texture_flattening_cv(
+        np.asarray(_m(src).to_numpy(), np.uint8), np.asarray(mask),
+        float(low_threshold), float(high_threshold), int(kernel_size))
+    return _o(out)
 
 
 def detailEnhance(src, dst=None, sigma_s=10, sigma_r=0.15):
@@ -853,7 +865,8 @@ def createCalibrateDebevec(samples=70, lambda_=10.0, random=False):
         g = np.asarray(_hdr.calibrate_debevec(
             [np.asarray(i) for i in imgs],
             np.asarray(times, np.float64).ravel(),
-            n_samples=int(samples), lam=float(lambda_)))
+            n_samples=int(samples), lam=float(lambda_),
+            random=bool(random)))
         return np.exp(g).T.reshape(256, 1, 3).astype(np.float32)
     return _Process(run)
 
@@ -863,7 +876,7 @@ def createCalibrateRobertson(max_iter=30, threshold=0.01):
         r = np.asarray(_ip.calibrate_robertson(
             [_m(i) for i in imgs],
             np.asarray(times, np.float64).ravel(),
-            max_iter=int(max_iter)))
+            max_iter=int(max_iter), threshold=float(threshold)))
         return r.T.reshape(256, 1, 3).astype(np.float32)
     return _Process(run)
 
@@ -901,7 +914,8 @@ def createAlignMTB(max_bits=6, exclude_range=4, cut=True):
     class _MTB(_Process):
         def process(self, src, dst=None, times=None, response=None):
             out = _ip.align_mtb([_m(i) for i in src],
-                                max_bits=int(max_bits))
+                                max_bits=int(max_bits),
+                                exclude_range=int(exclude_range))
             out = [np.asarray(_o(o)) for o in out]
             if dst is not None:
                 for d, o in zip(dst, out):
@@ -911,13 +925,15 @@ def createAlignMTB(max_bits=6, exclude_range=4, cut=True):
 
         def calculateShift(self, img0, img1):
             # cv2: shift moving img1 onto the reference img0 → Point(x, y)
+            from ..ops.color import bgr_to_gray_cv
             g0 = np.asarray(img0)
             g1 = np.asarray(img1)
             if g0.ndim == 3:
-                g0 = g0.mean(axis=-1)
+                g0 = bgr_to_gray_cv(g0)
             if g1.ndim == 3:
-                g1 = g1.mean(axis=-1)
-            dy, dx = _hdr.align_mtb_shift(g0, g1, int(max_bits))
+                g1 = bgr_to_gray_cv(g1)
+            dy, dx = _hdr.align_mtb_shift(g0, g1, int(max_bits),
+                                          int(exclude_range))
             return (int(dx), int(dy))
 
         def shiftMat(self, src, shift, dst=None):
@@ -934,9 +950,16 @@ def createAlignMTB(max_bits=6, exclude_range=4, cut=True):
             return out
 
         def computeBitmaps(self, img, tb=None, eb=None):
-            t, e = _hdr._mtb(np.asarray(img, np.float64))
-            return (np.asarray(t, np.uint8) * 255,
-                    np.asarray(e, np.uint8) * 255)
+            t, e = _hdr._mtb(np.asarray(img), int(exclude_range))
+            t8 = np.asarray(t, np.uint8) * 255
+            e8 = np.asarray(e, np.uint8) * 255
+            if tb is not None:
+                np.copyto(tb, t8.reshape(np.asarray(tb).shape))
+                t8 = tb
+            if eb is not None:
+                np.copyto(eb, e8.reshape(np.asarray(eb).shape))
+                e8 = eb
+            return t8, e8
 
         def getMaxBits(self):
             return int(max_bits)

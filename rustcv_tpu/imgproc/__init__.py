@@ -1344,7 +1344,7 @@ def _photo_op(mat: Mat, name: str, sigma_s: float, sigma_r: float) -> Mat:
         np.asarray(out))
 
 
-def align_mtb(mats, max_bits: int = 6):
+def align_mtb(mats, max_bits: int = 6, exclude_range: int = 4):
     """Median-threshold-bitmap exposure alignment (OpenCV ``AlignMTB``
     role): translation-register a u8 stack to its first image
     (exposure-invariant; ops/hdr.py). Returns aligned Mats."""
@@ -1354,7 +1354,8 @@ def align_mtb(mats, max_bits: int = 6):
 
     arrays = [m.to_numpy() if hasattr(m, "to_numpy") else np.asarray(m)
               for m in mats]
-    return [Mat.from_array(a) for a in _hdr.align_mtb(arrays, max_bits)]
+    return [Mat.from_array(a)
+            for a in _hdr.align_mtb(arrays, max_bits, exclude_range)]
 
 
 def merge_mertens(mats):
@@ -1387,7 +1388,8 @@ def merge_robertson(mats, times, response=None):
     return _hdr.merge_robertson_numpy(arrays, times, response)
 
 
-def calibrate_robertson(mats, times, max_iter: int = 30):
+def calibrate_robertson(mats, times, max_iter: int = 30,
+                        threshold: float = 0.01):
     """Robertson EM response recovery (OpenCV ``CalibrateRobertson``
     role) → (3, 256), g(128)=1 per channel (ops/hdr.py)."""
     import numpy as np
@@ -1396,7 +1398,8 @@ def calibrate_robertson(mats, times, max_iter: int = 30):
 
     arrays = [m.to_numpy() if hasattr(m, "to_numpy") else np.asarray(m)
               for m in mats]
-    return _hdr.calibrate_robertson(arrays, times, max_iter)
+    return _hdr.calibrate_robertson(arrays, times, max_iter,
+                                    threshold)
 
 
 def tonemap_drago(hdr_img, gamma: float = 1.0, saturation: float = 1.0,

