@@ -67,13 +67,49 @@ def main() -> None:
             lat = lat2
     device_ms_runs = [round(1e3 / r.fps_per_stream, 3) for r in runs
                       if r.fps_per_stream]
+    # Host-staged path: gated like the device path (VERDICT r4 #3).
+    # The timed loop runs in prefetch mode (block=False + pregathered
+    # side-thread gathers) while eng.run's warmup ticks are block=True —
+    # so the first prefetch-mode run pays any mode-specific first-use
+    # costs (staging-path setup, donated-buffer relayout) inside the
+    # timed region, and one H2D transport stall (80 MB/s–1.5 GB/s
+    # jitter) can crater a single 20-tick sample.  Fix: one discarded
+    # warm run in the SAME mode, then 3 timed runs; report the spread
+    # and gate on best-of-3.
+    host_runs = []
+    host_gather_ms = None
     try:
-        tp_host, _ = _run({"n_unique_frames": 8}, n_streams, ticks=20, lat_ticks=0)
-        host_fps = round(tp_host.fps_total, 2)
-        host_gather_ms = round(tp_host.host_gather_ms, 2)
+        from rustcv_tpu.core import PixelFormat, SimpleConfig
+        from rustcv_tpu.capture import SimulationDriver
+        from rustcv_tpu.runtime import MultiStreamEngine
+
+        driver = SimulationDriver(device_count=n_streams, paced=False,
+                                  n_unique_frames=8)
+        eng = MultiStreamEngine(
+            driver, n_streams,
+            SimpleConfig(width=1920, height=1080, fps=60,
+                         pixel_format=PixelFormat.YUYV),
+            filter="blur_sobel", overlay=True,
+        )
+        rects8 = np.tile(np.array([[100, 100, 400, 300]], np.int32),
+                         (n_streams, 1))
+        colors8 = np.tile(np.array([[0, 255, 0]], np.uint8),
+                          (n_streams, 1))
+        eng.run(6, warmup=5, measure_latency=False, rects=rects8,
+                rect_colors=colors8)          # discarded same-mode warm run
+        for _ in range(3):
+            s = eng.run(20, warmup=0, measure_latency=False, rects=rects8,
+                        rect_colors=colors8)
+            host_runs.append(s)
+        eng.close()
+        host_gather_ms = round(min(s.host_gather_ms for s in host_runs), 2)
     except Exception:
-        host_fps = None
-        host_gather_ms = None
+        pass
+    host_fps_runs = [round(s.fps_total, 2) for s in host_runs]
+    host_fps = max(host_fps_runs) if host_fps_runs else None
+    # Pinned band: r4 snapshot recorded 28 fps on this path; best-of-3
+    # below 10 means the path itself regressed, not one stalled sample.
+    HOST_REGRESSION_FPS = 10.0
 
     # Encoded host delivery (VERDICT r2 #2): same capture + filter pipeline
     # with the JPEG encoder's numeric half fused in (resize to VGA + FDCT +
@@ -125,6 +161,9 @@ def main() -> None:
                 "p50_roundtrip_ms": round(lat.p50_latency_ms, 3),
                 "p99_roundtrip_ms": round(lat.p99_latency_ms, 3),
                 "host_path_fps": host_fps,
+                "host_path_fps_runs": host_fps_runs,
+                "host_regression": bool(host_fps is not None
+                                        and host_fps < HOST_REGRESSION_FPS),
                 "host_gather_ms_per_tick": host_gather_ms,
                 "host_path_fps_encoded": host_fps_encoded,
                 "encoded_payload_mb_per_tick": payload_mb,

@@ -172,7 +172,11 @@ def cvtColor(src, code, dst=None, dstCn=0):
         if code == C.COLOR_YCrCb2RGB:
             out = out[..., ::-1].copy()
     else:
-        raise NotImplementedError(f"cvtColor code {code} not wrapped yet")
+        from ._color_dispatch import try_convert
+        out = try_convert(a, code)
+        if out is None:
+            raise NotImplementedError(
+                f"cvtColor code {code} not wrapped yet")
     if dst is not None:
         np.copyto(dst, out)
         return dst
@@ -180,8 +184,20 @@ def cvtColor(src, code, dst=None, dstCn=0):
 
 
 def cvtColorTwoPlane(src1, src2, code, dst=None):
-    out = _o(_ip.cvt_color_two_plane(_m(src1), _m(src2), code))
-    return out
+    """NV12/NV21 two-plane → BGR/RGB via the 20-bit ITU-R BT.601 path
+    (ops/color_cv2.py) — bit-exact vs cv2 5.0.  The capture pipeline's
+    frozen-spec NV12 kernel stays behind imgproc.cvt_color_two_plane."""
+    from ..ops import color_cv2 as _cc
+
+    y = np.asarray(src1)
+    uv = np.asarray(src2).reshape(y.shape[0] // 2, -1, 2)
+    code = int(code)
+    nv21 = code in (_C.COLOR_YUV2BGR_NV21, _C.COLOR_YUV2RGB_NV21)
+    rgb = code in (_C.COLOR_YUV2RGB_NV12, _C.COLOR_YUV2RGB_NV21)
+    u, v = uv[..., 0], uv[..., 1]
+    if nv21:
+        u, v = v, u
+    return _cc.yuv420_to_bgr_cv(y, u, v, rgb)
 
 
 def demosaicing(src, code, dst=None, dstCn=0):
@@ -966,12 +982,13 @@ def subtract(src1, src2, dst=None, mask=None, dtype=-1):
 
 
 def multiply(src1, src2, dst=None, scale=1, dtype=-1):
-    return _o(_ip.multiply(_m(src1), _m(src2), scale) if scale != 1
-              else _ip.multiply(_m(src1), _m(src2)))
+    # ops.multiply_u8 takes ndarrays (Mat has no .astype — caught by
+    # the r5 call-coverage harness)
+    return _o(_ip.multiply(_o(_m(src1)), _o(_m(src2)), float(scale)))
 
 
 def divide(src1, src2, dst=None, scale=1, dtype=-1):
-    return _o(_ip.divide(_m(src1), _m(src2)))
+    return _o(_ip.divide(_o(_m(src1)), _o(_m(src2)), float(scale)))
 
 
 def absdiff(src1, src2, dst=None):

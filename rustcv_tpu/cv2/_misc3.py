@@ -266,7 +266,11 @@ def HoughLinesWithAccumulator(image, rho, theta, threshold, lines=None,
     from ..ops.hough import hough_lines_numpy
 
     n_thetas = max(int(round(np.pi / theta)), 1)
-    diag = float(np.hypot(*np.asarray(image).shape))
+    a = np.asarray(image)
+    if a.ndim == 3:
+        a = a[..., 0]
+    image = a
+    diag = float(np.hypot(*a.shape[:2]))
     rho_bins = max(int(np.ceil(2 * diag / rho)) | 1, 3)
     ls, votes = hough_lines_numpy(np.asarray(image), n_thetas=n_thetas,
                                   rho_bins=rho_bins, threshold=threshold,
@@ -780,9 +784,9 @@ def addText(img, text, org, nameFont, pointSize=-1, color=(0, 0, 0),
     from .. import imgproc as _ip
 
     m = _m(img)
-    _ip.put_text(m, str(text), (int(org[0]), int(org[1])),
-                 font_scale=max(pointSize, 12) / 22.0,
-                 color=tuple(int(c) for c in color[:3]))
+    _ip.put_text(m, str(text), _ip.Point(int(org[0]), int(org[1])),
+                 max(pointSize, 12) / 22.0,
+                 _ip.Scalar(*[int(c) for c in color[:3]]))
     np.copyto(img, _o(m).reshape(img.shape))
     return img
 

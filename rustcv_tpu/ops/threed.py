@@ -68,7 +68,10 @@ def load_point_cloud(path: str) -> np.ndarray:
     with open(path, "rb") as fh:
         header = []
         while True:
-            line = fh.readline().decode("ascii", "replace").strip()
+            raw = fh.readline()
+            if not raw:   # EOF before end_header: reject, don't spin
+                raise ValueError(f"not a PLY file: {path}")
+            line = raw.decode("ascii", "replace").strip()
             header.append(line)
             if line == "end_header":
                 break
@@ -351,7 +354,10 @@ def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
     with open(path) as fh:
         n_v = n_f = 0
         while True:
-            line = fh.readline().strip()
+            raw = fh.readline()
+            if not raw:   # EOF before end_header: reject, don't spin
+                raise ValueError(f"not a PLY mesh: {path}")
+            line = raw.strip()
             if line.startswith("element vertex"):
                 n_v = int(line.split()[-1])
             elif line.startswith("element face"):
