@@ -426,8 +426,32 @@ def remap(src, map1, map2, interpolation=1, dst=None, borderMode=0,
 
 
 def convertMaps(map1, map2, dstmap1type, nninterpolation=False):
-    return _ip.convert_maps(np.asarray(map1), np.asarray(map2),
-                            dstmap1type, nninterpolation)
+    """cv2 signature: dstmap1type selects CV_16SC2 (fixed point),
+    CV_32FC1 (two float planes) or CV_32FC2 (one 2-ch float map)."""
+    m1 = np.asarray(map1)
+    m2 = None if map2 is None else np.asarray(map2)
+    t = int(dstmap1type)
+    if t == 11:        # CV_16SC2
+        if m1.ndim == 3 and m1.shape[-1] == 2:
+            m1, m2 = m1[..., 0], m1[..., 1]
+        return _ip.convert_maps(m1, m2)
+    if m1.dtype == np.int16:   # fixed point -> float
+        frac = (np.zeros(m1.shape[:2], np.uint16) if m2 is None
+                else np.asarray(m2, np.uint16))
+        fx = (frac & 31).astype(np.float32) / 32.0
+        fy = ((frac >> 5) & 31).astype(np.float32) / 32.0
+        mx = m1[..., 0].astype(np.float32) + fx
+        my = m1[..., 1].astype(np.float32) + fy
+    elif m1.ndim == 3 and m1.shape[-1] == 2:
+        mx, my = m1[..., 0].astype(np.float32), m1[..., 1].astype(
+            np.float32)
+    else:
+        mx = m1.astype(np.float32)
+        my = (np.zeros_like(mx) if m2 is None
+              else np.asarray(m2, np.float32))
+    if t == 13:        # CV_32FC2
+        return np.stack([mx, my], -1), None
+    return mx, my      # CV_32FC1
 
 
 def warpPolar(src, dsize, center, maxRadius, flags):
@@ -1351,8 +1375,12 @@ def SVBackSubst(w, u, vt, rhs, dst=None):
 
 
 def PCACompute(data, mean, eigenvectors=None, maxComponents=0):
-    mu, vecs = _ip.pca_compute(np.asarray(data, np.float64),
-                               int(maxComponents) or None)
+    # ops.pca_compute returns (mean, eigenvectors, eigenvalues) and
+    # takes (data, mean, max_components) — r5 call-coverage fix
+    mu, vecs, _vals = _ip.pca_compute(
+        np.asarray(data, np.float64),
+        None if mean is None else np.asarray(mean, np.float64),
+        int(maxComponents))
     return np.asarray(mu).reshape(1, -1), np.asarray(vecs)
 
 
@@ -1384,16 +1412,21 @@ def calcCovarMatrix(samples, mean, flags, ctype=6):
 
 
 def mulTransposed(src, aTa, dst=None, delta=None, scale=1, dtype=-1):
-    return np.asarray(_ip.mul_transposed(np.asarray(src, np.float64),
-                                         bool(aTa), delta, float(scale)))
+    a = np.asarray(src, np.float64)
+    if delta is not None:
+        a = a - np.asarray(delta, np.float64)
+    return np.asarray(_ip.mul_transposed(a, bool(aTa), float(scale)))
 
 
 def mixChannels(src, dst, fromTo):
-    out = _ip.mix_channels([np.asarray(s) for s in src],
-                           [np.asarray(d) for d in dst],
-                           list(int(v) for v in fromTo))
+    # ops.mix_channels takes per-output CHANNEL COUNTS, not the arrays
+    # (r5 call-coverage fix)
+    dsts = [np.asarray(d) for d in dst]
+    counts = [1 if d.ndim == 2 else d.shape[-1] for d in dsts]
+    out = _ip.mix_channels([np.asarray(s) for s in src], counts,
+                           [int(v) for v in fromTo])
     for d, o in zip(dst, out):
-        np.copyto(d, o)
+        np.copyto(d, np.asarray(o).reshape(np.asarray(d).shape))
     return dst
 
 
@@ -1754,11 +1787,15 @@ def approxPolyDP(curve, epsilon, closed):
     return np.asarray(out).reshape(-1, 1, 2)
 
 
-def approxPolyN(curve, nsides, epsilon_percentage=-1.0,
+def approxPolyN(curve, nsides, approxCurve=None, epsilon_percentage=-1.0,
                 ensure_convex=True):
     out = _ip.approx_poly_n(np.asarray(curve).reshape(-1, 2), int(nsides),
-                            float(epsilon_percentage), bool(ensure_convex))
-    return np.asarray(out).reshape(-1, 1, 2)
+                            bool(ensure_convex))
+    out = np.asarray(out).reshape(1, -1, 2)   # cv2's (1, N, 2)
+    if approxCurve is not None:
+        np.copyto(approxCurve, out.reshape(np.asarray(approxCurve).shape))
+        return approxCurve
+    return out
 
 
 def convexHull(points, hull=None, clockwise=False, returnPoints=True):
@@ -2057,7 +2094,9 @@ def distanceTransform(src, distanceType, maskSize, dst=None, dstType=5):
 
 
 def distanceTransformWithLabels(src, distanceType, maskSize, **kw):
-    d, lab = _ip.distance_transform_l2_with_labels(_m(src))
+    # ops takes the raw (H, W) array, not a Mat (r5 call-coverage fix)
+    d, lab = _ip.distance_transform_l2_with_labels(
+        np.asarray(_o(_m(src))))
     return np.asarray(d, np.float32), np.asarray(lab, np.int32)
 
 
@@ -2089,7 +2128,8 @@ def floodFill(image, mask, seedPoint, newVal, loDiff=0, upDiff=0, flags=4):
 
 
 def pyrMeanShiftFiltering(src, sp, sr, dst=None, maxLevel=1, termcrit=None):
-    return _o(_ip.pyr_mean_shift_filtering(_m(src), float(sp), float(sr),
+    # ops treats sp as an integer window radius (cv2 accepts float)
+    return _o(_ip.pyr_mean_shift_filtering(_m(src), int(sp), float(sr),
                                            max_level=int(maxLevel)))
 
 

@@ -445,11 +445,14 @@ def findTransformECCMultiScale(templateImage, inputImage, warpMatrix=None,
     if criteria is not None:
         _, iters, eps = criteria
     motion = _MOTION_NAMES[int(motionType)]
+    # ops signature: (template, image, motion, levels, iterations, eps)
+    # — it derives its own initial warp per level; warpMatrix only
+    # selects the motion model's shape (r5 call-coverage fix: the old
+    # code passed the warp matrix into the `levels` slot)
     rho, W = _ecc.find_transform_ecc_multiscale(
         np.asarray(templateImage, np.float64),
         np.asarray(inputImage, np.float64), motion,
-        None if warpMatrix is None else np.asarray(warpMatrix, np.float64),
-        int(iters), float(eps))
+        int(maxPyrLevel), int(iters), float(eps))
     return rho, np.asarray(W, np.float32)
 
 

@@ -111,16 +111,16 @@ def drawDetectedMarkers(image, corners, ids=None,
 
 def estimatePoseSingleMarkers(corners, markerLength, cameraMatrix,
                               distCoeffs):
-    rvecs, tvecs = [], []
-    for c in corners:
-        r, t = _ar.estimate_pose_single_markers(
-            np.asarray(c, np.float64).reshape(4, 2), float(markerLength),
-            np.asarray(cameraMatrix),
-            np.zeros(5) if distCoeffs is None
-            else np.asarray(distCoeffs, np.float64).ravel())
-        rvecs.append(np.asarray(r).reshape(1, 3))
-        tvecs.append(np.asarray(t).reshape(1, 3))
-    return np.asarray(rvecs), np.asarray(tvecs), None
+    # ops.estimate_pose_single_markers iterates the marker list itself
+    # (r5 call-coverage fix: the old wrapper double-iterated, feeding
+    # single corner ROWS to the ops layer)
+    rvecs, tvecs = _ar.estimate_pose_single_markers(
+        [np.asarray(c, np.float64).reshape(4, 2) for c in corners],
+        float(markerLength), np.asarray(cameraMatrix),
+        np.zeros(5) if distCoeffs is None
+        else np.asarray(distCoeffs, np.float64).ravel())
+    return (np.asarray(rvecs).reshape(-1, 1, 3),
+            np.asarray(tvecs).reshape(-1, 1, 3), None)
 
 
 # ------------------------------------------------------------- boards

@@ -154,7 +154,9 @@ def inpaint_diffusion_numpy(img: np.ndarray, mask: np.ndarray,
         p = np.pad(cur, ((1, 1), (1, 1), (0, 0)), mode="edge")
         avg = (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]) / 4.0
         new = np.where(hm, avg, a)
-        delta = np.abs(new - cur)[hm].max() if hm.any() else 0.0
+        # index with the 2-D mask: boolean masks don't broadcast, so
+        # [hm] breaks on multi-channel images (r5 call-coverage fix)
+        delta = np.abs(new - cur)[hole].max() if hole.any() else 0.0
         cur = new
         if delta < tol:
             break

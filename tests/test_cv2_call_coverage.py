@@ -24,22 +24,14 @@ import numpy as np
 import pytest
 
 import rustcv_tpu.cv2 as R
-from cv2_callcov import build_call, img_u8, gray_u8, mask_u8, pts2f, \
-    pts3f, camK, dist5, contour, H, W
+from cv2_callcov import build_call, OVERRIDES, EXPECTED_FAIL_NAMES
 
-# ---------------------------------------------------------------------------
-# Per-callable overrides: args factories or "skip:<reason>" strings.
-# ---------------------------------------------------------------------------
-
-OVERRIDES = {}
-
-# Names whose honest behavior on a CI box is to raise (documented guards).
-EXPECTED_FAIL = {}
-
+# typing is alias-only; builtins_max/min are re-exports of Python
+# builtins (inspect.signature fails on them by design)
 SUBMODULES = ["aruco", "barcode", "ccm", "detail", "dnn", "fisheye",
               "flann", "mcc", "segmentation", "utils",
-              "videoio_registry", "samples", "data", "typing",
-              "parallel"]
+              "videoio_registry", "samples", "data", "parallel"]
+EXCLUDE = {"builtins_max", "builtins_min"}
 
 
 def _public_callables(mod, prefix=""):
@@ -63,10 +55,18 @@ def _enumerate():
         m = getattr(R, sub, None)
         if m is not None and isinstance(m, types.ModuleType):
             items += _public_callables(m, sub + ".")
-    return items
+    return [(q, f) for q, f in items if q not in EXCLUDE]
 
 
 ALL = _enumerate()
+
+# The raise-on-call bug class: a wrapper that cannot survive a VALID
+# call.  Any of these escaping a valid synthesized call fails the test.
+BUG_CLASS = (TypeError, AttributeError, NameError, NotImplementedError)
+# Exceptions that prove the call reached a real implementation which
+# honestly rejected the INPUT (missing file, singular matrix, ...).
+REACHED_IMPL = (ValueError, KeyError, FileNotFoundError, OSError,
+                np.linalg.LinAlgError)
 
 
 @pytest.mark.parametrize("qualname,func", ALL,
@@ -80,18 +80,45 @@ def test_call(qualname, func):
     args, kwargs = plan
     try:
         func(*args, **kwargs)
+    except BUG_CLASS as e:
+        if qualname in EXPECTED_FAIL_NAMES and isinstance(
+                e, NotImplementedError):
+            return     # documented honest guard
+        raise
+    except REACHED_IMPL:
+        return         # wrapper works; input legitimately rejected
     except Exception as e:  # noqa: BLE001
-        exp = EXPECTED_FAIL.get(qualname)
-        if exp is not None and isinstance(e, exp[0]) and exp[1] in str(e):
+        # library-specific clean errors (CameraError, cv2.error ...)
+        if type(e).__name__ in ("CameraError", "error",
+                                "UnidentifiedImageError"):
             return
         raise
 
 
 def test_enumeration_complete():
     """Every public callable reachable from the facade root and its
-    submodules appears in the parametrized sweep."""
-    assert len(ALL) > 500, len(ALL)
+    submodules appears in the parametrized sweep, and the sweep is big
+    enough that a silent enumeration break would be obvious."""
+    assert len(ALL) > 540, len(ALL)
     names = {q for q, _ in ALL}
-    for n in ("cvtColor", "resize", "GaussianBlur", "aruco.detectMarkers"
-              if hasattr(R.aruco, "detectMarkers") else "cvtColor"):
-        assert any(n in names for n in [n]), n
+    for n in ("cvtColor", "resize", "GaussianBlur", "seamlessClone",
+              "aruco.detectMarkers", "dnn.NMSBoxes",
+              "fisheye.undistortPoints"):
+        assert n in names, n
+
+
+def test_expected_fail_names_still_raise():
+    """The EXPECTED_FAIL list must not rot: each listed name still
+    raises NotImplementedError (if one starts succeeding, drop it so
+    coverage tightens)."""
+    listed = [q for q, _ in ALL if q in EXPECTED_FAIL_NAMES]
+    assert listed, "no expected-fail names enumerated"
+    for q, f in ALL:
+        if q not in EXPECTED_FAIL_NAMES:
+            continue
+        plan = build_call(f, q, OVERRIDES)
+        if isinstance(plan, str):
+            continue
+        args, kwargs = plan
+        with pytest.raises(NotImplementedError):
+            f(*args, **kwargs)
