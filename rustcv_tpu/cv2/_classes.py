@@ -382,10 +382,11 @@ class _TrackerShim:
         return cls(*a, **k)
 
     def init(self, image, boundingBox):
-        self._t.init(_m(image), tuple(boundingBox))
+        # ops trackers take ndarrays, not Mats (r5 call-coverage fix)
+        self._t.init(np.asarray(_o(_m(image))), tuple(boundingBox))
 
     def update(self, image):
-        ok, bbox = self._t.update(_m(image))
+        ok, bbox = self._t.update(np.asarray(_o(_m(image))))
         return bool(ok), tuple(float(v) for v in bbox)
 
 
@@ -1054,10 +1055,18 @@ class CascadeClassifier:
     def detectMultiScale(self, image, scaleFactor=1.1, minNeighbors=3,
                          flags=0, minSize=None, maxSize=None):
         from ..ops import cascade as _casc
+        if self._c is None:
+            # cv2 raises error on an empty cascade; a clean rejection,
+            # not an AttributeError on internals
+            raise ValueError("CascadeClassifier is empty: load() a "
+                             "model first")
+        # ops kwargs are scale_step / min_size (greedy NMS replaces
+        # cv2's minNeighbors vote) — r5 call-coverage fix
         boxes, _ = _casc.detect_multi_scale(
             np.asarray(_o(np.asarray(image))), self._c,
-            scale_factor=float(scaleFactor),
-            min_neighbors=int(minNeighbors))
+            scale_step=float(scaleFactor),
+            min_size=0 if minSize is None else int(
+                np.min(np.asarray(minSize))))
         return np.asarray(boxes, np.int32).reshape(-1, 4)
 
 

@@ -373,10 +373,12 @@ def align_mtb_shift(ref_gray: np.ndarray, img_gray: np.ndarray,
     for _ in range(maxlevel):
         r0 = refs[-1]
         i0 = imgs[-1]
-        refs.append(r0[:(r0.shape[0] // 2) * 2:2,
-                       :(r0.shape[1] // 2) * 2:2])
-        imgs.append(i0[:(i0.shape[0] // 2) * 2:2,
-                       :(i0.shape[1] // 2) * 2:2])
+        # ascontiguousarray: np.bincount segfaults (numpy 2.x) on
+        # repeatedly-strided u8 views from stacked [::2, ::2] slices
+        refs.append(np.ascontiguousarray(
+            r0[:(r0.shape[0] // 2) * 2:2, :(r0.shape[1] // 2) * 2:2]))
+        imgs.append(np.ascontiguousarray(
+            i0[:(i0.shape[0] // 2) * 2:2, :(i0.shape[1] // 2) * 2:2]))
     dy = dx = 0
     for lv in range(len(refs) - 1, -1, -1):
         dy *= 2
