@@ -29,6 +29,12 @@ def calc_hist_numpy(gray: np.ndarray) -> np.ndarray:
 
 
 def equalize_hist_numpy(gray: np.ndarray) -> np.ndarray:
+    """Bit-exact cv2.equalizeHist: the LUT is cvRound(f32(sum) * f32
+    scale) with scale = 255.f/(total - hist[first]) — the f32 product
+    and the round-half-to-even must BOTH be replicated or knife-edge
+    CDF values flip by 1 LSB (found by the r5 rotating-seed sweep;
+    the previous exact-integer round-half-up formula differed on ~12%
+    of random images)."""
     hist = calc_hist_numpy(gray).astype(np.int64)
     cdf = np.cumsum(hist)
     n = int(cdf[-1])
@@ -37,7 +43,8 @@ def equalize_hist_numpy(gray: np.ndarray) -> np.ndarray:
     denom = n - cdf_min
     if denom <= 0:
         return gray.copy()  # constant image: identity
-    lut = (255 * (cdf - cdf_min) + denom // 2) // denom
+    scale = np.float32(255.0) / np.float32(denom)
+    lut = np.rint((cdf - cdf_min).astype(np.float32) * scale)
     return np.clip(lut, 0, 255).astype(np.uint8)[gray]
 
 
@@ -79,45 +86,21 @@ def apply_lut(img: jax.Array, lut: jax.Array) -> jax.Array:
     return jnp.sum(a * lo, axis=-1).astype(jnp.uint8).reshape(img.shape)
 
 
-def equalize_hist(gray: jax.Array) -> jax.Array:
-    """Exact-integer histogram equalization — bit-exact vs the oracle at
-    ANY size: above ~8.4M pixels (where 255·cdf would overflow int32 on
-    device) the 256-entry LUT is built on the host in int64 from the
-    device histogram (a 1 KB D2H) and applied with the gather-free
-    :func:`apply_lut`."""
-    import numpy as np_
-
-    n_pix = 1
-    for d in gray.shape:
-        n_pix *= int(d)
-    if 255 * n_pix + n_pix // 2 < 2**31:
-        return _equalize_hist_small(gray)
-    hist = np_.asarray(calc_hist(gray)).astype(np_.int64)
-    cdf = np_.cumsum(hist)
-    populated = np_.nonzero(hist)[0]
-    cdf_min = int(cdf[populated[0]]) if populated.size else 0
-    denom = int(cdf[-1]) - cdf_min
-    if denom <= 0:
-        return gray
-    lut = np_.clip(
-        (255 * (cdf - cdf_min) + denom // 2) // denom, 0, 255
-    ).astype(np_.uint8)
-    return apply_lut(gray, jnp.asarray(lut))
-
-
 @jax.jit
-def _equalize_hist_small(gray: jax.Array) -> jax.Array:
-    from .color import _div_floor_exact
-
+def equalize_hist(gray: jax.Array) -> jax.Array:
+    """Histogram equalization, bit-exact vs cv2 at ANY size: the LUT is
+    cv2's own f32 arithmetic (cvRound(f32(sum) · 255.f/denom)) — one
+    IEEE multiply + round-half-even, identical on CPU/TPU/numpy, and
+    immune to the int32 overflow that forced the old exact-integer
+    formula onto a host path above ~8.4M pixels."""
     hist = calc_hist(gray)
     cdf = jnp.cumsum(hist)
     n = cdf[-1]
     first = jnp.argmax(hist > 0)  # lowest populated bin
     cdf_min = cdf[first]
     denom = n - cdf_min
-    lut = _div_floor_exact(
-        255 * (cdf - cdf_min) + denom // 2, jnp.maximum(denom, 1)
-    )
+    scale = jnp.float32(255.0) / jnp.maximum(denom, 1).astype(jnp.float32)
+    lut = jnp.rint((cdf - cdf_min).astype(jnp.float32) * scale)
     lut = jnp.clip(lut, 0, 255).astype(jnp.uint8)
     out = apply_lut(gray, lut)  # gather-free LUT apply (see apply_lut)
     return jnp.where(denom > 0, out, gray)  # constant image: identity

@@ -12,7 +12,9 @@ import rustcv_tpu.cv2 as R
 
 cv2 = pytest.importorskip("cv2")
 
-SEEDS = [0, 1, 2, 7, 42]
+from tests._seeds import diff_seeds
+
+SEEDS = diff_seeds(5)
 
 
 def _u8(rng, h=24, w=32, c=None):

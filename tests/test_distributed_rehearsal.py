@@ -15,6 +15,7 @@ is the turnkey pod script being rehearsed. Recorded pass: docs/ROUND4.md.
 """
 
 import ast
+import json
 import os
 import socket
 import subprocess
@@ -70,3 +71,50 @@ def test_two_process_fleet_psum():
     # (identical work per process; generous band for CPU timing noise)
     ratio = rec["fleet_fps"] / rec["local_fps"]
     assert 1.5 < ratio < 2.5, f"fleet/local ratio {ratio} — psum local only?"
+
+
+@pytest.mark.slow
+def test_four_process_2d_mesh_bit_exact():
+    """VERDICT r4 #7: 4 processes x 4 devices = a 16-chip virtual fleet
+    running the 2-D streams x rows program (ppermute halo exchange) with
+    the device grid transposed so EVERY row-band neighbor lives in a
+    different process — the halos must cross process boundaries for the
+    result to be bit-exact vs the golden integer chain."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["RUSTCV_GUI"] = "0"
+    env["PYTHONPATH"] = _REPO
+    coord = f"127.0.0.1:{_free_port()}"
+    n_proc = 4
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "examples/rehearse_2d_distributed.py",
+             "--coordinator", coord, "--num-processes", str(n_proc),
+             "--process-id", str(pid), "--platform", "cpu"],
+            env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in range(n_proc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        outs.append((p.returncode, out, err))
+    recs = []
+    for rc, out, err in outs:
+        assert rc == 0, f"process failed rc={rc}\n{out[-2000:]}\n{err[-4000:]}"
+        line = next(l for l in out.splitlines() if l.startswith("{"))
+        recs.append(json.loads(line))
+    for rec in recs:
+        assert rec["chips"] == 16, "global mesh did not form 4x4"
+        assert rec["mesh"] == [4, 4]
+        assert rec["bit_exact"] is True
+        assert rec["shards_checked"] == 4  # one band per stream per process
+    # interior bands consumed 2 cross-process halos each, edge bands 1:
+    # per process = 4 streams x (1 or 2); fleet total = 4 streams x 3
+    # edges x 2 directions = 24
+    assert sum(r["cross_process_halo_edges"] for r in recs) == 24

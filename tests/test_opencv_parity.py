@@ -13,8 +13,8 @@ Bit-exact vs OpenCV 5.0 (measured, now enforced):
 
 ±1–2 LSB (different fixed-point headroom, enforced at the measured bound):
     bgr_to_gray (±1), bgr_to_hsv (±1), bgr_to_lab (±2),
-    resize INTER_AREA (±1), resize INTER_CUBIC (±1),
-    equalizeHist (±1 at exact .5 CDF rounding ties only).
+    resize INTER_AREA (±1), resize INTER_CUBIC (±1).
+(equalizeHist became bit-exact in r5: cv2's f32 cvRound LUT replicated.)
 
 Float agreement: matchTemplate normed methods ≤2e-6 abs, TM_SQDIFF
     ≤4 abs of O(1e6) values; HuMoments ≤1e-9 rel.
@@ -147,15 +147,15 @@ def test_pyramids_exact(gray):
     _assert_close_u8(golden.pyr_up(gray), cv2.pyrUp(gray), crop=2)
 
 
-def test_equalize_hist_lsb():
-    # measured over 200 random images: identical except where the CDF
-    # lands exactly on a .5 rounding tie — ±1 LSB, ~12% of images have
-    # ANY differing pixel; enforce that bound across several seeds
+def test_equalize_hist_exact():
+    # bit-exact since r5: the LUT replicates cv2's f32 cvRound(sum*scale)
+    # arithmetic (the old exact-integer round-half-up differed by ±1 LSB
+    # on ~12% of random images; 0/400 seeds differ now)
     for seed in range(8):
         local = np.random.default_rng(seed)
         gray = local.integers(0, 256, (64, 96), np.uint8)
-        _assert_close_u8(hist_ops.equalize_hist_numpy(gray),
-                         cv2.equalizeHist(gray), max_lsb=1)
+        np.testing.assert_array_equal(hist_ops.equalize_hist_numpy(gray),
+                                      cv2.equalizeHist(gray))
 
 
 def test_moments_exact(gray):

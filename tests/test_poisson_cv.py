@@ -16,7 +16,9 @@ from rustcv_tpu.ops import poisson_cv as P
 
 cv2 = pytest.importorskip("cv2")
 
-SEEDS = [0, 1, 2, 7, 42]
+from tests._seeds import diff_seeds
+
+SEEDS = diff_seeds(5)
 
 
 def _smooth_u8(rng, h, w, c=3):
