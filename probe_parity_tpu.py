@@ -169,7 +169,143 @@ def compute_all():
     out["tick_fused_bgr"] = tb
     out["tick_fused_filt"] = tf
 
-    return {k: np.asarray(v) for k, v in out.items()}
+    # ------------------------------------------------------- r5 batch
+    # every remaining device twin in ops/ (VERDICT r4 #2: 67 -> all).
+    # Heavier iterative kernels run on a smaller crop to bound the
+    # remote compile+run budget.
+    from rustcv_tpu.ops import bgsub as BG
+    from rustcv_tpu.ops import blend as BL
+    from rustcv_tpu.ops import corner as CO
+    from rustcv_tpu.ops import draw as DR
+    from rustcv_tpu.ops import dtfilter as DT
+    from rustcv_tpu.ops import fast as FA
+    from rustcv_tpu.ops import hough as HO
+    from rustcv_tpu.ops import hist as HI2
+    from rustcv_tpu.ops import inpaint as IP
+    from rustcv_tpu.ops import jpeg_tpu as JT
+    from rustcv_tpu.ops import knn_bgsub as KN
+    from rustcv_tpu.ops import kmeans as KM
+    from rustcv_tpu.ops import morphx as MX
+    from rustcv_tpu.ops import nlmeans as NL
+    from rustcv_tpu.ops import meanshift_filter as MS
+    from rustcv_tpu.ops import optflow as OF
+    from rustcv_tpu.ops import farneback as FB
+    from rustcv_tpu.ops import registration as RG
+    from rustcv_tpu.ops import slic as SL
+    from rustcv_tpu.ops import stereo as ST
+    from rustcv_tpu.ops import sgbm as SG
+    from rustcv_tpu.ops import template as TM
+    from rustcv_tpu.ops import transform as TR
+    from rustcv_tpu.ops import tvl1 as TV
+    from rustcv_tpu.ops import watershed as WS
+
+    g0 = ins["gray"][0]
+    g1 = ins["gray2"][0]
+    small = g0[:144, :256]
+    small2 = g1[:144, :256]
+    hwc_s = ins["hwc"][:144, :256]
+
+    @jax.jit
+    def prog_extra1(g, g2, hwc, sm, sm2):
+        o = {}
+        o["clahe"] = HI2.clahe(g)
+        o["match_tmpl_ccoeffn"] = TM.match_template(
+            g, g2[:24, :32], "ccoeff_normed")
+        o["match_tmpl_sqdiff"] = TM.match_template(
+            g, g2[:24, :32], "sqdiff")
+        gx, gy = CO.spatial_gradient(g)
+        o["spatial_gx"], o["spatial_gy"] = gx, gy
+        o["corner_min_eig"] = CO.corner_min_eigen_val(g)
+        o["corner_eig_vv"] = CO.corner_eigen_vals_and_vecs(g)
+        o["pre_corner"] = CO.pre_corner_detect(g)
+        o["fast_resp"] = FA.fast_response(g)
+        o["harris_f32"] = FE.harris_response(g)
+        o["dct"] = TR.dct(g.astype(jnp.float32))
+        o["idct"] = TR.idct(TR.dct(g.astype(jnp.float32)))
+        o["mul_spectrums"] = TR.mul_spectrums(
+            TR.dft(g.astype(jnp.float32)),
+            TR.dft(g2.astype(jnp.float32)))
+        shiftv, resp = RG.phase_correlate(g, g2)
+        o["phase_corr_shift"], o["phase_corr_resp"] = shiftv, resp
+        o["thinning"] = MX.thinning(g > 128)
+        o["dtfilter"] = DT.dt_filter(hwc, hwc)
+        o["multiband"] = BL.multi_band_blend(hwc, hwc[::-1],
+                                             (g > 128)[: hwc.shape[0]])
+        o["inpaint_diff"] = IP.inpaint_diffusion(
+            sm, (sm2 > 200), max_iters=64)
+        o["tvl1"] = TV.denoise_tvl1(
+            jnp.stack([sm, sm2, sm]), niters=8)
+        return o
+
+    out.update(prog_extra1(g0, g1, ins["hwc"], small, small2))
+
+    @jax.jit
+    def prog_extra2(sm, sm2, hwc_small):
+        o = {}
+        o["nlm"] = NL.nl_means(sm, 10.0, 7, 11)
+        o["nlm_color"] = NL.nl_means_colored(hwc_small, 3.0, 3.0, 7, 11)
+        o["meanshift"] = MS.pyr_mean_shift(hwc_small, 5, 20.0, 1, 3)
+        o["slic_labels"] = SL.slic_device(hwc_small, 24, 10.0, 4)
+        d_bm, v_bm = ST.stereo_bm(sm, sm2, 32, 9)
+        o["stereo_bm_disp"], o["stereo_bm_valid"] = d_bm, v_bm
+        o["sgbm_disp"] = SG.stereo_sgbm(sm, sm2, 32, 5)[0]
+        o["watershed"] = WS._flood(
+            sm, jnp.where(sm > 200, 1, jnp.where(sm < 50, 2, 0)
+                          ).astype(jnp.int32), 64)[0]
+        o["farneback"] = FB.farneback_flow(sm, sm2, 2, 9, 2)
+        pts = jnp.asarray([[30.0, 40.0], [120.0, 60.0], [200.0, 100.0]],
+                          jnp.float32)
+        np_, st_ = OF.calc_optical_flow_pyr_lk(sm, sm2, pts, 15, 2, 5)
+        o["lk_pts"], o["lk_status"] = np_, st_
+        return o
+
+    out.update(prog_extra2(small, small2, hwc_s))
+
+    # stateful / multi-output twins (own jits inside)
+    st0 = BG.mog2_init(g0.shape)
+    st1, fg = jax.jit(BG.mog2_step)(st0, g0)
+    _, fg2 = jax.jit(BG.mog2_step)(st1, g1)
+    out["mog2_fg"] = fg2
+    out["mog2_shadow"] = jax.jit(BG.shadow_mask)(st1, g1, fg2)
+    ks = KN.knn_init(g0)
+    ks1, kfg = jax.jit(KN.knn_step)(ks, g0)
+    _, kfg2 = jax.jit(KN.knn_step)(ks1, g1)
+    out["knn_fg"] = kfg2
+    data = np.asarray(ins["hwc"], np.float32).reshape(-1, 3)[:4096]
+    c0 = KM.kmeans_pp_init(data, 6)
+    cen_km, lab_km, _inertia = KM.kmeans(jnp.asarray(data), 6,
+                                         init_centers=jnp.asarray(c0))
+    out["kmeans_labels"] = lab_km
+    out["kmeans_centers"] = cen_km
+    lines_l, valid_l, votes_l = HO.hough_lines(
+        (g0 > 200).astype(jnp.uint8) * 255, threshold=40)
+    out["hough_votes"] = votes_l
+    out["hough_valid"] = valid_l
+    rect1 = DR.rectangle(jnp.asarray(ins["hwc"]),
+                         jnp.asarray([40, 30, 200, 120], jnp.int32),
+                         jnp.asarray([0, 255, 0], jnp.uint8),
+                         jnp.int32(2))
+    out["draw_rect"] = rect1
+    qt = jnp.asarray(np.full((8, 8), 16, np.int32))
+    coeffs = jnp.asarray(
+        (np.asarray(ins["gray"][0][:64, :64]).astype(np.int16) - 100)
+        .reshape(8, 8, 8, 8).swapaxes(1, 2))  # (bh, bw, 8, 8)
+    out["jpeg_idct"] = JT.dequant_idct_plane(coeffs, qt)
+    out["jpeg_up_h2v2"] = JT.upsample(
+        jnp.asarray(ins["gray"][0][:64, :64]), 2, 2)
+
+    res = {}
+    bad = []
+    for k, v in out.items():
+        try:
+            res[k] = np.asarray(v)
+        except Exception as e:  # name the op that hit a backend error
+            print(f"FETCH-FAIL {k}: {type(e).__name__} {str(e)[:200]}",
+                  flush=True)
+            bad.append(k)
+    if bad:
+        raise RuntimeError(f"backend failed fetching: {bad}")
+    return res
 
 
 def main() -> None:
@@ -195,7 +331,23 @@ def main() -> None:
     # TPU backends by ≤1 LSB — add_weighted_u8 ("±1 LSB ... for non-dyadic
     # weights", ops/arith.py) and bgr_to_lab (f32 cube-root path). Scalar
     # float reductions compare with rtol instead of bitwise.
-    TOL_1LSB = {"addw", "lab"}
+    TOL_1LSB = {"addw", "lab",
+                # r5 batch: f32-internal u8 kernels where CPU/TPU fma
+                # and reciprocal rounding can flip a knife edge
+                "nlm", "nlm_color", "dtfilter", "multiband",
+                "inpaint_diff", "tvl1", "jpeg_up_h2v2"}
+    # decision kernels (per-pixel argmin / threshold on f32): a flipped
+    # tie changes the LABEL, not a value — contract is distributional
+    FRAC_TOL = {"mog2_fg": 0.01, "knn_fg": 0.01, "mog2_shadow": 0.01,
+                "slic_labels": 0.01, "watershed": 0.02,
+                "kmeans_labels": 0.02, "meanshift": 0.02,
+                "hough_votes": 0.05, "hough_valid": 0.20,
+                "lk_status": 0.34, "stereo_bm_valid": 0.01,
+                "stereo_bm_disp": 0.01, "sgbm_disp": 0.01}
+    # iterative float solvers: compare loosely (documented)
+    FLOAT_LOOSE = {"farneback": 0.05, "lk_pts": 0.5,
+                   "phase_corr_shift": 0.05, "phase_corr_resp": 0.02,
+                   "kmeans_centers": 0.5}
     results, failed = {}, []
     for k in ref.files:
         a, b = ref[k], got[k]
@@ -203,8 +355,19 @@ def main() -> None:
             results[k] = f"SHAPE {a.shape} vs {b.shape}"
             failed.append(k)
         elif np.issubdtype(a.dtype, np.floating):
-            if np.allclose(a, b, rtol=1e-5, atol=1e-5):
-                results[k] = "float_close(rtol=1e-5)"
+            atol = FLOAT_LOOSE.get(k, 1e-5)
+            rtol = 1e-3 if k in FLOAT_LOOSE else 1e-5
+            if np.allclose(a, b, rtol=rtol, atol=atol):
+                results[k] = (f"float_close(atol={atol})"
+                              if k in FLOAT_LOOSE
+                              else "float_close(rtol=1e-5)")
+            elif k in FRAC_TOL and np.isfinite(a).all():
+                frac = float((np.abs(a - b) > 1.0).mean())
+                if frac <= FRAC_TOL[k]:
+                    results[k] = f"frac_ok({frac:.4f}<=~{FRAC_TOL[k]})"
+                else:
+                    results[k] = f"MISMATCH float frac={frac:.4f}"
+                    failed.append(k)
             else:
                 results[k] = f"MISMATCH float max={float(np.abs(a - b).max())}"
                 failed.append(k)
@@ -212,14 +375,19 @@ def main() -> None:
             results[k] = "exact"
         else:
             d = np.abs(a.astype(np.int64) - b.astype(np.int64))
+            frac = float((d > 0).mean())
             if k in TOL_1LSB and d.max() <= 1:
                 results[k] = (
-                    f"tol_ok(max=1, frac={float((d > 0).mean()):.4f}) — "
+                    f"tol_ok(max=1, frac={frac:.4f}) — "
                     "documented f32-fma tolerance")
+            elif k in FRAC_TOL and frac <= FRAC_TOL[k]:
+                results[k] = (
+                    f"frac_ok(frac={frac:.4f}<={FRAC_TOL[k]}) — "
+                    "documented decision-flip tolerance")
             else:
                 results[k] = (
                     f"MISMATCH max={int(d.max())} "
-                    f"frac={float((d > 0).mean()):.4f}")
+                    f"frac={frac:.4f}")
                 failed.append(k)
     rec = {
         "backend": jax.default_backend(),

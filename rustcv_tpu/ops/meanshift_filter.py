@@ -85,6 +85,63 @@ def _ms_level(img_f, init_c, sp: int, sr: float, max_iter: int, xp):
     return c
 
 
+def _ms_level_jax(img_f, init_c, sp: int, sr, max_iter: int):
+    """JAX twin of :func:`_ms_level`: identical arithmetic in the same
+    accumulation order, but the (2·sp+1)² offset loop and the iteration
+    loop are ``lax.scan``s instead of Python unrolls — the unrolled form
+    emitted one gather HLO per offset per iteration per level (726 at
+    sp=5/iters=3/2 levels) and took XLA >10 min to compile (r5 parity-
+    probe finding); the scanned program compiles in seconds and returns
+    bit-identical f32 results (same adds, same order)."""
+    h, w = img_f.shape[:2]
+    flat = img_f.reshape(-1, 3)
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    sr2 = jnp.float32(sr) * jnp.float32(sr)
+    offs = jnp.asarray(
+        [(dy, dx) for dy in range(-sp, sp + 1) for dx in range(-sp, sp + 1)],
+        jnp.int32)
+
+    def one_iter(state, _):
+        py, px, c, frozen = state
+        cy = jnp.clip(jnp.floor(py + 0.5), 0, h - 1).astype(jnp.int32)
+        cx = jnp.clip(jnp.floor(px + 0.5), 0, w - 1).astype(jnp.int32)
+
+        def one_off(acc, off):
+            sum_y, sum_x, sum_c, cnt = acc
+            qy = jnp.clip(cy + off[0], 0, h - 1)
+            qx = jnp.clip(cx + off[1], 0, w - 1)
+            vals = jnp.take(flat, qy * w + qx, axis=0)
+            d2 = ((vals - c) ** 2).sum(axis=-1)
+            m = (d2 <= sr2).astype(flat.dtype)
+            return (sum_y + m * qy.astype(flat.dtype),
+                    sum_x + m * qx.astype(flat.dtype),
+                    sum_c + m[..., None] * vals,
+                    cnt + m), None
+
+        zero = jnp.zeros((h, w), flat.dtype)
+        (sum_y, sum_x, sum_c, cnt), _ = jax.lax.scan(
+            one_off, (zero, zero, jnp.zeros((h, w, 3), flat.dtype), zero),
+            offs)
+        has = cnt > 0
+        safe = jnp.maximum(cnt, 1.0)
+        ny = jnp.where(has, sum_y / safe, py)
+        nx = jnp.where(has, sum_x / safe, px)
+        nc = jnp.where(has[..., None], sum_c / safe[..., None], c)
+        move2 = (ny - py) ** 2 + (nx - px) ** 2
+        dcol2 = ((nc - c) ** 2).sum(axis=-1)
+        done = (move2 <= 0.25) & (dcol2 <= 1.0)
+        py = jnp.where(frozen, py, ny)
+        px = jnp.where(frozen, px, nx)
+        c = jnp.where(frozen[..., None], c, nc)
+        return (py, px, c, frozen | done), None
+
+    state0 = (ys.astype(flat.dtype), xs.astype(flat.dtype), init_c,
+              jnp.zeros((h, w), bool))
+    (py, px, c, frozen), _ = jax.lax.scan(one_iter, state0, None,
+                                          length=max_iter)
+    return c
+
+
 def _run(img: np.ndarray, sp: int, sr: float, max_level: int,
          max_iter: int, xp):
     levels = [xp.asarray(img)]
@@ -101,7 +158,10 @@ def _run(img: np.ndarray, sp: int, sr: float, max_level: int,
             init = out_c[
                 xp.minimum(xp.arange(h) // 2, out_c.shape[0] - 1)][:,
                 xp.minimum(xp.arange(w) // 2, out_c.shape[1] - 1)]
-        out_c = _ms_level(im, init, sp, sr, max_iter, xp)
+        if xp is np:
+            out_c = _ms_level(im, init, sp, sr, max_iter, xp)
+        else:
+            out_c = _ms_level_jax(im, init, sp, sr, max_iter)
     res = xp.clip(xp.floor(out_c + 0.5), 0, 255)
     return res.astype(xp.uint8)
 

@@ -91,40 +91,72 @@ class TestTonemap:
         assert gray[8:-8, 52:-8].mean() > gray[8:-8, 8:44].mean()
 
 
+def _blob_scene(seed=7, h=256, w=320):
+    """Natural-photo analog: large Gaussian blobs + mild noise — MTB
+    bitmaps keep structure at EVERY pyramid level, which the algorithm
+    requires (on blurred noise the coarse 4x5-px levels degenerate to
+    err=0 everywhere and cv2 itself drifts to the +-63 corner — the r5
+    exactness rework revealed the old recovery expectation was testing
+    a behavior real cv2 does not have)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w))
+    for _ in range(6):
+        cy, cx = rng.uniform(40, h - 40), rng.uniform(40, w - 40)
+        s = rng.uniform(25, 70)
+        img += rng.uniform(60, 120) * np.exp(
+            -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+    img += rng.normal(0, 6, img.shape)
+    return (img / img.max() * 235 + 10).clip(0, 255).astype(np.uint8)
+
+
 class TestAlignMTB:
     def test_recovers_known_shift(self):
-        rng = np.random.default_rng(4)
-        base = rng.integers(0, 256, (128, 160)).astype(np.uint8)
-        # smooth it so MTB bitmaps are meaningful
-        from rustcv_tpu.ops.sift import _blur
-
-        base = _blur(base.astype(np.float64), 2.0)
-        base = ((base - base.min()) / np.ptp(base) * 255).astype(np.uint8)
+        base = _blob_scene()
         for true in [(3, -5), (-7, 2), (0, 0), (11, 9)]:
             shifted = hdr._shift2d(base, *true)
             dy, dx = hdr.align_mtb_shift(base, shifted)
             # aligning the shifted image back onto base
             assert (dy, dx) == (-true[0], -true[1])
 
-    def test_align_stack_under_exposure_change(self):
-        rng = np.random.default_rng(6)
+    def test_matches_cv2_calculate_shift(self):
+        """The exactness contract: our (dy, dx) == cv2's Point(x, y)
+        swapped, INCLUDING on degenerate inputs where the algorithm
+        fails to recover (blurred noise drifts to the corner — so must
+        we, identically)."""
+        cv2 = pytest.importorskip("cv2")
+        amtb = cv2.createAlignMTB()
+        rng = np.random.default_rng(4)
+        noise = rng.integers(0, 256, (128, 160)).astype(np.uint8)
         from rustcv_tpu.ops.sift import _blur
 
-        base = _blur(rng.integers(0, 256, (96, 128)).astype(np.float64),
-                     2.0)
-        base = ((base - base.min()) / np.ptp(base) * 255)
-        bright = np.clip(base * 1.8, 0, 255).astype(np.uint8)
+        noise = _blur(noise.astype(np.float64), 2.0)
+        noise = ((noise - noise.min()) / np.ptp(noise) * 255).astype(np.uint8)
+        for base in (_blob_scene(), noise):
+            for true in [(3, -5), (-7, 2), (0, 0), (11, 9)]:
+                shifted = hdr._shift2d(base, *true)
+                dy, dx = hdr.align_mtb_shift(base, shifted)
+                x, y = amtb.calculateShift(base, shifted)
+                assert (dy, dx) == (y, x), (true, (dy, dx), (y, x))
+
+    def test_align_stack_under_exposure_change(self):
+        # cv2 semantics: the PIVOT is images[len//2] and passes through
+        # unchanged — so the moved exposure must sit OFF-pivot (a
+        # 2-stack's second image IS the pivot and stays put)
+        base = _blob_scene(seed=6, h=192, w=256).astype(np.float64)
+        bright = np.clip(base * 1.4, 0, 255).astype(np.uint8)
+        mid = np.clip(base, 0, 255).astype(np.uint8)
         dark = np.clip(base * 0.5, 0, 255).astype(np.uint8)
         moved = hdr._shift2d(dark, 4, -6)
         stack3 = [np.stack([im] * 3, -1)
-                  for im in (bright.astype(np.uint8), moved)]
+                  for im in (moved, mid, bright)]
         aligned = hdr.align_mtb(stack3)
-        # the second image came back into register (MTB is exposure-
-        # invariant: both threshold at their own medians)
+        # pivot untouched; the moved dark exposure came back into
+        # register (MTB is exposure-invariant: each thresholds at its
+        # own median)
+        np.testing.assert_array_equal(aligned[1], stack3[1])
         sel = np.s_[12:-12, 12:-12]
-        before = np.abs(moved[sel].astype(int) * 2
-                        - bright[sel].astype(int) * 1)  # scale mismatch
-        realigned = aligned[1][..., 0][sel].astype(int)
+        realigned = aligned[0][..., 0][sel].astype(int)
         target = dark[sel].astype(int)
         assert np.abs(realigned - target).mean() < \
             np.abs(moved[sel].astype(int) - target).mean()
