@@ -222,10 +222,16 @@ def compute_all():
         o["harris_f32"] = FE.harris_response(g)
         o["dct"] = TR.dct(g.astype(jnp.float32))
         o["idct"] = TR.idct(TR.dct(g.astype(jnp.float32)))
-        o["mul_spectrums"] = TR.mul_spectrums(
-            TR.dft(g.astype(jnp.float32)),
-            TR.dft(g2.astype(jnp.float32)))
-        shiftv, resp = RG.phase_correlate(g, g2)
+        # FFT family via the matmul-plane forms: the axon backend cannot
+        # execute XLA's FFT custom-call (runtime UNIMPLEMENTED poisons
+        # every later-ordered output buffer — r5 finding); dft2_planes
+        # is the MXU-native twin and what the chip path actually uses.
+        f1p = TR.dft2_planes(g.astype(jnp.float32))
+        f2p = TR.dft2_planes(g2.astype(jnp.float32))
+        o["dft_re"], o["dft_im"] = f1p
+        ms_re, ms_im = TR.mul_spectrums_planes(f1p, f2p, conj_b=True)
+        o["mul_spec_re"], o["mul_spec_im"] = ms_re, ms_im
+        shiftv, resp = RG.phase_correlate_matmul(g, g2)
         o["phase_corr_shift"], o["phase_corr_resp"] = shiftv, resp
         o["thinning"] = MX.thinning(g > 128)
         o["dtfilter"] = DT.dt_filter(hwc, hwc)
@@ -346,6 +352,10 @@ def main() -> None:
                 "stereo_bm_disp": 0.01, "sgbm_disp": 0.01}
     # iterative float solvers: compare loosely (documented)
     FLOAT_LOOSE = {"farneback": 0.05, "lk_pts": 0.5,
+                   # f32 basis-matmul spectra: cross-backend FMA ordering
+                   # scales with |value| (DC bin O(4e7); products O(1e15))
+                   "dft_re": 1.0, "dft_im": 1.0,
+                   "mul_spec_re": 1e6, "mul_spec_im": 1e6,
                    "phase_corr_shift": 0.05, "phase_corr_resp": 0.02,
                    "kmeans_centers": 0.5}
     results, failed = {}, []

@@ -57,6 +57,12 @@ def phase_correlate(
     X = jnp.conj(F1) * F2
     R = X / jnp.maximum(jnp.abs(X), 1e-12)
     r = jnp.fft.irfft2(R, s=(h, w))
+    return _peak_refine(r, h, w)
+
+
+def _peak_refine(r: jax.Array, h: int, w: int):
+    """Shared peak + 3×3 weighted-centroid refinement on a response
+    (called from inside jitted wrappers; h, w static Python ints)."""
     peak = jnp.argmax(r.reshape(-1))
     py = (peak // w).astype(jnp.int32)
     px = (peak % w).astype(jnp.int32)
@@ -73,6 +79,34 @@ def phase_correlate(
     sy = jnp.where(py > h // 2, py - h, py).astype(jnp.float32) + cy
     resp = r.reshape(-1)[peak]
     return jnp.stack([sx, sy]), resp
+
+
+@partial(jax.jit, static_argnames=("window",))
+def phase_correlate_matmul(
+    prev: jax.Array, next: jax.Array, window: bool = True
+) -> Tuple[jax.Array, jax.Array]:
+    """FFT-free twin of :func:`phase_correlate` — the spectra come from
+    matmul-form DFT planes (ops/transform.dft2_planes): the axon TPU
+    backend cannot execute XLA's FFT custom-call (r5 parity-probe
+    finding), and at image sizes the [N, N] basis matmul is the
+    MXU-native formulation. Same frozen spec, same peak refinement."""
+    from .transform import dft2_planes, idft2_planes
+
+    h, w = prev.shape
+    f1 = prev.astype(jnp.float32)
+    f2 = next.astype(jnp.float32)
+    if window:
+        win = jnp.asarray(np.outer(_hann(h), _hann(w)))
+        f1 = f1 * win
+        f2 = f2 * win
+    a_re, a_im = dft2_planes(f1)
+    b_re, b_im = dft2_planes(f2)
+    # X = conj(F1) · F2
+    x_re = a_re * b_re + a_im * b_im
+    x_im = a_re * b_im - a_im * b_re
+    mag = jnp.maximum(jnp.sqrt(x_re * x_re + x_im * x_im), 1e-12)
+    r, _ = idft2_planes(x_re / mag, x_im / mag, scale=True)
+    return _peak_refine(r, h, w)
 
 
 def phase_correlate_numpy(

@@ -105,6 +105,65 @@ def idft(a, scale: bool = True):
     return out
 
 
+@lru_cache(maxsize=32)
+def _dft_mats(n: int):
+    """(C, S) float64 with ``D = C − iS`` the forward DFT matrix:
+    C[k,m] = cos(2πkm/n), S[k,m] = sin(2πkm/n)."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    m = np.arange(n)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * k * m / n
+    return np.cos(ang), np.sin(ang)
+
+
+@jax.jit
+def dft2_planes(x: jax.Array):
+    """2-D forward DFT of a REAL array as (re, im) float32 planes via
+    four MXU matmuls — no complex dtype anywhere. The axon TPU backend
+    cannot execute XLA's FFT custom-call (UNIMPLEMENTED at runtime,
+    poisoning every later-ordered output buffer of the program — r5
+    parity-probe finding), and for image-sized transforms the [N, N]
+    basis matmul IS the TPU-native formulation anyway (same lesson as
+    the JPEG IDCT-as-one-matmul, docs/PERFORMANCE.md)."""
+    x = x.astype(jnp.float32)
+    h, w = x.shape
+    ch, sh = (jnp.asarray(m, jnp.float32) for m in _dft_mats(h))
+    cw, sw = (jnp.asarray(m, jnp.float32) for m in _dft_mats(w))
+    hi = jax.lax.Precision.HIGHEST
+    a = jax.lax.dot(ch, x, precision=hi)      # C_h x
+    b = jax.lax.dot(sh, x, precision=hi)      # S_h x
+    re = jax.lax.dot(a, cw, precision=hi) - jax.lax.dot(b, sw, precision=hi)
+    im = -(jax.lax.dot(a, sw, precision=hi) + jax.lax.dot(b, cw, precision=hi))
+    return re, im
+
+
+@partial(jax.jit, static_argnames=("scale",))
+def idft2_planes(re: jax.Array, im: jax.Array, scale: bool = True):
+    """Inverse of :func:`dft2_planes` on (re, im) planes (conjugate
+    basis; ``scale`` divides by H·W). Returns (re, im)."""
+    h, w = re.shape
+    ch, sh = (jnp.asarray(m, jnp.float32) for m in _dft_mats(h))
+    cw, sw = (jnp.asarray(m, jnp.float32) for m in _dft_mats(w))
+    hi = jax.lax.Precision.HIGHEST
+    # D* = C + iS: (C+iS)(xr+ixi) = (C xr − S xi) + i(C xi + S xr)
+    p = jax.lax.dot(ch, re, precision=hi) - jax.lax.dot(sh, im, precision=hi)
+    q = jax.lax.dot(ch, im, precision=hi) + jax.lax.dot(sh, re, precision=hi)
+    out_re = jax.lax.dot(p, cw, precision=hi) - jax.lax.dot(q, sw, precision=hi)
+    out_im = jax.lax.dot(p, sw, precision=hi) + jax.lax.dot(q, cw, precision=hi)
+    if scale:
+        inv = jnp.float32(1.0 / (h * w))
+        out_re, out_im = out_re * inv, out_im * inv
+    return out_re, out_im
+
+
+def mul_spectrums_planes(a, b, conj_b: bool = False):
+    """:func:`mul_spectrums` on (re, im) plane pairs."""
+    ar, ai = a
+    br, bi = b
+    if conj_b:
+        bi = -bi
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
 def get_optimal_dft_size(n: int) -> int:
     """Smallest 5-smooth integer ≥ n (OpenCV ``getOptimalDFTSize``)."""
     if n <= 0:

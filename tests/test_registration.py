@@ -73,3 +73,58 @@ class TestPhaseCorrelate:
             Mat.from_device(jnp.asarray(base)), Mat.from_device(jnp.asarray(nxt)))
         np.testing.assert_allclose(d_h, d_d, atol=1e-3)
         assert abs(d_d[0] - 2) < 0.05
+
+
+class TestMatmulDFT:
+    """FFT-free twins (r5): the axon TPU backend cannot execute XLA's
+    FFT custom-call, so the chip path uses matmul-form DFT planes
+    (ops/transform.dft2_planes — 4 real MXU matmuls per 2-D transform).
+    Pin them against numpy's FFT and the FFT-based twins."""
+
+    def test_dft2_planes_matches_numpy_fft(self, jax_cpu):
+        from rustcv_tpu.ops import transform as TR
+
+        rng = np.random.default_rng(2)
+        x = rng.random((48, 64)).astype(np.float32) * 255
+        re, im = TR.dft2_planes(jax_cpu.numpy.asarray(x))
+        F = np.fft.fft2(x.astype(np.float64))
+        scale = np.abs(F).max()
+        np.testing.assert_allclose(np.asarray(re), F.real,
+                                   atol=2e-5 * scale)
+        np.testing.assert_allclose(np.asarray(im), F.imag,
+                                   atol=2e-5 * scale)
+
+    def test_idft2_roundtrip(self, jax_cpu):
+        from rustcv_tpu.ops import transform as TR
+
+        rng = np.random.default_rng(3)
+        x = rng.random((40, 56)).astype(np.float32) * 100
+        re, im = TR.dft2_planes(jax_cpu.numpy.asarray(x))
+        rr, ri = TR.idft2_planes(re, im)
+        np.testing.assert_allclose(np.asarray(rr), x, atol=1e-3)
+        assert float(np.abs(np.asarray(ri)).max()) < 1e-3
+
+    def test_mul_spectrums_planes(self, jax_cpu):
+        from rustcv_tpu.ops import transform as TR
+
+        rng = np.random.default_rng(4)
+        a = rng.random((24, 32)) + 1j * rng.random((24, 32))
+        b = rng.random((24, 32)) + 1j * rng.random((24, 32))
+        for conj_b in (False, True):
+            want = TR.mul_spectrums(a, b, conj_b=conj_b)
+            re, im = TR.mul_spectrums_planes(
+                (a.real, a.imag), (b.real, b.imag), conj_b=conj_b)
+            np.testing.assert_allclose(re, want.real, atol=1e-12)
+            np.testing.assert_allclose(im, want.imag, atol=1e-12)
+
+    def test_phase_correlate_matmul_matches_fft_twin(self, jax_cpu):
+        for seed, (dy, dx) in [(5, (3, -7)), (6, (0, 0)), (7, (-4, 9))]:
+            base = _tex(seed, 96, 128)
+            nxt = np.roll(np.roll(base, dx, axis=1), dy, axis=0)
+            d_m, r_m = registration.phase_correlate_matmul(base, nxt)
+            d_f, r_f = registration.phase_correlate(base, nxt)
+            np.testing.assert_allclose(np.asarray(d_m), np.asarray(d_f),
+                                       atol=1e-3)
+            assert abs(float(r_m) - float(r_f)) < 1e-3
+            d_n, _ = registration.phase_correlate_numpy(base, nxt)
+            np.testing.assert_allclose(np.asarray(d_m), d_n, atol=1e-3)
