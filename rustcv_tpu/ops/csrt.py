@@ -245,7 +245,8 @@ class CsrtState(NamedTuple):
     g: jax.Array        # float32 [C, h, w] masked filters
     w: jax.Array        # float32 [C] channel weights
     scale: jax.Array    # float32 [] training response peak
-    yf: jax.Array       # complex64 [h, w//2+1]
+    yf_re: jax.Array    # float32 [h, w]  (matmul-DFT planes — the axon
+    yf_im: jax.Array    # float32 [h, w]   backend has no FFT, r5)
     hist_fg: jax.Array  # float32 [16]
     hist_bg: jax.Array  # float32 [16]
     center: jax.Array   # int32 [2] (cy, cx)
@@ -307,19 +308,25 @@ def _mask_j(patch: jax.Array, th: int, tw: int, hist_fg: jax.Array,
     return jnp.where(fallback, trect, m).astype(jnp.float32)
 
 
-def _learn_j(feats: jax.Array, yf: jax.Array,
-             mask: jax.Array) -> jax.Array:
+def _learn_j(feats: jax.Array, yf, mask: jax.Array) -> jax.Array:
+    from .transform import dft2_planes, idft2_planes
+
     c, h, w = feats.shape
-    fhat = jnp.fft.rfft2(feats)
-    denom_base = (fhat * jnp.conj(fhat)).real + LAMBDA
-    num = fhat * jnp.conj(yf)
+    yr, yi = yf
+    fr, fi = dft2_planes(feats)
+    denom_base = fr * fr + fi * fi + LAMBDA
+    # num = fhat · conj(yf)
+    num_r = fr * yr + fi * yi
+    num_i = fi * yr - fr * yi
     g = jnp.zeros((c, h, w), jnp.float32)
     l = jnp.zeros((c, h, w), jnp.float32)
     mu = MU0
     for _ in range(ADMM_ITERS):  # fixed trip count: unrolled in trace
-        hhat = (num + mu * jnp.fft.rfft2(g) - jnp.fft.rfft2(l)) / (
-            denom_base + mu)
-        h_sp = jnp.fft.irfft2(hhat, s=(h, w))
+        gr, gi = dft2_planes(g)
+        lr, li = dft2_planes(l)
+        hr = (num_r + mu * gr - lr) / (denom_base + mu)
+        hi_ = (num_i + mu * gi - li) / (denom_base + mu)
+        h_sp, _ = idft2_planes(hr, hi_, scale=True)
         g = mask * (h_sp + l / mu)
         l = l + mu * (h_sp - g)
         mu = min(BETA * mu, MU_MAX)
@@ -327,9 +334,12 @@ def _learn_j(feats: jax.Array, yf: jax.Array,
 
 
 def _weights_j(feats: jax.Array, g: jax.Array):
+    from .transform import dft2_planes, idft2_planes, mul_spectrums_planes
+
     c, h, w = feats.shape
-    resp = jnp.fft.irfft2(
-        jnp.fft.rfft2(feats) * jnp.conj(jnp.fft.rfft2(g)), s=(h, w))
+    pr, pi = mul_spectrums_planes(dft2_planes(feats), dft2_planes(g),
+                                  conj_b=True)
+    resp, _ = idft2_planes(pr, pi, scale=True)
     peaks = jnp.maximum(resp.reshape(c, -1).max(axis=1), 0.0) + 1e-6
     wgt = peaks / peaks.sum()
     return wgt, (wgt * peaks).sum()
@@ -352,13 +362,15 @@ def _init_core(frame: jax.Array, cy, cx, wh: int, ww: int, th: int,
     ix = jnp.minimum(jnp.arange(ww), ww - jnp.arange(ww)).astype(
         jnp.float32)
     d2 = iy[:, None] ** 2 + ix[None, :] ** 2
-    yf = jnp.fft.rfft2(jnp.exp(-d2 / (2.0 * sig * sig)))
+    from .transform import dft2_planes
+
+    yf_re, yf_im = dft2_planes(jnp.exp(-d2 / (2.0 * sig * sig)))
     fg, bg = _hists_j(patch, th, tw)
     mask = _mask_j(patch, th, tw, fg, bg)
     feats = _features_j(patch)
-    g = _learn_j(feats, yf, mask)
+    g = _learn_j(feats, (yf_re, yf_im), mask)
     wgt, scale = _weights_j(feats, g)
-    return CsrtState(g, wgt, scale, yf, fg, bg, jnp.stack(
+    return CsrtState(g, wgt, scale, yf_re, yf_im, fg, bg, jnp.stack(
         [jnp.asarray(cy, jnp.int32), jnp.asarray(cx, jnp.int32)]))
 
 
@@ -379,8 +391,11 @@ def _step_core(state: CsrtState, frame: jax.Array, eta: float,
     cy, cx = state.center[0], state.center[1]
     patch, oy, ox = _crop_j(f, cy, cx, wh, ww)
     z = _features_j(patch.astype(jnp.uint8))
-    resp = jnp.fft.irfft2(
-        jnp.fft.rfft2(z) * jnp.conj(jnp.fft.rfft2(state.g)), s=(wh, ww))
+    from .transform import dft2_planes, idft2_planes, mul_spectrums_planes
+
+    pr, pi = mul_spectrums_planes(dft2_planes(z), dft2_planes(state.g),
+                                  conj_b=True)
+    resp, _ = idft2_planes(pr, pi, scale=True)
     r = (state.w[:, None, None] * resp).sum(axis=0)
     flat = jnp.argmax(r)
     py = (flat // ww).astype(jnp.int32)
@@ -406,13 +421,14 @@ def _step_core(state: CsrtState, frame: jax.Array, eta: float,
     hist_bg = (1 - e) * state.hist_bg + e * bg2
     mask = _mask_j(patch2, th, tw, hist_fg, hist_bg)
     z2 = _features_j(patch2)
-    g2 = _learn_j(z2, state.yf, mask)
+    g2 = _learn_j(z2, (state.yf_re, state.yf_im), mask)
     w2, s2 = _weights_j(z2, g2)
     new = CsrtState(
         (1 - e) * state.g + e * g2,
         (1 - e) * state.w + e * w2,
         (1 - e) * state.scale + e * s2,
-        state.yf, hist_fg, hist_bg, jnp.stack([ncy, ncx]))
+        state.yf_re, state.yf_im, hist_fg, hist_bg,
+        jnp.stack([ncy, ncx]))
     return new, ok, peak
 
 

@@ -139,12 +139,18 @@ def kcf_step(state: dict, frame: np.ndarray,
 # ---------------------------------------------------------------------------
 
 class KcfState(NamedTuple):
-    """Device-resident KCF state (vmap-able pytree)."""
+    """Device-resident KCF state (vmap-able pytree). Spectra are
+    (re, im) f32 plane pairs (matmul-form DFT, ops/transform) — the
+    axon TPU backend cannot execute XLA's FFT custom-call (r5), and
+    complex64 buffers are un-fetchable there; plane form keeps the
+    whole tracker chip-executable."""
 
-    x: jax.Array        # float32 [h, w] model features
-    alphaf: jax.Array   # complex64 [h, w//2+1]
-    yf: jax.Array       # complex64 [h, w//2+1]
-    center: jax.Array   # int32 [2] (cy, cx)
+    x: jax.Array         # float32 [h, w] model features
+    alphaf_re: jax.Array  # float32 [h, w]
+    alphaf_im: jax.Array  # float32 [h, w]
+    yf_re: jax.Array      # float32 [h, w]
+    yf_im: jax.Array      # float32 [h, w]
+    center: jax.Array    # int32 [2] (cy, cx)
 
 
 def _hann_j(h: int, w: int) -> jnp.ndarray:
@@ -161,13 +167,23 @@ def _features_j(patch: jax.Array) -> jax.Array:
 
 
 def _kernel_j(x: jax.Array, z: jax.Array) -> jax.Array:
+    from .transform import dft2_planes, idft2_planes, mul_spectrums_planes
+
     h, w = x.shape
     n = h * w
-    cross = jnp.fft.irfft2(jnp.conj(jnp.fft.rfft2(x)) * jnp.fft.rfft2(z),
-                           s=(h, w))
+    xf = dft2_planes(x)
+    zf = dft2_planes(z)
+    pr, pi = mul_spectrums_planes(zf, xf, conj_b=True)  # conj(xf)·zf
+    cross, _ = idft2_planes(pr, pi, scale=True)
     d = (x * x).sum() + (z * z).sum() - 2.0 * cross
     return jnp.exp(-jnp.maximum(d, 0.0)
                    / (KERNEL_SIGMA * KERNEL_SIGMA * n))
+
+
+def _cdiv_planes(nr, ni, dr, di):
+    """(nr+i·ni) / (dr+i·di) elementwise on planes."""
+    m = dr * dr + di * di
+    return (nr * dr + ni * di) / m, (ni * dr - nr * di) / m
 
 
 def _crop_j(frame: jax.Array, cy, cx, h: int, w: int):
@@ -187,10 +203,13 @@ def _init_core(frame: jax.Array, cy, cx, wh: int, ww: int,
     d2 = (ys - wh // 2).astype(jnp.float32) ** 2 + (
         xs - ww // 2).astype(jnp.float32) ** 2
     yresp = jnp.exp(-d2 / (2.0 * sig * sig))
-    yf = jnp.fft.rfft2(yresp)
+    from .transform import dft2_planes
+
+    yf_re, yf_im = dft2_planes(yresp)
     k = _kernel_j(xm, xm)
-    alphaf = yf / (jnp.fft.rfft2(k) + LAMBDA)
-    return KcfState(xm, alphaf, yf, jnp.stack(
+    kf_re, kf_im = dft2_planes(k)
+    a_re, a_im = _cdiv_planes(yf_re, yf_im, kf_re + LAMBDA, kf_im)
+    return KcfState(xm, a_re, a_im, yf_re, yf_im, jnp.stack(
         [jnp.asarray(cy, jnp.int32), jnp.asarray(cx, jnp.int32)]))
 
 
@@ -212,7 +231,11 @@ def _step_core(state: KcfState, frame: jax.Array, interp_factor: float,
     patch, oy, ox = _crop_j(f, cy, cx, wh, ww)
     z = _features_j(patch)
     k = _kernel_j(state.x, z)
-    resp = jnp.fft.irfft2(jnp.fft.rfft2(k) * state.alphaf, s=(wh, ww))
+    from .transform import dft2_planes, idft2_planes, mul_spectrums_planes
+
+    kf = dft2_planes(k)
+    rr, ri = mul_spectrums_planes(kf, (state.alphaf_re, state.alphaf_im))
+    resp, _ = idft2_planes(rr, ri, scale=True)
     flat = jnp.argmax(resp)
     py = (flat // ww).astype(jnp.int32)
     px = (flat % ww).astype(jnp.int32)
@@ -228,12 +251,15 @@ def _step_core(state: KcfState, frame: jax.Array, interp_factor: float,
     patch2, _, _ = _crop_j(f, ncy, ncx, wh, ww)
     z2 = _features_j(patch2)
     k2 = _kernel_j(z2, z2)
-    alphaf2 = state.yf / (jnp.fft.rfft2(k2) + LAMBDA)
+    k2f_re, k2f_im = dft2_planes(k2)
+    a2_re, a2_im = _cdiv_planes(state.yf_re, state.yf_im,
+                                k2f_re + LAMBDA, k2f_im)
     eta = jnp.where(ok, jnp.float32(interp_factor), 0.0)
     new = KcfState(
         (1 - eta) * state.x + eta * z2,
-        (1 - eta) * state.alphaf + eta * alphaf2,
-        state.yf, jnp.stack([ncy, ncx]))
+        (1 - eta) * state.alphaf_re + eta * a2_re,
+        (1 - eta) * state.alphaf_im + eta * a2_im,
+        state.yf_re, state.yf_im, jnp.stack([ncy, ncx]))
     return new, ok, peak
 
 

@@ -99,9 +99,12 @@ def _fft_cross(a_f32: jax.Array, t_f32: jax.Array) -> jax.Array:
     h, w = a_f32.shape
     th, tw = t_f32.shape
     tp = jnp.zeros((h, w), jnp.float32).at[:th, :tw].set(t_f32)
-    full = jnp.fft.irfft2(
-        jnp.fft.rfft2(a_f32) * jnp.conj(jnp.fft.rfft2(tp)), s=(h, w)
-    )
+    from .transform import dft2_planes, idft2_planes, mul_spectrums_planes
+
+    # matmul-DFT planes: the axon TPU backend has no FFT (r5)
+    pr, pi = mul_spectrums_planes(dft2_planes(a_f32), dft2_planes(tp),
+                                  conj_b=True)
+    full, _ = idft2_planes(pr, pi, scale=True)
     return full[: h - th + 1, : w - tw + 1]
 
 

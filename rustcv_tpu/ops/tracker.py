@@ -44,9 +44,11 @@ class MosseState(NamedTuple):
     """Device-resident tracker state (a pytree; vmap-able on a leading
     bank axis)."""
 
-    a: jax.Array        # complex64 [h, w//2+1] filter numerator
-    b: jax.Array        # float32   [h, w//2+1] filter denominator
-    g: jax.Array        # complex64 [h, w//2+1] desired-response spectrum
+    a_re: jax.Array     # float32 [h, w] filter numerator (matmul-DFT
+    a_im: jax.Array     # float32 [h, w]  planes — no FFT on axon, r5)
+    b: jax.Array        # float32 [h, w] filter denominator
+    g_re: jax.Array     # float32 [h, w] desired-response spectrum
+    g_im: jax.Array     # float32 [h, w]
     center: jax.Array   # int32 [2] (cy, cx)
 
 
@@ -103,11 +105,15 @@ def _init_core(frame: jax.Array, cy, cx, h: int, w: int) -> MosseState:
     warped = top * (1 - fy) + bot * fy                         # [P, h, w]
 
     pp = jax.vmap(_preprocess)(warped)
-    F = jnp.fft.rfft2(pp)                                      # [P, h, w2]
-    G = jnp.fft.rfft2(_gauss(h, w))
-    A = (G[None] * jnp.conj(F)).sum(0)
-    B = (F * jnp.conj(F)).real.sum(0)
-    return MosseState(A, B, G, jnp.stack(
+    from .transform import dft2_planes
+
+    fr, fi = dft2_planes(pp)                                   # [P, h, w]
+    gr, gi = dft2_planes(_gauss(h, w))
+    # A = Σ_p G · conj(F_p); B = Σ_p |F_p|²
+    a_re = (gr[None] * fr + gi[None] * fi).sum(0)
+    a_im = (gi[None] * fr - gr[None] * fi).sum(0)
+    B = (fr * fr + fi * fi).sum(0)
+    return MosseState(a_re, a_im, B, gr, gi, jnp.stack(
         [jnp.asarray(cy, jnp.int32), jnp.asarray(cx, jnp.int32)]))
 
 
@@ -134,9 +140,13 @@ def _step_core(state: MosseState, frame: jax.Array, lr: float,
     f = frame.astype(jnp.float32)
     cy, cx = state.center[0], state.center[1]
     patch, oy, ox = _crop(f, cy, cx, h, w)
-    F = jnp.fft.rfft2(_preprocess(patch))
-    resp = jnp.fft.irfft2(F * state.a / (state.b + golden.MOSSE_EPS),
-                          s=(h, w))
+    from .transform import dft2_planes, idft2_planes
+
+    fr, fi = dft2_planes(_preprocess(patch))
+    inv_b = 1.0 / (state.b + golden.MOSSE_EPS)
+    rr = (fr * state.a_re - fi * state.a_im) * inv_b
+    ri = (fr * state.a_im + fi * state.a_re) * inv_b
+    resp, _ = idft2_planes(rr, ri, scale=True)
     flat = jnp.argmax(resp)
     py = (flat // w).astype(jnp.int32)
     px = (flat % w).astype(jnp.int32)
@@ -158,11 +168,16 @@ def _step_core(state: MosseState, frame: jax.Array, lr: float,
     ncx = jnp.where(ok, ncx, cx)
 
     patch2, _, _ = _crop(f, ncy, ncx, h, w)
-    F2 = jnp.fft.rfft2(_preprocess(patch2))
+    f2r, f2i = dft2_planes(_preprocess(patch2))
     rate = jnp.where(ok, jnp.float32(lr), 0.0)
-    A = rate * (state.g * jnp.conj(F2)) + (1.0 - rate) * state.a
-    B = rate * (F2 * jnp.conj(F2)).real + (1.0 - rate) * state.b
-    new = MosseState(A, B, state.g, jnp.stack([ncy, ncx]))
+    # G · conj(F2)
+    na_re = state.g_re * f2r + state.g_im * f2i
+    na_im = state.g_im * f2r - state.g_re * f2i
+    a_re = rate * na_re + (1.0 - rate) * state.a_re
+    a_im = rate * na_im + (1.0 - rate) * state.a_im
+    B = rate * (f2r * f2r + f2i * f2i) + (1.0 - rate) * state.b
+    new = MosseState(a_re, a_im, B, state.g_re, state.g_im,
+                     jnp.stack([ncy, ncx]))
     return new, ok, psr
 
 
@@ -171,7 +186,7 @@ def step(state: MosseState, frame, lr: float = 0.2,
     """One tracking step — returns (new_state, ok, psr). ``ok``/``psr``
     are device scalars; fetch them only when the host needs the verdict
     (a bank of trackers can run many frames fully device-resident)."""
-    h, w = state.g.shape[0], 2 * (state.g.shape[1] - 1)
+    h, w = state.g_re.shape  # full-spectrum planes
     return _step_core(state, jnp.asarray(frame), lr, psr_threshold, h, w)
 
 

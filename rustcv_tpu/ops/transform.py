@@ -61,18 +61,22 @@ def dct_numpy(a: np.ndarray, inverse: bool = False) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("inverse",))
 def dct(a: jax.Array, inverse: bool = False) -> jax.Array:
-    """Device twin — float32 basis matmuls (two MXU ops for 2-D)."""
+    """Device twin — float32 basis matmuls (two MXU ops for 2-D) at
+    HIGHEST precision: the TPU default lowers f32 matmuls to bf16
+    passes (max |err| 84 on a 288x512 DCT — r5 on-chip parity sweep)."""
     a = a.astype(jnp.float32)
     h, w = a.shape
     bh = jnp.asarray(_dct_basis(h), jnp.float32)
     bw = jnp.asarray(_dct_basis(w), jnp.float32)
     if inverse:
         bh, bw = bh.T, bw.T
+    hi = jax.lax.Precision.HIGHEST
     if h == 1:
-        return a @ bw.T
+        return jax.lax.dot(a, bw.T, precision=hi)
     if w == 1:
-        return bh @ a
-    return bh @ a @ bw.T
+        return jax.lax.dot(bh, a, precision=hi)
+    return jax.lax.dot(jax.lax.dot(bh, a, precision=hi), bw.T,
+                       precision=hi)
 
 
 def idct(a, **kw):
@@ -117,38 +121,42 @@ def _dft_mats(n: int):
 
 @jax.jit
 def dft2_planes(x: jax.Array):
-    """2-D forward DFT of a REAL array as (re, im) float32 planes via
-    four MXU matmuls — no complex dtype anywhere. The axon TPU backend
-    cannot execute XLA's FFT custom-call (UNIMPLEMENTED at runtime,
-    poisoning every later-ordered output buffer of the program — r5
-    parity-probe finding), and for image-sized transforms the [N, N]
-    basis matmul IS the TPU-native formulation anyway (same lesson as
-    the JPEG IDCT-as-one-matmul, docs/PERFORMANCE.md)."""
+    """2-D forward DFT over the LAST TWO axes of a REAL array as
+    (re, im) float32 planes via four MXU matmuls (leading axes batch) —
+    no complex dtype anywhere. The axon TPU backend cannot execute
+    XLA's FFT custom-call (UNIMPLEMENTED at runtime, poisoning every
+    later-ordered output buffer of the program — r5 parity-probe
+    finding), and for image-sized transforms the [N, N] basis matmul IS
+    the TPU-native formulation anyway (same lesson as the
+    JPEG IDCT-as-one-matmul, docs/PERFORMANCE.md)."""
     x = x.astype(jnp.float32)
-    h, w = x.shape
+    h, w = x.shape[-2], x.shape[-1]
     ch, sh = (jnp.asarray(m, jnp.float32) for m in _dft_mats(h))
     cw, sw = (jnp.asarray(m, jnp.float32) for m in _dft_mats(w))
     hi = jax.lax.Precision.HIGHEST
-    a = jax.lax.dot(ch, x, precision=hi)      # C_h x
-    b = jax.lax.dot(sh, x, precision=hi)      # S_h x
-    re = jax.lax.dot(a, cw, precision=hi) - jax.lax.dot(b, sw, precision=hi)
-    im = -(jax.lax.dot(a, sw, precision=hi) + jax.lax.dot(b, cw, precision=hi))
+    mm = partial(jnp.matmul, precision=hi)
+    a = mm(ch, x)      # C_h x   (broadcasts over leading axes)
+    b = mm(sh, x)      # S_h x
+    re = mm(a, cw) - mm(b, sw)
+    im = -(mm(a, sw) + mm(b, cw))
     return re, im
 
 
 @partial(jax.jit, static_argnames=("scale",))
 def idft2_planes(re: jax.Array, im: jax.Array, scale: bool = True):
     """Inverse of :func:`dft2_planes` on (re, im) planes (conjugate
-    basis; ``scale`` divides by H·W). Returns (re, im)."""
-    h, w = re.shape
+    basis; ``scale`` divides by H·W; leading axes batch). Returns
+    (re, im)."""
+    h, w = re.shape[-2], re.shape[-1]
     ch, sh = (jnp.asarray(m, jnp.float32) for m in _dft_mats(h))
     cw, sw = (jnp.asarray(m, jnp.float32) for m in _dft_mats(w))
     hi = jax.lax.Precision.HIGHEST
+    mm = partial(jnp.matmul, precision=hi)
     # D* = C + iS: (C+iS)(xr+ixi) = (C xr − S xi) + i(C xi + S xr)
-    p = jax.lax.dot(ch, re, precision=hi) - jax.lax.dot(sh, im, precision=hi)
-    q = jax.lax.dot(ch, im, precision=hi) + jax.lax.dot(sh, re, precision=hi)
-    out_re = jax.lax.dot(p, cw, precision=hi) - jax.lax.dot(q, sw, precision=hi)
-    out_im = jax.lax.dot(p, sw, precision=hi) + jax.lax.dot(q, cw, precision=hi)
+    p = mm(ch, re) - mm(sh, im)
+    q = mm(ch, im) + mm(sh, re)
+    out_re = mm(p, cw) - mm(q, sw)
+    out_im = mm(p, sw) + mm(q, cw)
     if scale:
         inv = jnp.float32(1.0 / (h * w))
         out_re, out_im = out_re * inv, out_im * inv

@@ -70,11 +70,13 @@ class TestDeviceTwin:
         bbox = (cx - 32, cy - 32, 64, 64)
         gst = golden.mosse_init(frames[0], bbox)
         dst = trk.init(frames[0], bbox)
-        # init filters agree (f32 vs f64)
+        # init filters agree (f32 plane-form full spectrum vs f64
+        # rfft half — for real inputs the first w//2+1 columns match)
+        w2 = gst["A"].shape[1]
+        dev_a = (np.asarray(dst.a_re) + 1j * np.asarray(dst.a_im))[:, :w2]
+        np.testing.assert_allclose(dev_a, gst["A"], rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(
-            np.asarray(dst.a), gst["A"], rtol=2e-3, atol=2e-3)
-        np.testing.assert_allclose(
-            np.asarray(dst.b), gst["B"], rtol=2e-3, atol=2e-3)
+            np.asarray(dst.b)[:, :w2], gst["B"], rtol=2e-3, atol=2e-3)
         for t in range(1, len(frames)):
             gst, gok, gpsr = golden.mosse_step(gst, frames[t])
             dst, dok, dpsr = trk.step(dst, frames[t])
