@@ -43,9 +43,15 @@ def main() -> None:
     from rustcv_tpu.ops import synth as _synth
     from rustcv_tpu.runtime.pipeline import PipelineSpec, get_pipeline
 
+    # stencil_impl: XLA, deliberately — the Mosaic (pallas) stencil inside
+    # a lax.scan chain HANGS the axon remote compiler (>35 min, never
+    # returns; the same program compiles on CPU XLA in 4 s — r5 finding,
+    # logged in docs/PERFORMANCE.md). The >8-stream scheduling question
+    # is about XLA batch-width behavior and does not need the pallas
+    # kernel; bench.py's unchained headline keeps pallas coverage.
     spec = PipelineSpec(
         pixel_format=PixelFormat.YUYV, width=W, height=H,
-        filter="blur_sobel", overlay=True, stencil_impl="pallas",
+        filter="blur_sobel", overlay=True, stencil_impl="xla",
     )
     pipeline = get_pipeline(spec)
 

@@ -96,12 +96,23 @@ class MultiStreamEngine:
         encode_jpeg_quality: int = 0,
         encode_subsampling: str = "4:2:0",
         encode_packed: Optional[bool] = None,
+        sub_batch: Optional[int] = None,
     ):
         """``device_sim=True`` synthesizes frames directly in HBM (see
         ops/synth.py) — the zero-H2D capture path for simulated streams. The
         sources are still opened for negotiation/config/telemetry; only the
         per-tick byte path moves on-device. Unsupported for MJPEG (entropy
-        coding is host work)."""
+        coding is host work).
+
+        ``sub_batch``: process the stream batch as sequential chunks of
+        this size INSIDE the one compiled program (``lax.map``). XLA's
+        temp working set grows super-linearly with batch width past 8
+        streams at 1080p (142->425->850 MB for 8/16/32 — probe_subbatch
+        r5), so wide monolithic ticks lose aggregate throughput;
+        sub-batching at 8 keeps the 142 MB working set and restored
+        monotonic scaling (16x: +37%, 32x: +43% measured on-chip).
+        Device-sim path only; must divide n_streams; not combined with
+        ``mesh`` (each shard is already narrow)."""
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
         self.n = n_streams
@@ -193,6 +204,18 @@ class MultiStreamEngine:
                 )
 
         self._device_sim = device_sim
+        if sub_batch is not None:
+            if not device_sim:
+                raise ValueError("sub_batch requires device_sim=True")
+            if mesh is not None:
+                raise ValueError("sub_batch is per-chip; shards on a mesh "
+                                 "are already narrow")
+            if n_streams % sub_batch:
+                raise ValueError(
+                    f"sub_batch={sub_batch} must divide n_streams={n_streams}")
+            if sub_batch == n_streams:
+                sub_batch = None  # monolithic anyway
+        self._sub_batch = sub_batch
         self._sim_fn = None
         self._seqs = np.zeros(self.n, np.int64)
         self._seqs_dev = None
@@ -257,13 +280,35 @@ class MultiStreamEngine:
         if key in self._sim_fn_cache:
             return self._sim_fn_cache[key]
         inner = get_pipeline(spec)
+        sub = self._sub_batch
+
+        def one_tick(seqs_c, rects_c, colors_c, thickness):
+            if pool is not None:
+                raw = jax.numpy.take(pool, seqs_c % pool.shape[0], axis=0)
+            else:
+                raw = _synth.synth_raw(seqs_c, spec.width, spec.height,
+                                       spec.pixel_format)
+            return inner(raw, rects_c, colors_c, thickness)
 
         def run(seqs, rects, rect_colors, thickness):
-            if pool is not None:
-                raw = jax.numpy.take(pool, seqs % pool.shape[0], axis=0)
+            if sub is None:
+                out = one_tick(seqs, rects, rect_colors, thickness)
             else:
-                raw = _synth.synth_raw(seqs, spec.width, spec.height, spec.pixel_format)
-            out = inner(raw, rects, rect_colors, thickness)
+                # sequential 8-wide sub-ticks inside ONE program: keeps
+                # XLA's temp working set at the narrow batch's size (see
+                # constructor docstring / probe_subbatch.py)
+                k = seqs.shape[0] // sub
+                stacked = jax.lax.map(
+                    lambda a: one_tick(a[0], a[1], a[2], thickness),
+                    (seqs.reshape(k, sub),
+                     rects.reshape(k, sub, rects.shape[-1]),
+                     rect_colors.reshape(k, sub, rect_colors.shape[-1])))
+                out = {
+                    key: (v[0] if key == "_sync"
+                          else v.reshape(v.shape[0] * v.shape[1],
+                                         *v.shape[2:]))
+                    for key, v in stacked.items()
+                }
             # Self-advancing stream clock: the next tick feeds this back, so
             # steady-state ticks perform ZERO host→device transfers (every
             # small upload is a round trip on tunneled transports).

@@ -385,3 +385,43 @@ class TestSpatialParallel:
         g = jax_cpu.numpy.asarray(rng.integers(0, 256, (1, 64, 128), np.uint8))
         out = blur_sobel_mag_spatial(g, mesh)
         assert len(out.sharding.device_set) == mesh.devices.size
+
+
+class TestSubBatch:
+    """sub_batch (r5): sequential narrow sub-ticks inside one program —
+    XLA's temp working set grows super-linearly with batch width (8/16/32
+    x 1080p = 142/425/850 MB, probe_subbatch on-chip), so wide ticks lose
+    throughput; chunking restores the narrow working set. Outputs must be
+    BIT-IDENTICAL to the monolithic program."""
+
+    def test_outputs_match_monolithic(self, jax_cpu):
+        def mk(sub):
+            return MultiStreamEngine(
+                SimulationDriver(device_count=4, paced=False), 4,
+                SimpleConfig(width=128, height=96,
+                             pixel_format=PixelFormat.YUYV),
+                filter="blur_sobel", overlay=True, device_sim=True,
+                sub_batch=sub,
+            )
+
+        rects = np.tile(np.array([[10, 10, 60, 40]], np.int32), (4, 1))
+        colors = np.tile(np.array([[0, 255, 0]], np.uint8), (4, 1))
+        eng_m, eng_s = mk(None), mk(2)
+        for _ in range(3):
+            rm = eng_m.tick(block=True, rects=rects, rect_colors=colors)
+            rs = eng_s.tick(block=True, rects=rects, rect_colors=colors)
+            np.testing.assert_array_equal(rm.numpy("bgr"), rs.numpy("bgr"))
+            np.testing.assert_array_equal(rm.numpy("filtered"),
+                                          rs.numpy("filtered"))
+        eng_m.close()
+        eng_s.close()
+
+    def test_validation(self, jax_cpu):
+        cfg = SimpleConfig(width=64, height=48,
+                           pixel_format=PixelFormat.YUYV)
+        with pytest.raises(ValueError, match="divide"):
+            MultiStreamEngine(SimulationDriver(device_count=4, paced=False),
+                              4, cfg, device_sim=True, sub_batch=3)
+        with pytest.raises(ValueError, match="device_sim"):
+            MultiStreamEngine(SimulationDriver(device_count=4, paced=False),
+                              4, cfg, sub_batch=2)
