@@ -332,7 +332,18 @@ class MultiStreamEngine:
         from ..ops import synth as _synth
 
         spec = self.spec
-        inner = self._fn
+        if spec.stencil_impl == "pallas":
+            # The Mosaic stencil inside a lax.scan chain HANGS the axon
+            # remote compiler (>35 min, never returns; same program = 4 s
+            # on CPU XLA — r5, docs/PERFORMANCE.md). The XLA stencil is
+            # bit-exact with it, so chained throughput shapes swap it in;
+            # unchained ticks keep the (faster in-pipeline) Pallas v3.
+            import dataclasses
+
+            spec = dataclasses.replace(spec, stencil_impl="xla")
+            inner = get_pipeline(spec)
+        else:
+            inner = self._fn
         pool = self._frame_pool
 
         def run(seqs, rects, rect_colors, thickness):
