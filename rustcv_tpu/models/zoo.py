@@ -41,6 +41,11 @@ class PipelineModel:
     overlay: bool = False
     fps: int = 60
     encode_jpeg_quality: int = 0  # > 0: fused MJPEG-out transcode
+    # in-program sequential sub-ticks for wide batches (the temp working
+    # set grows super-linearly with batch width — docs/PERFORMANCE.md r5;
+    # measured optimum: 8 at 1080p, 4 at 4K ≈ chunk to ~2x the 8x1080p-
+    # equivalent pixel load)
+    sub_batch: Optional[int] = None
 
     def engine(self, driver=None, *, device_sim: Optional[bool] = None, mesh=None, **overrides):
         """Build a MultiStreamEngine for this model.
@@ -67,6 +72,8 @@ class PipelineModel:
             mesh=mesh,
             encode_jpeg_quality=self.encode_jpeg_quality,
         )
+        if self.sub_batch is not None and device_sim and mesh is None:
+            kwargs["sub_batch"] = self.sub_batch
         if self.pixel_format == PixelFormat.MJPEG and "mjpeg_backend" not in overrides:
             kwargs["mjpeg_backend"] = default_mjpeg_backend()
         kwargs.update(overrides)
@@ -100,6 +107,7 @@ config3_blur_sobel_4k = PipelineModel(
     description="fused 5x5 Gaussian + Sobel |grad| on 4K, batch 32 (config 3)",
     n_streams=32, width=3840, height=2160,
     pixel_format=PixelFormat.YUYV, filter="blur_sobel", fps=30,
+    sub_batch=4,  # 768->892 fps on-chip (probe_cfg3_subbatch, r5)
 )
 
 config4_harris_1080p = PipelineModel(
