@@ -267,6 +267,58 @@ def compute_all():
 
     out.update(prog_extra2(small, small2, hwc_s))
 
+    # ------------------------------------------------------- r5 batch 3
+    # remaining jax device twins surfaced by the OPS.md row diff
+    from rustcv_tpu.ops import akaze as AK
+    from rustcv_tpu.ops import disflow as DI
+    from rustcv_tpu.ops import hdr as HD
+    from rustcv_tpu.ops import hog as HG
+    from rustcv_tpu.ops import kalman as KA
+    from rustcv_tpu.ops import sift as SI
+
+    @jax.jit
+    def prog_extra3(sm, sm2, hwc_small, stack):
+        o = {}
+        o["mertens"] = HD.merge_mertens(stack)
+        o["detail_enhance"] = DT.detail_enhance(hwc_small)
+        o["stylization"] = DT.stylization(hwc_small)
+        pg, pc = DT.pencil_sketch(hwc_small)
+        o["pencil_gray"], o["pencil_color"] = pg, pc
+        o["aniso_diff"] = MX.anisotropic_diffusion(sm)
+        o["guided"] = DT.guided_filter(sm, hwc_small)
+        o["disflow"] = DI.dis_flow(sm, sm2)
+        circ, cvotes, cvalid = HO.hough_circles(sm)
+        o["hough_circ"], o["hough_circ_votes"] = circ, cvotes
+        o["hough_circ_valid"] = cvalid
+        x0 = jnp.zeros((2, 4))
+        p0 = jnp.tile(jnp.eye(4), (2, 1, 1))
+        zs = (sm[:10, :4].astype(jnp.float32) / 255.0).reshape(10, 1, 4)[
+            :, :, :2].repeat(2, axis=1)
+        a4 = jnp.eye(4)
+        h24 = jnp.asarray(np.eye(2, 4), jnp.float32)
+        xs_k, xf_k, pf_k = KA.filter_scan(
+            x0, p0, zs, a4, h24, jnp.eye(4) * 0.01, jnp.eye(2) * 0.1)
+        o["kalman_xs"], o["kalman_pf"] = xs_k, pf_k
+        sw = jnp.asarray(
+            np.random.default_rng(7).standard_normal(3780), jnp.float32)
+        o["hog_score"] = HG.hog_score_map(sm, sw, jnp.float32(-1.0))
+        return o
+
+    stack3 = jnp.stack([ins["hwc"][:144, :256],
+                        (ins["hwc"][:144, :256] // 2),
+                        jnp.minimum(ins["hwc"][:144, :256] * 2, 255)])
+    out.update(prog_extra3(small, small2, hwc_s, stack3))
+
+    # sift / akaze pyramid builders: host-orchestrated (they stage per-
+    # octave jits internally) — called eagerly, first-octave plane kept
+    gos = SI.build_pyramids_device(np.asarray(small))
+    out["sift_gauss0"] = jnp.asarray(np.asarray(gos[0][0] if isinstance(
+        gos, tuple) else gos[0], np.float32))
+    aks = AK.build_scale_space_device(
+        np.asarray(small).astype(np.float32) / 255.0, 2, 2)
+    out["akaze_ss0"] = jnp.asarray(np.asarray(
+        aks[0][0] if isinstance(aks, tuple) else aks[0], np.float32))
+
     # stateful / multi-output twins (own jits inside)
     st0 = BG.mog2_init(g0.shape)
     st1, fg = jax.jit(BG.mog2_step)(st0, g0)

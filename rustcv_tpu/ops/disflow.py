@@ -252,18 +252,33 @@ def _level_j(i0, i1, flow_init, iters):
         return (g(y0, x0) * (1 - fy) * (1 - fx) + g(y0, x1) * (1 - fy) * fx
                 + g(y1, x0) * fy * (1 - fx) + g(y1, x1) * fy * fx)
 
+    # lax.scan over patches, NOT a Python unroll: the unrolled form
+    # emitted ~2 300 scatter-adds per pyramid level and took XLA >5 min
+    # to compile (r5 parity-probe finding — same trap as meanshift);
+    # the scan accumulates in the identical (a, b) order, so results
+    # are bit-identical, and compiles in seconds.
     num = jnp.zeros((h, w, 2), jnp.float32)
     den = jnp.zeros((h, w), jnp.float32)
     n_px = len(xs)
-    for a in range(len(ys)):
-        for b in range(n_px):
-            oy, ox = int(ys[a]), int(xs[b])
-            uv = u[a * n_px + b]
-            sl = np.s_[oy:oy + PATCH, ox:ox + PATCH]
-            samp = bilinear(i1, ygrid[sl] + uv[1], xgrid[sl] + uv[0])
-            wgt = 1.0 / jnp.maximum((samp - i0[sl]) ** 2, 1e-4)
-            num = num.at[sl].add(wgt[..., None] * uv)
-            den = den.at[sl].add(wgt)
+    oy_all = jnp.asarray(np.repeat(np.asarray(ys, np.int32), n_px))
+    ox_all = jnp.asarray(np.tile(np.asarray(xs, np.int32), len(ys)))
+
+    def dens_step(carry, inp):
+        nm, dn = carry
+        oy, ox, uv = inp
+        yy = lax.dynamic_slice(ygrid, (oy, ox), (PATCH, PATCH)) + uv[1]
+        xx = lax.dynamic_slice(xgrid, (oy, ox), (PATCH, PATCH)) + uv[0]
+        samp = bilinear(i1, yy, xx)
+        p0sl = lax.dynamic_slice(i0, (oy, ox), (PATCH, PATCH))
+        wgt = 1.0 / jnp.maximum((samp - p0sl) ** 2, 1e-4)
+        cur_n = lax.dynamic_slice(nm, (oy, ox, 0), (PATCH, PATCH, 2))
+        nm = lax.dynamic_update_slice(
+            nm, cur_n + wgt[..., None] * uv, (oy, ox, jnp.int32(0)))
+        cur_d = lax.dynamic_slice(dn, (oy, ox), (PATCH, PATCH))
+        dn = lax.dynamic_update_slice(dn, cur_d + wgt, (oy, ox))
+        return (nm, dn), None
+
+    (num, den), _ = lax.scan(dens_step, (num, den), (oy_all, ox_all, u))
     return num / den[..., None]
 
 
